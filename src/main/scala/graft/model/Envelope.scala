@@ -1,0 +1,81 @@
+package graft.model
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's stream element and canonical raw-capture format.
+  *
+  * Mirrors the reference's `Message` (`/root/reference/internal/router/
+  * router.go:24-30`) and the 6-column passthrough record
+  * (`router.go:402-418`, documented README.md:313-321).
+  */
+final case class Message(
+    topic: String,
+    payload: Array[Byte],
+    qos: Int,
+    retain: Boolean,
+    time: Timestamp)
+
+object Envelope {
+
+  /** struct<topic,payload,qos,retain,time> — the unit every route consumes. */
+  val messageSchema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("qos", IntegerType, nullable = false),
+    StructField("retain", BooleanType, nullable = false),
+    StructField("time", TimestampType, nullable = false)))
+
+  /** Canonical passthrough: time, topic, qos, retain, raw, json
+    * (router.go:402-418). `json` is populated only when the payload parses
+    * as JSON — the columnar analog of Go's "add json field only if
+    * json.Unmarshal succeeds".
+    */
+  val passthroughSchema: StructType = StructType(Seq(
+    StructField("time", TimestampType),
+    StructField("topic", StringType),
+    StructField("qos", IntegerType),
+    StructField("retain", BooleanType),
+    StructField("raw", StringType),
+    StructField("json", StringType)))
+
+  /** JSON-validity probe with DuckDB `json_valid` parity (accepts objects,
+    * arrays, and scalars — matching Go's `json.Unmarshal` into interface{}).
+    */
+  def isValidJson(c: Column): Column = try_parse_json(c).isNotNull
+
+  /** The canonical passthrough projection (operator A7). A fixed, fully
+    * codegen'd `select` — no shuffle, no UDF.
+    */
+  def passthrough(messages: DataFrame): DataFrame = {
+    val raw = col("payload").cast("string")
+    messages.select(
+      col("time"),
+      col("topic"),
+      col("qos"),
+      col("retain"),
+      raw.as("raw"),
+      when(isValidJson(raw), raw).as("json"))
+  }
+
+  /** Adapt the driver's `events` table to the message envelope. The events
+    * stream stands in for the MQTT feed (TESTDATA.md): the routing key is a
+    * synthesized `events/<event_type>/<user_id>` topic, the JSON `props`
+    * column is the payload, and `ts` is the (event-time) timestamp — the
+    * reference only ever has arrival time (cmd/hermod/main.go:125); using
+    * event time is the documented, strictly-better delta (SURVEY.md §7).
+    */
+  def messagesFromEvents(events: DataFrame): DataFrame =
+    events.select(
+      concat(lit("events/"), col("event_type"), lit("/"),
+        col("user_id").cast("string")).as("topic"),
+      col("props").cast("binary").as("payload"),
+      (col("event_id") % 3).cast("int").as("qos"),
+      lit(false).as("retain"),
+      col("ts").as("time"),
+      // carried alongside the envelope for analytics parity with the source
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Codecs
+
+/** Exact vectors from the reference Lua engine tests (lua_test.go:323-401). */
+class CodecsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval1(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c.as("v")).collect()(0).get(0)
+
+  test("rot13 vector: Hello, World! -> Uryyb, Jbeyq! (lua_test.go:344-356)") {
+    assert(eval1(Codecs.rot13(lit("Hello, World!"))) === "Uryyb, Jbeyq!")
+    // involution + non-letters untouched
+    assert(eval1(Codecs.rot13(Codecs.rot13(lit("a1!Z")))) === "a1!Z")
+  }
+
+  test("base64 vector (lua_test.go:392)") {
+    assert(eval1(Codecs.base64Encode(lit("Hello, World!"))) === "SGVsbG8sIFdvcmxkIQ==")
+    assert(eval1(Codecs.base64Decode(lit("SGVsbG8sIFdvcmxkIQ=="))) === "Hello, World!")
+  }
+
+  test("hex round-trip, lowercase like Go hex.EncodeToString") {
+    assert(eval1(Codecs.hexEncode(lit("az"))) === "617a")
+    assert(eval1(Codecs.hexDecode(lit("617a"))) === "az")
+  }
+
+  test("hmac_sha256 lowercase hex (RFC 4231 test case 2)") {
+    // Known vector: HMAC-SHA256("Jefe", "what do ya want for nothing?")
+    assert(eval1(Codecs.hmacSha256(lit("Jefe"), lit("what do ya want for nothing?")))
+      === "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+  }
+
+  test("C→F conversion vector: 0 -> 32 (lua_test.go:128)") {
+    val f = Seq(0.0, 100.0).toDF("c")
+      .select((col("c") * 9 / 5 + 32).as("f")).as[Double].collect()
+    assert(f.toSeq === Seq(32.0, 212.0))
+  }
+}

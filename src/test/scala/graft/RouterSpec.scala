@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{Envelope, Message}
+import graft.operators.{Route, Router, Transforms}
+import graft.schema.{CatalogBuilder, TableSchema}
+
+class RouterSpec extends SparkSpec {
+  import spark.implicits._
+
+  def msg(topic: String, payload: String, t: Long = 0L): Message =
+    Message(topic, payload.getBytes("UTF-8"), 0, retain = false, new Timestamp(t))
+
+  lazy val messages = Seq(
+    msg("sensors/temp1", """{"temperature": 25.5}"""),
+    msg("sensors/hum1", """{"humidity": 60}"""),
+    msg("devices/d1/telemetry", """{"value": 1.5}"""),
+    msg("other/x", "not json")).toDS().toDF()
+
+  test("first-match wins: overlapping filters route to the first route (router.go:344-363)") {
+    val r = Router(
+      Route("a", "sensors/#", table = "t_a"),
+      Route("b", "sensors/+", table = "t_b"), // shadowed by a for 2-level topics
+      Route("c", "devices/#", table = "t_c"))
+    val tagged = r.tag(messages).select("topic", "route", "target_table")
+      .as[(String, String, String)].collect()
+      .map { case (k, v, t) => k -> ((v, t)) }.toMap
+    assert(tagged("sensors/temp1") === ("a", "t_a"))
+    assert(tagged("sensors/hum1") === ("a", "t_a"))
+    assert(tagged("devices/d1/telemetry") === ("c", "t_c"))
+    assert(tagged("other/x") === (null, Router.RawTable))
+  }
+
+  test("branch predicates partition the stream (AND-NOT chain)") {
+    val r = Router(
+      Route("a", "sensors/#"),
+      Route("b", "#")) // catch-all after
+    val n0 = messages.filter(r.branchPredicate(0)).count()
+    val n1 = messages.filter(r.branchPredicate(1)).count()
+    assert(n0 === 2)
+    assert(n1 === 2) // everything not sensors/#
+    assert(n0 + n1 === messages.count())
+  }
+
+  test("passthrough canonical format: 6 fields, json null for non-JSON (router_test.go:38-86)") {
+    val pt = Envelope.passthrough(messages)
+    assert(pt.columns.toSeq === Seq("time", "topic", "qos", "retain", "raw", "json"))
+    val rows = pt.select("topic", "raw", "json").as[(String, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows("other/x")._2 === "not json")
+    assert(rows("other/x")._3 === null)
+    assert(rows("sensors/temp1")._3 === """{"temperature": 25.5}""")
+  }
+
+  test("fanOut groups by table, unmatched lands in iot_raw (router.go:392-399)") {
+    val r = new Router(Seq(
+      Route("s", "sensors/#", table = "sensor_raw"),
+      Route("d", "devices/#", table = "device_raw")))
+    val out = r.fanOut(messages)
+    assert(out.keySet === Set("sensor_raw", "device_raw", Router.RawTable))
+    assert(out("sensor_raw").count() === 2)
+    assert(out("device_raw").count() === 1)
+    assert(out(Router.RawTable).count() === 1)
+  }
+
+  test("closed-world schema validation fails the branch at plan time (A8)") {
+    val cat = CatalogBuilder(TableSchema("narrow", Map("time" -> "timestamptz")))
+    val r = new Router(Seq(Route("s", "sensors/#", table = "narrow")), cat)
+    val ex = intercept[IllegalArgumentException] { r.fanOut(messages) }
+    assert(ex.getMessage.contains("not defined in schema"))
+  }
+
+  test("transform routes apply their transform (multi_table.lua integration shape)") {
+    val r = new Router(Seq(
+      Route("m", "sensors/#", table = "sensor_readings",
+        transform = Some(Transforms.multiTable))))
+    val branches = r.branches(messages)
+    val m = branches("m")
+    assert(m.filter(col("table") === "sensor_readings").count() === 2)
+    // non-JSON and non-matching topics excluded
+    assert(m.count() === 2)
+  }
+
+  test("multi_table transform: values and defaulting (integration_test.go:151-224)") {
+    val out = Transforms.multiTable(messages)
+      .filter(col("sensor_id") === "temp1")
+      .select("temperature", "humidity", "battery")
+      .as[(Double, Double, Double)].collect()
+    assert(out.toSeq === Seq((25.5, 0.0, 100.0)))
+  }
+
+  test("unitConversion: C→F and rot13 fields (transform.lua)") {
+    val one = Seq(msg("t/1", """{"temperature": 0, "text": "Hello, World!"}""", 1700000000000L))
+      .toDS().toDF()
+    val row = Transforms.unitConversion(one)
+      .select("temperature_fahrenheit", "text_rot13", "timestamp", "processed_by")
+      .as[(Double, String, Long, String)].collect()(0)
+    assert(row === ((32.0, "Uryyb, Jbeyq!", 1700000000L, "hermod")))
+  }
+
+  test("iotMetrics: or-defaulting to 0 (routing_transform.lua:22)") {
+    val out = Transforms.iotMetrics(messages)
+      .select("device", "value").as[(String, Double)].collect().toMap
+    assert(out("sensors/temp1") === 25.5)
+    assert(out("devices/d1/telemetry") === 1.5)
+    assert(out("sensors/hum1") === 0.0) // no temperature, no value -> 0
+    assert(!out.contains("other/x")) // non-JSON filtered (if msg.json)
+  }
+}
