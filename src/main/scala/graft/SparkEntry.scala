@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Envelope
-import graft.operators.{Route, Router, Transforms}
+import graft.operators.{Analytics, Route, Router, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -88,7 +88,39 @@ object SparkEntry {
           Codecs.base64Encode(substring(col("text"), 1, 32)).as("head_b64"),
           Codecs.hexEncode(substring(col("text"), 1, 16)).as("head_hex"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    // C1 — recent-N top-k scan (TakeOrderedAndProject, never a full sort)
+    "q_recent_topk" -> ((s, dir) =>
+      Analytics.recentTopK(Tables.events(s, dir), 10)),
+
+    // C2 — time-range filter + grouped aggregate
+    "q_timerange_agg" -> ((s, dir) =>
+      Analytics.timeRangeAgg(Tables.events(s, dir),
+        "2024-01-10 00:00:00", "2024-01-20 00:00:00")),
+
+    // C3 — JSON field extraction
+    "q_json_extract" -> ((s, dir) =>
+      Analytics.jsonExtract(Tables.events(s, dir))),
+
+    // C4 — time-bucketed continuous aggregate (batch/backfill shape)
+    "q_time_bucket_agg" -> ((s, dir) =>
+      Analytics.timeBucketAgg(Tables.events(s, dir))),
+
+    // TPC-H Q1 shape — hash agg with partial combine, decimal-exact sums
+    "q1_pricing_summary" -> ((s, dir) =>
+      Analytics.pricingSummary(Tables.lineitem(s, dir))),
+
+    // TPC-H Q5 shape — 5-way join, broadcast dims
+    "q5_region_revenue" -> ((s, dir) => Analytics.regionRevenue(s, dir)),
+
+    // ranking window — top-3 orders per customer
+    "q_top_orders_per_customer" -> ((s, dir) =>
+      Analytics.topOrdersPerCustomer(Tables.orders(s, dir), 3)),
+
+    // EXISTS via left-semi join — order priority count
+    "q_order_priority" -> ((s, dir) =>
+      Analytics.orderPriorityCount(Tables.orders(s, dir), Tables.lineitem(s, dir))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -148,5 +180,80 @@ object SparkEntry {
         |       to_base64(CAST(substring(text, 1, 32) AS BLOB)) AS head_b64,
         |       lower(hex(substring(text, 1, 16))) AS head_hex
         |FROM documents
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_recent_topk" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM events
+        |ORDER BY ts_us DESC, event_id DESC
+        |LIMIT 10""".stripMargin,
+
+    "q_timerange_agg" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+        |       COUNT(*) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "q_time_bucket_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+        |       event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+        |       MIN(value) AS min_value,
+        |       MAX(value) AS max_value,
+        |       COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket_us, event_type""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
 }

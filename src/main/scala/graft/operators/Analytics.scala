@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** The reference's downstream analytical surface (SURVEY.md §2C — the
+  * queries its README and TimescaleDB migration define over landed data,
+  * `/root/reference/README.md:519-533`,
+  * `migrations/001_initial_schema.sql:38-53`), promoted to first-class
+  * engine queries, plus TPC-H-shaped join/window analytics exercising the
+  * same operators at scale.
+  *
+  * Scale posture:
+  *   - top-k goes through `orderBy(...).limit(k)` which Spark plans as
+  *     TakeOrderedAndProject — per-partition heaps + driver merge of k rows,
+  *     never a full sort;
+  *   - aggregates are hash aggregates with map-side partial combine;
+  *   - small dimensions (nation, region) are broadcast explicitly so the
+  *     big fact side never shuffles for them;
+  *   - time-bucketing is `date_trunc` — a scalar projection, so bucket+key
+  *     aggregation remains a single shuffle.
+  *
+  * Cross-engine determinism: double aggregates go through exact DECIMAL
+  * sums (see [[decSum]]) cast back to DOUBLE, making results independent of
+  * partitioning and accumulation order — required for the DuckDB oracle
+  * hash-compare and a property worth having at 1000 executors anyway.
+  */
+object Analytics {
+
+  /** Exact sum of a double expression: cast each value to DECIMAL(18,s)
+    * first (decimal addition is associative — no float drift), return
+    * DOUBLE. The oracle mirrors: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE).
+    */
+  def decSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Order-insensitive mean with the same trick; mirrors
+    * CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE) / COUNT(x).
+    */
+  def decAvg(c: Column, scale: Int = 2): Column =
+    decSum(c, scale) / count(c)
+
+  /** C1 — recent-N scan (README.md:520-521): top-k by time, newest first.
+    * Unique tie-break on event_id keeps the result set deterministic.
+    */
+  def recentTopK(events: DataFrame, k: Int = 10): DataFrame =
+    events
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .limit(k)
+
+  /** C2 — time-range filter + grouped aggregate (README.md:523-527):
+    * AVG(value) per event_type over a fixed window (the reference uses
+    * NOW()-1h; a literal range keeps the query pure/deterministic).
+    */
+  def timeRangeAgg(events: DataFrame, fromTs: String, toTs: String): DataFrame =
+    events
+      .filter(col("ts") >= lit(fromTs).cast("timestamp")
+        && col("ts") < lit(toTs).cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(
+        decAvg(col("value")).as("avg_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** C3 — JSON field extraction + predicate (README.md:529-533). */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"))
+      .filter(col("k_str").isNotNull)
+      .withColumn("k", col("k_str").cast("int"))
+      .drop("k_str")
+      .orderBy(col("event_id"))
+
+  /** C4 — time-bucketed continuous aggregate
+    * (migrations/001_initial_schema.sql:38-53): time_bucket('1 hour') ×
+    * topic with AVG/MIN/MAX/COUNT. The streaming twin (watermark + tumbling
+    * window) lives in graft.streaming; this is the batch/backfill shape.
+    */
+  def timeBucketAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"),
+        col("event_type"))
+      .agg(
+        decAvg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("bucket_us"), col("event_type"))
+
+  /** TPC-H Q1-shaped pricing summary over lineitem: the canonical
+    * hash-aggregate-with-partial-combine workload.
+    */
+  def pricingSummary(li: DataFrame): DataFrame =
+    li
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+          .as("sum_disc_price"),
+        decAvg(col("l_quantity")).as("avg_qty"),
+        decAvg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q5-shaped: revenue per nation through a 5-way join. nation and
+    * region are broadcast (tiny dims); lineitem⋈orders and ⋈customer are
+    * the only shuffles, on their join keys — the plan that survives 100×.
+    */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+          .as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Top-3 orders per customer by total price — ranking window function.
+    * Deterministic tie-break on o_orderkey.
+    */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Order-priority check (TPC-H Q4 shape): EXISTS as a left-semi join —
+    * no row multiplication, partial-agg friendly.
+    */
+  def orderPriorityCount(orders: DataFrame, li: DataFrame): DataFrame =
+    orders
+      .join(li.select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+}
