@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Envelope
-import graft.operators.{Analytics, Route, Router, Transforms}
+import graft.operators.{Analytics, Dedup, Multimodal, Route, Router,
+  Similarity, Transforms, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -120,7 +121,84 @@ object SparkEntry {
 
     // EXISTS via left-semi join — order priority count
     "q_order_priority" -> ((s, dir) =>
-      Analytics.orderPriorityCount(Tables.orders(s, dir), Tables.lineitem(s, dir))))
+      Analytics.orderPriorityCount(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
+    // ---- north-star: text analysis ----
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.withQuality(Tables.documents(s, dir))
+        .select("doc_id", "lang", "n_tokens", "n_tokens_bpe",
+          "avg_token_len", "punct_ratio", "stopword_ratio", "quality_score")
+        .orderBy(col("doc_id"))),
+
+    "text_langid" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = TextAnalysis.langScores(col("text"))
+        .foldLeft(d) { case (df, (lang, score)) =>
+          df.withColumn(s"s_$lang", score) }
+      scored
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .select("doc_id", "s_en", "s_data", "s_query", "lang_pred")
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.withFingerprints(Tables.documents(s, dir))
+        .select("doc_id", "fp_md5", "fp_rolling")
+        .orderBy(col("doc_id"))),
+
+    // ---- north-star: dedup ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir))
+        .orderBy(col("content_key"))),
+
+    // MinHash-LSH near-dup summary per doc (hash functions not
+    // SQL-expressible → rows-only check; pair-level recall is spec-tested)
+    "dedup_minhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, threshold = 0.8)
+      val partners = pairs.select(col("doc_a").as("doc_id"), col("jaccard"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"), col("jaccard")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_near_dups"), max(col("jaccard")).as("best_jaccard"))
+      docs.select(col("doc_id"))
+        .join(partners, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_near_dups"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_embedding_nn" -> ((s, dir) =>
+      Similarity.nnWithinLabel(Tables.embeddings(s, dir))),
+
+    // ---- north-star: similarity search ----
+    "similarity_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .select("query_id", "vec_id", "rank")),
+
+    // ANN path: bucketed candidates, exact rerank (rows-only: LSH planes
+    // not SQL-expressible; recall vs brute force is spec-tested)
+    "similarity_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .select("query_id", "vec_id", "rank")),
+
+    // ---- north-star: multimodal columns ----
+    "multimodal_metadata" -> ((s, dir) =>
+      Multimodal.metadata(Multimodal.asMedia(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.asMedia(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"), col("frame_idx"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -255,5 +333,111 @@ object SparkEntry {
         |FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "text_stats" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens_bpe,
+        |    CAST(length(text) AS DOUBLE) AS n_chars_d,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS n_punct,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|or|in)\b')) AS DOUBLE) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens, n_tokens_bpe,
+        |  CASE WHEN n_tokens > 0 THEN n_chars_d / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS avg_token_len,
+        |  CASE WHEN n_chars_d > 0 THEN n_punct / n_chars_d ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + (1.0 - CASE WHEN n_chars_d > 0 THEN n_punct / n_chars_d ELSE 0.0 END) * 0.3
+        |    + least(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 5.0, 1.0) * 0.3
+        |    AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of)\b')) AS INT) AS s_en,
+        |    CAST(len(regexp_extract_all(text, '\b(data|table|row|column)\b')) AS INT) AS s_data,
+        |    CAST(len(regexp_extract_all(text, '\b(query|join|filter|agg)\b')) AS INT) AS s_query
+        |  FROM documents)
+        |SELECT doc_id, s_en, s_data, s_query,
+        |  CASE WHEN s_query > greatest(s_en, s_data) THEN 'query'
+        |       WHEN s_data > s_en THEN 'data'
+        |       ELSE 'en' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp_md5,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(unicode(c) AS BIGINT) for c in split(norm, '')]),
+        |    (acc, b) -> (acc * 131 + b) % 1000000007) AS fp_rolling
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_key,
+        |       min(doc_id) AS keep_doc_id, count(*) AS n_members
+        |FROM documents
+        |GROUP BY 1 ORDER BY content_key""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, n_chars // 64 AS len_b,
+        |    list_distinct(CASE WHEN length(norm) >= 3
+        |      THEN [substring(norm, i, 3) for i in range(1, length(norm) - 1)]
+        |      ELSE [norm] END) AS grams
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |          regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        |        FROM documents) t)
+        |SELECT lang, doc_a, doc_b, jaccard FROM (
+        |  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+        |  FROM g a JOIN g b
+        |    ON a.lang = b.lang AND a.len_b = b.len_b AND a.doc_id < b.doc_id) p
+        |WHERE jaccard >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding_nn" ->
+      """WITH v AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT label, vec_id, nn_vec_id FROM (
+        |  SELECT a.label, a.vec_id, b.vec_id AS nn_vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id) t
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "similarity_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN (0,1,2,3,4))
+        |SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.query_id, v.vec_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(v.e, q.qe) DESC, v.vec_id) AS INT) AS rank
+        |  FROM v JOIN q ON v.vec_id <> q.query_id) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "multimodal_metadata" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       md5(text) AS checksum,
+        |       CAST((strlen(text) % 640) + 1 AS INT) AS width,
+        |       CAST(((strlen(text) * 7) % 480) + 1 AS INT) AS height,
+        |       CAST((strlen(text) // 128) + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST((CAST(strlen(text) AS BIGINT) // 128) + 1 AS INT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+        |       CAST(u.i * 128 AS BIGINT) AS byte_offset
+        |FROM f, LATERAL (SELECT unnest(generate_series(0, f.n_frames - 1)) AS i) u
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }

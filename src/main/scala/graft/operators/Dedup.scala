@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** North-star deduplication operators over the `documents` table
+  * (BASELINE.json mandate; the reference has none — SURVEY.md §2D).
+  *
+  * Five families, each designed shuffle-first for 100 TB:
+  *
+  *   - exact: hash-groupBy on normalized content — one shuffle on the
+  *     content key (here md5(norm) so the shuffle key is 16 bytes, not the
+  *     document);
+  *   - MinHash+LSH: shingle → k minhashes → band signatures → bucket join.
+  *     Only bucket keys shuffle; candidate verification touches candidate
+  *     pairs, never the n² cross product. Oversized buckets (degenerate
+  *     content) are capped — the standard skew guard;
+  *   - SimHash: 64-bit signature via per-bit token-hash voting, computed
+  *     per-row with native array expressions (no shuffle), near-dup pairs
+  *     via banded Hamming blocking;
+  *   - n-gram Jaccard: blocked all-pairs verification (lang × length
+  *     bucket) — the exact-verify companion, SQL-expressible for the
+  *     oracle;
+  *   - embedding cosine: near-dup by cosine ≥ τ within a blocking key.
+  *
+  * All hash-derived paths use deterministic seeds; minhash/simhash use
+  * xxhash64 (Spark-native, codegen'd) so signatures are reproducible
+  * across runs and cluster sizes.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  def normText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Exact dedup groups: one row per distinct normalized content with >0
+    * members; representative = min doc_id (deterministic survivor policy).
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(normText(col("text"))).as("content_key"))
+      .groupBy(col("content_key"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_members"))
+
+  /** Survivors only — the dedup'd corpus (drop all but the representative). */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_key", md5(normText(col("text"))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_key")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .drop("rn", "content_key")
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word w-shingles as a distinct array column (native higher-order
+    * functions; no UDF, no explode until the LSH stage chooses to).
+    */
+  def wordShingles(text: Column, w: Int = 3): Column = {
+    val words = split(normText(text), " ")
+    array_distinct(
+      when(size(words) >= w,
+        transform(sequence(lit(0), size(words) - w),
+          i => concat_ws(" ", slice(words, i + 1, lit(w)))))
+        .otherwise(array(concat_ws(" ", words))))
+  }
+
+  /** Character n-grams, distinct. */
+  def charNgrams(text: Column, n: Int = 3): Column = {
+    val t = normText(text)
+    array_distinct(
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n))))
+        .otherwise(array(t)))
+  }
+
+  // ------------------------------------------------------- MinHash + LSH
+
+  /** Deterministic (a, b) parameters for the k universal hash functions
+    * h_i(x) = (a_i·x + b_i) mod P over a 2^31-bounded base hash.
+    */
+  final val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  def minhashParams(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** k-element minhash signature from a shingle array: for each (a,b),
+    * min over shingles of (a·h(s)+b) mod P, h = pmod(xxhash64, P).
+    * Pure array expressions — per-row, shuffle-free, deterministic.
+    */
+  def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column = {
+    val params = minhashParams(k, seed)
+    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(MinhashP)))
+    array(params.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * a + b, lit(MinhashP))))
+    }: _*)
+  }
+
+  /** Candidate pairs via banded LSH over the signature: b bands of r rows
+    * (k = b·r); docs sharing any band bucket are candidates. `maxBucket`
+    * caps degenerate buckets (skew guard: a bucket of m docs yields m²
+    * pairs — boilerplate/empty docs would otherwise dominate the shuffle).
+    */
+  def lshCandidates(
+      signed: DataFrame, // (doc_id, sig array<long>)
+      bands: Int = 16,
+      rows: Int = 4,
+      maxBucket: Int = 50): DataFrame = {
+    val banded = signed.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*))
+        .as(Seq("band", "bucket")))
+    val buckets = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")).between(2, maxBucket))
+    buckets
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+  }
+
+  /** Jaccard similarity of two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
+    * pairs → exact-Jaccard verification ≥ threshold.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      k: Int = 64,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val shingled = docs.select(
+      col("doc_id"), wordShingles(col("text")).as("shingles"))
+    val signed = shingled.select(
+      col("doc_id"), minhashSignature(col("shingles"), k).as("sig"))
+    val cand = lshCandidates(signed, bands, rowsPerBand)
+    val a = shingled.select(
+      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = shingled.select(
+      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cand
+      .join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per document from token hashes — per-row native array
+    * expressions: for each bit, sum(+1/−1) over token hashes, bit set when
+    * the vote is positive.
+    */
+  def simhash(text: Column): Column = {
+    val tokens = split(normText(text), " ")
+    val hashes = transform(tokens, t => xxhash64(t))
+    (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Near-dup pairs by Hamming distance ≤ maxDist, blocked on 16-bit bands
+    * (a pair within distance d ≤ 3 must agree on ≥1 of 4 bands).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val banded = sh.select(
+      col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(
+      col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(
+      col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ------------------------------------------------------ n-gram Jaccard
+
+  /** Blocked exact n-gram-Jaccard near-dup: candidates = same lang and
+    * same length bucket (|len/bucket|), verified by char-3-gram Jaccard.
+    * This is the SQL-expressible exact-verify twin of the LSH path.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      threshold: Double = 0.65,
+      lenBucket: Int = 64): DataFrame = {
+    val g = docs.select(
+      col("doc_id"), col("lang"),
+      (col("n_chars").cast("long") / lenBucket).cast("long").as("len_b"),
+      charNgrams(col("text"), 3).as("grams"))
+    val a = g.select(col("lang"), col("len_b"),
+      col("doc_id").as("doc_a"), col("grams").as("g_a"))
+    val b = g.select(col("lang"), col("len_b"),
+      col("doc_id").as("doc_b"), col("grams").as("g_b"))
+    a.join(b, Seq("lang", "len_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        jaccard(col("g_a"), col("g_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Cosine near-dup over an embedding column within a blocking key —
+    * here `label` (cluster id): exact within-block verification.
+    */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame,
+      threshold: Double = 0.99): DataFrame = {
+    val v = embeddings.select(
+      col("label"), col("vec_id"),
+      Similarity.normalized(col("embedding")).as("unit"))
+    val a = v.select(col("label"), col("vec_id").as("vec_a"),
+      col("unit").as("u_a"))
+    val b = v.select(col("label"), col("vec_id").as("vec_b"),
+      col("unit").as("u_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        Similarity.dot(col("u_a"), col("u_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingHash
+
+/** North-star text-analysis operators over the `documents` table (mandated
+  * by BASELINE.json; absent from the reference — SURVEY.md §2D): token
+  * counting, quality scoring, language-ID heuristic, and document
+  * fingerprinting.
+  *
+  * Everything except the rolling-hash fingerprint is pure built-in column
+  * expressions (regexp counts, arithmetic) — single scan, no shuffle, fully
+  * pushdown/pruning-friendly: the shape you want for a 100 TB corpus pass.
+  * The regex dialect is restricted to constructs Java regex and RE2 share,
+  * so the DuckDB oracle runs the identical patterns.
+  */
+object TextAnalysis {
+
+  private def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Whitespace tokens (runs of non-space). */
+  def tokenCountWs(text: Column): Column = countMatches(text, "\\S+")
+
+  /** BPE-ish sub-word tokens: letter runs, digit runs, single punctuation —
+    * the classic pre-tokenizer split.
+    */
+  def tokenCountBpe(text: Column): Column =
+    countMatches(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+
+  /** Language-ID by marker-token frequency (n-gram/stopword heuristic).
+    * Deterministic argmax with fixed precedence on ties.
+    */
+  val langProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of)\\b",
+    "data" -> "\\b(data|table|row|column)\\b",
+    "query" -> "\\b(query|join|filter|agg)\\b")
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langProfiles.map { case (lang, pat) => lang -> countMatches(text, pat) }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax with precedence = profile order (strictly-greater comparison)
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Quality features + composite score: length, token stats, punctuation
+    * and stopword ratios — the standard cheap pre-filter for training-data
+    * curation.
+    */
+  def withQuality(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCountWs(text)
+    val nPunct = countMatches(text, "[^A-Za-z0-9\\s]").cast("double")
+    val nStop = countMatches(text, "\\b(the|a|of|and|or|in)\\b").cast("double")
+    docs
+      .withColumn("n_tokens", nTokens)
+      .withColumn("n_tokens_bpe", tokenCountBpe(text))
+      .withColumn("avg_token_len",
+        when(nTokens > 0, nChars / nTokens.cast("double")).otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(nTokens > 0, nStop / nTokens.cast("double")).otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
+          + (lit(1.0) - col("punct_ratio")) * 0.3
+          + least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3)
+  }
+
+  /** Fingerprints: exact-content md5 plus the rolling hash (custom codegen
+    * Expression) over whitespace-normalized text.
+    */
+  def withFingerprints(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(col("text")), "\\s+", " ")
+    docs
+      .withColumn("fp_md5", md5(norm))
+      .withColumn("fp_rolling", RollingHash.rolling_hash(norm))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf)
+
+  lazy val synthetic = Seq(
+    (1L, "the quick brown fox", "en"),
+    (2L, "The  quick brown FOX", "en"), // dup of 1 after normalization
+    (3L, "something else entirely", "en"),
+    (4L, "the quick brown fox", "fr")) // dup of 1
+    .toDF("doc_id", "text", "lang")
+
+  test("exactGroups: normalized duplicates collapse, min doc_id survives") {
+    val g = Dedup.exactGroups(synthetic).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(g === Map(1L -> 3L, 3L -> 1L))
+  }
+
+  test("exactDedup keeps one row per content") {
+    val kept = Dedup.exactDedup(synthetic).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("wordShingles produces distinct w-grams") {
+    val sh = synthetic.filter($"doc_id" === 1)
+      .select(Dedup.wordShingles(col("text"), 3))
+      .as[Seq[String]].collect()(0)
+    assert(sh.toSet === Set("the quick brown", "quick brown fox"))
+  }
+
+  test("minhash signature is deterministic and length-k") {
+    val sig = docs.limit(5)
+      .select(Dedup.minhashSignature(Dedup.wordShingles(col("text")), 64))
+      .as[Seq[Long]].collect()
+    assert(sig.forall(_.length === 64))
+    val sig2 = docs.limit(5)
+      .select(Dedup.minhashSignature(Dedup.wordShingles(col("text")), 64))
+      .as[Seq[Long]].collect()
+    assert(sig.toSeq === sig2.toSeq)
+  }
+
+  test("minhash LSH finds the high-jaccard pairs (recall vs exact, t=0.8)") {
+    // exact ground truth via blocked all-pairs (small corpus)
+    val g = docs.select(col("doc_id"), Dedup.wordShingles(col("text")).as("sh"))
+    val a = g.select(col("doc_id").as("da"), col("sh").as("sa"))
+    val b = g.select(col("doc_id").as("db"), col("sh").as("sb"))
+    val exact = a.crossJoin(b).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), Dedup.jaccard(col("sa"), col("sb")).as("j"))
+      .filter(col("j") >= 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain near-dup pairs")
+    // at t=0.8 with 16 bands × 4 rows the s-curve gives ~99.98% recall
+    assert((exact -- lsh).isEmpty, s"LSH missed pairs: ${exact -- lsh}")
+    // verification step guarantees no false positives
+    assert((lsh -- exact).isEmpty)
+  }
+
+  test("simhash is deterministic; near-dup docs are hamming-close") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+    val s1 = sh.orderBy("doc_id").limit(3).as[(Long, Long)].collect()
+    val s2 = sh.orderBy("doc_id").limit(3).as[(Long, Long)].collect()
+    assert(s1.toSeq === s2.toSeq)
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3)
+    assert(pairs.count() > 0)
+  }
+
+  test("ngram jaccard agrees with a hand-computed pair") {
+    val two = Seq((1L, "abcd", "en", 4L), (2L, "abce", "en", 4L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    // grams(1)={abc,bcd}, grams(2)={abc,bce}; jaccard = 1/3
+    val j = Dedup.ngramJaccardPairs(two, threshold = 0.0)
+      .select("jaccard").as[Double].collect()(0)
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("embedding near-dup pairs: within-label, threshold respected") {
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = Dedup.embeddingNearDupPairs(emb, threshold = 0.4)
+    val cos = pairs.select("cosine").as[Double].collect()
+    assert(cos.forall(_ >= 0.4))
+  }
+}

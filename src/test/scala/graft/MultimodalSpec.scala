@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val media = Multimodal.asMedia(Tables.documents(spark, sf))
+
+  test("asMedia: binary content with typed metadata columns") {
+    assert(media.columns.toSeq ===
+      Seq("doc_id", "media_type", "n_bytes", "content"))
+    assert(media.schema("content").dataType.typeName === "binary")
+    val n = media.select(col("n_bytes"), length(col("content")).cast("long"))
+      .as[(Long, Long)].collect()
+    assert(n.forall { case (a, b) => a === b })
+  }
+
+  test("columnar metadata matches the mapPartitions decode stub") {
+    val cols = Multimodal.metadata(media)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bytes", "width", "height", "n_frames", "checksum")
+      .as[(Long, Long, Int, Int, Int, String)].collect()
+    val decoded = Multimodal.decodeFeatures(media)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bytes", "width", "height", "n_frames", "checksum")
+      .as[(Long, Long, Int, Int, Int, String)].collect()
+    assert(cols.toSeq === decoded.toSeq)
+  }
+
+  test("frameSample: one row per frame, offsets stride-aligned") {
+    val fs = Multimodal.frameSample(media, strideBytes = 128)
+    val expected = media
+      .select((col("n_bytes") / 128 + 1).cast("int")).as[Int]
+      .collect().map(_.toLong).sum
+    assert(fs.count() === expected)
+    val offs = fs.filter(col("doc_id") === 0L)
+      .select("byte_offset").as[Long].collect()
+    assert(offs.forall(_ % 128 === 0))
+  }
+}
