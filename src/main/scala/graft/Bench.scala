@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/scan warm-up so the first measured query doesn't absorb
+    // session startup (JIT, janino, parquet footer reads)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

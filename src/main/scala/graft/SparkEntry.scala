@@ -395,7 +395,8 @@ object SparkEntry {
         |SELECT lang, doc_a, doc_b, jaccard FROM (
         |  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+        |      / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
+        |         - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) AS jaccard
         |  FROM g a JOIN g b
         |    ON a.lang = b.lang AND a.len_b = b.len_b AND a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.8

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native vector arithmetic for the similarity operators.
+  *
+  * The composable forms (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) are
+  * higher-order functions — CodegenFallback, interpreted, with per-element
+  * lambda dispatch and boxing. On pairwise workloads (400k pairs × 64 dims)
+  * that interpretive overhead dominated entire queries. These expressions
+  * run the same arithmetic in one codegen'd loop.
+  *
+  * Determinism contract (oracle parity): identical operation ORDER to the
+  * HOF forms and to DuckDB's sequential loops — left-to-right accumulate,
+  * float→double widening before any arithmetic — so scores are
+  * bit-identical across formulations.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2-normalize an array<float> or array<double> into a unit array<double>. */
+case class UnitizeExpr(child: Expression) extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"unitize expects array<float|double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_unit"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (isFloat) VectorOps.unitFromFloat(a) else VectorOps.unitFromDouble(a)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isFloat) "unitFromFloat" else "unitFromDouble"
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.$m($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnitizeExpr =
+    copy(child = newChild)
+}
+
+object VectorOps {
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def unitFromFloat(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val d = new Array[Double](n)
+    var i = 0
+    while (i < n) { d(i) = a.getFloat(i).toDouble; i += 1 }
+    unit(d)
+  }
+
+  def unitFromDouble(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val d = new Array[Double](n)
+    var i = 0
+    while (i < n) { d(i) = a.getDouble(i); i += 1 }
+    unit(d)
+  }
+
+  private def unit(d: Array[Double]): ArrayData = {
+    var s = 0.0
+    var i = 0
+    while (i < d.length) { s += d(i) * d(i); i += 1 }
+    val norm = math.sqrt(s)
+    i = 0
+    while (i < d.length) { d(i) = d(i) / norm; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(d)
+  }
+
+  def vec_dot(a: Column, b: Column): Column =
+    GraftShims.column(DotProductExpr(
+      GraftShims.expression(a), GraftShims.expression(b)))
+
+  def vec_unit(a: Column): Column =
+    GraftShims.column(UnitizeExpr(GraftShims.expression(a)))
+}

@@ -31,8 +31,14 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
 
+  /** Whitespace/case normalization. The coalesce makes the expression
+    * NON-NULLABLE, which matters beyond semantics: a nullable similarity
+    * key makes InferFiltersFromConstraints push `isnotnull(<whole gram
+    * pipeline>)` below the materializing exchange, re-evaluating the
+    * expensive higher-order-function chain once more per document.
+    */
   def normText(c: Column): Column =
-    regexp_replace(trim(lower(c)), "\\s+", " ")
+    regexp_replace(trim(lower(coalesce(c, lit("")))), "\\s+", " ")
 
   /** Exact dedup groups: one row per distinct normalized content with >0
     * members; representative = min doc_id (deterministic survivor policy).
@@ -210,19 +216,40 @@ object Dedup {
       docs: DataFrame,
       threshold: Double = 0.65,
       lenBucket: Int = 64): DataFrame = {
+    // Grams are xxhash64'd before the join: set intersection on primitive
+    // longs is several times cheaper than on strings, and with a gram
+    // universe ≪ 2^32 the collision probability is negligible, so the
+    // Jaccard VALUE is unchanged (the SQL oracle keeps string grams).
+    // |A∪B| is computed as |A|+|B|−|A∩B| rather than materializing the
+    // union array — halves the per-pair set work.
+    // Grams are xxhash64'd and SORTED once per doc before the join; the
+    // per-pair intersection is then a zero-allocation linear merge
+    // (SortedIntersect) instead of array_intersect's per-invocation hash
+    // set. The repartition materializes the gram arrays ahead of the
+    // self-join (otherwise Catalyst collapses the projection past the join
+    // and recomputes gram sets per PAIR) and both branches canonicalize to
+    // one exchange, which ReuseExchange computes once. Collision note: with
+    // a gram universe ≪ 2^32 the xxhash64 step leaves Jaccard values
+    // unchanged, so the string-gram SQL oracle still matches.
+    // gram sets come from the native NgramHashes expression (one codegen'd
+    // pass over the bytes) — the HOF formulation was interpreted and cost
+    // ~3.3 ms/doc, dominating the whole operator
     val g = docs.select(
       col("doc_id"), col("lang"),
       (col("n_chars").cast("long") / lenBucket).cast("long").as("len_b"),
-      charNgrams(col("text"), 3).as("grams"))
+      graft.functions.NgramHashes.ngram_hashes(normText(col("text")), 3)
+        .as("grams"))
+      .repartition(col("lang"), col("len_b"))
     val a = g.select(col("lang"), col("len_b"),
       col("doc_id").as("doc_a"), col("grams").as("g_a"))
     val b = g.select(col("lang"), col("len_b"),
       col("doc_id").as("doc_b"), col("grams").as("g_b"))
+    val jac = graft.functions.SortedIntersect
+      .jaccard_sorted(col("g_a"), col("g_b"))
     a.join(b, Seq("lang", "len_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("lang"), col("doc_a"), col("doc_b"),
-        jaccard(col("g_a"), col("g_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(jac >= threshold)
+      .select(col("lang"), col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
   // ------------------------------------------------- embedding near-dup

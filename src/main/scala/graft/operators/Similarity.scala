@@ -24,25 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns — sequential fold, codegen'd
-    * native expressions, no UDF.
+  /** Dot product of two array<double> columns — one codegen'd loop
+    * (graft.functions.VectorOps; the HOF `aggregate(zip_with(...))` form is
+    * CodegenFallback and its interpreted per-element dispatch dominated the
+    * pairwise workloads). Accumulation order is identical, so scores are
+    * bit-equal to the composable form and to DuckDB's loop.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** L2-normalize (array<float> → unit array<double>); pre-normalizing once
-    * turns every downstream cosine into a plain dot product.
+  /** L2-normalize (array<float|double> → unit array<double>);
+    * pre-normalizing once turns every downstream cosine into a plain dot
+    * product.
     */
-  def normalized(a: Column): Column = {
-    val d = transform(a, x => x.cast("double"))
-    val n = norm(d)
-    transform(d, x => x / n)
-  }
-
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  def normalized(a: Column): Column =
+    graft.functions.VectorOps.vec_unit(a)
 
   /** Exact cosine top-k: for each query vector (small fixed set), the k
     * nearest corpus vectors. Query side broadcast; ranking via window with
@@ -92,8 +90,12 @@ object Similarity {
     * pair space, and each block is an independent shuffle-local problem).
     */
   def nnWithinLabel(embeddings: DataFrame): DataFrame = {
+    // repartition before aliasing: materializes the normalized vectors
+    // ahead of the self-join (no per-pair renormalization) and lets
+    // ReuseExchange share one exchange between both branches
     val v = embeddings.select(
       col("label"), col("vec_id"), normalized(col("embedding")).as("unit"))
+      .repartition(col("label"))
     val a = v.select(col("label"), col("vec_id"), col("unit"))
     val b = v.select(col("label"), col("vec_id").as("nn_vec_id"),
       col("unit").as("nn_unit"))
