@@ -123,6 +123,27 @@ object SparkEntry {
     "q_order_priority" -> ((s, dir) =>
       Analytics.orderPriorityCount(Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
+    // A6 — transform.lua's legacy 1→1 contract (C→F conversion, rot13,
+    // unix-seconds stamping) driven by a payload synthesized from the
+    // events value column
+    "transform_unit_conversion" -> ((s, dir) => {
+      val m = messages(s, dir)
+        .withColumn("payload",
+          to_json(struct(col("value").as("temperature"))).cast("binary"))
+      Transforms.unitConversion(m)
+        .orderBy(col("topic"), col("timestamp"), col("temperature_celsius"))
+    }),
+
+    // B6 — HMAC-SHA256 payload signing (no DuckDB equivalent → rows-only)
+    "codec_hmac" -> ((s, dir) => {
+      import graft.functions.Codecs
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Codecs.hmacSha256(lit("graft-key"), substring(col("text"), 1, 64))
+            .as("sig"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north-star: text analysis ----
     "text_stats" -> ((s, dir) =>
       TextAnalysis.withQuality(Tables.documents(s, dir))
@@ -334,6 +355,17 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "transform_unit_conversion" ->
+      """SELECT 'events/' || event_type || '/' || user_id AS topic,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS timestamp,
+        |       value AS temperature_celsius,
+        |       value * 9 / 5 + 32 AS temperature_fahrenheit,
+        |       CAST(NULL AS VARCHAR) AS original_text,
+        |       CAST(NULL AS VARCHAR) AS text_rot13,
+        |       'hermod' AS processed_by
+        |FROM events
+        |ORDER BY topic, timestamp, temperature_celsius""".stripMargin,
 
     "text_stats" ->
       """WITH f AS (

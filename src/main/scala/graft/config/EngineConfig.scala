@@ -1,0 +1,193 @@
+package graft.config
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Route, Router}
+
+/** Config-driven plan construction (operator A13,
+  * `/root/reference/internal/config/config.go`,
+  * `cmd/hermod/main.go:163-199`): a TOML file declares the engine's routes;
+  * legacy `[pipeline]` + `mqtt.topics` configs are auto-wrapped as a single
+  * route.
+  *
+  * The reference's `script` field names a Lua file; here it names a
+  * registered DataFrame transform (the Lua corpus re-expressed as column
+  * expressions — SURVEY.md §2 A5). `workers`/`queue_size` have no Spark
+  * analog (the scheduler owns parallelism; SURVEY.md §4) but are parsed and
+  * surfaced for config parity.
+  */
+final case class MqttConfig(
+    broker: String = "",
+    clientId: String = "",
+    username: String = "",
+    password: String = "",
+    topics: Seq[String] = Nil,
+    qos: Int = 0)
+
+final case class DatabaseConfig(
+    host: String = "",
+    port: Int = 0,
+    user: String = "",
+    password: String = "",
+    database: String = "",
+    sslmode: String = "",
+    poolSize: Int = 0) {
+
+  /** Exact reference format (config.go:76-81; config_test.go:112-163). */
+  def connectionString: String =
+    s"host=$host port=$port user=$user password=$password " +
+      s"dbname=$database sslmode=$sslmode pool_max_conns=$poolSize"
+}
+
+final case class PipelineConfig(luaScript: String = "", tableName: String = "")
+
+final case class RouteConfig(
+    filter: String = "",
+    script: String = "",
+    workers: Int = 1,       // default router.go:111-113
+    queueSize: Int = 100,   // default router.go:114-116
+    table: String = Router.DefaultTable)
+
+final case class EngineConfig(
+    mqtt: MqttConfig = MqttConfig(),
+    database: DatabaseConfig = DatabaseConfig(),
+    pipeline: PipelineConfig = PipelineConfig(),
+    routes: Seq[RouteConfig] = Nil) {
+
+  /** main.go:163-199 — explicit routes win; else wrap the legacy pipeline
+    * as one route (filter = the sole topic, or `#`); else no routes (all
+    * messages fall through to passthrough).
+    */
+  def buildRouteConfigs: Seq[RouteConfig] =
+    if (routes.nonEmpty) routes
+    else if (pipeline.luaScript.nonEmpty || mqtt.topics.nonEmpty) {
+      val filter = if (mqtt.topics.length == 1) mqtt.topics.head else "#"
+      Seq(RouteConfig(filter = filter, script = pipeline.luaScript,
+        workers = 1, queueSize = 100, table = pipeline.tableName))
+    } else Nil
+
+  /** Resolve scripts against a transform registry and build the Router. */
+  def buildRouter(transforms: Map[String, DataFrame => DataFrame]): Router = {
+    val rs = buildRouteConfigs.zipWithIndex.map { case (rc, i) =>
+      val t = rc.script match {
+        case "" => None
+        case s  => Some(transforms.getOrElse(s,
+          throw new IllegalArgumentException(s"unknown transform script: $s")))
+      }
+      Route(s"route_$i", rc.filter, rc.table, t)
+    }
+    new Router(rs)
+  }
+}
+
+object EngineConfig {
+
+  /** Minimal TOML-subset parser covering the reference's config surface:
+    * `[section]`, `[[array-of-tables]]`, `key = "string" | int | bool |
+    * ["a", "b"]`, comments. No external dependency (zero-egress build).
+    */
+  def parseToml(text: String): Map[String, Any] = {
+    val root = scala.collection.mutable.Map[String, Any]()
+    var current = root
+    text.linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .foreach { line =>
+        if (line.startsWith("[[") && line.endsWith("]]")) {
+          val name = line.substring(2, line.length - 2).trim
+          val arr = root.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer[scala.collection.mutable.Map[String, Any]]())
+            .asInstanceOf[scala.collection.mutable.ArrayBuffer[scala.collection.mutable.Map[String, Any]]]
+          val tbl = scala.collection.mutable.Map[String, Any]()
+          arr += tbl
+          current = tbl
+        } else if (line.startsWith("[") && line.endsWith("]")) {
+          val name = line.substring(1, line.length - 1).trim
+          val tbl = scala.collection.mutable.Map[String, Any]()
+          root(name) = tbl
+          current = tbl
+        } else {
+          val eq = line.indexOf('=')
+          require(eq > 0, s"malformed TOML line: $line")
+          val key = line.substring(0, eq).trim
+          val raw = stripComment(line.substring(eq + 1).trim)
+          current(key) = parseValue(raw)
+        }
+      }
+    deepImmutable(root).asInstanceOf[Map[String, Any]]
+  }
+
+  private def stripComment(v: String): String = {
+    // strip a trailing comment that is not inside a string
+    var inStr = false
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '"') inStr = !inStr
+      else if (c == '#' && !inStr) return v.substring(0, i).trim
+      i += 1
+    }
+    v
+  }
+
+  private def parseValue(raw: String): Any = raw match {
+    case s if s.startsWith("\"") && s.endsWith("\"") && s.length >= 2 =>
+      s.substring(1, s.length - 1)
+    case s if s.startsWith("[") && s.endsWith("]") =>
+      val body = s.substring(1, s.length - 1).trim
+      if (body.isEmpty) Seq.empty[Any]
+      else body.split(",").map(e => parseValue(e.trim)).toSeq
+    case "true"  => true
+    case "false" => false
+    case s       => s.toLongOption.getOrElse(
+      s.toDoubleOption.getOrElse(s))
+  }
+
+  private def deepImmutable(v: Any): Any = v match {
+    case m: scala.collection.mutable.Map[_, _] =>
+      m.map { case (k, x) => k.toString -> deepImmutable(x) }.toMap
+    case a: scala.collection.mutable.ArrayBuffer[_] =>
+      a.map(deepImmutable).toSeq
+    case other => other
+  }
+
+  def fromToml(text: String): EngineConfig = {
+    val t = parseToml(text)
+    def section(name: String): Map[String, Any] =
+      t.getOrElse(name, Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+    def str(m: Map[String, Any], k: String, d: String = ""): String =
+      m.get(k).map(_.toString).getOrElse(d)
+    def int(m: Map[String, Any], k: String, d: Int = 0): Int =
+      m.get(k).map(_.toString.toInt).getOrElse(d)
+    val mqtt = section("mqtt")
+    val db = section("database")
+    val pipe = section("pipeline")
+    val routes = t.getOrElse("routes", Seq.empty).asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+      .map(r => RouteConfig(
+        filter = str(r, "filter"),
+        script = str(r, "script"),
+        workers = int(r, "workers", 1),
+        queueSize = int(r, "queue_size", 100),
+        table = str(r, "table", Router.DefaultTable)))
+    EngineConfig(
+      mqtt = MqttConfig(
+        broker = str(mqtt, "broker"),
+        clientId = str(mqtt, "client_id"),
+        username = str(mqtt, "username"),
+        password = str(mqtt, "password"),
+        topics = mqtt.getOrElse("topics", Seq.empty).asInstanceOf[Seq[Any]]
+          .map(_.toString),
+        qos = int(mqtt, "qos")),
+      database = DatabaseConfig(
+        host = str(db, "host"),
+        port = int(db, "port"),
+        user = str(db, "user"),
+        password = str(db, "password"),
+        database = str(db, "database"),
+        sslmode = str(db, "sslmode"),
+        poolSize = int(db, "pool_size")),
+      pipeline = PipelineConfig(
+        luaScript = str(pipe, "lua_script"),
+        tableName = str(pipe, "table_name")),
+      routes = routes)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.schema.Catalog
+
+/** Sink surface (operator A10 + physical design C5/C6).
+  *
+  * The reference writes one parameterized INSERT per record through pgx
+  * (`/root/reference/internal/storage/storage.go:87-151`). Spark-side the
+  * batched writers are the real sink; the INSERT builder is kept for exact
+  * behavioral parity (identifier validation, sorted columns, JSON-marshaled
+  * nested values, dry-run mode) and as the row-shape for a JDBC sink.
+  *
+  * The partitioned parquet layout is the analog of the migration's
+  * hypertable + retention policy (`migrations/001_initial_schema.sql:26-35`):
+  * date-partitioned files make retention a partition drop and give every
+  * time-range query partition pruning for free.
+  */
+object Sink {
+
+  /** Minimal JSON encoder for nested record values (storage.go:118-128
+    * json.Marshal parity for the types that cross the engine: map, seq,
+    * string, number, boolean, null).
+    */
+  def jsonEncode(v: Any): String = v match {
+    case null => "null"
+    case m: Map[_, _] =>
+      m.toSeq.map { case (k, x) => s"${jsonString(k.toString)}:${jsonEncode(x)}" }
+        .mkString("{", ",", "}")
+    case s: Seq[_] => s.map(jsonEncode).mkString("[", ",", "]")
+    case s: String => jsonString(s)
+    case b: Boolean => b.toString
+    case d: Double => if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+    case other => other.toString
+  }
+
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Build the exact INSERT the reference builds (storage.go:87-151):
+    * validated identifiers, sorted columns, $n placeholders, nested values
+    * JSON-marshaled. Returns (sql, values-in-column-order).
+    */
+  def insertSql(table: String, data: Map[String, Any]): Either[String, (String, Seq[Any])] = {
+    if (data.isEmpty) return Left("empty data provided")
+    if (!Catalog.validIdentifier(table))
+      return Left(s"invalid table name '$table': must contain only alphanumeric characters and underscores")
+    val badCol = data.keys.find(!Catalog.validIdentifier(_))
+    if (badCol.isDefined)
+      return Left(s"invalid column name '${badCol.get}': must contain only alphanumeric characters and underscores")
+    val keys = data.keys.toSeq.sorted
+    val placeholders = keys.indices.map(i => s"$$${i + 1}")
+    val values = keys.map { k =>
+      data(k) match {
+        case m: Map[_, _] => jsonEncode(m)
+        case s: Seq[_]    => jsonEncode(s)
+        case v            => v
+      }
+    }
+    Right((
+      s"INSERT INTO $table (${keys.mkString(", ")}) VALUES (${placeholders.mkString(", ")})",
+      values))
+  }
+
+  /** C6 — date-partitioned layout: the write shape that makes retention a
+    * partition drop and time-range scans prune at the source.
+    */
+  def writePartitionedByDate(
+      df: DataFrame,
+      path: String,
+      tsCol: String = "time",
+      mode: String = "overwrite"): Unit =
+    df.withColumn("date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .repartition(col("date"))
+      .write.mode(mode).partitionBy("date").parquet(path)
+
+  /** C5 — retention policy (`add_retention_policy('30 days')` analog):
+    * drop whole date partitions older than the cutoff. No data rewrite —
+    * O(partitions dropped), the property that matters at 100 TB.
+    */
+  def applyRetention(path: String, cutoffDateInclusive: String): Seq[String] = {
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root)) return Nil
+    val dropped = scala.collection.mutable.ArrayBuffer[String]()
+    Files.list(root).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("date=")) {
+        val date = name.substring("date=".length)
+        if (date < cutoffDateInclusive) {
+          deleteRecursively(p)
+          dropped += date
+        }
+      }
+    }
+    dropped.toSeq.sorted
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom expressions exposed through spark.sql via
+  * SparkSessionExtensions.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate() reuses the shared test session (extensions are build-time
+  // only), so install through the live-session path, which uses the exact
+  // same builder list as the extension class.
+  lazy val spark: SparkSession = {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("SQL surface: rolling_hash, ngram_hashes, jaccard_sorted, vec ops, topic_matches") {
+    spark.sparkContext.setLogLevel("WARN")
+    val row = spark.sql(
+      """SELECT rolling_hash('abc xyz') AS rh,
+        |       size(ngram_hashes('abcd', 3)) AS ng,
+        |       jaccard_sorted(ngram_hashes('abcd', 3), ngram_hashes('abce', 3)) AS j,
+        |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       vec_unit(array(3.0d, 4.0d))[0] AS u0,
+        |       topic_matches('sensors/+', 'sensors/t1') AS tm,
+        |       topic_matches('sensors/+', 'other/t1') AS tm2
+        |""".stripMargin).collect()(0)
+    assert(row.getLong(0) === 591029166L)
+    assert(row.getInt(1) === 2)
+    assert(math.abs(row.getDouble(2) - 1.0 / 3.0) < 1e-12)
+    assert(row.getDouble(3) === 11.0)
+    assert(math.abs(row.getDouble(4) - 0.6) < 1e-12)
+    assert(row.getBoolean(5) === true)
+    assert(row.getBoolean(6) === false)
+  }
+
+  test("non-literal filter in topic_matches is rejected at plan time") {
+    intercept[Exception] {
+      spark.sql("SELECT topic_matches(c, c) FROM (SELECT 'a' AS c)").collect()
+    }
+  }
+}
