@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.Envelope
 import graft.operators.{Analytics, Dedup, Multimodal, Route, Router,
-  Similarity, Transforms, TextAnalysis}
+  Sessionize, Similarity, Transforms, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -198,6 +198,11 @@ object SparkEntry {
 
     "dedup_embedding_nn" -> ((s, dir) =>
       Similarity.nnWithinLabel(Tables.embeddings(s, dir))),
+
+    // stateful-shape analytics: gap-based sessionization (batch twin of
+    // the flatMapGroupsWithState streaming operator)
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize.batchSessions(Tables.events(s, dir), gapMinutes = 30)),
 
     // ---- north-star: similarity search ----
     "similarity_topk" -> ((s, dir) =>
@@ -443,6 +448,28 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id) t
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |               OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_break
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CAST(SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id,
+        |       epoch_us(MIN(ts)) AS session_start_us,
+        |       epoch_us(MAX(ts)) AS session_end_us,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "similarity_topk" ->
       """WITH v AS (

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sessionize
+import graft.operators.Sessionize.{Event, Session}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(user: Long, minute: Long): Event =
+    Event(user, new Timestamp(1700000000000L + minute * 60000L), "click")
+
+  test("batch: gap splits sessions, counts and bounds correct") {
+    val df = Seq(
+      ev(1, 0), ev(1, 10), ev(1, 20),   // session 1: 3 events
+      ev(1, 120), ev(1, 125),           // session 2 after 100-min gap
+      ev(2, 5))                         // user 2: 1 session
+      .toDF()
+    val s = Sessionize.batchSessions(df, gapMinutes = 30)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(s === Set((1L, 1L, 3L), (1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("batch sessions on real events table are sane") {
+    val events = Tables.events(spark, sf)
+    val s = Sessionize.batchSessions(events, gapMinutes = 30)
+    val total = s.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total === events.count()) // every event lands in exactly one session
+    val bad = s.filter(col("session_end_us") < col("session_start_us")).count()
+    assert(bad === 0)
+  }
+
+  test("streaming: sessions close via event-time timeout and match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Sessionize.streamingSessions(in.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    in.addData(ev(1, 0), ev(1, 10), ev(1, 20), ev(2, 5))
+    q.processAllAvailable()
+    // a much-later event advances the watermark past both sessions' gaps
+    in.addData(ev(1, 500))
+    q.processAllAvailable()
+    in.addData(ev(1, 1000))
+    q.processAllAvailable()
+    val got = spark.table("sessions").as[Session].collect()
+      .map(s => (s.user_id, s.n_events)).toSet
+    q.stop()
+    assert(got.contains((1L, 3)))
+    assert(got.contains((2L, 1)))
+  }
+}
