@@ -115,8 +115,8 @@ object Similarity {
       embeddings: DataFrame,
       queryIds: Seq[Long],
       k: Int = 10,
-      nBits: Int = 32,
-      bands: Int = 8): DataFrame = {
+      nBits: Int = 64,
+      bands: Int = 16): DataFrame = {
     val planes = hyperplanes(nBits, dim = 64)
     val bitsPerBand = nBits / bands
     val mask = (1L << bitsPerBand) - 1
