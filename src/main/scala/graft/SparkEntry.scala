@@ -123,6 +123,15 @@ object SparkEntry {
     "q_order_priority" -> ((s, dir) =>
       Analytics.orderPriorityCount(Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
+    // TPC-H Q6 shape — pure scan-filter-aggregate with full pushdown
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Analytics.forecastRevenue(Tables.lineitem(s, dir))),
+
+    // TPC-H Q3 shape — selective join + aggregate + top-k
+    "q3_shipping_priority" -> ((s, dir) =>
+      Analytics.shippingPriority(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir))),
+
     // A6 — transform.lua's legacy 1→1 contract (C→F conversion, rot13,
     // unix-seconds stamping) driven by a payload synthesized from the
     // events value column
@@ -360,6 +369,29 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,8))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.05
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate_us, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
 
     "transform_unit_conversion" ->
       """SELECT 'events/' || event_type || '/' || user_id AS topic,

@@ -149,6 +149,42 @@ object Analytics {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** TPC-H Q6 shape — the pure scan-filter-aggregate workload: every
+    * predicate reaches the parquet scan (PushedFilters), one partial+final
+    * agg, no shuffle of data rows.
+    */
+  def forecastRevenue(li: DataFrame): DataFrame =
+    li
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.03, 0.05)
+        && col("l_quantity") < 24)
+      .agg(
+        decSum(col("l_extendedprice") * col("l_discount"), 8).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** TPC-H Q3 shape — shipping-priority top-k: selective dimension filter,
+    * two key joins, aggregate, then TakeOrderedAndProject for the top 10.
+    */
+  def shippingPriority(
+      li: DataFrame, o: DataFrame, c: DataFrame): DataFrame =
+    li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c.filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+        && col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+        .as("revenue"))
+      .select(col("l_orderkey"),
+        // o_orderdate is TIMESTAMP_NTZ from parquet; cast interprets it in
+        // the (UTC) session zone, matching the oracle's epoch_us
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
   /** Order-priority check (TPC-H Q4 shape): EXISTS as a left-semi join —
     * no row multiplication, partial-agg friendly.
     */

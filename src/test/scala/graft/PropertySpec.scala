@@ -1,0 +1,80 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{NgramHashes, RollingHash, SortedIntersect}
+import graft.sinks.Sink
+
+/** Property tests (raw scalacheck generators, deterministic seeds). */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: rolling hash composes — h(a++b) = (h(a)*B^|b| + h(b)) mod M") {
+    val strs = Gen.alphaNumStr.map(_.take(40))
+    samples(Gen.zip(strs, strs), 200).foreach { case (a, b) =>
+      val ha = RollingHash.hashBytes(a.getBytes("UTF-8"))
+      val hb = RollingHash.hashBytes(b.getBytes("UTF-8"))
+      val bl = b.getBytes("UTF-8").length
+      val pow = (0 until bl).foldLeft(1L)((p, _) => p * RollingHash.Base % RollingHash.Mod)
+      val expected = (ha * pow % RollingHash.Mod + hb) % RollingHash.Mod
+      assert(RollingHash.hashBytes((a + b).getBytes("UTF-8")) === expected,
+        s"a=$a b=$b")
+    }
+  }
+
+  test("property: SortedIntersect.count equals set intersection") {
+    val arrays = Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted.toArray)
+    samples(Gen.zip(arrays, arrays), 300).foreach { case (a, b) =>
+      val got = SortedIntersect.count(
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(a),
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(b))
+      assert(got === a.toSet.intersect(b.toSet).size)
+    }
+  }
+
+  test("property: ngram hash sets match a straightforward implementation") {
+    val strs = Gen.alphaNumStr.map(_.take(30))
+    samples(strs, 200).foreach { s =>
+      val got = {
+        val ad = NgramHashes.hashed(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), 3)
+        (0 until ad.numElements()).map(ad.getLong).toSet
+      }
+      val bytes = s.getBytes("UTF-8")
+      val expectedCount =
+        if (bytes.length <= 3) 1
+        else bytes.sliding(3).map(_.toSeq).toSet.size
+      assert(got.size === expectedCount, s"s=$s")
+    }
+  }
+
+  test("property: insertSql column order is sorted and placeholders sequential") {
+    val ident = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(10))
+    val entry = Gen.zip(ident, Gen.choose(0, 100))
+    samples(Gen.nonEmptyListOf(entry), 150).foreach { kvs =>
+      val data: Map[String, Any] = kvs.toMap
+      Sink.insertSql("t", data) match {
+        case Right((sql, values)) =>
+          val cols = sql.substring(sql.indexOf('(') + 1, sql.indexOf(')'))
+            .split(", ").toSeq
+          assert(cols === cols.sorted)
+          assert(values.length === cols.length)
+          assert(sql.contains((1 to cols.length).map(i => s"$$$i").mkString("(", ", ", ")")))
+        case Left(e) => fail(s"unexpected reject: $e")
+      }
+    }
+  }
+
+  test("property: topicMatches — '#' dominates, exact always matches") {
+    val seg = Gen.oneOf("a", "bb", "c1")
+    val topic = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, seg)).map(_.mkString("/"))
+    samples(topic, 200).foreach { t =>
+      assert(graft.functions.MqttFunctions.topicMatches("#", t))
+      assert(graft.functions.MqttFunctions.topicMatches(t, t))
+    }
+  }
+}
