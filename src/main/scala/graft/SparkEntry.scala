@@ -132,6 +132,17 @@ object SparkEntry {
       Analytics.shippingPriority(Tables.lineitem(s, dir),
         Tables.orders(s, dir), Tables.customer(s, dir))),
 
+    // sketch aggregate — HLL distinct users per event type alongside the
+    // exact count (approx value is engine-specific → rows-only check;
+    // the spec bounds its error against the exact count)
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))),
+
     // A6 — transform.lua's legacy 1→1 contract (C→F conversion, rot13,
     // unix-seconds stamping) driven by a payload synthesized from the
     // events value column
