@@ -61,21 +61,33 @@ object Multimodal {
       // DuckDB by rounding — `div`/`//` sidesteps the divergence
       (expr("n_bytes div 128") + 1).cast("int").as("n_frames"))
 
-  /** STUB decoder — stands in for an image/audio codec. Deterministic pure
-    * function of the blob so tests are stable. A real deployment swaps
-    * [[decodeOne]]'s body for the actual library call; everything around it
-    * (per-partition init, batch iteration, output schema) stays.
+  /** Decoder: real image decode via the JDK's ImageIO when the blob IS an
+    * image (PNG/JPEG/GIF/BMP — true width/height from the pixels);
+    * deterministic pseudo-features otherwise (standing in for the
+    * audio/video codecs this environment lacks — clearly-marked STUB
+    * branch). Everything around it (per-partition init, batch iteration,
+    * output schema) is the production shape either way.
     */
   private[operators] def decodeOne(codecHandle: AnyRef, row: MediaRow): MediaFeatures = {
-    // >>> STUB: real codec call goes here (e.g. ImageIO/ffmpeg binding). <<<
     val _ = codecHandle
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.content))
+      catch { case _: Throwable => null }
+    val (w, h, frames) =
+      if (img != null) (img.getWidth, img.getHeight, 1)
+      else (
+        // >>> STUB: non-image media (audio/video) — deterministic fake
+        //     dimensions; a real deployment calls the codec here. <<<
+        (row.n_bytes % 640 + 1).toInt,
+        (row.n_bytes * 7 % 480 + 1).toInt,
+        (row.n_bytes / 128 + 1).toInt)
     MediaFeatures(
       doc_id = row.doc_id,
-      media_type = row.media_type,
+      media_type = if (img != null) "image" else row.media_type,
       n_bytes = row.n_bytes,
-      width = (row.n_bytes % 640 + 1).toInt,
-      height = (row.n_bytes * 7 % 480 + 1).toInt,
-      n_frames = (row.n_bytes / 128 + 1).toInt,
+      width = w,
+      height = h,
+      n_frames = frames,
       checksum = {
         val d = java.security.MessageDigest.getInstance("MD5")
         d.digest(row.content).map(b => f"$b%02x").mkString

@@ -30,6 +30,27 @@ class MultimodalSpec extends SparkSpec {
     assert(cols.toSeq === decoded.toSeq)
   }
 
+  test("real image bytes decode to true dimensions via ImageIO") {
+    import graft.operators.Multimodal.{MediaFeatures, MediaRow}
+    // synthesize a genuine 17x11 PNG in-memory
+    val img = new java.awt.image.BufferedImage(
+      17, 11, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val media = Seq((42L, "image/png", png.length.toLong))
+      .toDF("doc_id", "media_type", "n_bytes")
+      .withColumn("content", lit(png))
+    val f: MediaFeatures = Multimodal.decodeFeatures(media).collect()(0)
+    assert((f.width, f.height, f.n_frames) === ((17, 11, 1)))
+    assert(f.media_type === "image")
+    // text bytes take the deterministic non-image path
+    val t = Multimodal.decodeFeatures(
+      Multimodal.asMedia(Tables.documents(spark, sf).limit(1))).collect()(0)
+    assert(t.media_type === "text/plain")
+    assert(t.width === (t.n_bytes % 640 + 1).toInt)
+  }
+
   test("frameSample: one row per frame, offsets stride-aligned") {
     val fs = Multimodal.frameSample(media, strideBytes = 128)
     val expected = media
