@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+
+/** Scale-up probe: replicate the sf0.1 corpus N× (shifted ids, perturbed
+  * content so replicas are near-dups, not exact dups) and measure the
+  * similarity/dedup operators' growth. Run:
+  *
+  *   sbt "runMain graft.ScaleCheck [N]"
+  *
+  * The point is evidence for the 100 TB design claims: candidate
+  * generation must grow ~linearly in corpus size (bounded by block/bucket
+  * structure), never quadratically.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    val n0 = base.count()
+    // replicas get distinct ids and a tiny textual perturbation so exact
+    // dedup does NOT collapse them while near-dup operators must consider
+    // them — the adversarial case for candidate generation
+    val big = (0 until mult).map { i =>
+      base.select(
+        (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+        (if (i == 0) col("text")
+         else concat(col("text"), lit(s" rep$i"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(64)
+      .cache()
+    val n = big.count()
+    println(s"corpus: $n0 -> $n docs (x$mult)")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$r")
+    }
+
+    time("text_stats (full scan)") {
+      TextAnalysis.withQuality(big).agg(sum("n_tokens")).collect(); n
+    }
+    time("exact dedup groups") { Dedup.exactGroups(big).count() }
+    time("ngram jaccard pairs t=0.8") { Dedup.ngramJaccardPairs(big, 0.8).count() }
+    time("minhash LSH pairs t=0.8") { Dedup.minhashLshPairs(big, 0.8).count() }
+    time("simhash pairs d<=3") { Dedup.simhashPairs(big, 3).count() }
+
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val bigEmb = (0 until mult).map { i =>
+      emb.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _).repartition(64).cache()
+    println(s"embeddings: ${bigEmb.count()} vectors")
+    time("brute-force cosine top-10 x5") {
+      Similarity.bruteForceTopK(bigEmb, Seq(0L, 1L, 2L, 3L, 4L), 10).count()
+    }
+    time("LSH ANN top-10 x5") {
+      Similarity.lshTopK(bigEmb, Seq(0L, 1L, 2L, 3L, 4L), 10).count()
+    }
+    time("NN within label (all pairs in blocks)") {
+      Similarity.nnWithinLabel(bigEmb).count()
+    }
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+    time("sessionize 100k events") { Sessionize.batchSessions(ev).count() }
+
+    spark.stop()
+  }
+}
