@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash machinery: word-shingle hashing and k-permutation
+  * signatures as codegen'd expressions.
+  *
+  * The composable form — `transform(params, p -> array_min(transform(
+  * hashes, h -> (a*h+b) % P)))` — evaluates k×|shingles| interpreted
+  * lambdas per document (HOFs are CodegenFallback); at 64 hashes × ~120
+  * shingles that interpretive overhead dominated the MinHash-LSH operator
+  * at 10× corpus scale. These expressions run the identical arithmetic
+  * (same hash function, same (a·h+b) mod P universal family, same seeds →
+  * identical signatures) in tight primitive loops.
+  */
+
+/** Sorted DISTINCT xxhash64 values of all w-word windows of a
+  * single-space-normalized string. Window bytes are exactly the
+  * `concat_ws(" ", words)` content, and the hash is Spark's xxhash64
+  * (XXH64, seed 42), so values match `xxhash64(shingle_string)` exactly.
+  */
+case class WordShingleHashesExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash.wordShingleHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHash.wordShingleHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** k-element minhash signature over an array of base hashes. */
+case class MinHashSigExpr(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash.signature(input.asInstanceOf[ArrayData], k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHash.signature($c, $k, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash from an array of (multiset) token hashes: per bit, sum
+  * +1/−1 votes across tokens; bit set on a positive vote. One pass over the
+  * tokens (the composable form ran 64 interpreted `aggregate` folds per
+  * row).
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+object MinHash {
+  /** 2^31 − 1 (Mersenne prime), the universal-hash modulus. */
+  final val P = 2147483647L
+  final val XxSeed = 42L
+
+  private val paramCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+
+  /** Deterministic (a, b) parameter arrays — identical derivation to
+    * graft.operators.Dedup.minhashParams.
+    */
+  def params(k: Int, seed: Long): (Array[Long], Array[Long]) =
+    paramCache.computeIfAbsent((k, seed), { _ =>
+      val rnd = new scala.util.Random(seed)
+      val a = new Array[Long](k)
+      val b = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        a(i) = rnd.nextInt(Int.MaxValue - 1).toLong + 1L
+        b(i) = rnd.nextInt(Int.MaxValue).toLong
+        i += 1
+      }
+      (a, b)
+    })
+
+  def wordShingleHashes(s: UTF8String, w: Int): ArrayData = {
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val len = s.numBytes()
+    // word start offsets in the single-space-normalized bytes
+    val starts = scala.collection.mutable.ArrayBuffer[Int](0)
+    var i = 0
+    while (i < len) {
+      if (s.getByte(i) == ' ') starts += i + 1
+      i += 1
+    }
+    val nWords = starts.length
+    val out =
+      if (nWords < w) Array(XXH64.hashUnsafeBytes(base, offset, len, XxSeed))
+      else {
+        val arr = new Array[Long](nWords - w + 1)
+        var j = 0
+        while (j < arr.length) {
+          val from = starts(j)
+          val until = if (j + w < nWords) starts(j + w) - 1 else len
+          arr(j) = XXH64.hashUnsafeBytes(base, offset + from, until - from, XxSeed)
+          j += 1
+        }
+        arr
+      }
+    java.util.Arrays.sort(out)
+    var wr = 0
+    var r = 1
+    while (r < out.length) {
+      if (out(r) != out(wr)) { wr += 1; out(wr) = out(r) }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (wr + 1 == out.length) out else java.util.Arrays.copyOf(out, wr + 1))
+  }
+
+  def signature(hashes: ArrayData, k: Int, seed: Long): ArrayData = {
+    val (a, b) = params(k, seed)
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      var h = hashes.getLong(i) % P
+      if (h < 0) h += P
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * h + b(j)) % P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    if (n == 0) java.util.Arrays.fill(out, 0L)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def simhash64(hashes: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  def simhash64(c: Column): Column =
+    GraftShims.column(SimHash64Expr(GraftShims.expression(c)))
+
+  def word_shingle_hashes(c: Column, w: Int): Column =
+    GraftShims.column(WordShingleHashesExpr(GraftShims.expression(c), w))
+
+  def minhash_sig(c: Column, k: Int, seed: Long = 42L): Column =
+    GraftShims.column(MinHashSigExpr(GraftShims.expression(c), k, seed))
+}

@@ -99,16 +99,14 @@ object Dedup {
   }
 
   /** k-element minhash signature from a shingle array: for each (a,b),
-    * min over shingles of (a·h(s)+b) mod P, h = pmod(xxhash64, P).
-    * Pure array expressions — per-row, shuffle-free, deterministic.
+    * min over shingles of (a·h(s)+b) mod P, h = pmod(xxhash64, P). The
+    * arithmetic runs in the native MinHashSigExpr (one tight loop; the
+    * k×|shingles| nested-HOF form was interpreted and dominated the
+    * operator at scale) — values identical to the composable form.
     */
-  def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column = {
-    val params = minhashParams(k, seed)
-    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(MinhashP)))
-    array(params.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * a + b, lit(MinhashP))))
-    }: _*)
-  }
+  def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
+    graft.functions.MinHash.minhash_sig(
+      transform(shingles, s => xxhash64(s)), k, seed)
 
   /** Candidate pairs via banded LSH over the signature: b bands of r rows
     * (k = b·r); docs sharing any band bucket are candidates. `maxBucket`
@@ -150,20 +148,25 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
+    // native one-pass shingle hashing (sorted distinct) + native signature;
+    // verification is the fused sorted-merge Jaccard — no interpreted HOFs
+    // anywhere on this path
     val shingled = docs.select(
-      col("doc_id"), wordShingles(col("text")).as("shingles"))
+      col("doc_id"),
+      graft.functions.MinHash.word_shingle_hashes(normText(col("text")), 3)
+        .as("sh"))
     val signed = shingled.select(
-      col("doc_id"), minhashSignature(col("shingles"), k).as("sig"))
+      col("doc_id"),
+      graft.functions.MinHash.minhash_sig(col("sh"), k).as("sig"))
     val cand = lshCandidates(signed, bands, rowsPerBand)
-    val a = shingled.select(
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = shingled.select(
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val a = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val jac = graft.functions.SortedIntersect
+      .jaccard_sorted(col("sh_a"), col("sh_b"))
     cand
       .join(a, "doc_a").join(b, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
   // -------------------------------------------------------------- SimHash
@@ -172,15 +175,9 @@ object Dedup {
     * expressions: for each bit, sum(+1/−1) over token hashes, bit set when
     * the vote is positive.
     */
-  def simhash(text: Column): Column = {
-    val tokens = split(normText(text), " ")
-    val hashes = transform(tokens, t => xxhash64(t))
-    (0 until 64).map { i =>
-      val vote = aggregate(hashes, lit(0), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.MinHash.simhash64(
+      transform(split(normText(text), " "), t => xxhash64(t)))
 
   /** Near-dup pairs by Hamming distance ≤ maxDist, blocked on 16-bit bands
     * (a pair within distance d ≤ 3 must agree on ≥1 of 4 bands).
