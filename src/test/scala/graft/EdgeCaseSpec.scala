@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+
+/** Degenerate-input behavior: every operator must return empty/sane results
+  * on empty or tiny inputs rather than throwing — partitions WILL be empty
+  * at scale, and a 1000-executor job dying on a degenerate partition is a
+  * production incident.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("n_chars", LongType)))
+
+  lazy val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[Row], docSchema)
+
+  test("dedup operators on an empty corpus return empty, no exceptions") {
+    assert(Dedup.exactGroups(emptyDocs).count() === 0)
+    assert(Dedup.minhashLshPairs(emptyDocs).count() === 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs).count() === 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() === 0)
+  }
+
+  test("single-document corpus yields no pairs") {
+    val one = Seq((1L, "only document here", "en", 18L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    assert(Dedup.minhashLshPairs(one).count() === 0)
+    assert(Dedup.ngramJaccardPairs(one, threshold = 0.0).count() === 0)
+  }
+
+  test("null and empty text flow through text analysis") {
+    val df = Seq[(java.lang.Long, String)]((1L, null), (2L, ""), (3L, "ok words"))
+      .toDF("doc_id", "text")
+    val q = TextAnalysis.withQuality(df).select("doc_id", "n_tokens")
+      .as[(Long, Option[Int])].collect().toMap
+    assert(q(1L) === None) // null text -> null metrics, not a crash
+    assert(q(2L) === Some(0))
+    assert(q(3L) === Some(2))
+    // null text -> null fingerprint (matches the SQL oracle: md5(NULL)=NULL)
+    val fp = TextAnalysis.withFingerprints(df)
+      .filter($"doc_id" === 1L).select("fp_rolling")
+      .as[Option[Long]].collect()
+    assert(fp.toSeq === Seq(None))
+  }
+
+  test("top-k larger than the corpus returns the whole corpus ranked") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val top = Similarity.bruteForceTopK(emb, Seq(0L), k = 100000)
+    assert(top.count() === n - 1) // everything except the query itself
+  }
+
+  test("sessionize on empty events returns no sessions") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType))))
+    assert(Sessionize.batchSessions(empty).count() === 0)
+  }
+
+  test("router with zero routes sends everything to passthrough") {
+    val r = new graft.operators.Router(Nil)
+    val msgs = graft.model.Envelope.messagesFromEvents(Tables.events(spark, sf))
+    val out = r.fanOut(msgs)
+    assert(out.keySet === Set(graft.operators.Router.RawTable))
+    assert(out(graft.operators.Router.RawTable).count() === msgs.count())
+  }
+}
