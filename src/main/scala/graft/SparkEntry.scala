@@ -132,6 +132,21 @@ object SparkEntry {
       Analytics.shippingPriority(Tables.lineitem(s, dir),
         Tables.orders(s, dir), Tables.customer(s, dir))),
 
+    // cumulative window aggregate — running total per customer
+    "q_running_total" -> ((s, dir) =>
+      Analytics.runningOrderTotal(Tables.orders(s, dir))),
+
+    // ROLLUP grouping sets — hierarchical revenue subtotals
+    "q_revenue_rollup" -> ((s, dir) => Analytics.revenueRollup(s, dir)),
+
+    // set operation (INTERSECT as semi-join) — repeat customers
+    "q_repeat_customers" -> ((s, dir) =>
+      Analytics.repeatCustomers(Tables.orders(s, dir))),
+
+    // lag window + epoch arithmetic — inter-shipment gaps per supplier
+    "q_shipment_gaps" -> ((s, dir) =>
+      Analytics.shipmentGaps(Tables.lineitem(s, dir))),
+
     // sketch aggregate — HLL distinct users per event type alongside the
     // exact count (approx value is engine-specific → rows-only check;
     // the spec bounds its error against the exact count)
@@ -380,6 +395,54 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+        |       o_totalprice,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate_us, o_orderkey""".stripMargin,
+
+    "q_revenue_rollup" ->
+      """SELECT r_name, n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS revenue,
+        |       CAST(GROUPING(r_name) AS TINYINT) AS g_region,
+        |       CAST(GROUPING(n_name) AS TINYINT) AS g_nation
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_repeat_customers" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_shipment_gaps" ->
+      """WITH g AS (
+        |  SELECT l_suppkey,
+        |         epoch_us(l_shipdate) AS ship_us,
+        |         lag(epoch_us(l_shipdate)) OVER (
+        |           PARTITION BY l_suppkey
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_ship_us
+        |  FROM lineitem)
+        |SELECT l_suppkey, COUNT(*) AS n_gaps,
+        |       MAX(ship_us - prev_ship_us) AS max_gap_us
+        |FROM g WHERE prev_ship_us IS NOT NULL
+        |GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,8))) AS DOUBLE) AS revenue,

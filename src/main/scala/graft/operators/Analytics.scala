@@ -185,6 +185,75 @@ object Analytics {
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
+  /** Running total per customer — cumulative window aggregate with
+    * decimal-exact accumulation (cast back to double per row).
+    */
+  def runningOrderTotal(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate_us"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_totalprice"))
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double"))
+      .orderBy(col("o_custkey"), col("o_orderdate_us"), col("o_orderkey"))
+  }
+
+  /** Hierarchical subtotals: revenue by region/nation with ROLLUP —
+    * grouping-set aggregation (one shuffle, no union of re-aggregations).
+    */
+  def revenueRollup(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+          .as("revenue"),
+        grouping(col("r_name")).as("g_region"),
+        grouping(col("n_name")).as("g_nation"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Set operation: customers active in BOTH 1996 and 1997 (INTERSECT),
+    * planned as a semi-join pair — no distinct-union materialization.
+    */
+  def repeatCustomers(orders: DataFrame): DataFrame = {
+    def activeIn(y: Int) = orders
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp")
+        && col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    activeIn(1996).intersect(activeIn(1997))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Inter-shipment gaps per supplier — lag window + epoch arithmetic
+    * (exact microsecond deltas; no date-boundary ambiguity).
+    */
+  def shipmentGaps(li: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("ship_us"), col("l_orderkey"), col("l_linenumber"))
+    li
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      .withColumn("prev_ship_us", lag(col("ship_us"), 1).over(w))
+      .filter(col("prev_ship_us").isNotNull)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        max(col("ship_us") - col("prev_ship_us")).as("max_gap_us"))
+      .orderBy(col("l_suppkey"))
+  }
+
   /** Order-priority check (TPC-H Q4 shape): EXISTS as a left-semi join —
     * no row multiplication, partial-agg friendly.
     */
