@@ -147,6 +147,16 @@ object SparkEntry {
     "q_shipment_gaps" -> ((s, dir) =>
       Analytics.shipmentGaps(Tables.lineitem(s, dir))),
 
+    // exact interpolated percentiles per event type (order statistics)
+    "q_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"))
+        .orderBy(col("event_type"))),
+
     // sketch aggregate — HLL distinct users per event type alongside the
     // exact count (approx value is engine-specific → rows-only check;
     // the spec bounds its error against the exact count)
@@ -395,6 +405,15 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90,
+        |       quantile_cont(value, 0.99) AS p99
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_running_total" ->
       """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
