@@ -87,17 +87,6 @@ object Dedup {
 
   // ------------------------------------------------------- MinHash + LSH
 
-  /** Deterministic (a, b) parameters for the k universal hash functions
-    * h_i(x) = (a_i·x + b_i) mod P over a 2^31-bounded base hash.
-    */
-  final val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
-
-  def minhashParams(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
-      rnd.nextInt(Int.MaxValue).toLong))
-  }
-
   /** k-element minhash signature from a shingle array: for each (a,b),
     * min over shingles of (a·h(s)+b) mod P, h = pmod(xxhash64, P). The
     * arithmetic runs in the native MinHashSigExpr (one tight loop; the
