@@ -348,7 +348,7 @@ object SparkEntry {
         |ORDER BY event_type""".stripMargin,
 
     "q_json_extract" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events
         |WHERE json_extract_string(props, '$.k') IS NOT NULL
         |ORDER BY event_id""".stripMargin,
@@ -540,7 +540,7 @@ object SparkEntry {
         |FROM n ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
-      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_key,
+      """SELECT md5(regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g')) AS content_key,
         |       min(doc_id) AS keep_doc_id, count(*) AS n_members
         |FROM documents
         |GROUP BY 1 ORDER BY content_key""".stripMargin,
@@ -552,7 +552,7 @@ object SparkEntry {
         |      THEN [substring(norm, i, 3) for i in range(1, length(norm) - 1)]
         |      ELSE [norm] END) AS grams
         |  FROM (SELECT doc_id, lang, n_chars,
-        |          regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        |          regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g') AS norm
         |        FROM documents) t)
         |SELECT lang, doc_a, doc_b, jaccard FROM (
         |  SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,

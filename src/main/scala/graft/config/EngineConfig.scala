@@ -89,7 +89,8 @@ object EngineConfig {
   def parseToml(text: String): Map[String, Any] = {
     val root = scala.collection.mutable.Map[String, Any]()
     var current = root
-    text.linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    text.linesIterator.map(l => stripComment(l.trim))
+      .filter(_.nonEmpty)
       .foreach { line =>
         if (line.startsWith("[[") && line.endsWith("]]")) {
           val name = line.substring(2, line.length - 2).trim
@@ -108,8 +109,7 @@ object EngineConfig {
           val eq = line.indexOf('=')
           require(eq > 0, s"malformed TOML line: $line")
           val key = line.substring(0, eq).trim
-          val raw = stripComment(line.substring(eq + 1).trim)
-          current(key) = parseValue(raw)
+          current(key) = parseValue(line.substring(eq + 1).trim)
         }
       }
     deepImmutable(root).asInstanceOf[Map[String, Any]]
@@ -134,11 +134,25 @@ object EngineConfig {
     case s if s.startsWith("[") && s.endsWith("]") =>
       val body = s.substring(1, s.length - 1).trim
       if (body.isEmpty) Seq.empty[Any]
-      else body.split(",").map(e => parseValue(e.trim)).toSeq
+      else splitTopLevel(body).map(e => parseValue(e.trim))
     case "true"  => true
     case "false" => false
     case s       => s.toLongOption.getOrElse(
       s.toDoubleOption.getOrElse(s))
+  }
+
+  /** Split on commas that are not inside a quoted string. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inStr = false
+    s.foreach { c =>
+      if (c == '"') { inStr = !inStr; cur += c }
+      else if (c == ',' && !inStr) { out += cur.toString; cur.clear() }
+      else cur += c
+    }
+    out += cur.toString
+    out.toSeq
   }
 
   private def deepImmutable(v: Any): Any = v match {

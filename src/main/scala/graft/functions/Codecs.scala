@@ -24,8 +24,14 @@ object Codecs {
   def base64Encode(c: Column): Column = base64(c.cast("binary"))
 
   /** Decode; malformed input → null (the reference returns (nil, err) —
-    * lua.go:103-114; null is the columnar analog of the error value). */
-  def base64Decode(c: Column): Column = unbase64(c).cast("string")
+    * lua.go:103-114; null is the columnar analog of the error value).
+    * Spark 4's default ANSI mode makes bare `unbase64` THROW on malformed
+    * input, so validity is checked first; `when` evaluates lazily, keeping
+    * invalid rows away from the decoder.
+    */
+  def base64Decode(c: Column): Column =
+    when(c.rlike("^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"),
+      unbase64(c).cast("string"))
 
   /** Lowercase hex of UTF-8 bytes (lua.go:117-122; Go hex.EncodeToString is
     * lowercase; Spark's `hex` is uppercase, hence the `lower`). */

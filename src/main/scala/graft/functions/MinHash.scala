@@ -85,8 +85,9 @@ object MinHash {
   private val paramCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
 
-  /** Deterministic (a, b) parameter arrays — identical derivation to
-    * graft.operators.Dedup.minhashParams.
+  /** Deterministic (a, b) parameter arrays: a ∈ [1, 2^31−1), b ∈ [0, 2^31),
+    * drawn from Random(seed) in a fixed order — signatures are reproducible
+    * across runs and cluster sizes.
     */
   def params(k: Int, seed: Long): (Array[Long], Array[Long]) =
     paramCache.computeIfAbsent((k, seed), { _ =>

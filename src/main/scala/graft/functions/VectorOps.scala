@@ -63,7 +63,12 @@ case class UnitizeExpr(child: Expression) extends UnaryExpression {
 object VectorOps {
 
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // loud failure beats a silently-truncated projection (a dimension
+    // mismatch upstream would otherwise just degrade ranking quality)
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot dimension mismatch: $n vs ${b.numElements()}")
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }

@@ -75,7 +75,10 @@ object Analytics {
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"))
       .filter(col("k_str").isNotNull)
-      .withColumn("k", col("k_str").cast("int"))
+      // try_cast, not cast: under ANSI mode one malformed record would
+      // otherwise kill a full-corpus scan (null-on-malformed is the
+      // documented A4 contract)
+      .withColumn("k", expr("try_cast(k_str AS int)"))
       .drop("k_str")
       .orderBy(col("event_id"))
 

@@ -169,9 +169,13 @@ object Dedup {
       transform(split(normText(text), " "), t => xxhash64(t)))
 
   /** Near-dup pairs by Hamming distance ≤ maxDist, blocked on 16-bit bands
-    * (a pair within distance d ≤ 3 must agree on ≥1 of 4 bands).
+    * (a pair within distance d ≤ 3 must agree on ≥1 of 4 bands — the
+    * pigeonhole guarantee; d ≥ 4 could place one differing bit per band and
+    * silently miss pairs, hence the hard require).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"4x16-bit banding guarantees recall only for hamming <= 3, got $maxDist")
     val sh = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
     val banded = sh.select(
       col("doc_id"), col("sh"),

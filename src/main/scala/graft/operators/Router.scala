@@ -108,10 +108,17 @@ final class Router(val routes: Seq[Route], catalog: SchemaCatalog = SchemaCatalo
         case Right(()) =>
       }
     }
-    val unmatched = messages.filter(!routes.indices
+    val unmatched = Envelope.passthrough(messages.filter(!routes.indices
       .map(branchPredicate)
-      .foldLeft(lit(false))(_ || _))
-    byTable + (Router.RawTable -> Envelope.passthrough(unmatched))
+      .foldLeft(lit(false))(_ || _)))
+    // a route may legitimately target iot_raw; its slice and the unmatched
+    // passthrough both land there (reference: dynamic per-record INSERTs
+    // into one table — allowMissingColumns mirrors the dynamic row shapes)
+    byTable.get(Router.RawTable) match {
+      case Some(routed) => byTable + (Router.RawTable ->
+        routed.unionByName(unmatched, allowMissingColumns = true))
+      case None => byTable + (Router.RawTable -> unmatched)
+    }
   }
 }
 

@@ -80,7 +80,10 @@ object Sessionize {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.last <= gapMs =>
-              cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+              // a late-but-within-watermark event may precede the stored
+              // session start — extend both bounds
+              cur = Some(s.copy(start = math.min(s.start, t),
+                last = math.max(s.last, t), n = s.n + 1))
             case Some(s) =>
               out += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
               cur = Some(SessionState(t, t, 1))

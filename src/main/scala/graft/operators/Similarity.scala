@@ -116,8 +116,11 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int = 10,
       nBits: Int = 64,
-      bands: Int = 16): DataFrame = {
-    val planes = hyperplanes(nBits, dim = 64)
+      bands: Int = 16,
+      dim: Int = 64): DataFrame = {
+    // dim must match the embedding column; vec_dot throws loudly on a
+    // mismatch rather than silently projecting a truncated signature
+    val planes = hyperplanes(nBits, dim)
     val bitsPerBand = nBits / bands
     val mask = (1L << bitsPerBand) - 1
     val unit = embeddings.select(

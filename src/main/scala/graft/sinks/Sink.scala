@@ -35,7 +35,13 @@ object Sink {
     case s: Seq[_] => s.map(jsonEncode).mkString("[", ",", "]")
     case s: String => jsonString(s)
     case b: Boolean => b.toString
-    case d: Double => if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+    case d: Double =>
+      // Go's json.Marshal (the parity target) errors on non-finite floats;
+      // and d.toLong would silently clamp magnitudes >= 2^63
+      if (d.isNaN || d.isInfinite)
+        throw new IllegalArgumentException(s"non-finite double not JSON-encodable: $d")
+      else if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
     case other => other.toString
   }
 
@@ -63,16 +69,20 @@ object Sink {
       return Left(s"invalid column name '${badCol.get}': must contain only alphanumeric characters and underscores")
     val keys = data.keys.toSeq.sorted
     val placeholders = keys.indices.map(i => s"$$${i + 1}")
-    val values = keys.map { k =>
-      data(k) match {
-        case m: Map[_, _] => jsonEncode(m)
-        case s: Seq[_]    => jsonEncode(s)
-        case v            => v
+    try {
+      val values = keys.map { k =>
+        data(k) match {
+          case m: Map[_, _] => jsonEncode(m)
+          case s: Seq[_]    => jsonEncode(s)
+          case v            => v
+        }
       }
+      Right((
+        s"INSERT INTO $table (${keys.mkString(", ")}) VALUES (${placeholders.mkString(", ")})",
+        values))
+    } catch {
+      case e: IllegalArgumentException => Left(e.getMessage)
     }
-    Right((
-      s"INSERT INTO $table (${keys.mkString(", ")}) VALUES (${placeholders.mkString(", ")})",
-      values))
   }
 
   /** C6 — date-partitioned layout: the write shape that makes retention a
@@ -95,7 +105,8 @@ object Sink {
     val root = Paths.get(path)
     if (!Files.isDirectory(root)) return Nil
     val dropped = scala.collection.mutable.ArrayBuffer[String]()
-    Files.list(root).forEach { p =>
+    val listing = Files.list(root)
+    try listing.forEach { p =>
       val name = p.getFileName.toString
       if (name.startsWith("date=")) {
         val date = name.substring("date=".length)
@@ -104,11 +115,14 @@ object Sink {
           dropped += date
         }
       }
-    }
+    } finally listing.close()
     dropped.toSeq.sorted
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+  private def deleteRecursively(p: Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.sorted(Comparator.reverseOrder[Path]())
       .forEach(f => Files.delete(f))
+    finally walk.close()
+  }
 }

@@ -22,6 +22,12 @@ class CodecsSpec extends SparkSpec {
     assert(eval1(Codecs.base64Decode(lit("SGVsbG8sIFdvcmxkIQ=="))) === "Hello, World!")
   }
 
+  test("base64Decode yields null on malformed input instead of throwing (ANSI)") {
+    assert(eval1(Codecs.base64Decode(lit("not-base64!"))) === null)
+    assert(eval1(Codecs.base64Decode(lit("abc"))) === null) // bad length
+    assert(eval1(Codecs.base64Decode(lit("SGVsbG8="))) === "Hello")
+  }
+
   test("hex round-trip, lowercase like Go hex.EncodeToString") {
     assert(eval1(Codecs.hexEncode(lit("az"))) === "617a")
     assert(eval1(Codecs.hexDecode(lit("617a"))) === "az")

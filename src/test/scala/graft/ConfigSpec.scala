@@ -103,6 +103,16 @@ class ConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("comments after section headers and quoted commas parse correctly") {
+    val cfg = EngineConfig.fromToml(
+      """[mqtt] # broker settings
+        |broker = "tcp://h:1883"  # inline comment
+        |topics = ["a,b/c", "d/#"]
+        |""".stripMargin)
+    assert(cfg.mqtt.broker === "tcp://h:1883")
+    assert(cfg.mqtt.topics === Seq("a,b/c", "d/#"))
+  }
+
   test("malformed TOML line rejected (config_test.go bad-syntax case)") {
     intercept[IllegalArgumentException] {
       EngineConfig.fromToml("not a toml line\n")

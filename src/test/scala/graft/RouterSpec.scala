@@ -66,6 +66,14 @@ class RouterSpec extends SparkSpec {
     assert(out(Router.RawTable).count() === 1)
   }
 
+  test("route targeting iot_raw coexists with the unmatched passthrough") {
+    val r = new Router(Seq(Route("s", "sensors/#", table = Router.RawTable)))
+    val out = r.fanOut(messages)
+    assert(out.keySet === Set(Router.RawTable))
+    // 2 routed sensor messages + 2 unmatched — nothing silently dropped
+    assert(out(Router.RawTable).count() === 4)
+  }
+
   test("closed-world schema validation fails the branch at plan time (A8)") {
     val cat = CatalogBuilder(TableSchema("narrow", Map("time" -> "timestamptz")))
     val r = new Router(Seq(Route("s", "sensors/#", table = "narrow")), cat)

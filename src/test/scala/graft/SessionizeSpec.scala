@@ -35,6 +35,26 @@ class SessionizeSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("streaming: a late in-watermark event extends the session start") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Sessionize.streamingSessions(in.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions").start()
+    in.addData(ev(1, 20))
+    q.processAllAvailable()
+    in.addData(ev(1, 0)) // arrives late but within the watermark
+    q.processAllAvailable()
+    in.addData(ev(1, 500), ev(1, 1000)) // advance watermark to close it
+    q.processAllAvailable()
+    val s = spark.table("late_sessions").as[Session].collect()
+      .filter(_.n_events == 2)
+    q.stop()
+    assert(s.nonEmpty)
+    assert(s.head.session_start.getTime === 1700000000000L) // minute 0
+    assert(s.head.session_end.getTime === 1700000000000L + 20 * 60000L)
+  }
+
   test("streaming: sessions close via event-time timeout and match batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

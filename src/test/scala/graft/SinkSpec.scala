@@ -29,6 +29,12 @@ class SinkSpec extends SparkSpec {
     assert(Sink.insertSql("valid_table_2", Map("ok_col" -> 1)).isRight)
   }
 
+  test("insertSql: non-finite doubles rejected, large doubles not clamped") {
+    assert(Sink.insertSql("t", Map("v" -> Map("x" -> Double.NaN))).isLeft)
+    val Right((_, values)) = Sink.insertSql("t", Map("j" -> Map("v" -> 1e20)))
+    assert(values === Seq("""{"v":1.0E20}"""))
+  }
+
   test("date-partitioned write + retention drop (C5/C6)") {
     val dir = Files.createTempDirectory("graft-sink").toString
     val df = Seq(
