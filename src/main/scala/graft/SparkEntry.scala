@@ -262,6 +262,13 @@ object SparkEntry {
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
         .select("query_id", "vec_id", "rank")),
 
+    // IVF ANN: k-means coarse quantizer + multi-probe + exact rerank
+    // (rows-only: trained centroids not SQL-expressible; recall spec-tested)
+    "similarity_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir),
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .select("query_id", "vec_id", "rank")),
+
     // ---- north-star: multimodal columns ----
     "multimodal_metadata" -> ((s, dir) =>
       Multimodal.metadata(Multimodal.asMedia(Tables.documents(s, dir)))

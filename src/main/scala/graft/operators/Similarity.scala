@@ -67,6 +67,82 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into nlist cells; each query probes its nprobe nearest cells
+    * and exact-reranks only those candidates. The complementary scale path
+    * to SRP-LSH: cells adapt to the data distribution, and at 100 TB the
+    * cell id becomes the partition key (each probe touches nprobe
+    * partitions, not the corpus).
+    *
+    * Centroids are trained with Spark ML KMeans (fixed seed); assignment
+    * and probing are pure column expressions over the broadcast centroid
+    * literals (argmax of vec_dot against each centroid — unit vectors, so
+    * max dot = nearest).
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val unit = embeddings.select(
+      col("vec_id"), normalized(col("embedding")).as("unit"))
+    val train = unit.select(array_to_vector(col("unit")).as("features"))
+    val model = new KMeans()
+      .setK(nlist).setSeed(7L).setMaxIter(10).setFeaturesCol("features")
+      .fit(train)
+    // unit-normalized centroids as literal arrays (tiny: nlist × dim)
+    val centroids = model.clusterCenters.map { c =>
+      val a = c.toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / n)
+    }
+    def centroidDots(v: Column): Seq[Column] =
+      centroids.toSeq.map(c => dot(v, typedLit(c.toSeq)))
+    // cell assignment = argmax over centroid dots. NOTE: a when/otherwise
+    // fold here duplicates the running-best subtree at every step — a
+    // 2^nlist-node expression that hangs the analyzer. array_position of
+    // the max keeps the tree linear (first occurrence = deterministic
+    // tie-break on the lower cell id).
+    def cellOf(v: Column): Column = {
+      val dots = array(centroidDots(v): _*)
+      (array_position(dots, array_max(dots)) - 1).cast("int")
+    }
+    val celled = unit.withColumn("cell", cellOf(col("unit")))
+    // queries probe their nprobe nearest cells
+    val queries = celled
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
+      .withColumn("probe_cells",
+        slice(sortByDotDesc(centroidDots(col("q_unit"))), 1, nprobe))
+      .select(col("query_id"), col("q_unit"),
+        explode(col("probe_cells")).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    celled
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("unit"), col("q_unit")).as("cosine"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Cell ids ordered by descending dot product: build (dot, id) structs,
+    * sort descending via sort_array on negated dot, project the ids.
+    */
+  private def sortByDotDesc(dots: Seq[Column]): Column =
+    transform(
+      sort_array(array(dots.zipWithIndex.map { case (d, i) =>
+        struct((-d).as("negdot"), lit(i).as("id"))
+      }: _*)),
+      s => s.getField("id"))
+
   /** Deterministic random hyperplanes: nBits × dim doubles seeded once. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

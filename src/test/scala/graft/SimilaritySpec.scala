@@ -47,6 +47,19 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("ivfTopK: k-means cells + multi-probe reach useful recall") {
+    val brute = Similarity.bruteForceTopK(emb, queryIds, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queryIds, k = 10, nlist = 16, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(s"IVF recall@10 = $recall (nlist=16, nprobe=4)")
+    assert(recall >= 0.3)
+    val perQuery = Similarity.ivfTopK(emb, queryIds, k = 10)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(perQuery.values.forall(_ <= 10))
+  }
+
   test("nnWithinLabel: one row per vector, neighbor shares the label") {
     val nn = Similarity.nnWithinLabel(emb)
     assert(nn.count() === emb.count())
