@@ -66,11 +66,28 @@ object ScaleCheck {
     time("brute-force cosine top-10 x5") {
       Similarity.bruteForceTopK(bigEmb, Seq(0L, 1L, 2L, 3L, 4L), 10).count()
     }
-    time("LSH ANN top-10 x5") {
-      Similarity.lshTopK(bigEmb, Seq(0L, 1L, 2L, 3L, 4L), 10).count()
+    // index build is the offline stage; queries must not pay it again
+    var lshIdx: Similarity.LshIndex = null
+    time("LSH index build (offline stage)") {
+      lshIdx = Similarity.buildLshIndex(bigEmb); lshIdx.signed.count()
     }
-    time("NN within label (all pairs in blocks)") {
+    time("LSH ANN top-10 x5 (prebuilt)") {
+      Similarity.lshQuery(lshIdx, Seq(0L, 1L, 2L, 3L, 4L), 10).count()
+    }
+    var ivfIdx: Similarity.IvfIndex = null
+    time("IVF index build (offline stage)") {
+      ivfIdx = Similarity.buildIvfIndex(bigEmb, nlist = 64); ivfIdx.celled.count()
+    }
+    time("IVF ANN top-10 x5 (prebuilt)") {
+      Similarity.ivfQuery(ivfIdx, Seq(0L, 1L, 2L, 3L, 4L), 10).count()
+    }
+    time("NN within label (exact, agg argmax)") {
+      // |block|² dots are inherent on this isotropic corpus, but pair rows
+      // no longer shuffle (partial-agg argmax) — time should track CPU
       Similarity.nnWithinLabel(bigEmb).count()
+    }
+    time("NN within label ANN (LSH buckets)") {
+      Similarity.nnWithinLabelAnn(bigEmb).count()
     }
 
     val ev = Tables.events(spark, "/root/testdata/sf0.1")

@@ -3,24 +3,36 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** North-star similarity search over the `embeddings` table
   * (`embedding: array<float>`, 64-dim).
   *
-  * Two paths, per the mandate:
+  * Three paths, per the mandate:
   *
   *   - brute-force cosine top-k — the exact baseline. Queries are a small
   *     fixed set, so the candidate side is broadcast-joined against them:
   *     one scan of the corpus, per-partition top-k via window, no n²
   *     anywhere. At 100 TB this is exactly the shape you want (corpus scan
   *     × small query batch);
-  *   - hyperplane-LSH ANN — the scale path when the query side is also
-  *     large: sign-random-projection signatures bucket the corpus; probing
-  *     compares only same-bucket candidates, then exact-reranks.
+  *   - IVF ANN — k-means coarse quantizer; queries probe their nprobe
+  *     nearest cells and exact-rerank only those candidates;
+  *   - hyperplane-LSH ANN — sign-random-projection signatures bucket the
+  *     corpus; band probing (with query-side multi-probe) compares only
+  *     same-bucket candidates, then exact-reranks.
   *
-  * All arithmetic is double-precision with a fixed left-to-right fold
-  * (`aggregate` over `zip_with`), matching DuckDB's sequential loop so
-  * oracle scores are bit-identical.
+  * INDEX BUILD IS A SEPARATE STAGE from the query path: [[buildIvfIndex]]
+  * trains k-means on a bounded deterministic sample and materializes the
+  * cell-assigned corpus once; [[buildLshIndex]] materializes signatures
+  * once. At 100 TB both become persisted tables (celled corpus partitioned
+  * by cell id; signed corpus bucketed by band bucket) written by an
+  * offline job; the query functions only ever consume a prebuilt index.
+  * `local[32]`-side, "persisted" = cached + materialized DataFrames, and
+  * [[IndexCache]] keeps one index per (session, corpus) so repeated query
+  * calls — the bench, the driver's verify pass — never rebuild.
+  *
+  * All arithmetic is double-precision with a fixed left-to-right fold,
+  * matching DuckDB's sequential loop so oracle scores are bit-identical.
   */
 object Similarity {
 
@@ -67,32 +79,55 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
-    * corpus into nlist cells; each query probes its nprobe nearest cells
-    * and exact-reranks only those candidates. The complementary scale path
-    * to SRP-LSH: cells adapt to the data distribution, and at 100 TB the
-    * cell id becomes the partition key (each probe touches nprobe
-    * partitions, not the corpus).
-    *
-    * Centroids are trained with Spark ML KMeans (fixed seed); assignment
-    * and probing are pure column expressions over the broadcast centroid
-    * literals (argmax of vec_dot against each centroid — unit vectors, so
-    * max dot = nearest).
+  // ------------------------------------------------------------ IVF index
+
+  /** A prebuilt IVF index: unit-normalized centroid literals (tiny:
+    * nlist × dim doubles, broadcast into every query plan) plus the corpus
+    * with its cell assignment materialized once. At cluster scale `celled`
+    * is a table written partitioned by `cell` so a probe touches nprobe
+    * partitions, not the corpus.
     */
-  def ivfTopK(
+  final case class IvfIndex(centroids: Array[Array[Double]], celled: DataFrame) {
+    def nlist: Int = centroids.length
+    def unpersist(): Unit = { celled.unpersist(); () }
+  }
+
+  /** Train the coarse quantizer on a bounded deterministic sample and
+    * assign every corpus vector to its nearest centroid — the offline
+    * build stage. The sample is hash-selected (stable under any
+    * partitioning, unlike `DataFrame.sample`), capped at `maxTrainRows`:
+    * k-means centroid quality needs a representative sample, not the
+    * corpus, so build cost is O(sample) training + ONE corpus scan for
+    * assignment regardless of corpus size.
+    *
+    * `carryCols` are extra corpus columns (e.g. `label`) preserved on the
+    * celled output for operators that block on them.
+    */
+  def buildIvfIndex(
       embeddings: DataFrame,
-      queryIds: Seq[Long],
-      k: Int = 10,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      maxTrainRows: Int = 100000,
+      seed: Long = 7L,
+      carryCols: Seq[String] = Nil): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val unit = embeddings.select(
-      col("vec_id"), normalized(col("embedding")).as("unit"))
-    val train = unit.select(array_to_vector(col("unit")).as("features"))
+      (carryCols.map(col) :+ col("vec_id") :+
+        normalized(col("embedding")).as("unit")): _*)
+    val total = unit.count()
+    val train0 =
+      if (total <= maxTrainRows) unit
+      else {
+        // keep ≈ maxTrainRows rows via a deterministic hash filter
+        val keepPerMillion = math.max(1L,
+          (maxTrainRows.toDouble / total * 1000000L).toLong)
+        unit.filter(
+          pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000000L)) < keepPerMillion)
+      }
+    val train = train0.select(array_to_vector(col("unit")).as("features"))
     val model = new KMeans()
-      .setK(nlist).setSeed(7L).setMaxIter(10).setFeaturesCol("features")
+      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
       .fit(train)
     // unit-normalized centroids as literal arrays (tiny: nlist × dim)
     val centroids = model.clusterCenters.map { c =>
@@ -100,24 +135,47 @@ object Similarity {
       val n = math.sqrt(a.map(x => x * x).sum)
       a.map(_ / n)
     }
-    def centroidDots(v: Column): Seq[Column] =
-      centroids.toSeq.map(c => dot(v, typedLit(c.toSeq)))
-    // cell assignment = argmax over centroid dots. NOTE: a when/otherwise
-    // fold here duplicates the running-best subtree at every step — a
-    // 2^nlist-node expression that hangs the analyzer. array_position of
-    // the max keeps the tree linear (first occurrence = deterministic
-    // tie-break on the lower cell id).
-    def cellOf(v: Column): Column = {
-      val dots = array(centroidDots(v): _*)
-      (array_position(dots, array_max(dots)) - 1).cast("int")
-    }
-    val celled = unit.withColumn("cell", cellOf(col("unit")))
-    // queries probe their nprobe nearest cells
+    val celled = unit
+      .withColumn("cell", cellOf(centroids, col("unit")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    celled.count() // materialize: the build cost is paid here, once
+    IvfIndex(centroids, celled)
+  }
+
+  private def centroidDots(centroids: Array[Array[Double]], v: Column): Seq[Column] =
+    centroids.toSeq.map(c => dot(v, typedLit(c.toSeq)))
+
+  /** Cell assignment = argmax over centroid dots. NOTE: a when/otherwise
+    * fold here duplicates the running-best subtree at every step — a
+    * 2^nlist-node expression that hangs the analyzer. array_position of
+    * the max keeps the tree linear (first occurrence = deterministic
+    * tie-break on the lower cell id).
+    */
+  private def cellOf(centroids: Array[Array[Double]], v: Column): Column = {
+    val dots = array(centroidDots(centroids, v): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** The query's nprobe nearest cells, in descending-affinity order. */
+  private def probeCells(
+      centroids: Array[Array[Double]], v: Column, nprobe: Int): Column =
+    slice(sortByDotDesc(centroidDots(centroids, v)), 1, nprobe)
+
+  /** IVF ANN query: probe nprobe cells per query vector, exact-rerank the
+    * candidates. Consumes a prebuilt [[IvfIndex]] — no training, no corpus
+    * re-scan beyond the probed cells.
+    */
+  def ivfQuery(
+      index: IvfIndex,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val celled = index.celled
     val queries = celled
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
       .withColumn("probe_cells",
-        slice(sortByDotDesc(centroidDots(col("q_unit"))), 1, nprobe))
+        probeCells(index.centroids, col("q_unit"), nprobe))
       .select(col("query_id"), col("q_unit"),
         explode(col("probe_cells")).as("cell"))
     val w = Window.partitionBy(col("query_id"))
@@ -125,13 +183,26 @@ object Similarity {
     celled
       .join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
+      // a corpus vector lives in exactly one cell, so (query, candidate)
+      // pairs are already unique across probes — no dedup needed
       .select(col("query_id"), col("vec_id"),
         dot(col("unit"), col("q_unit")).as("cosine"))
-      .dropDuplicates("query_id", "vec_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Build-then-query convenience (kept for spec/one-shot use; the
+    * registered query path goes through [[IndexCache]] so the build runs
+    * once per corpus, not once per call).
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame =
+    ivfQuery(buildIvfIndex(embeddings, nlist), queryIds, k, nprobe)
 
   /** Cell ids ordered by descending dot product: build (dot, id) structs,
     * sort descending via sort_array on negated dot, project the ids.
@@ -142,6 +213,8 @@ object Similarity {
         struct((-d).as("negdot"), lit(i).as("id"))
       }: _*)),
       s => s.getField("id"))
+
+  // ------------------------------------------------------------ LSH index
 
   /** Deterministic random hyperplanes: nBits × dim doubles seeded once. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
@@ -156,61 +229,75 @@ object Similarity {
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** LSH-bucketed ANN: candidates share the signature bucket of the query
-    * (multi-probe via band sub-signatures), exact-reranked by true cosine.
-    * Recall < 1 by construction; the companion spec measures it against
-    * [[bruteForceTopK]].
+  /** A prebuilt SRP-LSH index: the hyperplane set plus the corpus with its
+    * 64-bit signature materialized once. Band buckets are cheap bit
+    * arithmetic over `sig`, so only (vec_id, unit, sig) is persisted — at
+    * cluster scale a table bucketed by a band key, not bands× row
+    * inflation.
     */
-  /** Nearest within-label neighbor for every vector — the argmax join shape
-    * (label is the blocking key; at scale the label partitions bound the
-    * pair space, and each block is an independent shuffle-local problem).
-    */
-  def nnWithinLabel(embeddings: DataFrame): DataFrame = {
-    // repartition before aliasing: materializes the normalized vectors
-    // ahead of the self-join (no per-pair renormalization) and lets
-    // ReuseExchange share one exchange between both branches
-    val v = embeddings.select(
-      col("label"), col("vec_id"), normalized(col("embedding")).as("unit"))
-      .repartition(col("label"))
-    val a = v.select(col("label"), col("vec_id"), col("unit"))
-    val b = v.select(col("label"), col("vec_id").as("nn_vec_id"),
-      col("unit").as("nn_unit"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("nn_vec_id"))
-    a.join(b, "label")
-      .filter(col("vec_id") =!= col("nn_vec_id"))
-      .select(col("label"), col("vec_id"), col("nn_vec_id"),
-        dot(col("unit"), col("nn_unit")).as("cosine"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("label"), col("vec_id"), col("nn_vec_id"))
-      .orderBy(col("vec_id"))
+  final case class LshIndex(
+      planes: Array[Array[Double]],
+      bands: Int,
+      signed: DataFrame) {
+    def nBits: Int = planes.length
+    def bitsPerBand: Int = nBits / bands
+    def unpersist(): Unit = { signed.unpersist(); () }
   }
 
-  def lshTopK(
+  /** Offline build: compute every corpus signature (the 64 hyperplane dot
+    * products per vector that used to run inside every query call) once
+    * and materialize.
+    */
+  def buildLshIndex(
       embeddings: DataFrame,
-      queryIds: Seq[Long],
-      k: Int = 10,
       nBits: Int = 64,
       bands: Int = 16,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      seed: Long = 7L,
+      carryCols: Seq[String] = Nil): LshIndex = {
     // dim must match the embedding column; vec_dot throws loudly on a
     // mismatch rather than silently projecting a truncated signature
-    val planes = hyperplanes(nBits, dim)
-    val bitsPerBand = nBits / bands
-    val mask = (1L << bitsPerBand) - 1
-    val unit = embeddings.select(
-      col("vec_id"), normalized(col("embedding")).as("unit"))
+    val planes = hyperplanes(nBits, dim, seed)
+    val signed = embeddings
+      .select((carryCols.map(col) :+ col("vec_id") :+
+        normalized(col("embedding")).as("unit")): _*)
       .withColumn("sig", srpSignature(col("unit"), planes))
-    val banded = unit.select(
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    signed.count()
+    LshIndex(planes, bands, signed)
+  }
+
+  /** LSH ANN query over a prebuilt index: candidates share a band bucket
+    * with the query; the query side additionally MULTI-PROBES every
+    * 1-bit-flip neighbor of each of its band buckets (bands×(1+bits/band)
+    * probe buckets per query — query-side only, so the corpus side stays
+    * one row per (vector, band)). Exact rerank by true cosine. Recall < 1
+    * by construction; the companion spec measures it against
+    * [[bruteForceTopK]].
+    */
+  def lshQuery(
+      index: LshIndex,
+      queryIds: Seq[Long],
+      k: Int = 10): DataFrame = {
+    val bitsPerBand = index.bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
+    def bandBucket(b: Int): Column =
+      shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)
+    val banded = index.signed.select(
       col("vec_id"), col("unit"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)): _*))
+      posexplode(array((0 until index.bands).map(bandBucket): _*))
         .as(Seq("band", "bucket")))
-    val queries = banded
+    // query side: own bucket plus every 1-bit flip of it (multi-probe)
+    val queries = index.signed
       .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("band"), col("bucket"),
-        col("vec_id").as("query_id"), col("unit").as("q_unit"))
+      .select(
+        col("vec_id").as("query_id"), col("unit").as("q_unit"),
+        posexplode(array((0 until index.bands).flatMap { b =>
+          bandBucket(b) +: (0 until bitsPerBand).map(i =>
+            bandBucket(b).bitwiseXOR(lit(1L << i)))
+        }: _*)).as(Seq("probe", "bucket")))
+      .withColumn("band", (col("probe") / (1 + bitsPerBand)).cast("int"))
+      .select(col("band"), col("bucket"), col("query_id"), col("q_unit"))
     val candidates = banded
       .join(broadcast(queries), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -224,5 +311,194 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Build-then-query convenience; see [[ivfTopK]] note. */
+  def lshTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nBits: Int = 64,
+      bands: Int = 16,
+      dim: Int = 64): DataFrame =
+    lshQuery(buildLshIndex(embeddings, nBits, bands, dim), queryIds, k)
+
+  // ------------------------------------------- within-label nearest dup
+
+  /** Argmax-by-(cosine desc, id asc) as a partial-aggregating expression:
+    * max over struct(cosine, −id) compares cosine first, then prefers the
+    * SMALLER id on exact ties (ids are non-negative, so negation flips the
+    * order safely). Recovering the id is a sign flip on the struct field.
+    */
+  private def bestNeighbor(cosine: Column, id: Column): Column =
+    max(struct(cosine.as("cosine"), (-id).as("neg_id")))
+
+  /** Nearest within-label neighbor for every vector — EXACT within each
+    * label block, in three scale moves:
+    *
+    *   1. DEDUPE-FIRST: exact-duplicate vectors (identical unit arrays —
+    *      the dominant redundancy in real training corpora) collapse to
+    *      one representative via a hash groupBy BEFORE any pairwise work.
+    *      A duplicate's NN is its lowest-id twin at cosine 1.0, answered
+    *      directly from the group; only DISTINCT vectors enter the join.
+    *      Pair cost is |distinct block|², not |block|².
+    *   2. The pairwise stage is a partial-aggregating argmax: the join
+    *      output feeds straight into a hash aggregate whose map-side
+    *      combine reduces each partition to one running-best row per
+    *      vec_id — per-pair rows NEVER shuffle (the old row_number-window
+    *      formulation shuffled+sorted all |block|² pair rows; that was the
+    *      measured 84 s at 20×).
+    *   3. The remaining |distinct|² dots are one codegen'd loop per pair.
+    *
+    * The driver corpus is ISOTROPIC — within-label mean cosine ≈ 0, so
+    * `label` is not a geometric cluster (measured; see SCALING.md) — and
+    * on isotropic high-dimensional data no exact NN algorithm beats brute
+    * force over distinct vectors. For the bucketed approximate variant
+    * (near-linear candidates, measured-zero top-1 divergence on this
+    * corpus) see [[nnWithinLabelAnn]].
+    *
+    * Tie note: a duplicate group's members beat any non-identical vector
+    * (cosine exactly 1.0 requires bit-identical units); among equal
+    * cosines the lowest id wins, which group representatives (min id)
+    * preserve — identical to the all-pairs (cosine desc, id asc) order.
+    */
+  def nnWithinLabel(embeddings: DataFrame): DataFrame = {
+    val u = embeddings.select(
+      col("label"), col("vec_id"), normalized(col("embedding")).as("unit"))
+    val groups = u
+      .groupBy(col("label"), col("unit"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .repartition(col("label"))
+    // members of a ≥2 group short-circuit: NN = lowest other id in group
+    val dupAnswers = groups
+      .filter(size(col("ids")) >= 2)
+      .select(col("label"), col("ids"), explode(col("ids")).as("vec_id"))
+      .select(col("label"), col("vec_id"),
+        when(col("vec_id") === col("ids").getItem(0), col("ids").getItem(1))
+          .otherwise(col("ids").getItem(0)).as("nn_vec_id"))
+    val reps = groups.select(col("label"), col("unit"),
+      col("ids").getItem(0).as("vec_id"), size(col("ids")).as("n_dups"))
+    val a = reps.select(col("label"), col("vec_id"), col("unit"))
+    val b = reps.select(col("label"), col("vec_id").as("nn_vec_id"),
+      col("unit").as("nn_unit"))
+    val repNN = a.join(b, "label")
+      .filter(col("vec_id") =!= col("nn_vec_id"))
+      .select(col("label"), col("vec_id"),
+        dot(col("unit"), col("nn_unit")).as("cosine"), col("nn_vec_id"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(bestNeighbor(col("cosine"), col("nn_vec_id")).as("best"))
+      .select(col("label"), col("vec_id"), (-col("best.neg_id")).as("nn_vec_id"))
+    // only singleton groups still need the pairwise answer (dup-group reps
+    // were answered above); dup-group reps DO remain as candidates in b
+    val uniqueNN = repNN.join(
+      reps.filter(col("n_dups") === 1).select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    dupAnswers.unionByName(uniqueNN.select(col("label"), col("vec_id"), col("nn_vec_id")))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Nearest within-label neighbor via SRP-LSH candidate generation: every
+    * vector probes its band buckets (plus 1-bit-flip multi-probes) and
+    * compares only same-label vectors sharing a bucket, exact-reranked.
+    * SRP-LSH is DATA-INDEPENDENT — collision probability depends only on
+    * the pair angle — so unlike IVF cells it degrades gracefully on the
+    * isotropic driver corpus: a true NN at cosine ≈ 0.33 collides in ≥1 of
+    * the 16 multi-probed bands with p ≈ 1 − 3·10⁻⁵ (per-band 4-bit
+    * agreement 0.607⁴ plus the 1-flip term), measured as ~zero top-1
+    * divergence in the companion spec.
+    *
+    * Still APPROXIMATE by construction: registered as its own rows-only
+    * query (`dedup_embedding_nn_ann`), with [[nnWithinLabel]] the
+    * hash-checked exact twin. A pair sharing several buckets is scored
+    * per occurrence and collapsed by the same partial-aggregating argmax —
+    * repeated cheap dots beat a pair-dedup shuffle. Vectors whose probed
+    * buckets hold no same-label candidate fall back to the exact pass
+    * (coverage is total by construction).
+    */
+  def nnWithinLabelAnn(
+      embeddings: DataFrame,
+      nBits: Int = 64,
+      bands: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val index = IndexCache.lsh(embeddings, nBits, bands, dim,
+      carryCols = Seq("label"))
+    val bitsPerBand = index.bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
+    def bandBucket(b: Int): Column =
+      shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)
+    val signed = index.signed
+    val probes = signed.select(
+      col("label"), col("vec_id"), col("unit"),
+      posexplode(array((0 until bands).flatMap { b =>
+        bandBucket(b) +: (0 until bitsPerBand).map(i =>
+          bandBucket(b).bitwiseXOR(lit(1L << i)))
+      }: _*)).as(Seq("probe", "bucket")))
+      .withColumn("band", (col("probe") / (1 + bitsPerBand)).cast("int"))
+      .select(col("label"), col("band"), col("bucket"),
+        col("vec_id"), col("unit"))
+    val cands = signed.select(
+      col("label"), col("vec_id").as("nn_vec_id"), col("unit").as("nn_unit"),
+      posexplode(array((0 until bands).map(bandBucket): _*))
+        .as(Seq("band", "bucket")))
+    val annBest = probes.join(cands, Seq("label", "band", "bucket"))
+      .filter(col("vec_id") =!= col("nn_vec_id"))
+      .select(col("label"), col("vec_id"),
+        dot(col("unit"), col("nn_unit")).as("cosine"), col("nn_vec_id"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(bestNeighbor(col("cosine"), col("nn_vec_id")).as("best"))
+      .select(col("label"), col("vec_id"), (-col("best.neg_id")).as("nn_vec_id"))
+    // exact fallback for vectors with zero same-label candidates in their
+    // probed buckets (tiny set on any real corpus)
+    val missed = signed.select(col("label"), col("vec_id"), col("unit"))
+      .join(annBest.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val full = signed.select(col("label"),
+      col("vec_id").as("nn_vec_id"), col("unit").as("nn_unit"))
+    val missedBest = missed
+      .join(full, Seq("label"))
+      .filter(col("vec_id") =!= col("nn_vec_id"))
+      .select(col("label"), col("vec_id"),
+        dot(col("unit"), col("nn_unit")).as("cosine"), col("nn_vec_id"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(bestNeighbor(col("cosine"), col("nn_vec_id")).as("best"))
+      .select(col("label"), col("vec_id"), (-col("best.neg_id")).as("nn_vec_id"))
+    annBest.unionByName(missedBest).orderBy(col("vec_id"))
+  }
+
+  // ----------------------------------------------------------- index cache
+
+  /** One prebuilt index per (session, corpus plan, params): models the
+    * production shape — indexes are built by an offline stage and queried
+    * many times — inside the driver's one-shot query API. Keyed on the
+    * corpus DataFrame's analyzed plan so different corpora (or different
+    * sf dirs) never share an index; keyed on the session identity so a
+    * stale cache can't outlive its SparkSession.
+    */
+  object IndexCache {
+    private val ivfCache =
+      scala.collection.concurrent.TrieMap.empty[(Int, String, Int, String), IvfIndex]
+    private val lshCache =
+      scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Int, String), LshIndex]
+
+    private def corpusKey(df: DataFrame): (Int, String) =
+      // canonicalized plan strings elide the file listing, so two reads of
+      // DIFFERENT parquet dirs can stringify identically — the input file
+      // set disambiguates; the plan string still separates in-memory frames
+      (System.identityHashCode(df.sparkSession),
+        df.queryExecution.analyzed.canonicalized.toString +
+          df.inputFiles.sorted.mkString("|"))
+
+    def ivf(embeddings: DataFrame, nlist: Int,
+        carryCols: Seq[String] = Nil): IvfIndex = {
+      val (s, p) = corpusKey(embeddings)
+      ivfCache.getOrElseUpdate((s, p, nlist, carryCols.mkString(",")),
+        buildIvfIndex(embeddings, nlist, carryCols = carryCols))
+    }
+
+    def lsh(embeddings: DataFrame, nBits: Int = 64, bands: Int = 16,
+        dim: Int = 64, carryCols: Seq[String] = Nil): LshIndex = {
+      val (s, p) = corpusKey(embeddings)
+      lshCache.getOrElseUpdate((s, p, nBits, bands, carryCols.mkString(",")),
+        buildLshIndex(embeddings, nBits, bands, dim, carryCols = carryCols))
+    }
   }
 }

@@ -35,29 +35,75 @@ class SimilaritySpec extends SparkSpec {
     assert(sc.toSeq === sc.sorted(Ordering[Double].reverse).toSeq)
   }
 
-  test("lshTopK: exact rerank subset with measurable recall") {
+  test("lshQuery over a prebuilt index: exact rerank subset, recall >= 0.7") {
     val brute = Similarity.bruteForceTopK(emb, queryIds, k = 10)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val ann = Similarity.lshTopK(emb, queryIds, k = 10)
+    val index = Similarity.buildLshIndex(emb)
+    val ann = Similarity.lshQuery(index, queryIds, k = 10)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (brute & ann).size.toDouble / brute.size
-    info(s"ANN recall@10 = $recall (candidates only from matching LSH buckets)")
-    assert(recall >= 0.3, s"recall $recall unexpectedly low")
-    // reranking is exact, so any returned neighbor's rank ordering is true
+    info(s"LSH ANN recall@10 = $recall (bands=16, 1-bit multi-probe)")
+    assert(recall >= 0.7, s"recall $recall below floor")
     assert(ann.nonEmpty)
+    index.unpersist()
   }
 
-  test("ivfTopK: k-means cells + multi-probe reach useful recall") {
+  test("ivfQuery over a prebuilt index: multi-probe cells, recall >= 0.7") {
+    // the driver corpus is isotropic (labels carry no geometry), so IVF
+    // recall ≈ probe fraction; nprobe=12/16 is the honest setting here —
+    // the clustered-corpus test below shows the nprobe=4 regime
     val brute = Similarity.bruteForceTopK(emb, queryIds, k = 10)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(emb, queryIds, k = 10, nlist = 16, nprobe = 4)
+    val index = Similarity.buildIvfIndex(emb, nlist = 16)
+    val ivf = Similarity.ivfQuery(index, queryIds, k = 10, nprobe = 12)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (brute & ivf).size.toDouble / brute.size
-    info(s"IVF recall@10 = $recall (nlist=16, nprobe=4)")
-    assert(recall >= 0.3)
-    val perQuery = Similarity.ivfTopK(emb, queryIds, k = 10)
+    info(s"IVF recall@10 = $recall (nlist=16, nprobe=12, isotropic corpus)")
+    assert(recall >= 0.7)
+    val perQuery = Similarity.ivfQuery(index, queryIds, k = 10)
       .groupBy("query_id").count().as[(Long, Long)].collect().toMap
     assert(perQuery.values.forall(_ <= 10))
+    index.unpersist()
+  }
+
+  test("ivfQuery on a CLUSTERED corpus: recall >= 0.9 at nprobe=4/16") {
+    // IVF's value shows when the data has cluster structure: 16 synthetic
+    // centers, members = center + small noise. Deterministic seed.
+    val rnd = new scala.util.Random(11L)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian())
+    val rows = (0 until 800).map { i =>
+      val c = centers(i % 16)
+      val v = c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v.toSeq, i % 16)
+    }
+    val cemb = rows.toDF("vec_id", "embedding", "label")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = Similarity.bruteForceTopK(cemb, qids, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val index = Similarity.buildIvfIndex(cemb, nlist = 16)
+    val ivf = Similarity.ivfQuery(index, qids, k = 10, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(s"IVF recall@10 on clustered corpus = $recall (nlist=16, nprobe=4)")
+    assert(recall >= 0.9)
+    index.unpersist()
+  }
+
+  test("buildIvfIndex: every corpus vector assigned to a valid cell, once") {
+    val index = Similarity.buildIvfIndex(emb, nlist = 16)
+    assert(index.celled.count() === emb.count())
+    val cells = index.celled.select("cell").distinct().as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 16))
+    index.unpersist()
+  }
+
+  test("IndexCache: same corpus + params returns the same built index") {
+    val i1 = Similarity.IndexCache.lsh(Tables.embeddings(spark, sf))
+    val i2 = Similarity.IndexCache.lsh(Tables.embeddings(spark, sf))
+    assert(i1 eq i2, "cache must not rebuild for an identical corpus plan")
+    val v1 = Similarity.IndexCache.ivf(Tables.embeddings(spark, sf), nlist = 16)
+    val v2 = Similarity.IndexCache.ivf(Tables.embeddings(spark, sf), nlist = 16)
+    assert(v1 eq v2)
   }
 
   test("nnWithinLabel: one row per vector, neighbor shares the label") {
@@ -68,5 +114,43 @@ class SimilaritySpec extends SparkSpec {
     val bad = nn.select("vec_id", "nn_vec_id").as[(Long, Long)].collect()
       .filter { case (v, n) => labels(v) != labels(n) }
     assert(bad.isEmpty)
+  }
+
+  test("nnWithinLabel: exact duplicates resolve to their lowest-id twin") {
+    // two dup groups + two singletons in one label
+    val rnd = new scala.util.Random(3L)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat).toSeq
+    val v1 = vec(); val v2 = vec(); val v3 = vec(); val v4 = vec()
+    val df = Seq(
+      (10L, v1, 0), (11L, v1, 0), (12L, v1, 0),
+      (20L, v2, 0), (21L, v2, 0),
+      (30L, v3, 0), (40L, v4, 0)
+    ).toDF("vec_id", "embedding", "label")
+    val nn = Similarity.nnWithinLabel(df)
+      .select("vec_id", "nn_vec_id").as[(Long, Long)].collect().toMap
+    assert(nn(10L) === 11L) // rep's NN = second-lowest twin
+    assert(nn(11L) === 10L)
+    assert(nn(12L) === 10L)
+    assert(nn(20L) === 21L)
+    assert(nn(21L) === 20L)
+    assert(nn.contains(30L) && nn.contains(40L)) // singletons answered too
+    assert(nn.size === 7)
+  }
+
+  test("nnWithinLabelAnn (LSH buckets) equals the exact result here") {
+    val exact = Similarity.nnWithinLabel(emb)
+      .select("vec_id", "nn_vec_id").as[(Long, Long)].collect().toMap
+    val ann = Similarity.nnWithinLabelAnn(emb)
+      .select("vec_id", "nn_vec_id").as[(Long, Long)].collect().toMap
+    assert(ann.size === exact.size)
+    val diff = exact.collect {
+      case (v, n) if !ann.get(v).contains(n) => (v, n, ann.get(v))
+    }
+    val agreement = 1.0 - diff.size.toDouble / exact.size
+    info(s"ANN top-1 agreement = $agreement")
+    // approximate by construction, but multi-probe SRP-LSH finds the true
+    // NN with p ≈ 1 − 3e-5 per vector on this corpus — exact today
+    assert(diff.isEmpty,
+      s"ANN NN diverged from exact for ${diff.size} vectors: ${diff.take(5)}")
   }
 }
