@@ -571,13 +571,16 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1 ORDER BY content_key""".stripMargin,
 
+    // brute-force within lang: the Spark side prunes via exact prefix
+    // filtering, which provably returns the identical pair set, so the
+    // oracle needs no blocking beyond the (implied) size-ratio filter
     "dedup_ngram_jaccard" ->
       """WITH g AS (
-        |  SELECT doc_id, lang, n_chars // 64 AS len_b,
+        |  SELECT doc_id, lang,
         |    list_distinct(CASE WHEN length(norm) >= 3
         |      THEN [substring(norm, i, 3) for i in range(1, length(norm) - 1)]
         |      ELSE [norm] END) AS grams
-        |  FROM (SELECT doc_id, lang, n_chars,
+        |  FROM (SELECT doc_id, lang,
         |          regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g') AS norm
         |        FROM documents) t)
         |SELECT lang, doc_a, doc_b, jaccard FROM (
@@ -586,7 +589,9 @@ object SparkEntry {
         |      / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
         |         - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) AS jaccard
         |  FROM g a JOIN g b
-        |    ON a.lang = b.lang AND a.len_b = b.len_b AND a.doc_id < b.doc_id) p
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |   AND least(len(a.grams), len(b.grams)) + 1e-9
+        |       >= greatest(len(a.grams), len(b.grams)) * 0.8) p
         |WHERE jaccard >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 

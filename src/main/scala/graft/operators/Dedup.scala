@@ -198,46 +198,78 @@ object Dedup {
 
   // ------------------------------------------------------ n-gram Jaccard
 
-  /** Blocked exact n-gram-Jaccard near-dup: candidates = same lang and
-    * same length bucket (|len/bucket|), verified by char-3-gram Jaccard.
-    * This is the SQL-expressible exact-verify twin of the LSH path.
+  /** Exact n-gram-Jaccard near-dup pairs within `lang` via PREFIX
+    * FILTERING (the PPJoin family): for sets in a global canonical order,
+    * any pair with J ≥ t must share a gram inside each side's first
+    * |G| − ⌈t·|G|⌉ + 1 grams — so only docs sharing a PREFIX gram are
+    * candidates, and the final result is provably identical to the
+    * all-pairs join (no recall loss, unlike fixed length-bucket
+    * blocking whose block populations grow linearly with the corpus).
+    *
+    * The canonical order is document-frequency ascending (rarest first):
+    * prefixes then hold only rare grams, so candidate bucket sizes are
+    * bounded by gram rarity — a boilerplate gram shared by half the
+    * corpus sorts LAST and never enters a prefix. That makes candidate
+    * count track the true near-dup density, not corpus², which is the
+    * 100 TB property. Costs one extra linear aggregation (the df count —
+    * a classic corpus statistic worth materializing anyway) plus one
+    * window sort per doc's grams.
+    *
+    * Two exact pre-filters trim verification further: J ≥ t implies
+    * min(|A|,|B|) ≥ t·max(|A|,|B|) (size-ratio), applied with an epsilon
+    * so float rounding of t·n can never drop a boundary pair; same
+    * epsilon guards the prefix length ⌈t·n⌉.
+    *
+    * Verification unchanged from round 1: grams are xxhash64'd and SORTED
+    * once per doc (native NgramHashes, one codegen'd pass — the HOF form
+    * was interpreted at ~3.3 ms/doc); per-pair intersection is the fused
+    * zero-allocation merge (SortedIntersect) with |A∪B| = |A|+|B|−|A∩B|.
+    * Hash note: gram universe ≪ 2^32, so xxhash64 leaves Jaccard values
+    * unchanged and the string-gram SQL oracle matches. Byte note:
+    * NgramHashes windows BYTES while the oracle takes CHAR substrings —
+    * equivalent on this ASCII corpus only (NgramHashes.scala documents
+    * the ASCII contract); a non-ASCII corpus would need an
+    * encode()-to-bytes oracle.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
-      threshold: Double = 0.65,
-      lenBucket: Int = 64): DataFrame = {
-    // Grams are xxhash64'd before the join: set intersection on primitive
-    // longs is several times cheaper than on strings, and with a gram
-    // universe ≪ 2^32 the collision probability is negligible, so the
-    // Jaccard VALUE is unchanged (the SQL oracle keeps string grams).
-    // |A∪B| is computed as |A|+|B|−|A∩B| rather than materializing the
-    // union array — halves the per-pair set work.
-    // Grams are xxhash64'd and SORTED once per doc before the join; the
-    // per-pair intersection is then a zero-allocation linear merge
-    // (SortedIntersect) instead of array_intersect's per-invocation hash
-    // set. The repartition materializes the gram arrays ahead of the
-    // self-join (otherwise Catalyst collapses the projection past the join
-    // and recomputes gram sets per PAIR) and both branches canonicalize to
-    // one exchange, which ReuseExchange computes once. Collision note: with
-    // a gram universe ≪ 2^32 the xxhash64 step leaves Jaccard values
-    // unchanged, so the string-gram SQL oracle still matches.
-    // gram sets come from the native NgramHashes expression (one codegen'd
-    // pass over the bytes) — the HOF formulation was interpreted and cost
-    // ~3.3 ms/doc, dominating the whole operator
+      threshold: Double = 0.65): DataFrame = {
+    val eps = 1e-9
+    // repartition materializes gram arrays once; every downstream branch
+    // (df counts, prefixes, both verification sides) reuses the exchange
+    // instead of recomputing the gram pipeline per reference
     val g = docs.select(
       col("doc_id"), col("lang"),
-      (col("n_chars").cast("long") / lenBucket).cast("long").as("len_b"),
       graft.functions.NgramHashes.ngram_hashes(normText(col("text")), 3)
         .as("grams"))
-      .repartition(col("lang"), col("len_b"))
-    val a = g.select(col("lang"), col("len_b"),
-      col("doc_id").as("doc_a"), col("grams").as("g_a"))
-    val b = g.select(col("lang"), col("len_b"),
-      col("doc_id").as("doc_b"), col("grams").as("g_b"))
+      .withColumn("n_g", size(col("grams")))
+      .repartition(col("doc_id"))
+    val occ = g.select(col("lang"), col("doc_id"), col("n_g"),
+      explode(col("grams")).as("gram"))
+    val dfc = occ.groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("gdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("gdf"), col("gram"))
+    val prefixLen =
+      (col("n_g") - ceil(col("n_g") * threshold - eps) + 1).cast("int")
+    val pre = occ.join(dfc, Seq("lang", "gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .select(col("lang"), col("gram"), col("doc_id"), col("n_g"))
+    val cand = pre.select(col("lang"), col("gram"),
+        col("doc_id").as("doc_a"), col("n_g").as("n_a"))
+      .join(pre.select(col("lang"), col("gram"),
+        col("doc_id").as("doc_b"), col("n_g").as("n_b")), Seq("lang", "gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("n_a"), col("n_b")) + eps >=
+        greatest(col("n_a"), col("n_b")) * threshold)
+      .select(col("lang"), col("doc_a"), col("doc_b"))
+      .distinct()
     val jac = graft.functions.SortedIntersect
       .jaccard_sorted(col("g_a"), col("g_b"))
-    a.join(b, Seq("lang", "len_b"))
-      .filter(col("doc_a") < col("doc_b"))
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), "doc_b")
       .filter(jac >= threshold)
       .select(col("lang"), col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }

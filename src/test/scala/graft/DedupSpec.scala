@@ -82,6 +82,36 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 1.0 / 3.0) < 1e-12)
   }
 
+  test("ngram prefix filtering returns exactly the all-pairs result") {
+    // the prefix-filter theorem says the candidate pruning loses nothing;
+    // verify against an unblocked within-lang all-pairs join at a low
+    // threshold (more boundary pairs to get wrong)
+    val t = 0.5
+    val g = docs.select(col("doc_id"), col("lang"),
+      graft.functions.NgramHashes.ngram_hashes(Dedup.normText(col("text")), 3)
+        .as("grams"))
+    val a = g.select(col("lang"), col("doc_id").as("doc_a"),
+      col("grams").as("g_a"))
+    val b = g.select(col("lang"), col("doc_id").as("doc_b"),
+      col("grams").as("g_b"))
+    val jac = graft.functions.SortedIntersect
+      .jaccard_sorted(col("g_a"), col("g_b"))
+    val brute = a.join(b, "lang").filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jac.as("j"))
+      .filter(col("j") >= t)
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, j) => (x, y) -> j }.toMap
+    val pruned = Dedup.ngramJaccardPairs(docs, threshold = t)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, j) => (x, y) -> j }.toMap
+    assert(brute.nonEmpty, "corpus should contain pairs at t=0.5")
+    assert(pruned.keySet === brute.keySet,
+      s"missed=${(brute.keySet -- pruned.keySet).take(5)} " +
+        s"extra=${(pruned.keySet -- brute.keySet).take(5)}")
+    assert(brute.forall { case (k, j) => pruned(k) === j })
+  }
+
   test("embedding near-dup pairs: within-label, threshold respected") {
     val emb = Tables.embeddings(spark, sf)
     val pairs = Dedup.embeddingNearDupPairs(emb, threshold = 0.4)
