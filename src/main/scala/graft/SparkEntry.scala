@@ -179,6 +179,42 @@ object SparkEntry {
         .orderBy(col("topic"), col("timestamp"), col("temperature_celsius"))
     }),
 
+    // A5 FULL contract — the generic row-level transform escape hatch:
+    // multi_table.lua re-implemented as arbitrary Scala (JSON parse,
+    // per-record table override, dynamic column maps) through
+    // GenericTransform, fanned out typed via the declared catalog, and
+    // hash-checked against SQL recomputing the same records. Payloads are
+    // synthesized from events columns so both sensor tables are exercised.
+    "transform_generic_multi_table" -> ((s, dir) => {
+      import graft.operators.{GenericTransform => GT}
+      val m = Tables.events(s, dir).select(
+        concat(lit("sensors/s"), col("user_id").cast("string")).as("topic"),
+        to_json(struct(
+          col("value").as("temperature"),
+          when(col("user_id") % 2 === 0, col("value") * 0.5).as("humidity"),
+          when(col("event_type") === "click", lit("high")).as("alert")))
+          .cast("binary").as("payload"),
+        lit(0).as("qos"), lit(false).as("retain"), col("ts").as("time"))
+      val tables = GT.fanOut(
+        GT(m, "iot_data", GT.multiTableExample), GT.multiTableCatalog)
+      val r = tables("sensor_readings").select(
+        lit("sensor_readings").as("rec_table"),
+        unix_micros(col("time")).as("time_us"),
+        col("sensor_id"), col("temperature"), col("humidity"), col("battery"),
+        lit(null).cast("string").as("event_type"),
+        lit(false).as("has_details"))
+      val e = tables("sensor_events").select(
+        lit("sensor_events").as("rec_table"),
+        unix_micros(col("time")).as("time_us"),
+        col("sensor_id"),
+        lit(null).cast("double").as("temperature"),
+        lit(null).cast("double").as("humidity"),
+        lit(null).cast("double").as("battery"),
+        col("event_type"), col("details").isNotNull.as("has_details"))
+      r.unionByName(e)
+        .orderBy(col("rec_table"), col("time_us"), col("sensor_id"))
+    }),
+
     // B6 — HMAC-SHA256 payload signing (no DuckDB equivalent → rows-only)
     "codec_hmac" -> ((s, dir) => {
       import graft.functions.Codecs
@@ -522,6 +558,29 @@ object SparkEntry {
         |       'hermod' AS processed_by
         |FROM events
         |ORDER BY topic, timestamp, temperature_celsius""".stripMargin,
+
+    "transform_generic_multi_table" ->
+      """WITH m AS (
+        |  SELECT 's' || user_id AS sensor_id,
+        |         epoch_us(ts) AS time_us,
+        |         value,
+        |         CASE WHEN user_id % 2 = 0 THEN value * 0.5 END AS humidity,
+        |         CASE WHEN event_type = 'click' THEN 'high' END AS alert
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'sensor_readings' AS rec_table, time_us, sensor_id,
+        |         value AS temperature,
+        |         COALESCE(humidity, 0.0) AS humidity,
+        |         100.0 AS battery,
+        |         CAST(NULL AS VARCHAR) AS event_type,
+        |         FALSE AS has_details
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'sensor_events', time_us, sensor_id,
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |         CAST(NULL AS DOUBLE), 'alert', TRUE
+        |  FROM m WHERE alert IS NOT NULL) u
+        |ORDER BY rec_table, time_us, sensor_id""".stripMargin,
 
     "text_stats" ->
       """WITH f AS (

@@ -100,6 +100,89 @@ class RouterSpec extends SparkSpec {
     assert(out.toSeq === Seq((25.5, 0.0, 100.0)))
   }
 
+  test("generic transform: multi-table fan-out, one message to two tables " +
+      "(integration_test.go:151-224)") {
+    import graft.operators.{GenericRecord, GenericTransform => GT}
+    val one = Seq(msg("test/topic", "test", 1700000000000L)).toDS().toDF()
+    def f(m: Message): Seq[GenericRecord] = Seq(
+      GenericRecord(Some("readings"), Map(
+        "time" -> m.time.toInstant.toString, "value" -> "123.45")),
+      GenericRecord(Some("events"), Map(
+        "time" -> m.time.toInstant.toString, "event" -> "data_received")))
+    val tagged = GT(one, "default_table", f)
+    val out = GT.fanOut(tagged, CatalogBuilder(
+      TableSchema("readings", Map("time" -> "timestamptz", "value" -> "double precision")),
+      TableSchema("events", Map("time" -> "timestamptz", "event" -> "text"))))
+    assert(out("readings").count() === 1)
+    assert(out("events").count() === 1)
+    val r = out("readings").select("value").as[Double].collect()(0)
+    assert(r === 123.45)
+    val e = out("events").select("event").as[String].collect()(0)
+    assert(e === "data_received")
+  }
+
+  test("generic transform: no table override uses the route default " +
+      "(integration_test.go:226-283)") {
+    import graft.operators.{GenericRecord, GenericTransform => GT}
+    val one = Seq(msg("test/topic", "test")).toDS().toDF()
+    val tagged = GT(one, "default_data",
+      _ => Seq(GenericRecord(None, Map("value" -> "99"))))
+    val tables = tagged.select("table").as[String].collect()
+    assert(tables.toSeq === Seq("default_data"))
+  }
+
+  test("generic transform: invalid column names are skipped, empty result ok " +
+      "(router.go:291-341)") {
+    import graft.operators.{GenericRecord, GenericTransform => GT}
+    val two = Seq(msg("a/1", "x"), msg("a/2", "y")).toDS().toDF()
+    def f(m: Message): Seq[GenericRecord] =
+      if (m.topic == "a/1")
+        Seq(GenericRecord(None, Map(
+          "good_col" -> "1", "bad;col" -> "2", "also bad" -> "3")))
+      else Seq.empty // 0..N contract: empty array is fine
+    val tagged = GT(two, "t", f)
+    assert(tagged.count() === 1)
+    val keys = tagged.select(map_keys(col("columns"))).as[Seq[String]]
+      .collect()(0)
+    assert(keys.toSet === Set("good_col"))
+  }
+
+  test("generic transform: closed-world check fails on undeclared column at runtime") {
+    import graft.operators.{GenericRecord, GenericTransform => GT}
+    val one = Seq(msg("a/1", "x")).toDS().toDF()
+    val tagged = GT(one, "t",
+      _ => Seq(GenericRecord(None, Map("declared" -> "1", "rogue" -> "2"))))
+    val out = GT.fanOut(tagged, CatalogBuilder(
+      TableSchema("t", Map("declared" -> "text"))))
+    val ex = intercept[Exception] { out("t").collect() }
+    assert(ex.getMessage.contains("rogue") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rogue")))
+  }
+
+  test("generic multiTableExample matches the expression-path multiTable") {
+    import graft.operators.{GenericTransform => GT}
+    // expression version over the same messages
+    val expr = Transforms.multiTable(messages)
+      .select("table", "sensor_id", "temperature", "humidity", "battery", "event_type")
+      .as[(String, String, Option[Double], Option[Double], Option[Double], Option[String])]
+      .collect().toSet
+    val tagged = GT(messages, "iot_data", GT.multiTableExample)
+    val tables = GT.fanOut(tagged, GT.multiTableCatalog)
+    val r = tables("sensor_readings").select(
+      lit("sensor_readings").as("table"), col("sensor_id"),
+      col("temperature"), col("humidity"), col("battery"),
+      lit(null).cast("string").as("event_type"))
+    val e = tables("sensor_events").select(
+      lit("sensor_events").as("table"), col("sensor_id"),
+      lit(null).cast("double").as("temperature"),
+      lit(null).cast("double").as("humidity"),
+      lit(null).cast("double").as("battery"), col("event_type"))
+    val gen = r.unionByName(e)
+      .as[(String, String, Option[Double], Option[Double], Option[Double], Option[String])]
+      .collect().toSet
+    assert(gen === expr)
+  }
+
   test("unitConversion: C→F and rot13 fields (transform.lua)") {
     val one = Seq(msg("t/1", """{"temperature": 0, "text": "Hello, World!"}""", 1700000000000L))
       .toDS().toDF()
