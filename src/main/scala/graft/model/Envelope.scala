@@ -78,4 +78,32 @@ object Envelope {
       col("ts").as("time"),
       // carried alongside the envelope for analytics parity with the source
       col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** A1 beyond files: adapt an UNBOUNDED non-file source — Spark's
+    * rate-micro-batch generator, the stand-in for a live broker in this
+    * sandbox — to the same envelope. The adapter is the whole point: a
+    * Kafka/MQTT connector differs only in the `format(...)` + column
+    * mapping on the first two lines; everything downstream (routing,
+    * transforms, fan-out, watermarked aggregates) is source-agnostic.
+    * Message content derives deterministically from the sequence number so
+    * specs can predict routing exactly.
+    */
+  def messagesFromRate(
+      spark: org.apache.spark.sql.SparkSession,
+      rowsPerBatch: Int = 100): DataFrame = {
+    val stream = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .load() // (timestamp, value) — value is a monotonic sequence number
+    val eventType = element_at(
+      typedLit(Seq("purchase", "click", "view")),
+      (col("value") % 3).cast("int") + 1)
+    stream.select(
+      concat(lit("events/"), eventType, lit("/"),
+        (col("value") % 7).cast("string")).as("topic"),
+      to_json(struct(col("value").as("k"))).cast("binary").as("payload"),
+      (col("value") % 3).cast("int").as("qos"),
+      lit(false).as("retain"),
+      col("timestamp").as("time"))
+  }
 }

@@ -1,9 +1,9 @@
 package graft.sinks
 
 import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import java.util.{Comparator, Properties}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.schema.Catalog
@@ -84,6 +84,52 @@ object Sink {
       case e: IllegalArgumentException => Left(e.getMessage)
     }
   }
+
+  /** A10 wired — the actual relational write path. The reference executes
+    * one parameterized INSERT per record through a pgx pool
+    * (storage.go:87-151); Spark-side the equivalent contract is
+    * `df.write.jdbc`, which drives BATCHED prepared statements per
+    * partition in parallel — categorically the right shape at scale (one
+    * connection per partition, `batchsize` rows per round trip, no
+    * driver-side loop). Identifier validation matches the reference
+    * byte-for-byte ([[insertSql]] / storage.go:91-104): table and every
+    * column must be `^[A-Za-z0-9_]+$` or the write refuses before any
+    * connection opens.
+    *
+    * Tested against in-JVM embedded Derby (on Spark's default classpath);
+    * the URL is dialect-agnostic — a Postgres URL hits the reference's
+    * exact target.
+    */
+  def writeJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      mode: SaveMode = SaveMode.Append,
+      properties: Properties = new Properties,
+      batchSize: Int = 1000): Unit = {
+    require(Catalog.validIdentifier(table),
+      s"invalid table name '$table': must contain only alphanumeric characters and underscores")
+    df.columns.foreach(c => require(Catalog.validIdentifier(c),
+      s"invalid column name '$c': must contain only alphanumeric characters and underscores"))
+    val props = new Properties()
+    props.putAll(properties)
+    if (!props.containsKey("batchsize"))
+      props.setProperty("batchsize", batchSize.toString)
+    df.write.mode(mode).jdbc(url, table, props)
+  }
+
+  /** Streaming twin: a `foreachBatch` body appending each micro-batch of a
+    * routed fan-out into its JDBC table — the unbounded version of the
+    * reference's worker→storage loop.
+    */
+  def jdbcFanOutBatch(
+      url: String,
+      fanOut: DataFrame => Map[String, DataFrame],
+      properties: Properties = new Properties)(
+      batch: DataFrame, batchId: Long): Unit =
+    fanOut(batch).foreach { case (table, rows) =>
+      writeJdbc(rows, url, table, SaveMode.Append, properties)
+    }
 
   /** C6 — date-partitioned layout: the write shape that makes retention a
     * partition drop and time-range scans prune at the source.
