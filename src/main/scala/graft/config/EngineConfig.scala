@@ -116,21 +116,46 @@ object EngineConfig {
   }
 
   private def stripComment(v: String): String = {
-    // strip a trailing comment that is not inside a string
+    // strip a trailing comment that is not inside a string; inside a
+    // string a backslash escapes the next character, so \" does not
+    // toggle the quote state and a # after it stays part of the value
     var inStr = false
     var i = 0
     while (i < v.length) {
       val c = v.charAt(i)
-      if (c == '"') inStr = !inStr
+      if (inStr && c == '\\') i += 1 // skip the escaped character
+      else if (c == '"') inStr = !inStr
       else if (c == '#' && !inStr) return v.substring(0, i).trim
       i += 1
     }
     v
   }
 
+  /** TOML basic-string escapes for the characters this subset supports
+    * (\" \\ \n \t \r); anything else keeps the backslash verbatim.
+    */
+  private def unescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => out += '"';  i += 2
+          case '\\' => out += '\\'; i += 2
+          case 'n'  => out += '\n'; i += 2
+          case 't'  => out += '\t'; i += 2
+          case 'r'  => out += '\r'; i += 2
+          case _    => out += c;    i += 1
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
   private def parseValue(raw: String): Any = raw match {
     case s if s.startsWith("\"") && s.endsWith("\"") && s.length >= 2 =>
-      s.substring(1, s.length - 1)
+      unescape(s.substring(1, s.length - 1))
     case s if s.startsWith("[") && s.endsWith("]") =>
       val body = s.substring(1, s.length - 1).trim
       if (body.isEmpty) Seq.empty[Any]
@@ -141,13 +166,18 @@ object EngineConfig {
       s.toDoubleOption.getOrElse(s))
   }
 
-  /** Split on commas that are not inside a quoted string. */
+  /** Split on commas that are not inside a quoted string (backslash
+    * escapes honored, mirroring stripComment).
+    */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var inStr = false
+    var esc = false
     s.foreach { c =>
-      if (c == '"') { inStr = !inStr; cur += c }
+      if (esc) { cur += c; esc = false }
+      else if (inStr && c == '\\') { cur += c; esc = true }
+      else if (c == '"') { inStr = !inStr; cur += c }
       else if (c == ',' && !inStr) { out += cur.toString; cur.clear() }
       else cur += c
     }

@@ -96,6 +96,12 @@ object VectorOps {
     var i = 0
     while (i < d.length) { s += d(i) * d(i); i += 1 }
     val norm = math.sqrt(s)
+    // loud failure, matching vec_dot's dimension-mismatch policy: an
+    // all-zero embedding would otherwise yield NaN components and NaN
+    // cosines that silently poison every downstream top-k ranking
+    if (norm == 0.0)
+      throw new IllegalArgumentException(
+        "vec_unit: zero vector has no direction (all-zero embedding upstream)")
     i = 0
     while (i < d.length) { d(i) = d(i) / norm; i += 1 }
     UnsafeArrayData.fromPrimitiveArray(d)

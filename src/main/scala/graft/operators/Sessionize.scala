@@ -93,7 +93,14 @@ object Sessionize {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMs)
+          // setTimeoutTimestamp THROWS on a timeout at/behind the current
+          // watermark. Spark's late-row filter normally guarantees
+          // last+gap > watermark (rows behind the watermark never reach
+          // this operator), but that invariant lives outside this
+          // function — clamp to watermark+1 so a stale `last` can only
+          // ever close the session early, never kill the query
+          val wm = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(math.max(s.last + gapMs, wm + 1))
         }
       }
       out.iterator

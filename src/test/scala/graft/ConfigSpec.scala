@@ -118,4 +118,20 @@ class ConfigSpec extends AnyFunSuite {
       EngineConfig.fromToml("not a toml line\n")
     }
   }
+
+  test("escaped quotes and # inside strings survive parsing") {
+    // a password with an escaped quote, a backslash, and a # — the
+    // classic victims of naive quote-state toggling
+    val cfg = EngineConfig.fromToml(
+      """[database]
+        |host = "h"
+        |password = "p\"w#x\\y"  # comment after the tricky value
+        |""".stripMargin)
+    assert(cfg.database.password === "p\"w#x\\y")
+    val parsed = EngineConfig.fromToml(
+      """[mqtt]
+        |topics = ["a\"b", "c#d"]
+        |""".stripMargin)
+    assert(parsed.mqtt.topics === Seq("a\"b", "c#d"))
+  }
 }

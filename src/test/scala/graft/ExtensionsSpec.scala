@@ -37,6 +37,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getBoolean(6) === false)
   }
 
+  test("vec_unit throws loudly on a zero vector (no silent NaN poisoning)") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT vec_unit(array(0.0d, 0.0d))").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("zero vector")))
+  }
+
   test("non-literal filter in topic_matches is rejected at plan time") {
     intercept[Exception] {
       spark.sql("SELECT topic_matches(c, c) FROM (SELECT 'a' AS c)").collect()

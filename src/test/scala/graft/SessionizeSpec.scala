@@ -55,6 +55,33 @@ class SessionizeSpec extends SparkSpec {
     assert(s.head.session_end.getTime === 1700000000000L + 20 * 60000L)
   }
 
+  test("streaming: an event far older than the watermark cannot crash the query") {
+    // Two layers keep ancient events from killing the query: Spark drops
+    // rows behind the watermark before they reach flatMapGroupsWithState,
+    // and the operator itself clamps its event-time timeout to
+    // watermark+1 (setTimeoutTimestamp throws on a timeout at/behind the
+    // watermark, so an un-clamped stale `last` would be fatal if a stale
+    // row ever did get through). processAllAvailable rethrows query
+    // failures, so reaching the asserts proves survival.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Sessionize.streamingSessions(in.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("very_late_sessions").start()
+    in.addData(ev(1, 1000)) // watermark -> minute 970
+    q.processAllAvailable()
+    in.addData(ev(3, 0)) // ancient event for a fresh group: 0+30 << 970
+    q.processAllAvailable()
+    in.addData(ev(1, 2000)) // advance watermark; session 1 closes
+    q.processAllAvailable()
+    val got = spark.table("very_late_sessions").as[Session].collect()
+      .map(s => (s.user_id, s.n_events)).toSet
+    q.stop()
+    assert(got.contains((1L, 1)))
+    // the ancient row was dropped by the late-row filter, not sessionized
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("streaming: sessions close via event-time timeout and match batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -7,23 +7,27 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
 
-/** Streaming exact dedup: `dropDuplicates` on the content key with a
-  * watermark bounding the dedup state — the streaming twin of
-  * Dedup.exactDedup, and the shape used to dedup an unbounded ingest feed
-  * (state holds only keys newer than the watermark).
+/** Streaming exact dedup: `dropDuplicatesWithinWatermark` on the content
+  * key — the streaming twin of Dedup.exactDedup for an unbounded ingest
+  * feed. The `WithinWatermark` variant matters: plain
+  * `dropDuplicates("content_key")` keeps every key FOREVER when the
+  * event-time column is not part of the dedup keys (the watermark does not
+  * evict that state), so on a real stream the state store grows without
+  * bound; `dropDuplicatesWithinWatermark` guarantees dedup among events
+  * within the watermark delay AND evicts expired keys.
   */
 class StreamingDedupSpec extends SparkSpec {
   import spark.implicits._
 
   final case class Doc(doc_id: Long, text: String, ts: Timestamp)
 
-  test("streaming dropDuplicates on normalized content key with watermark") {
+  test("streaming dropDuplicatesWithinWatermark on normalized content key") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Doc]
     val deduped = in.toDF()
       .withColumn("content_key", md5(Dedup.normText(col("text"))))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("content_key")
+      .dropDuplicatesWithinWatermark("content_key")
     val q = deduped.writeStream.outputMode("append")
       .format("memory").queryName("dedup_stream").start()
     def doc(id: Long, text: String, minute: Int) =
