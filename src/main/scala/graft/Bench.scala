@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Time one thunk: (seconds, error). A failing query must surface in the
+    * output, not silently time as ~0 and "improve" the total.
+    */
+  def timeQuery(fn: => Unit): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err =
+      try { fn; None }
+      catch {
+        case e: Throwable => Some(
+          e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(200))
+      }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
+  /** Minimal JSON string escape for the error payload. */
+  def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,14 +50,17 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> timeQuery { fn(spark, sfDir).count(); () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (sec, _)) => s"\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, Some(e))) =>
+      s"\"" + k + "\":\"" + jsonEscape(e) + "\""
+    }
+    val errField =
+      if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
+    val total = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -119,4 +119,26 @@ class SinkSpec extends SparkSpec {
     val pruned = spark.read.parquet(dir).filter(col("date") === "2024-01-15")
     assert(pruned.count() === 1)
   }
+
+  test("date predicate prunes partitions AT THE SCAN, not post-filter (C6)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = Files.createTempDirectory("graft-prune").toString
+    val df = Seq(
+      ("2024-01-01 10:00:00", "a"),
+      ("2024-01-15 11:00:00", "b"),
+      ("2024-02-01 12:00:00", "c"))
+      .toDF("time", "v")
+      .withColumn("time", col("time").cast("timestamp"))
+    Sink.writePartitionedByDate(df, dir) // 3 date dirs, 1 file each
+    val read = spark.read.parquet(dir).filter(col("date") === "2024-01-15")
+    read.collect() // executes THIS queryExecution so scan metrics populate
+    val scan = read.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }.head
+    // the predicate must reach the scan as a partition filter...
+    assert(scan.metadata("PartitionFilters").contains("date"),
+      s"no partition filter in scan: ${scan.metadata}")
+    // ...and only the matching partition's file may be listed/read
+    assert(scan.metrics("numFiles").value === 1,
+      s"scan read ${scan.metrics("numFiles").value} of 3 files — not pruned")
+  }
 }
