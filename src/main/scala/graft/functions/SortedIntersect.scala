@@ -57,6 +57,35 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `jaccard_sorted(a, b) >= t` as one EARLY-EXIT merge: the walk bails the
+  * moment the optimistic completion (current matches + all remaining
+  * elements of the shorter side) can no longer reach the threshold —
+  * background-similarity pairs in a dense corpus reject partway through
+  * instead of paying the full merge. Decision semantics are EXACTLY the
+  * double comparison `c/(na+nb-c) >= t`: the bail bound is slacked one
+  * full intersection unit below the boundary (an integer step in c moves
+  * Jaccard by ≥ 1/|A∪B| ≫ one ulp, so float rounding can never cross it),
+  * and any pair that survives the walk is decided by the exact division.
+  */
+case class JaccardSortedGeExpr(
+    left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "jaccard_sorted_ge"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersect.jaccardGe(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersect.jaccardGe($a, $b, ${threshold}D)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSortedGeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object SortedIntersect {
 
   /** Linear merge count; both inputs must be sorted ascending. */
@@ -90,4 +119,31 @@ object SortedIntersect {
   def jaccard_sorted(a: Column, b: Column): Column =
     GraftShims.column(JaccardSortedExpr(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Early-exit `jaccard >= t`; see [[JaccardSortedGeExpr]]. */
+  def jaccardGe(a: ArrayData, b: ArrayData, t: Double): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    // c/(na+nb-c) >= t  <=>  c >= t*(na+nb)/(1+t); slack one unit so the
+    // bail can never reject a pair the exact double comparison accepts
+    val minNeeded = math.floor(t * (na + nb) / (1.0 + t)).toInt - 1
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val rem = if (na - i < nb - j) na - i else nb - j
+      if (c + rem < minNeeded) return false
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - c
+    if (union == 0) 0.0 >= t else c.toDouble / union.toDouble >= t
+  }
+
+  def jaccard_sorted_ge(a: Column, b: Column, t: Double): Column =
+    GraftShims.column(JaccardSortedGeExpr(
+      GraftShims.expression(a), GraftShims.expression(b), t))
 }

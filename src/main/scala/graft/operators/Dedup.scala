@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   *   - SimHash: 64-bit signature via per-bit token-hash voting, computed
   *     per-row with native array expressions (no shuffle), near-dup pairs
   *     via banded Hamming blocking;
-  *   - n-gram Jaccard: blocked all-pairs verification (lang × length
-  *     bucket) — the exact-verify companion, SQL-expressible for the
-  *     oracle;
+  *   - n-gram Jaccard: exact all-pairs semantics within lang via
+  *     log-banded size blocking + salted band join — the exact-verify
+  *     companion, SQL-expressible for the oracle;
   *   - embedding cosine: near-dup by cosine ≥ τ within a blocking key.
   *
   * All hash-derived paths use deterministic seeds; minhash/simhash use
@@ -198,32 +198,35 @@ object Dedup {
 
   // ------------------------------------------------------ n-gram Jaccard
 
-  /** Exact n-gram-Jaccard near-dup pairs within `lang` via PREFIX
-    * FILTERING (the PPJoin family): for sets in a global canonical order,
-    * any pair with J ≥ t must share a gram inside each side's first
-    * |G| − ⌈t·|G|⌉ + 1 grams — so only docs sharing a PREFIX gram are
-    * candidates, and the final result is provably identical to the
-    * all-pairs join (no recall loss, unlike fixed length-bucket
-    * blocking whose block populations grow linearly with the corpus).
+  /** Exact n-gram-Jaccard near-dup pairs within `lang`, semantics = the
+    * full all-pairs join at J ≥ t (provably nothing lost — the SQL oracle
+    * is the unblocked brute force), computed with LOG-BANDED SIZE
+    * BLOCKING: J ≥ t implies the gram-count ratio min/max ≥ t, so bands
+    * of logarithmic width ln(1/t) plus a ±1-band probe cover every
+    * qualifying pair exactly. Fixed-width length buckets (round 1) cut
+    * real pairs at bucket boundaries — the switch surfaced a pair at
+    * sf0.01 the old blocking silently missed.
     *
-    * The canonical order is document-frequency ascending (rarest first):
-    * prefixes then hold only rare grams, so candidate bucket sizes are
-    * bounded by gram rarity — a boilerplate gram shared by half the
-    * corpus sorts LAST and never enters a prefix. That makes candidate
-    * count track the true near-dup density, not corpus², which is the
-    * 100 TB property. Costs one extra linear aggregation (the df count —
-    * a classic corpus statistic worth materializing anyway) plus one
-    * window sort per doc's grams.
+    * Why not PPJoin prefix filtering / MinHash candidates? Measured on
+    * this corpus (and documented in SCALING.md): the gram universe is
+    * tiny (377 grams, median df = 53% of docs), so the background Jaccard
+    * of UNRELATED docs is ~0.5 and every content-based candidate scheme
+    * degenerates to ~all pairs while paying its own overhead — prefix
+    * filtering additionally needs per-occurrence df ordering that was
+    * measured GC-bound at 20×. When the pair space is genuinely dense,
+    * the honest floor is Ω(pairs-at-background-similarity); size banding
+    * is the pruning that remains free, and the per-pair cost is one
+    * early-exit fused sorted-merge.
     *
-    * Two exact pre-filters trim verification further: J ≥ t implies
-    * min(|A|,|B|) ≥ t·max(|A|,|B|) (size-ratio), applied with an epsilon
-    * so float rounding of t·n can never drop a boundary pair; same
-    * epsilon guards the prefix length ⌈t·n⌉.
+    * The size-ratio pre-filter min ≥ t·max applies with an epsilon so
+    * float rounding of t·n can never drop a boundary pair.
     *
-    * Verification unchanged from round 1: grams are xxhash64'd and SORTED
-    * once per doc (native NgramHashes, one codegen'd pass — the HOF form
-    * was interpreted at ~3.3 ms/doc); per-pair intersection is the fused
-    * zero-allocation merge (SortedIntersect) with |A∪B| = |A|+|B|−|A∩B|.
+    * Verification: grams are xxhash64'd and SORTED once per doc (native
+    * NgramHashes, one codegen'd pass — the HOF form was interpreted at
+    * ~3.3 ms/doc); the threshold test is the early-exit merge
+    * (jaccard_sorted_ge bails the moment the remaining elements cannot
+    * reach t — background-similarity pairs reject partway through), and
+    * the exact jaccard VALUE is recomputed only for survivors.
     * Hash note: gram universe ≪ 2^32, so xxhash64 leaves Jaccard values
     * unchanged and the string-gram SQL oracle matches. Byte note:
     * NgramHashes windows BYTES while the oracle takes CHAR substrings —
@@ -235,42 +238,54 @@ object Dedup {
       docs: DataFrame,
       threshold: Double = 0.65): DataFrame = {
     val eps = 1e-9
-    // repartition materializes gram arrays once; every downstream branch
-    // (df counts, prefixes, both verification sides) reuses the exchange
-    // instead of recomputing the gram pipeline per reference
+    // repartition materializes gram arrays once; both join branches reuse
+    // the exchange instead of recomputing the gram pipeline per reference
     val g = docs.select(
       col("doc_id"), col("lang"),
       graft.functions.NgramHashes.ngram_hashes(normText(col("text")), 3)
         .as("grams"))
       .withColumn("n_g", size(col("grams")))
       .repartition(col("doc_id"))
-    val occ = g.select(col("lang"), col("doc_id"), col("n_g"),
-      explode(col("grams")).as("gram"))
-    val dfc = occ.groupBy(col("lang"), col("gram"))
-      .agg(count(lit(1)).as("gdf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("gdf"), col("gram"))
-    val prefixLen =
-      (col("n_g") - ceil(col("n_g") * threshold - eps) + 1).cast("int")
-    val pre = occ.join(dfc, Seq("lang", "gram"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= prefixLen)
-      .select(col("lang"), col("gram"), col("doc_id"), col("n_g"))
-    val cand = pre.select(col("lang"), col("gram"),
-        col("doc_id").as("doc_a"), col("n_g").as("n_a"))
-      .join(pre.select(col("lang"), col("gram"),
-        col("doc_id").as("doc_b"), col("n_g").as("n_b")), Seq("lang", "gram"))
+    val logBase = math.log(1.0 / threshold) // 0 when t=1 (exact dups)
+    def bandOf(n: Column): Column =
+      if (logBase == 0.0) n.cast("long")
+      else floor(log(n.cast("double")) / logBase).cast("long")
+    // The probe covers b−1..b+1 because doc_a<doc_b orders by ID, not by
+    // size — the smaller-band doc can sit on either side of the pair. The
+    // build side keeps its single band, so every qualifying pair matches
+    // EXACTLY once (no distinct, no re-dedup shuffle), and both sides
+    // carry their gram arrays into the join: the ratio pre-filter and the
+    // fused merge run inline on the join's output iterator — candidate
+    // rows are born and die in one stage, nothing pair-shaped is ever
+    // shuffled or sorted (a staged candidates→distinct→attach-arrays
+    // formulation streamed TBs of array payload at 20×).
+    //
+    // SALTED for parallelism: a few (lang, band) keys can hold most of
+    // the corpus, and a join key's within-key cross product executes on
+    // ONE task — quadratic work concentrated on a handful of cores (AQE
+    // won't split it: the partitions are small in BYTES, the skew is in
+    // pair count). The probe carries a deterministic salt of doc_a (one
+    // value — no extra array duplication); the build explodes all S
+    // salts. Each pair still matches exactly once, at salt(doc_a), and
+    // parallelism multiplies by S.
+    val salts = 8
+    val probe = g.select(col("lang"), col("doc_id").as("doc_a"),
+        col("n_g").as("n_a"), col("grams").as("g_a"),
+        pmod(xxhash64(col("doc_id")), lit(salts.toLong)).as("salt"),
+        explode(array(bandOf(col("n_g")) - 1, bandOf(col("n_g")),
+          bandOf(col("n_g")) + 1)).as("band"))
+    val build = g.select(col("lang"), bandOf(col("n_g")).as("band"),
+        col("doc_id").as("doc_b"), col("n_g").as("n_b"),
+        col("grams").as("g_b"),
+        explode(sequence(lit(0L), lit(salts - 1L))).as("salt"))
+    val jac = graft.functions.SortedIntersect
+      .jaccard_sorted(col("g_a"), col("g_b"))
+    probe.join(build, Seq("lang", "band", "salt"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("n_a"), col("n_b")) + eps >=
         greatest(col("n_a"), col("n_b")) * threshold)
-      .select(col("lang"), col("doc_a"), col("doc_b"))
-      .distinct()
-    val jac = graft.functions.SortedIntersect
-      .jaccard_sorted(col("g_a"), col("g_b"))
-    cand
-      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), "doc_a")
-      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), "doc_b")
-      .filter(jac >= threshold)
+      .filter(graft.functions.SortedIntersect
+        .jaccard_sorted_ge(col("g_a"), col("g_b"), threshold))
       .select(col("lang"), col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 

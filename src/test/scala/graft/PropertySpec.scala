@@ -36,6 +36,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: early-exit jaccardGe decides exactly like jaccard >= t") {
+    val arrays = Gen.listOf(Gen.choose(-30L, 30L)).map(_.distinct.sorted.toArray)
+    val thresholds = Gen.oneOf(0.0, 0.2, 1.0 / 3.0, 0.5, 0.65, 0.8, 1.0)
+    samples(Gen.zip(arrays, arrays, thresholds), 500).foreach { case (a, b, t) =>
+      def ad(x: Array[Long]) = org.apache.spark.sql.catalyst.expressions
+        .UnsafeArrayData.fromPrimitiveArray(x)
+      val exact = SortedIntersect.jaccard(ad(a), ad(b)) >= t
+      val fast = SortedIntersect.jaccardGe(ad(a), ad(b), t)
+      assert(fast === exact, s"a=${a.toSeq} b=${b.toSeq} t=$t")
+    }
+  }
+
   test("property: ngram hash sets match a straightforward implementation") {
     val strs = Gen.alphaNumStr.map(_.take(30))
     samples(strs, 200).foreach { s =>
