@@ -294,6 +294,26 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Sessionize.batchSessions(Tables.events(s, dir), gapMinutes = 30)),
 
+    // AS-OF join: for every event, the user's most recent purchase at or
+    // before it — the tagged-union + last-non-null-window operator (one
+    // shuffle, no inequality-join pair explosion); oracle = DuckDB's
+    // native ASOF LEFT JOIN
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      graft.operators.AsOf.asOf(
+        ev, purchases,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        payload = Seq("purchase_id", "purchase_value"),
+        rightTieBreak = "purchase_id")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("asof_purchase_id"), col("asof_purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- north-star: similarity search ----
     "similarity_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir),
@@ -685,6 +705,20 @@ object SparkEntry {
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                            ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |pd AS (SELECT user_id, ts, purchase_id, purchase_value FROM p WHERE rn = 1)
+        |SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
+        |       pd.purchase_id AS asof_purchase_id,
+        |       pd.purchase_value AS asof_purchase_value
+        |FROM events e ASOF LEFT JOIN pd
+        |  ON e.user_id = pd.user_id AND e.ts >= pd.ts
+        |ORDER BY e.event_id""".stripMargin,
 
     "similarity_topk" ->
       """WITH v AS (

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** AS-OF JOIN — for every left row, the payload of the most recent right
+  * row with the same key and right.time ≤ left.time. THE timeseries join
+  * (quotes→trades, sensor-state→event, price→order) that Spark has no
+  * native operator for.
+  *
+  * Spark-first design: the naive formulation is an inequality join, which
+  * Catalyst can only plan as a broadcast-nested-loop or a range-exploded
+  * join — quadratic per key. This operator instead UNIONS both sides,
+  * tagged, and runs one `last(payload, ignoreNulls)` window per key in
+  * (time, tag) order: right rows sort before left rows at equal
+  * timestamps (inclusive ≤ semantics, matching DuckDB/kdb ASOF), and each
+  * left row reads the running last right payload. Cost = ONE shuffle on
+  * the key + a per-partition sort — linear in rows, zero pair
+  * materialization, the shape that survives 100 TB.
+  *
+  * Determinism: right-side timestamp ties are pre-collapsed (greatest
+  * tieBreak wins) so the match is unique, and the whole payload travels
+  * as ONE struct so every emitted column comes from the SAME right row
+  * even when individual payload values are null.
+  */
+object AsOf {
+
+  /** @param left       probe rows (each appears once in the output)
+    * @param right      state/quote rows providing the payload
+    * @param keys       equi-join key columns (present on both sides)
+    * @param leftTime   left event-time column name
+    * @param rightTime  right event-time column name
+    * @param payload    right columns carried to each matched left row
+    *                   (emitted as `asof_<name>`, all null when no right
+    *                   row is at or before the left time — LEFT join
+    *                   semantics)
+    * @param rightTieBreak right column ordering ties at equal
+    *                   (key, rightTime): the row with the GREATEST value
+    *                   wins, making the match deterministic
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      rightTieBreak: String): DataFrame = {
+    val keyCols = keys.map(col)
+    // collapse right-side timestamp ties deterministically
+    val tieW = Window.partitionBy((keyCols :+ col(rightTime)): _*)
+      .orderBy(col(rightTieBreak).desc)
+    val r = right
+      .withColumn("_rn", row_number().over(tieW))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+    val pType = StructType(payload.map(p => r.schema(p).copy(name = p)))
+    val leftRest = left.columns.toSeq.filterNot(keys.contains)
+    // tagged union: right rows (tag 0) sort before left rows (tag 1) at
+    // equal times — inclusive "at or before" semantics
+    val lTagged = left.select((
+      Seq(col(leftTime).as("_t"), lit(1).as("_tag")) ++ keyCols ++
+        leftRest.map(col) :+
+        lit(null).cast(pType).as("_p")): _*)
+    val rTagged = r.select((
+      Seq(col(rightTime).as("_t"), lit(0).as("_tag")) ++ keyCols ++
+        leftRest.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("_p")): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lTagged.unionByName(rTagged)
+      .withColumn("_last", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select((keyCols ++ leftRest.map(col) ++
+        payload.map(p => col(s"_last.$p").as(s"asof_$p"))): _*)
+  }
+}
