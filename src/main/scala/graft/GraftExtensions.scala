@@ -50,6 +50,16 @@ object GraftFunctions {
         "jaccard_sorted(a, b) - Jaccard of sorted distinct array<long>"),
       (args: Seq[Expression]) => JaccardSortedExpr(args(0), args(1))),
 
+    (FunctionIdentifier("jaccard_sorted_ge"),
+      info("jaccard_sorted_ge",
+        "jaccard_sorted_ge(a, b, t) - early-exit jaccard_sorted(a,b) >= t"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b, Literal(t: Double, org.apache.spark.sql.types.DoubleType)) =>
+          JaccardSortedGeExpr(a, b, t)
+        case _ => throw new IllegalArgumentException(
+          "jaccard_sorted_ge(a, b, <double literal threshold>)")
+      }),
+
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of array<double>"),
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),

@@ -283,6 +283,14 @@ object SparkEntry {
     "dedup_embedding_nn" -> ((s, dir) =>
       Similarity.nnWithinLabel(Tables.embeddings(s, dir))),
 
+    // threshold form of embedding near-dup: all within-label pairs with
+    // cosine >= tau (pair ids only — the cosine VALUE is op-order
+    // sensitive vs DuckDB's list_cosine_similarity, the SET is not)
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.35)
+        .select(col("label"), col("vec_a"), col("vec_b"))
+        .orderBy(col("vec_a"), col("vec_b"))),
+
     // approximate twin: SRP-LSH bucketed candidates within the label +
     // exact rerank (rows-only: hyperplanes not SQL-expressible; top-1
     // agreement vs the exact path is spec-measured — currently 100%)
@@ -673,6 +681,14 @@ object SparkEntry {
         |       >= greatest(len(a.grams), len(b.grams)) * 0.8) p
         |WHERE jaccard >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      """WITH v AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
 
     "dedup_embedding_nn" ->
       """WITH v AS (

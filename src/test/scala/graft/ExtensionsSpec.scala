@@ -23,6 +23,8 @@ class ExtensionsSpec extends AnyFunSuite {
       """SELECT rolling_hash('abc xyz') AS rh,
         |       size(ngram_hashes('abcd', 3)) AS ng,
         |       jaccard_sorted(ngram_hashes('abcd', 3), ngram_hashes('abce', 3)) AS j,
+        |       jaccard_sorted_ge(ngram_hashes('abcd', 3), ngram_hashes('abce', 3), 0.3d) AS jge,
+        |       jaccard_sorted_ge(ngram_hashes('abcd', 3), ngram_hashes('abce', 3), 0.5d) AS jlt,
         |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
         |       vec_unit(array(3.0d, 4.0d))[0] AS u0,
         |       topic_matches('sensors/+', 'sensors/t1') AS tm,
@@ -31,10 +33,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(0) === 591029166L)
     assert(row.getInt(1) === 2)
     assert(math.abs(row.getDouble(2) - 1.0 / 3.0) < 1e-12)
-    assert(row.getDouble(3) === 11.0)
-    assert(math.abs(row.getDouble(4) - 0.6) < 1e-12)
-    assert(row.getBoolean(5) === true)
-    assert(row.getBoolean(6) === false)
+    assert(row.getBoolean(3) === true)  // 1/3 >= 0.3
+    assert(row.getBoolean(4) === false) // 1/3 <  0.5
+    assert(row.getDouble(5) === 11.0)
+    assert(math.abs(row.getDouble(6) - 0.6) < 1e-12)
+    assert(row.getBoolean(7) === true)
+    assert(row.getBoolean(8) === false)
   }
 
   test("vec_unit throws loudly on a zero vector (no silent NaN poisoning)") {
