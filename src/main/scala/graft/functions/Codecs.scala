@@ -33,11 +33,39 @@ object Codecs {
     when(c.rlike("^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"),
       unbase64(c).cast("string"))
 
+  private val Base64Re =
+    "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+
+  /** Error-as-second-return parity (lua.go:102-114 returns
+    * `(decoded, err)`): a struct where exactly one of (value, err) is
+    * non-null, so pipelines can route failures instead of just losing
+    * them to null. The err text describes the failure; it is not
+    * byte-for-byte Go's error string (which encodes the offending byte
+    * offset).
+    */
+  def base64DecodeWithError(c: Column): Column = {
+    val valid = c.rlike(Base64Re)
+    struct(
+      when(valid, unbase64(c).cast("string")).as("value"),
+      when(c.isNotNull && !valid,
+        concat(lit("illegal base64 data in input: "), c)).as("err"))
+  }
+
   /** Lowercase hex of UTF-8 bytes (lua.go:117-122; Go hex.EncodeToString is
     * lowercase; Spark's `hex` is uppercase, hence the `lower`). */
   def hexEncode(c: Column): Column = lower(hex(c))
 
   def hexDecode(c: Column): Column = unhex(c).cast("string")
+
+  /** (decoded, err) parity for hex — see [[base64DecodeWithError]]
+    * (lua.go:124-135). */
+  def hexDecodeWithError(c: Column): Column = {
+    val valid = c.rlike("^(?:[0-9A-Fa-f]{2})*$")
+    struct(
+      when(valid, unhex(c).cast("string")).as("value"),
+      when(c.isNotNull && !valid,
+        concat(lit("invalid hex input: "), c)).as("err"))
+  }
 
   /** HMAC-SHA256, lowercase hex (lua.go:139-147). No Spark built-in; a Scala
     * UDF over javax.crypto.Mac. Off the analytical hot path (the reference

@@ -33,6 +33,29 @@ class CodecsSpec extends SparkSpec {
     assert(eval1(Codecs.hexDecode(lit("617a"))) === "az")
   }
 
+  test("decode-with-error: exactly one of (value, err) set (lua.go (decoded, err))") {
+    val rows = Seq("SGVsbG8=", "not!!base64", "617a", "xyz")
+      .toDF("s")
+      .select(
+        Codecs.base64DecodeWithError(col("s")).as("b64"),
+        Codecs.hexDecodeWithError(col("s")).as("hx"))
+      .select("b64.value", "b64.err", "hx.value", "hx.err")
+      .as[(Option[String], Option[String], Option[String], Option[String])]
+      .collect()
+    assert(rows(0)._1 === Some("Hello")) // valid base64
+    assert(rows(0)._2 === None)
+    assert(rows(1)._1 === None) // malformed: err populated, value null
+    assert(rows(1)._2.exists(_.contains("not!!base64")))
+    assert(rows(2)._3 === Some("az")) // valid hex
+    assert(rows(2)._4 === None)
+    assert(rows(3)._3 === None)
+    assert(rows(3)._4.exists(_.contains("xyz")))
+    rows.foreach { r =>
+      assert(r._1.isDefined !== r._2.isDefined) // exactly one side set
+      assert(r._3.isDefined !== r._4.isDefined)
+    }
+  }
+
   test("hmac_sha256 lowercase hex (RFC 4231 test case 2)") {
     // Known vector: HMAC-SHA256("Jefe", "what do ya want for nothing?")
     assert(eval1(Codecs.hmacSha256(lit("Jefe"), lit("what do ya want for nothing?")))
