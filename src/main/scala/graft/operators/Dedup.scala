@@ -247,9 +247,13 @@ object Dedup {
       .withColumn("n_g", size(col("grams")))
       .repartition(col("doc_id"))
     val logBase = math.log(1.0 / threshold) // 0 when t=1 (exact dups)
+    // coalesce = non-nullable (n_g >= 1 so log never actually nulls, but
+    // Catalyst can't know: a nullable join key gets an inferred
+    // isnotnull(<whole gram pipeline>) pushed below the exchange, which
+    // both breaks ReuseExchange and re-evaluates the grams per row)
     def bandOf(n: Column): Column =
       if (logBase == 0.0) n.cast("long")
-      else floor(log(n.cast("double")) / logBase).cast("long")
+      else coalesce(floor(log(n.cast("double")) / logBase).cast("long"), lit(0L))
     // The probe covers b−1..b+1 because doc_a<doc_b orders by ID, not by
     // size — the smaller-band doc can sit on either side of the pair. The
     // build side keeps its single band, so every qualifying pair matches
@@ -269,9 +273,14 @@ object Dedup {
     // salts. Each pair still matches exactly once, at salt(doc_a), and
     // parallelism multiplies by S.
     val salts = 8
+    // coalesce keeps the salt expression NON-NULLABLE: otherwise
+    // InferFiltersFromConstraints pushes an isnotnull(pmod(...)) below the
+    // probe branch's exchange, the two branch children stop canonicalizing
+    // equal, and ReuseExchange no longer shares the materialized grams
     val probe = g.select(col("lang"), col("doc_id").as("doc_a"),
         col("n_g").as("n_a"), col("grams").as("g_a"),
-        pmod(xxhash64(col("doc_id")), lit(salts.toLong)).as("salt"),
+        coalesce(pmod(xxhash64(col("doc_id")), lit(salts.toLong)), lit(0L))
+          .as("salt"),
         explode(array(bandOf(col("n_g")) - 1, bandOf(col("n_g")),
           bandOf(col("n_g")) + 1)).as("band"))
     val build = g.select(col("lang"), bandOf(col("n_g")).as("band"),
