@@ -322,6 +322,29 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // RANGE join: for every event, how many same-user ±5-minute purchase
+    // windows contain it — bucketized interval containment (equi-join on
+    // time buckets + containment filter; never a nested-loop cross
+    // product); oracle = DuckDB non-equi BETWEEN join
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("t_us", unix_micros(col("ts")))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (col("t_us") - 300000000L).as("w_start_us"),
+          (col("t_us") + 300000000L).as("w_end_us"))
+      val matched = graft.operators.RangeJoin.bucketedRangeJoin(
+        ev.select(col("user_id"), col("event_id"), col("t_us")),
+        windows, keys = Seq("user_id"),
+        pointTimeUs = "t_us", startUs = "w_start_us", endUs = "w_end_us",
+        bucketWidthUs = 600000000L)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_windows"))
+      ev.select(col("event_id"), col("t_us").as("ts_us"), col("user_id"))
+        .join(matched, Seq("event_id"), "left")
+        .na.fill(0L, Seq("n_windows"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- north-star: similarity search ----
     "similarity_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, dir),
@@ -721,6 +744,21 @@ object SparkEntry {
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS t_us, user_id FROM events),
+        |w AS (SELECT user_id,
+        |             epoch_us(ts) - 300000000 AS ws,
+        |             epoch_us(ts) + 300000000 AS we
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.t_us AS ts_us, e.user_id,
+        |       COALESCE(m.n, 0) AS n_windows
+        |FROM e LEFT JOIN (
+        |  SELECT e2.event_id, COUNT(*) AS n
+        |  FROM e e2 JOIN w ON e2.user_id = w.user_id
+        |                  AND e2.t_us BETWEEN w.ws AND w.we
+        |  GROUP BY e2.event_id) m USING (event_id)
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH p AS (
