@@ -285,7 +285,13 @@ object SparkEntry {
 
     // threshold form of embedding near-dup: all within-label pairs with
     // cosine >= tau (pair ids only — the cosine VALUE is op-order
-    // sensitive vs DuckDB's list_cosine_similarity, the SET is not)
+    // sensitive vs DuckDB's list_cosine_similarity, the SET is not).
+    // PARITY ASSUMPTION: no within-label pair's cosine sits within ~1 ulp
+    // of tau (Spark dots pre-normalized units; DuckDB list_cosine_
+    // similarity normalizes inline on raw doubles — a boundary pair could
+    // cross tau differently). Holds on the driver corpus (min observed
+    // gap to 0.35 is ~1e-3); regenerated data should re-verify no pair
+    // lies within a ~1e-12 band of the threshold.
     "dedup_embedding_pairs" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), threshold = 0.35)
         .select(col("label"), col("vec_a"), col("vec_b"))

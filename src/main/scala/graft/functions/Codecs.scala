@@ -37,11 +37,14 @@ object Codecs {
     "^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
 
   /** Error-as-second-return parity (lua.go:102-114 returns
-    * `(decoded, err)`): a struct where exactly one of (value, err) is
-    * non-null, so pipelines can route failures instead of just losing
-    * them to null. The err text describes the failure; it is not
-    * byte-for-byte Go's error string (which encodes the offending byte
-    * offset).
+    * `(decoded, err)`): a struct where, for NON-NULL input, exactly one
+    * of (value, err) is non-null, so pipelines can route failures
+    * instead of just losing them to null. A NULL input yields
+    * (null, null) — standard SQL null propagation, NOT a decode failure;
+    * routing logic must treat `value IS NULL AND err IS NULL` as
+    * "no input", not success. The err text describes the failure; it is
+    * not byte-for-byte Go's error string (which encodes the offending
+    * byte offset).
     */
   def base64DecodeWithError(c: Column): Column = {
     val valid = c.rlike(Base64Re)
@@ -57,8 +60,8 @@ object Codecs {
 
   def hexDecode(c: Column): Column = unhex(c).cast("string")
 
-  /** (decoded, err) parity for hex — see [[base64DecodeWithError]]
-    * (lua.go:124-135). */
+  /** (decoded, err) parity for hex — see [[base64DecodeWithError]],
+    * including the NULL-input → (null, null) contract (lua.go:124-135). */
   def hexDecodeWithError(c: Column): Column = {
     val valid = c.rlike("^(?:[0-9A-Fa-f]{2})*$")
     struct(

@@ -49,10 +49,17 @@ object AsOf {
       payload: Seq[String],
       rightTieBreak: String): DataFrame = {
     val keyCols = keys.map(col)
+    // SQL ASOF equi-join semantics: NULL keys never match. The window
+    // below treats NULL as an ordinary group, so null-key right rows are
+    // dropped here; null-key LEFT rows still flow through (their group
+    // holds no right rows) and emit null payloads — LEFT join parity.
+    val rightNonNull = keys.map(k => col(k).isNotNull)
+      .reduce(_ && _)
     // collapse right-side timestamp ties deterministically
     val tieW = Window.partitionBy((keyCols :+ col(rightTime)): _*)
       .orderBy(col(rightTieBreak).desc)
     val r = right
+      .filter(rightNonNull)
       .withColumn("_rn", row_number().over(tieW))
       .filter(col("_rn") === 1)
       .drop("_rn")

@@ -246,14 +246,38 @@ object Dedup {
         .as("grams"))
       .withColumn("n_g", size(col("grams")))
       .repartition(col("doc_id"))
-    val logBase = math.log(1.0 / threshold) // 0 when t=1 (exact dups)
-    // coalesce = non-nullable (n_g >= 1 so log never actually nulls, but
-    // Catalyst can't know: a nullable join key gets an inferred
-    // isnotnull(<whole gram pipeline>) pushed below the exchange, which
-    // both breaks ReuseExchange and re-evaluates the grams per row)
+    // EXACT log-band assignment, no per-row floating point: band(n) =
+    // floor(log_r(n)) computed by counting precomputed INTEGER boundaries
+    // b_k = min{ n : log_r(n) >= k }, with r = nextUp(1/t) and powers
+    // taken in BigDecimal (doubles are exact rationals, so r^k and its
+    // ceiling are exact). Rounding r UP makes log_r(1/t) < 1 strictly, so
+    // any pair with gram-count ratio >= t has real band gap <= 1 — the
+    // ±1 probe below provably covers every pair the final exact Jaccard
+    // check could accept (J >= t ⟹ min/max >= t), with no fp-rounding
+    // escape hatch. Pairs admitted only by the ratio pre-filter's eps
+    // slack (true ratio < t) have J < t and die at the exact check, so
+    // not probing them loses nothing. ~50 boundaries cover n < 2^31; the
+    // when-sum is a flat codegen'd comparison chain.
+    val bandBounds: Seq[Long] =
+      if (threshold >= 1.0 || threshold <= 0.0) Nil // degenerate: below
+      else {
+        // UNLIMITED context: products of finite decimals are exact (digit
+        // count grows ~17/power, bounded by the 2^31 takeWhile)
+        val r = BigDecimal.decimal(Math.nextUp(1.0 / threshold),
+          java.math.MathContext.UNLIMITED)
+        Iterator.iterate(r)(_ * r)
+          .map(p => // smallest integer n with n >= r^k (band boundary k)
+            if (p.isWhole) p.toLongExact
+            else p.setScale(0, BigDecimal.RoundingMode.FLOOR).toLongExact + 1L)
+          .takeWhile(_ <= Int.MaxValue.toLong)
+          .toSeq
+      }
     def bandOf(n: Column): Column =
-      if (logBase == 0.0) n.cast("long")
-      else coalesce(floor(log(n.cast("double")) / logBase).cast("long"), lit(0L))
+      if (threshold >= 1.0) n.cast("long") // t=1: exact dups, band = n
+      else if (threshold <= 0.0) lit(0L)   // t<=0: every pair qualifies
+      else bandBounds.foldLeft(lit(0L)) { (acc, b) =>
+        acc + when(n >= b, 1L).otherwise(0L)
+      }
     // The probe covers b−1..b+1 because doc_a<doc_b orders by ID, not by
     // size — the smaller-band doc can sit on either side of the pair. The
     // build side keeps its single band, so every qualifying pair matches

@@ -475,29 +475,104 @@ object Similarity {
     */
   object IndexCache {
     private val ivfCache =
-      scala.collection.concurrent.TrieMap.empty[(Int, String, Int, String), IvfIndex]
+      scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, String), IvfIndex]
     private val lshCache =
-      scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Int, String), LshIndex]
+      scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, Int, String), LshIndex]
+    // sessions that already carry the evict-on-stop listener
+    private val hookedSessions =
+      scala.collection.concurrent.TrieMap.empty[Int, Unit]
 
-    private def corpusKey(df: DataFrame): (Int, String) =
+    private def corpusKey(df: DataFrame): (Int, String, String) = {
+      val session = df.sparkSession
+      val sid = System.identityHashCode(session)
+      // evict this session's entries when its context ends: entries hold
+      // strong refs to persisted DataFrames and must not outlive the
+      // session that owns their cached blocks
+      if (hookedSessions.putIfAbsent(sid, ()).isEmpty) {
+        session.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit = clearSession(sid)
+          })
+      }
       // canonicalized plan strings elide the file listing, so two reads of
       // DIFFERENT parquet dirs can stringify identically — the input file
-      // set disambiguates; the plan string still separates in-memory frames
-      (System.identityHashCode(df.sparkSession),
-        df.queryExecution.analyzed.canonicalized.toString +
-          df.inputFiles.sorted.mkString("|"))
+      // set disambiguates; length+mtime invalidate the entry when a file
+      // is rewritten IN PLACE under the same name (same-name staleness);
+      // the plan string still separates in-memory frames
+      val conf = session.sparkContext.hadoopConfiguration
+      val files = df.inputFiles.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try {
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          s"$f:${st.getLen}:${st.getModificationTime}"
+        } catch { case _: java.io.IOException => f }
+      }
+      (sid, df.queryExecution.analyzed.canonicalized.toString,
+        files.mkString("|"))
+    }
+
+    /** An in-place rewrite reuses the plan string but changes the file
+      * state. The stale entry must be actively UNPERSISTED, not just
+      * re-keyed: Spark's CacheManager keys cached relations on the
+      * canonicalized plan (which is identical for same-path reads), so a
+      * rebuild's persist() would otherwise silently resurrect the old
+      * cached blocks.
+      */
+    private def evictStale(sid: Int, plan: String, fileState: String): Unit = {
+      ivfCache.keys
+        .filter(k => k._1 == sid && k._2 == plan && k._3 != fileState)
+        .foreach(k => ivfCache.remove(k).foreach(i =>
+          try i.unpersist() catch { case _: Exception => () }))
+      lshCache.keys
+        .filter(k => k._1 == sid && k._2 == plan && k._3 != fileState)
+        .foreach(k => lshCache.remove(k).foreach(i =>
+          try i.unpersist() catch { case _: Exception => () }))
+    }
+
+    /** Drop (and unpersist) every cached index built under the given
+      * session identity. Safe after the session is stopped — unpersist
+      * failures on a dead context are swallowed.
+      */
+    def clearSession(sid: Int): Unit = {
+      ivfCache.keys.filter(_._1 == sid).foreach { k =>
+        ivfCache.remove(k).foreach(i =>
+          try i.unpersist() catch { case _: Exception => () })
+      }
+      lshCache.keys.filter(_._1 == sid).foreach { k =>
+        lshCache.remove(k).foreach(i =>
+          try i.unpersist() catch { case _: Exception => () })
+      }
+      hookedSessions.remove(sid)
+      ()
+    }
+
+    /** Drop (and unpersist) every cached index — the manual reset valve
+      * for long-lived sessions that rebuild corpora under new file names
+      * (mtime/size keying already handles in-place rewrites).
+      */
+    def clear(): Unit = {
+      ivfCache.keys.foreach(k => ivfCache.remove(k).foreach(i =>
+        try i.unpersist() catch { case _: Exception => () }))
+      lshCache.keys.foreach(k => lshCache.remove(k).foreach(i =>
+        try i.unpersist() catch { case _: Exception => () }))
+      hookedSessions.clear()
+    }
 
     def ivf(embeddings: DataFrame, nlist: Int,
         carryCols: Seq[String] = Nil): IvfIndex = {
-      val (s, p) = corpusKey(embeddings)
-      ivfCache.getOrElseUpdate((s, p, nlist, carryCols.mkString(",")),
+      val (s, p, f) = corpusKey(embeddings)
+      evictStale(s, p, f)
+      ivfCache.getOrElseUpdate((s, p, f, nlist, carryCols.mkString(",")),
         buildIvfIndex(embeddings, nlist, carryCols = carryCols))
     }
 
     def lsh(embeddings: DataFrame, nBits: Int = 64, bands: Int = 16,
         dim: Int = 64, carryCols: Seq[String] = Nil): LshIndex = {
-      val (s, p) = corpusKey(embeddings)
-      lshCache.getOrElseUpdate((s, p, nBits, bands, carryCols.mkString(",")),
+      val (s, p, f) = corpusKey(embeddings)
+      evictStale(s, p, f)
+      lshCache.getOrElseUpdate((s, p, f, nBits, bands, carryCols.mkString(",")),
         buildLshIndex(embeddings, nBits, bands, dim, carryCols = carryCols))
     }
   }

@@ -59,6 +59,24 @@ class AsOfSpec extends SparkSpec {
     assert(out === ((None, "new")))
   }
 
+  test("asOf: NULL keys never match (SQL ASOF equi-join parity)") {
+    val left = Seq(
+      (Option(1L), ts(10), "k1"),
+      (Option.empty[Long], ts(10), "knull"))
+      .toDF("key", "t", "name")
+    val right = Seq(
+      (Option(1L), ts(5), 100.0, 1L),
+      (Option.empty[Long], ts(5), 999.0, 2L)) // must never be matched
+      .toDF("key", "qt", "price", "qid")
+    val out = AsOf.asOf(left, right, Seq("key"), "t", "qt",
+        payload = Seq("price"), rightTieBreak = "qid")
+      .select("name", "asof_price")
+      .as[(String, Option[Double])].collect().toMap
+    assert(out.size === 2, "null-key left rows keep LEFT semantics")
+    assert(out("k1") === Some(100.0))
+    assert(out("knull") === None) // not matched to the null-key right row
+  }
+
   test("asOf on the events corpus matches an independent formulation") {
     val ev = Tables.events(spark, sf)
     val purchases = ev.filter($"event_type" === "purchase")

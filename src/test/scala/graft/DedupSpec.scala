@@ -112,6 +112,20 @@ class DedupSpec extends SparkSpec {
     assert(brute.forall { case (k, j) => pruned(k) === j })
   }
 
+  test("ngram bands: pair at EXACTLY the threshold ratio is probed") {
+    // grams(A)={abc,bcd,cde,def} ⊂ grams(B) (5 grams) → J = 4/5 = t
+    // exactly, with the count ratio 4/5 sitting on the log-band boundary
+    // the old fp floor(log/logBase) could in principle split two bands
+    // apart; the integer-boundary band assignment must keep them within
+    // the ±1 probe
+    val two = Seq((1L, "abcdef", "en"), (2L, "abcdefg", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.ngramJaccardPairs(two, threshold = 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 0.8)))
+  }
+
   test("embedding near-dup pairs: within-label, threshold respected") {
     val emb = Tables.embeddings(spark, sf)
     val pairs = Dedup.embeddingNearDupPairs(emb, threshold = 0.4)

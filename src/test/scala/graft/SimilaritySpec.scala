@@ -106,6 +106,41 @@ class SimilaritySpec extends SparkSpec {
     assert(v1 eq v2)
   }
 
+  test("IndexCache: in-place rewrite under the SAME file name invalidates") {
+    import java.nio.file.{Files, StandardCopyOption}
+    val base = Files.createTempDirectory("idxcache").toFile
+    val p = new java.io.File(base, "emb").getAbsolutePath
+    val src = Tables.embeddings(spark, sf)
+    src.limit(50).coalesce(1).write.mode("overwrite").parquet(p)
+    val i1 = Similarity.IndexCache.lsh(spark.read.parquet(p))
+    assert(i1.signed.count() === 50)
+    // rewrite the SAME part file in place with different content (the
+    // same-name staleness ADVICE case): length+mtime must re-key
+    val alt = new java.io.File(base, "emb_alt").getAbsolutePath
+    src.limit(80).coalesce(1).write.mode("overwrite").parquet(alt)
+    def partOf(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    Files.copy(partOf(alt).toPath, partOf(p).toPath,
+      StandardCopyOption.REPLACE_EXISTING)
+    // the local FS keeps sidecar .crc checksums the in-place rewrite
+    // invalidates (an HDFS rewrite wouldn't); drop them
+    new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val i2 = Similarity.IndexCache.lsh(spark.read.parquet(p))
+    assert(!(i1 eq i2), "rewritten file must not serve the stale index")
+    assert(i2.signed.count() === 80)
+  }
+
+  test("IndexCache.clear unpersists cached indexes and forces rebuild") {
+    val e = Tables.embeddings(spark, sf)
+    val i1 = Similarity.IndexCache.lsh(e)
+    Similarity.IndexCache.clear()
+    assert(i1.signed.storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE)
+    val i2 = Similarity.IndexCache.lsh(e)
+    assert(!(i1 eq i2), "clear() must drop the cached entry")
+  }
+
   test("nnWithinLabel: one row per vector, neighbor shares the label") {
     val nn = Similarity.nnWithinLabel(emb)
     assert(nn.count() === emb.count())
