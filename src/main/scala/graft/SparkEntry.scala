@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Envelope
-import graft.operators.{Analytics, Dedup, Multimodal, Route, Router,
-  Sessionize, Similarity, Transforms, TextAnalysis}
+import graft.operators.{Analytics, Assembly, Dedup, Multimodal, Route,
+  Router, Sessionize, Similarity, Transforms, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -388,7 +388,39 @@ object SparkEntry {
 
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.asMedia(Tables.documents(s, dir)))
-        .orderBy(col("doc_id"), col("frame_idx"))))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // ---- north-star: dataset assembly (training-data pipeline) ----
+    // deterministic N-way split: md5-bucket per id, stable across runs,
+    // partitionings, and engines; narrow map — zero shuffle
+    "assembly_hash_split" -> ((s, dir) =>
+      Assembly.hashSplit(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // exact per-stratum sampling: floor(|stratum|/5) rows per lang chosen
+    // by hash order; keep-decision in pure integer arithmetic
+    "assembly_stratified_sample" -> ((s, dir) =>
+      Assembly.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
+          num = 1, den = 5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // weighted multi-source mixing: per-source deterministic keep rates
+    "assembly_weighted_mix" -> ((s, dir) =>
+      Assembly.weightedMix(Tables.documents(s, dir), "source", "doc_id",
+          rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.5),
+          defaultRate = 0.25)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // deterministic global shuffle: dense position 0..n-1 in hash order
+    // (range-partitioned sort + offset enumeration — fully distributed)
+    "assembly_global_shuffle" -> ((s, dir) =>
+      Assembly.globalShuffle(Tables.documents(s, dir), "doc_id")
+        .select(col("pos"), col("doc_id"))
+        .orderBy(col("pos"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -808,5 +840,39 @@ object SparkEntry {
         |SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
         |       CAST(u.i * 128 AS BIGINT) AS byte_offset
         |FROM f, LATERAL (SELECT unnest(generate_series(0, f.n_frames - 1)) AS i) u
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // boundaries are computed ONCE driver-side (Assembly.splitBoundaries)
+    // and compared as hex strings — neither engine does query-time float
+    "assembly_hash_split" ->
+      s"""SELECT doc_id,
+         |       ${Assembly.hashSplitOracleCase("doc_id",
+              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "assembly_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |WHERE rn * 5 <= n * 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "assembly_weighted_mix" ->
+      s"""SELECT source, doc_id
+         |FROM documents
+         |WHERE ${Assembly.weightedMixOracleWhere("source", "doc_id",
+              Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.5), 0.25)}
+         |ORDER BY doc_id""".stripMargin,
+
+    "assembly_global_shuffle" ->
+      """SELECT row_number() OVER (
+        |         ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |         AS pos,
+        |       doc_id
+        |FROM documents
+        |ORDER BY pos""".stripMargin)
 }

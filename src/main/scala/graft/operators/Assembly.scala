@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Dataset-assembly operators for training-data pipelines: deterministic
+  * train/val/test splits, exact stratified sampling, weighted multi-source
+  * mixing, and a deterministic global shuffle. The reference engine stops
+  * at ingest (`/root/reference/internal/router/router.go` routes into
+  * tables); these are the downstream assembly steps a corpus consumer
+  * needs, built the Spark-first way.
+  *
+  * DETERMINISM CONTRACT (and the reason every operator here rides on
+  * md5): assignments must be (a) reproducible run-over-run, (b) stable
+  * under repartitioning — a row's fate depends only on its id, never on
+  * partition layout or visit order, (c) portable — the DuckDB oracle
+  * computes the identical md5 hex, and all comparisons happen on hex
+  * STRINGS (lexicographic = numeric for fixed-width lowercase hex), so
+  * no cross-engine integer/float conversion can disagree. `rand(seed)`
+  * fails (a): it is seeded per-partition, so a repartition reshuffles
+  * every sample.
+  *
+  * 100 TB shapes:
+  *  - [[hashSplit]] / [[weightedMix]]: narrow per-row projections — no
+  *    shuffle, no state; they pipeline into the scan.
+  *  - [[stratifiedSample]]: one shuffle on the stratum key + a
+  *    per-partition sort (rank window); strata are the parallelism unit.
+  *  - [[globalShuffle]]: one range-partitioned sort on the hash key plus
+  *    a count pass for partition offsets — the canonical distributed
+  *    "assign a global position" plan (what RDD.zipWithIndex does under
+  *    the hood); no single-partition window anywhere.
+  */
+object Assembly {
+
+  /** Lowercase md5 hex of (salt ++ id-as-string) — the shared
+    * deterministic randomness source. Oracle twin:
+    * `md5('salt' || CAST(id AS VARCHAR))`.
+    */
+  private def hashKey(id: Column, salt: String): Column =
+    md5(concat(lit(salt), id.cast("string")).cast("binary"))
+
+  /** The first 4 hex chars as the comparison bucket: 65536-way
+    * granularity, compared as a string on both engines.
+    */
+  private def bucket(id: Column, salt: String): Column =
+    substring(hashKey(id, salt), 1, 4)
+
+  /** The 4-hex-digit boundary strings for cumulative weights, computed
+    * ONCE driver-side (so neither engine does floating-point at query
+    * time): split i gets bucket range [b(i-1), b(i)).
+    */
+  def splitBoundaries(weights: Seq[Double]): Seq[String] = {
+    val total = weights.sum
+    require(total > 0, "split weights must sum to a positive value")
+    val cums = weights.scanLeft(0.0)(_ + _).tail
+    cums.init.map(c =>
+      f"${math.min(65535, math.round(c / total * 65536)).toInt}%04x") :+ "ffff~"
+    // "ffff~" sorts after every 4-hex bucket: the last split takes the
+    // remainder exactly, so coverage is total by construction
+  }
+
+  /** Deterministic train/val/test (or any N-way) split: every row is
+    * assigned exactly one split label from the hash of its id — stable
+    * across runs, partitionings, and engines. Narrow map, zero shuffle.
+    *
+    * @param splits ordered (name, weight) pairs; weights are normalized
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty)
+    val bounds = splitBoundaries(splits.map(_._2))
+    val b = bucket(col(idCol), salt)
+    val assign = splits.zip(bounds).foldRight(lit(null).cast("string")) {
+      case (((name, _), bound), rest) => when(b < bound, name).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** The DuckDB CASE expression equivalent of [[hashSplit]]'s assignment
+    * column, for oracle construction.
+    */
+  def hashSplitOracleCase(
+      idSql: String,
+      splits: Seq[(String, Double)],
+      salt: String = "graft"): String = {
+    val bounds = splitBoundaries(splits.map(_._2))
+    val b = s"substring(md5('$salt' || CAST($idSql AS VARCHAR)), 1, 4)"
+    splits.zip(bounds).map { case ((name, _), bound) =>
+      s"WHEN $b < '$bound' THEN '$name'"
+    }.mkString("CASE ", " ", " END")
+  }
+
+  /** Exact stratified sample: from every stratum, keep exactly
+    * floor(|stratum| * num/den) rows, chosen by hash order (deterministic,
+    * engine-portable). The num/den rational keeps the keep-decision in
+    * INTEGER arithmetic — `rank * den <= count * num` — so no float ever
+    * decides a boundary row. One shuffle (stratum key), rank + count in
+    * the same window pass.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      num: Int,
+      den: Int,
+      salt: String = "graft"): DataFrame = {
+    require(num >= 0 && den > 0)
+    val w = Window.partitionBy(col(stratumCol))
+    val order = w.orderBy(hashKey(col(idCol), salt), col(idCol))
+    df.withColumn("_rn", row_number().over(order))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_rn") * den <= col("_n") * num)
+      .drop("_rn", "_n")
+  }
+
+  /** Weighted multi-source mix: keep each row with its source's rate,
+    * deterministically by id hash — the "mix Wikipedia at 3 epochs,
+    * CommonCrawl at 0.3" assembly step. Per-row narrow op; rates > 1 are
+    * clamped to 1 (upsampling is a separate `explode`-style op).
+    *
+    * @param rates    per-source keep rate; sources absent from the map
+    *                 use `defaultRate`
+    */
+  def weightedMix(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String = "graft"): DataFrame = {
+    def boundHex(rate: Double): String =
+      if (rate >= 1.0) "ffff~"
+      else f"${math.max(0, math.min(65535, math.round(rate * 65536))).toInt}%04x"
+    val b = bucket(col(idCol), salt)
+    val bound = rates.toSeq.sortBy(_._1).foldRight(lit(boundHex(defaultRate))) {
+      case ((src, rate), rest) =>
+        when(col(sourceCol) === src, boundHex(rate)).otherwise(rest)
+    }
+    df.filter(b < bound)
+  }
+
+  /** DuckDB WHERE-clause twin of [[weightedMix]]'s keep predicate. */
+  def weightedMixOracleWhere(
+      sourceSql: String,
+      idSql: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String = "graft"): String = {
+    def boundHex(rate: Double): String =
+      if (rate >= 1.0) "ffff~"
+      else f"${math.max(0, math.min(65535, math.round(rate * 65536))).toInt}%04x"
+    val b = s"substring(md5('$salt' || CAST($idSql AS VARCHAR)), 1, 4)"
+    val cases = rates.toSeq.sortBy(_._1).map { case (src, rate) =>
+      s"WHEN $sourceSql = '$src' THEN '${boundHex(rate)}'"
+    }.mkString("CASE ", " ", s" ELSE '${boundHex(defaultRate)}' END")
+    s"$b < $cases"
+  }
+
+  /** Deterministic global shuffle: every row gets a unique position
+    * 0..n-1 in hash-of-id order — the "shuffle the corpus once, read it
+    * sequentially forever" training-data step. Implemented as a
+    * range-partitioned sort on the hash key followed by zipWithIndex
+    * (per-partition counts → cumulative offsets → local enumeration):
+    * both passes are linear and distributed; nothing funnels through one
+    * partition. Output adds `pos` (long, dense from 0).
+    */
+  def globalShuffle(
+      df: DataFrame,
+      idCol: String,
+      salt: String = "graft"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .withColumn("_hkey", hashKey(col(idCol), salt))
+      .orderBy(col("_hkey"), col(idCol))
+    val outSchema = StructType(sorted.schema.fields)
+      .add("pos", LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, outSchema).drop("_hkey")
+  }
+}

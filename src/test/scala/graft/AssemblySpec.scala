@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Assembly
+
+class AssemblySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf)
+
+  test("hashSplit: total coverage, rough proportions, no nulls") {
+    val split = Assembly.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = docs.count()
+    assert(counts.values.sum === n, "every row gets exactly one split")
+    assert(!counts.contains(null), "no row escapes assignment")
+    assert(counts("train") > n * 6 / 10, s"train too small: $counts")
+    assert(counts("val") > 0 && counts("test") > 0, s"empty split: $counts")
+  }
+
+  test("hashSplit: assignment is stable under repartitioning") {
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Assembly.hashSplit(df, "doc_id",
+          Seq("a" -> 0.5, "b" -> 0.5), salt = "s1")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(assign(docs) === assign(docs.repartition(7)),
+      "a row's split must depend only on its id")
+  }
+
+  test("hashSplit: different salts give different assignments") {
+    def assign(salt: String) =
+      Assembly.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5), salt)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(assign("s1") !== assign("s2"))
+  }
+
+  test("splitBoundaries: monotone, last bound covers everything") {
+    val b = Assembly.splitBoundaries(Seq(0.8, 0.1, 0.1))
+    assert(b.size === 3)
+    assert(b.init === b.init.sorted)
+    assert(b.last > "ffff", "remainder split must catch every bucket")
+  }
+
+  test("stratifiedSample: exactly floor(n/den*num) rows per stratum") {
+    val sample = Assembly.stratifiedSample(docs, "lang", "doc_id", 1, 5)
+    val got = sample.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    full.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0L) === n / 5, s"stratum $lang")
+    }
+    // sampled rows are a subset of the input
+    assert(sample.join(docs, Seq("doc_id"), "left_anti").count() === 0)
+  }
+
+  test("stratifiedSample: deterministic across invocations") {
+    def ids = Assembly.stratifiedSample(docs, "lang", "doc_id", 1, 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids === ids)
+  }
+
+  test("weightedMix: rate-1 source kept whole, rates bound the rest") {
+    val mixed = Assembly.weightedMix(docs, "source", "doc_id",
+      rates = Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.25)
+    val got = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(got("src0") === full("src0"), "rate 1.0 must keep every row")
+    assert(got.getOrElse("src1", 0L) <= full("src1"))
+    // with 25-row sources, expected default-rate counts are ~6; allow wide
+    // stochastic slack but require real downsampling in aggregate
+    val defaultKept = got.filterNot(k => Set("src0", "src1")(k._1)).values.sum
+    val defaultFull = full.filterNot(k => Set("src0", "src1")(k._1)).values.sum
+    assert(defaultKept < defaultFull / 2,
+      s"default rate 0.25 kept $defaultKept of $defaultFull")
+  }
+
+  test("globalShuffle: dense permutation, deterministic, hash-ordered") {
+    val out = Assembly.globalShuffle(docs, "doc_id")
+    val rows = out.select("pos", "doc_id").as[(Long, Long)].collect()
+      .sortBy(_._1)
+    val n = docs.count()
+    assert(rows.map(_._1).toSeq === (0L until n).toSeq, "dense 0..n-1")
+    assert(rows.map(_._2).distinct.length === n.toInt, "a permutation")
+    // matches an independent driver-side ordering by the same hash
+    val expect = docs.select(
+        md5(concat(lit("graft"), $"doc_id".cast("string")).cast("binary")),
+        $"doc_id")
+      .as[(String, Long)].collect().sortBy(identity).map(_._2).toSeq
+    assert(rows.map(_._2).toSeq === expect)
+    // shuffled: the hash order must not be the identity order
+    assert(rows.map(_._2).toSeq !== rows.map(_._2).sorted.toSeq)
+  }
+}
