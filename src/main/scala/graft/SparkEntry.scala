@@ -123,6 +123,25 @@ object SparkEntry {
     "q_order_priority" -> ((s, dir) =>
       Analytics.orderPriorityCount(Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
+    // NOT EXISTS via left-anti join + uncorrelated scalar subquery
+    // (TPC-H Q22 shape)
+    "q_dormant_customers" -> ((s, dir) =>
+      Analytics.dormantHighBalance(Tables.customer(s, dir), Tables.orders(s, dir))),
+
+    // correlated scalar subquery decorrelated to agg+join (TPC-H Q17
+    // shape); integer-exact threshold compare
+    "q_small_qty_revenue" -> ((s, dir) =>
+      Analytics.smallQuantityRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+
+    // PIVOT — per-user event-type count matrix (explicit value list:
+    // single grouping pass, deterministic schema)
+    "q_event_pivot" -> ((s, dir) =>
+      Analytics.userActivityPivot(Tables.events(s, dir))),
+
+    // CUBE — all four grouping sets in one shuffle, GROUPING markers
+    "q_revenue_cube" -> ((s, dir) =>
+      Analytics.revenueCube(Tables.lineitem(s, dir))),
+
     // TPC-H Q6 shape — pure scan-filter-aggregate with full pushdown
     "q6_forecast_revenue" -> ((s, dir) =>
       Analytics.forecastRevenue(Tables.lineitem(s, dir))),
@@ -556,6 +575,58 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_dormant_customers" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |           / COUNT(c_acctbal) AS ab
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS n_dormant,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |                    AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q_small_qty_revenue" ->
+      """WITH brand_li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#1'),
+        |per_part AS (
+        |  SELECT l_partkey AS t_partkey,
+        |         SUM(l_quantity) AS sum_qty,
+        |         COUNT(l_quantity) AS cnt_qty
+        |  FROM brand_li GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |         AS avg_yearly
+        |FROM brand_li JOIN per_part ON l_partkey = t_partkey
+        |WHERE l_quantity * 5.0 * cnt_qty < sum_qty""".stripMargin,
+
+    "q_event_pivot" ->
+      """SELECT user_id,
+        |       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_revenue_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items,
+        |       CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type,

@@ -267,4 +267,86 @@ object Analytics {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q22 shape — "rich but dormant" customers: an UNCORRELATED
+    * scalar subquery (the global average balance — a 1-row aggregate,
+    * broadcast; never a per-row recomputation) plus NOT EXISTS planned as
+    * a LEFT ANTI join against the restricted order book (no pair
+    * materialization, no distinct on the build side needed — anti join
+    * short-circuits on first match). Per-nation aggregation on top is
+    * partial-agg friendly. 100 TB: scan + broadcast + one anti shuffle +
+    * one agg shuffle.
+    */
+  def dormantHighBalance(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg(decAvg(col("c_acctbal")).as("avg_bal"))
+    customer
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_dormant"),
+        decSum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** TPC-H Q17 shape — correlated scalar subquery (`l_quantity <
+    * 0.2 * avg(l_quantity) over the same part`) decorrelated the
+    * Spark-first way: the inner aggregate becomes a grouped per-part
+    * aggregate joined back on the part key — one extra agg + join
+    * instead of a per-row subquery. The threshold compare is kept
+    * INTEGER-EXACT: `qty < 0.2*avg` ⟺ `qty * 5 * cnt < sum` (quantities
+    * are integral, products stay far under 2^53), so no float-division
+    * boundary can disagree with the oracle. Brand filter is broadcast
+    * and applied BEFORE the per-part aggregate — the subquery only ever
+    * aggregates rows that can matter.
+    */
+  def smallQuantityRevenue(
+      li: DataFrame,
+      part: DataFrame,
+      brand: String = "Brand#1"): DataFrame = {
+    val brandParts = broadcast(
+      part.filter(col("p_brand") === brand).select(col("p_partkey")))
+    val liBrand = li.join(brandParts, col("l_partkey") === col("p_partkey"))
+    val perPart = liBrand.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(col("l_quantity")).as("cnt_qty"))
+    liBrand.join(perPart, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") * 5.0 * col("cnt_qty") < col("sum_qty"))
+      .agg((decSum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** PIVOT — per-user activity matrix: event counts spread across one
+    * column per event type. The EXPLICIT value list matters twice: it
+    * keeps the plan a single grouping pass (no distinct-discovery job
+    * over the corpus) and the output schema deterministic. Absent
+    * combinations are 0 (matching the SQL FILTER-count formulation),
+    * not null.
+    */
+  def userActivityPivot(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** CUBE over (returnflag, linestatus): all four grouping sets computed
+    * in ONE shuffle (Expand + single hash agg), never a union of
+    * re-aggregations; GROUPING markers disambiguate subtotal rows from
+    * genuine nulls.
+    */
+  def revenueCube(li: DataFrame): DataFrame =
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+          .as("revenue"),
+        count(lit(1)).as("n_items"),
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
 }

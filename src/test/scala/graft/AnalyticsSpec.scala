@@ -55,4 +55,77 @@ class AnalyticsSpec extends SparkSpec {
       Tables.orders(spark, sf), Tables.lineitem(spark, sf))
     assert(df.count() === 5)
   }
+
+  test("dormantHighBalance plans a LEFT ANTI join and matches brute force") {
+    import spark.implicits._
+    val customer = Tables.customer(spark, sf)
+    val orders = Tables.orders(spark, sf)
+    val df = Analytics.dormantHighBalance(customer, orders)
+    assert(plan(df).contains("LeftAnti"))
+    // brute force on collected rows
+    val bals = customer.select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .as[(Long, Long, Double)].collect()
+    val avg = {
+      val pos = bals.map(_._3).filter(_ > 0)
+      (pos.map(BigDecimal(_).setScale(2)).sum / pos.length).toDouble
+    }
+    val active97 = orders
+      .filter(org.apache.spark.sql.functions.year($"o_orderdate") === 1997)
+      .select($"o_custkey").as[Long].collect().toSet
+    val expect = bals
+      .filter(r => r._3 > avg && !active97(r._1))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = df.select($"c_nationkey", $"n_dormant")
+      .as[(Long, Long)].collect().toMap
+    assert(got === expect)
+  }
+
+  test("smallQuantityRevenue decorrelates: agg+join, broadcast brand filter") {
+    import spark.implicits._
+    val df = Analytics.smallQuantityRevenue(
+      Tables.lineitem(spark, sf), Tables.part(spark, sf))
+    assert(plan(df).contains("BroadcastHashJoin"))
+    val got = df.as[Option[Double]].collect()(0)
+    // brute force: per-part avg over collected brand rows
+    val brandKeys = Tables.part(spark, sf)
+      .filter($"p_brand" === "Brand#1").select($"p_partkey")
+      .as[Long].collect().toSet
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .as[(Long, Double, Double)].collect()
+      .filter(r => brandKeys(r._1))
+    val byPart = rows.groupBy(_._1)
+    val keep = rows.filter { case (pk, q, _) =>
+      val g = byPart(pk); q * 5.0 * g.length < g.map(_._2).sum
+    }
+    val expect =
+      if (keep.isEmpty) None
+      else Some((keep.map(r => BigDecimal(r._3).setScale(2)).sum / 7.0).toDouble)
+    assert(got === expect)
+  }
+
+  test("userActivityPivot: one row per user, counts reconcile, zeros not null") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val df = Analytics.userActivityPivot(ev)
+    assert(df.count() === ev.select("user_id").distinct().count())
+    val total = df.select(
+      ($"click" + $"error" + $"purchase" + $"signup" + $"view").as("s"))
+      .agg(org.apache.spark.sql.functions.sum($"s")).as[Long].collect()(0)
+    assert(total === ev.count(), "pivot cells must reconcile to row count")
+  }
+
+  test("revenueCube: one Expand pass, four grouping sets reconcile") {
+    import spark.implicits._
+    val df = Analytics.revenueCube(Tables.lineitem(spark, sf))
+    assert(plan(df).contains("Expand"), "cube should be one Expand+agg pass")
+    val rows = df.select($"g_flag", $"g_status", $"n_items")
+      .as[(Int, Int, Long)].collect()
+    val n = Tables.lineitem(spark, sf).count()
+    // every grouping set independently totals the corpus
+    Seq((0, 0), (0, 1), (1, 0), (1, 1)).foreach { case (gf, gs) =>
+      val s = rows.filter(r => r._1 == gf && r._2 == gs).map(_._3).sum
+      assert(s === n, s"grouping set ($gf,$gs)")
+    }
+  }
 }
