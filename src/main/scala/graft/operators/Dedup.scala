@@ -240,12 +240,11 @@ object Dedup {
     val eps = 1e-9
     // repartition materializes gram arrays once; both join branches reuse
     // the exchange instead of recomputing the gram pipeline per reference
-    val g = docs.select(
+    val g0 = docs.select(
       col("doc_id"), col("lang"),
       graft.functions.NgramHashes.ngram_hashes(normText(col("text")), 3)
         .as("grams"))
       .withColumn("n_g", size(col("grams")))
-      .repartition(col("doc_id"))
     // EXACT log-band assignment, no per-row floating point: band(n) =
     // floor(log_r(n)) computed by counting precomputed INTEGER boundaries
     // b_k = min{ n : log_r(n) >= k }, with r = nextUp(1/t) and powers
@@ -278,6 +277,11 @@ object Dedup {
       else bandBounds.foldLeft(lit(0L)) { (acc, b) =>
         acc + when(n >= b, 1L).otherwise(0L)
       }
+    // the ~50-comparison band chain is evaluated ONCE per doc, below the
+    // shared exchange — repeating it per probe replica (×3 in the explode)
+    // measurably bloated the probe stage's generated code
+    val g = g0.withColumn("b0", bandOf(col("n_g")))
+      .repartition(col("doc_id"))
     // The probe covers b−1..b+1 because doc_a<doc_b orders by ID, not by
     // size — the smaller-band doc can sit on either side of the pair. The
     // build side keeps its single band, so every qualifying pair matches
@@ -305,9 +309,8 @@ object Dedup {
         col("n_g").as("n_a"), col("grams").as("g_a"),
         coalesce(pmod(xxhash64(col("doc_id")), lit(salts.toLong)), lit(0L))
           .as("salt"),
-        explode(array(bandOf(col("n_g")) - 1, bandOf(col("n_g")),
-          bandOf(col("n_g")) + 1)).as("band"))
-    val build = g.select(col("lang"), bandOf(col("n_g")).as("band"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("band"))
+    val build = g.select(col("lang"), col("b0").as("band"),
         col("doc_id").as("doc_b"), col("n_g").as("n_b"),
         col("grams").as("g_b"),
         explode(sequence(lit(0L), lit(salts - 1L))).as("salt"))

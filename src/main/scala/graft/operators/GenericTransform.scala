@@ -81,6 +81,15 @@ object GenericTransform {
     * Undeclared TABLES are not validated at all (schema.go:38-41): their
     * rows stay accessible by filtering the tagged frame directly.
     */
+  /** N consumers of the returned map each evaluate the transform
+    * pipeline independently — Spark has no sound plan-level way to share
+    * one computation across sibling subtrees of a single query (filters
+    * push below any repartition once unused barrier columns are pruned,
+    * so ReuseExchange never fires; this was measured, not assumed). When
+    * the transform is expensive and several tables are consumed in one
+    * job, persist the TAGGED frame first (bounded lifetime, caller owns
+    * it) — the streaming fan-out sink does exactly that per micro-batch.
+    */
   def fanOut(tagged: DataFrame, catalog: Catalog): Map[String, DataFrame] =
     catalog.tables.map { case (name, ts) =>
       name -> project(tagged.filter(col("table") === name), ts)

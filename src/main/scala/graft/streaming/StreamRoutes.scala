@@ -50,7 +50,16 @@ object StreamRoutes {
       router: Router)(
       write: (String, DataFrame) => Unit): DataStreamWriter[Row] =
     messages.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      router.fanOut(batch).foreach { case (table, df) => write(table, df) }
+      // one materialization per epoch, N sink writes: without the
+      // persist every table's write re-evaluates the batch's routing
+      // pipeline (sibling subtrees never share work plan-side)
+      val shared = batch.persist()
+      try router.fanOut(shared).foreach { case (table, df) =>
+        write(table, df)
+      } finally {
+        shared.unpersist()
+        ()
+      }
     }
 
   /** Convenience: run the routed stream until all available data is
