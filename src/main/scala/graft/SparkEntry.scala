@@ -439,7 +439,21 @@ object SparkEntry {
     "assembly_global_shuffle" -> ((s, dir) =>
       Assembly.globalShuffle(Tables.documents(s, dir), "doc_id")
         .select(col("pos"), col("doc_id"))
-        .orderBy(col("pos"))))
+        .orderBy(col("pos"))),
+
+    // upsampling mix: rate 2.5 = 2 guaranteed copies + hash-selected
+    // half get a third ("train this source for 2.5 epochs")
+    "assembly_mix_epochs" -> ((s, dir) =>
+      Assembly.weightedMixEpochs(Tables.documents(s, dir), "source", "doc_id",
+          rates = Map("src0" -> 2.5, "src1" -> 1.0), defaultRate = 0.25)
+        .select(col("source"), col("doc_id"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))),
+
+    // composed curation pipeline: quality filter -> exact dedup ->
+    // deterministic split; one shuffle over the surviving fraction
+    "pipeline_curate" -> ((s, dir) =>
+      graft.operators.Curation.curate(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -945,5 +959,41 @@ object SparkEntry {
         |         AS pos,
         |       doc_id
         |FROM documents
-        |ORDER BY pos""".stripMargin)
+        |ORDER BY pos""".stripMargin,
+
+    "assembly_mix_epochs" ->
+      s"""WITH n AS (
+         |  SELECT source, doc_id,
+         |         ${Assembly.weightedMixEpochsOracleCopies("source", "doc_id",
+              Map("src0" -> 2.5, "src1" -> 1.0), 0.25)} AS n_copies
+         |  FROM documents)
+         |SELECT source, doc_id, CAST(u.i AS INT) AS copy
+         |FROM n, LATERAL (SELECT unnest(generate_series(0, n.n_copies - 1)) AS i) u
+         |ORDER BY doc_id, copy""".stripMargin,
+
+    "pipeline_curate" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens,
+         |    CAST(length(text) AS DOUBLE) AS n_chars_d,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct,
+         |    CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|or|in)\\b')) AS DOUBLE) AS n_stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, text, n_tokens,
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CASE WHEN n_chars_d > 0 THEN n_punct / n_chars_d ELSE 0.0 END) * 0.3
+         |      + least(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 5.0, 1.0) * 0.3
+         |      AS quality_score
+         |  FROM f),
+         |d AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY md5(regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g'))
+         |    ORDER BY doc_id) AS rn
+         |  FROM q WHERE quality_score >= 0.5)
+         |SELECT doc_id, lang, n_tokens, quality_score,
+         |       ${Assembly.hashSplitOracleCase("doc_id",
+              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
+         |FROM d WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin)
 }

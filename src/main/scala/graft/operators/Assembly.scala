@@ -133,13 +133,10 @@ object Assembly {
       rates: Map[String, Double],
       defaultRate: Double,
       salt: String = "graft"): DataFrame = {
-    def boundHex(rate: Double): String =
-      if (rate >= 1.0) "ffff~"
-      else f"${math.max(0, math.min(65535, math.round(rate * 65536))).toInt}%04x"
     val b = bucket(col(idCol), salt)
-    val bound = rates.toSeq.sortBy(_._1).foldRight(lit(boundHex(defaultRate))) {
+    val bound = rates.toSeq.sortBy(_._1).foldRight(lit(boundHexOf(defaultRate))) {
       case ((src, rate), rest) =>
-        when(col(sourceCol) === src, boundHex(rate)).otherwise(rest)
+        when(col(sourceCol) === src, boundHexOf(rate)).otherwise(rest)
     }
     df.filter(b < bound)
   }
@@ -151,14 +148,69 @@ object Assembly {
       rates: Map[String, Double],
       defaultRate: Double,
       salt: String = "graft"): String = {
-    def boundHex(rate: Double): String =
-      if (rate >= 1.0) "ffff~"
-      else f"${math.max(0, math.min(65535, math.round(rate * 65536))).toInt}%04x"
     val b = s"substring(md5('$salt' || CAST($idSql AS VARCHAR)), 1, 4)"
     val cases = rates.toSeq.sortBy(_._1).map { case (src, rate) =>
-      s"WHEN $sourceSql = '$src' THEN '${boundHex(rate)}'"
-    }.mkString("CASE ", " ", s" ELSE '${boundHex(defaultRate)}' END")
+      s"WHEN $sourceSql = '$src' THEN '${boundHexOf(rate)}'"
+    }.mkString("CASE ", " ", s" ELSE '${boundHexOf(defaultRate)}' END")
     s"$b < $cases"
+  }
+
+  private def boundHexOf(rate: Double): String =
+    if (rate >= 1.0) "ffff~"
+    else f"${math.max(0, math.min(65535, math.round(rate * 65536))).toInt}%04x"
+
+  /** Weighted mix WITH upsampling — the "this source for 2.5 epochs"
+    * assembly step: rate r yields floor(r) guaranteed copies of every row
+    * plus one more for the deterministic hash-selected frac(r) fraction.
+    * Each copy is tagged 0..n-1 in `copy` so downstream shuffles can
+    * separate replicas. Narrow generator (explode of a tiny sequence) —
+    * no shuffle, and the copy count never depends on partition layout.
+    */
+  def weightedMixEpochs(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String = "graft"): DataFrame = {
+    def base(rate: Double): Int = math.floor(rate).toInt
+    def fracHex(rate: Double): String = boundHexOf(rate - base(rate))
+    val b = bucket(col(idCol), salt)
+    val sorted = rates.toSeq.sortBy(_._1)
+    val baseCol = sorted.foldRight(lit(base(defaultRate))) {
+      case ((src, r), rest) =>
+        when(col(sourceCol) === src, base(r)).otherwise(rest)
+    }
+    val fracBound = sorted.foldRight(lit(fracHex(defaultRate))) {
+      case ((src, r), rest) =>
+        when(col(sourceCol) === src, fracHex(r)).otherwise(rest)
+    }
+    val nCopies = (baseCol + when(b < fracBound, 1).otherwise(0)).as("n_copies")
+    df.withColumn("n_copies", nCopies)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0), (col("n_copies") - 1).cast("int"))))
+      .drop("n_copies")
+  }
+
+  /** DuckDB n_copies expression twin of [[weightedMixEpochs]]. */
+  def weightedMixEpochsOracleCopies(
+      sourceSql: String,
+      idSql: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String = "graft"): String = {
+    def base(rate: Double): Int = math.floor(rate).toInt
+    def fracHex(rate: Double): String = boundHexOf(rate - base(rate))
+    val b = s"substring(md5('$salt' || CAST($idSql AS VARCHAR)), 1, 4)"
+    val sorted = rates.toSeq.sortBy(_._1)
+    val baseSql = sorted.map { case (src, r) =>
+      s"WHEN $sourceSql = '$src' THEN ${base(r)}"
+    }.mkString("CASE ", " ", s" ELSE ${base(defaultRate)} END")
+    val fracSql = sorted.map { case (src, r) =>
+      s"WHEN $sourceSql = '$src' THEN '${fracHex(r)}'"
+    }.mkString("CASE ", " ", s" ELSE '${fracHex(defaultRate)}' END")
+    s"($baseSql) + (CASE WHEN $b < ($fracSql) THEN 1 ELSE 0 END)"
   }
 
   /** Deterministic global shuffle: every row gets a unique position

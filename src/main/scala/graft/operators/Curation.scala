@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composed pipeline a training-data
+  * build runs at 100 TB: quality-score → threshold filter → exact dedup →
+  * deterministic split. Composition order is the scale story:
+  *
+  *  1. quality scoring is COLUMNAR (one scan, codegen'd regex counts) and
+  *     the threshold filter runs before anything shuffles, so low-quality
+  *     rows never cost network;
+  *  2. exact dedup shuffles only survivors, on a 16-byte md5 key;
+  *  3. the split assignment is a narrow map on the dedup output.
+  *
+  * Net: ONE shuffle (the dedup key) over the quality-surviving fraction of
+  * the corpus; every stage is an already-oracle-checked operator
+  * ([[TextAnalysis.withQuality]], [[Dedup.normText]] survivorship,
+  * [[Assembly.hashSplit]]) so the composition itself is what this
+  * operator (and its oracle) verifies.
+  */
+object Curation {
+
+  def curate(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val scored = TextAnalysis.withQuality(docs)
+      .filter(col("quality_score") >= minQuality)
+    val deduped = scored
+      .withColumn("content_key", md5(Dedup.normText(col("text"))))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("content_key")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1)
+    Assembly.hashSplit(deduped, "doc_id", splits)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"), col("split"))
+  }
+}

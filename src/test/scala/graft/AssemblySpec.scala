@@ -76,6 +76,46 @@ class AssemblySpec extends SparkSpec {
       s"default rate 0.25 kept $defaultKept of $defaultFull")
   }
 
+  test("weightedMixEpochs: floor(rate) guaranteed copies + hash frac") {
+    val mixed = Assembly.weightedMixEpochs(docs, "source", "doc_id",
+      rates = Map("src0" -> 2.5, "src1" -> 1.0), defaultRate = 0.25)
+    val copies = mixed.groupBy("source", "doc_id").count()
+      .as[(String, Long, Long)].collect()
+    val bySrc = copies.groupBy(_._1)
+    assert(bySrc("src0").forall(c => c._3 == 2 || c._3 == 3),
+      "rate 2.5: every row 2 or 3 copies")
+    assert(bySrc("src0").exists(_._3 == 3), "rate 2.5: some rows get 3")
+    assert(bySrc("src1").forall(_._3 == 1), "rate 1.0: exactly one copy")
+    assert(bySrc.filterNot(k => Set("src0", "src1")(k._1))
+      .values.flatten.forall(_._3 == 1),
+      "default 0.25: surviving rows appear once")
+    // copy tags are dense 0..n-1 per row
+    val tags = mixed.filter($"source" === "src0")
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list($"copy")).as("tags"))
+      .as[(Long, Seq[Int])].collect()
+    assert(tags.forall(t => t._2 == (0 until t._2.size)))
+  }
+
+  test("curate: composed pipeline keeps quality-deduped docs, all split") {
+    import graft.operators.{Curation, Dedup, TextAnalysis}
+    val out = Curation.curate(docs)
+    val rows = out.select("doc_id", "quality_score", "split")
+      .as[(Long, Double, String)].collect()
+    assert(rows.nonEmpty && rows.length < docs.count(),
+      "threshold+dedup must drop something")
+    assert(rows.forall(_._2 >= 0.5))
+    assert(rows.forall(r => Set("train", "val", "test")(r._3)))
+    // survivors have unique normalized content
+    val keys = docs
+      .join(out.select("doc_id"), "doc_id")
+      .select(org.apache.spark.sql.functions.md5(
+        Dedup.normText($"text")).as("k"))
+      .as[String].collect()
+    assert(keys.distinct.length === keys.length, "no duplicate content")
+  }
+
   test("globalShuffle: dense permutation, deterministic, hash-ordered") {
     val out = Assembly.globalShuffle(docs, "doc_id")
     val rows = out.select("pos", "doc_id").as[(Long, Long)].collect()
