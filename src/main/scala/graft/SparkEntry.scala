@@ -453,7 +453,15 @@ object SparkEntry {
     // deterministic split; one shuffle over the surviving fraction
     "pipeline_curate" -> ((s, dir) =>
       graft.operators.Curation.curate(Tables.documents(s, dir))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // interval join (batch twin of the watermarked stream-stream join):
+    // purchases within 30 min after each click, per user — equi-join on
+    // the key, time window as inline post-filter, µs-long arithmetic
+    "q_follow_within" -> ((s, dir) =>
+      graft.streaming.StreamJoin
+        .followWithinBatch(Tables.events(s, dir), "click", "purchase", 30)
+        .orderBy(col("first_id"), col("second_id"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -995,5 +1003,14 @@ object SparkEntry {
          |       ${Assembly.hashSplitOracleCase("doc_id",
               Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
          |FROM d WHERE rn = 1
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_follow_within" ->
+      """SELECT c.user_id, c.event_id AS first_id, p.event_id AS second_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |ORDER BY first_id, second_id""".stripMargin)
 }
