@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Assembly, Curation, Dedup, Sessionize, Similarity,
+  TextAnalysis}
 
 /** Scale-up probe: replicate the sf0.1 corpus N× (shifted ids, perturbed
   * content so replicas are near-dups, not exact dups) and measure the
@@ -90,8 +91,39 @@ object ScaleCheck {
       Similarity.nnWithinLabelAnn(bigEmb).count()
     }
 
+    time("assembly: hash split (narrow)") {
+      Assembly.hashSplit(big, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").count().count()
+    }
+    time("assembly: stratified sample 1/5") {
+      Assembly.stratifiedSample(big, "lang", "doc_id", 1, 5).count()
+    }
+    time("assembly: global shuffle") {
+      Assembly.globalShuffle(big, "doc_id").count()
+    }
+    time("curation pipeline (score+dedup+split)") {
+      Curation.curate(big).count()
+    }
+
     val ev = Tables.events(spark, "/root/testdata/sf0.1")
     time("sessionize 100k events") { Sessionize.batchSessions(ev).count() }
+    // replicate events with SHIFTED user ids: corpus grows by users (the
+    // 100 TB shape), per-user density constant — interval-join and
+    // sessionize state must scale with users, pair work per key constant
+    val bigEv = (0 until mult).map { i =>
+      ev.select((col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+        (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+        col("ts"), col("event_type"))
+    }.reduce(_ unionByName _).repartition(64).cache()
+    println(s"events: ${bigEv.count()} rows")
+    time("interval join click->purchase 30m") {
+      graft.streaming.StreamJoin
+        .followWithinBatch(bigEv, "click", "purchase", 30).count()
+    }
+    time(s"sessionize ${mult * 100}k events") {
+      Sessionize.batchSessions(bigEv).count()
+    }
 
     spark.stop()
   }

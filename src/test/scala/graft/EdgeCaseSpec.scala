@@ -73,4 +73,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.keySet === Set(graft.operators.Router.RawTable))
     assert(out(graft.operators.Router.RawTable).count() === msgs.count())
   }
+
+  test("assembly operators on an empty corpus return empty, no exceptions") {
+    import graft.operators.{Assembly, Curation}
+    val splits = Seq("train" -> 0.8, "val" -> 0.2)
+    assert(Assembly.hashSplit(emptyDocs, "doc_id", splits).count() === 0)
+    assert(Assembly.stratifiedSample(emptyDocs, "lang", "doc_id", 1, 5)
+      .count() === 0)
+    assert(Assembly.weightedMix(emptyDocs, "lang", "doc_id",
+      Map.empty, 0.5).count() === 0)
+    assert(Assembly.weightedMixEpochs(emptyDocs, "lang", "doc_id",
+      Map.empty, 2.5).count() === 0)
+    assert(Assembly.globalShuffle(emptyDocs, "doc_id").count() === 0)
+    assert(Curation.curate(emptyDocs).count() === 0)
+  }
+
+  test("stratified sample with num=0 keeps nothing; full fraction keeps all") {
+    import graft.operators.Assembly
+    val docs = Seq((1L, "a", "en", 1L), (2L, "b", "en", 1L),
+      (3L, "c", "fr", 1L)).toDF("doc_id", "text", "lang", "n_chars")
+    assert(Assembly.stratifiedSample(docs, "lang", "doc_id", 0, 5)
+      .count() === 0)
+    assert(Assembly.stratifiedSample(docs, "lang", "doc_id", 5, 5)
+      .count() === 3)
+  }
+
+  test("interval join with no second-type events returns empty") {
+    val ev = Seq((1L, 10L, new java.sql.Timestamp(0L), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    assert(graft.streaming.StreamJoin
+      .followWithinBatch(ev, "click", "purchase", 30).count() === 0)
+  }
 }
