@@ -133,6 +133,15 @@ object SparkEntry {
     "q_small_qty_revenue" -> ((s, dir) =>
       Analytics.smallQuantityRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
 
+    // conditional-aggregation ratio in ONE pass (TPC-H Q14 shape)
+    "q_promo_share" -> ((s, dir) =>
+      Analytics.promoRevenueShare(Tables.lineitem(s, dir), Tables.part(s, dir))),
+
+    // NOT IN as broadcast anti join + COUNT DISTINCT (TPC-H Q16 shape)
+    "q_supplier_count" -> ((s, dir) =>
+      Analytics.supplierCountByBrand(Tables.lineitem(s, dir),
+        Tables.part(s, dir), Tables.supplier(s, dir))),
+
     // PIVOT — per-user event-type count matrix (explicit value list:
     // single grouping pass, deterministic schema)
     "q_event_pivot" -> ((s, dir) =>
@@ -628,6 +637,31 @@ object SparkEntry {
         |         AS avg_yearly
         |FROM brand_li JOIN per_part ON l_partkey = t_partkey
         |WHERE l_quantity * 5.0 * cnt_qty < sum_qty""".stripMargin,
+
+    "q_promo_share" ->
+      """SELECT epoch_us(date_trunc('month', l_shipdate)) AS month_us,
+        |       CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |                          THEN l_extendedprice * (1 - l_discount)
+        |                          ELSE 0.0 END AS DECIMAL(18,8))) AS DOUBLE)
+        |         AS promo_revenue,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE)
+        |         AS total_revenue,
+        |       100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |                          THEN l_extendedprice * (1 - l_discount)
+        |                          ELSE 0.0 END AS DECIMAL(18,8))) AS DOUBLE)
+        |         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE)
+        |         AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY month_us
+        |ORDER BY month_us""".stripMargin,
+
+    "q_supplier_count" ->
+      """SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
 
     "q_event_pivot" ->
       """SELECT user_id,

@@ -334,6 +334,47 @@ object Analytics {
       .na.fill(0L)
       .orderBy(col("user_id"))
 
+  /** TPC-H Q14 shape — conditional-aggregation ratio: the share of
+    * monthly revenue coming from PROMO parts, both the numerator (CASE
+    * inside SUM) and denominator computed in the SAME single aggregation
+    * pass — never two scans joined back. Part is broadcast; decimal-exact
+    * sums make the ratio bit-stable across partitionings.
+    */
+  def promoRevenueShare(li: DataFrame, part: DataFrame): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(unix_micros(date_trunc("month", col("l_shipdate")))
+        .as("month_us"))
+      .agg(
+        decSum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 8)
+          .as("promo_revenue"),
+        decSum(rev, 8).as("total_revenue"))
+      .withColumn("promo_share",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+      .orderBy(col("month_us"))
+  }
+
+  /** TPC-H Q16 shape — NOT IN as a LEFT ANTI join + COUNT(DISTINCT):
+    * distinct suppliers per part brand, excluding an unwanted supplier
+    * set. The exclusion list is tiny → broadcast anti join; the distinct
+    * count is a two-phase hash aggregate (partial distinct map-side).
+    */
+  def supplierCountByBrand(
+      li: DataFrame,
+      part: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val excluded = supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    li.join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("p_brand"))
+  }
+
   /** CUBE over (returnflag, linestatus): all four grouping sets computed
     * in ONE shuffle (Expand + single hash agg), never a union of
     * re-aggregations; GROUPING markers disambiguate subtotal rows from
