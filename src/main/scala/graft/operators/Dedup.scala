@@ -234,6 +234,30 @@ object Dedup {
     * the ASCII contract); a non-ASCII corpus would need an
     * encode()-to-bytes oracle.
     */
+  /** Exact integer band boundaries for log-banding at `threshold`:
+    * boundary k = the smallest integer n with log_r(n) >= k, r =
+    * nextUp(1/t), powers taken in UNLIMITED-context BigDecimal (doubles
+    * are exact rationals, so r^k and its ceiling are exact — digit count
+    * grows ~17/power, bounded by the 2^31 takeWhile). Exposed for the
+    * band-gap property test.
+    */
+  private[graft] def bandBoundaries(threshold: Double): Seq[Long] =
+    if (threshold >= 1.0 || threshold <= 0.0) Nil // degenerate
+    else {
+      val r = BigDecimal.decimal(Math.nextUp(1.0 / threshold),
+        java.math.MathContext.UNLIMITED)
+      Iterator.iterate(r)(_ * r)
+        .map(p => // smallest integer n with n >= r^k (band boundary k)
+          if (p.isWhole) p.toLongExact
+          else p.setScale(0, BigDecimal.RoundingMode.FLOOR).toLongExact + 1L)
+        .takeWhile(_ <= Int.MaxValue.toLong)
+        .toSeq
+    }
+
+  /** Driver-side twin of the columnar band expression. */
+  private[graft] def bandOfCount(n: Long, bounds: Seq[Long]): Long =
+    bounds.count(_ <= n).toLong
+
   def ngramJaccardPairs(
       docs: DataFrame,
       threshold: Double = 0.65): DataFrame = {
@@ -257,20 +281,7 @@ object Dedup {
     // slack (true ratio < t) have J < t and die at the exact check, so
     // not probing them loses nothing. ~50 boundaries cover n < 2^31; the
     // when-sum is a flat codegen'd comparison chain.
-    val bandBounds: Seq[Long] =
-      if (threshold >= 1.0 || threshold <= 0.0) Nil // degenerate: below
-      else {
-        // UNLIMITED context: products of finite decimals are exact (digit
-        // count grows ~17/power, bounded by the 2^31 takeWhile)
-        val r = BigDecimal.decimal(Math.nextUp(1.0 / threshold),
-          java.math.MathContext.UNLIMITED)
-        Iterator.iterate(r)(_ * r)
-          .map(p => // smallest integer n with n >= r^k (band boundary k)
-            if (p.isWhole) p.toLongExact
-            else p.setScale(0, BigDecimal.RoundingMode.FLOOR).toLongExact + 1L)
-          .takeWhile(_ <= Int.MaxValue.toLong)
-          .toSeq
-      }
+    val bandBounds: Seq[Long] = bandBoundaries(threshold)
     def bandOf(n: Column): Column =
       if (threshold >= 1.0) n.cast("long") // t=1: exact dups, band = n
       else if (threshold <= 0.0) lit(0L)   // t<=0: every pair qualifies

@@ -36,6 +36,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: qualifying gram-count ratios stay within ±1 band") {
+    import graft.operators.Dedup
+    // the coverage claim behind the ±1-band probe: for ANY threshold and
+    // ANY integer count pair with min/max >= t (the necessary condition
+    // for J >= t), the two counts' bands differ by at most 1
+    val ts = Gen.choose(0.05, 0.99)
+    val nbs = Gen.oneOf(
+      Gen.choose(1L, 500L),                  // small, boundary-dense
+      Gen.choose(1L, 2000000L))              // large
+    samples(Gen.zip(ts, nbs), 400).foreach { case (t, nb) =>
+      val bounds = Dedup.bandBoundaries(t)
+      assert(bounds == bounds.sorted, s"boundaries monotone at t=$t")
+      // the extreme qualifying partner: the SMALLEST na with na/nb >= t
+      val na = math.max(1L, math.ceil(t * nb - 1e-9).toLong)
+      if (na.toDouble / nb >= t) {
+        val gap = Dedup.bandOfCount(nb, bounds) - Dedup.bandOfCount(na, bounds)
+        assert(gap >= 0 && gap <= 1,
+          s"t=$t na=$na nb=$nb bands=(${Dedup.bandOfCount(na, bounds)}," +
+            s"${Dedup.bandOfCount(nb, bounds)})")
+      }
+      // bands are non-decreasing in n around the sampled point
+      assert(Dedup.bandOfCount(nb, bounds) <=
+        Dedup.bandOfCount(nb + 1, bounds))
+    }
+  }
+
   test("property: early-exit jaccardGe decides exactly like jaccard >= t") {
     val arrays = Gen.listOf(Gen.choose(-30L, 30L)).map(_.distinct.sorted.toArray)
     val thresholds = Gen.oneOf(0.0, 0.2, 1.0 / 3.0, 0.5, 0.65, 0.8, 1.0)
