@@ -54,7 +54,7 @@ object AsOf {
     // dropped here; null-key LEFT rows still flow through (their group
     // holds no right rows) and emit null payloads — LEFT join parity.
     val rightNonNull = keys.map(k => col(k).isNotNull)
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _) // keys = Nil: global as-of, keep all
     // collapse right-side timestamp ties deterministically
     val tieW = Window.partitionBy((keyCols :+ col(rightTime)): _*)
       .orderBy(col(rightTieBreak).desc)

@@ -112,9 +112,13 @@ object Assembly {
     require(num >= 0 && den > 0)
     val w = Window.partitionBy(col(stratumCol))
     val order = w.orderBy(hashKey(col(idCol), salt), col(idCol))
+    // _rn is IntegerType: widen before multiplying or strata beyond
+    // Int.MaxValue/den rows overflow (ANSI failure / wraparound keep).
+    // row_number itself caps a single stratum at 2^31 rows — beyond that
+    // the stratum needs sub-keying before sampling.
     df.withColumn("_rn", row_number().over(order))
       .withColumn("_n", count(lit(1)).over(w))
-      .filter(col("_rn") * den <= col("_n") * num)
+      .filter(col("_rn").cast("long") * den <= col("_n") * num)
       .drop("_rn", "_n")
   }
 

@@ -244,7 +244,17 @@ object Dedup {
   private[graft] def bandBoundaries(threshold: Double): Seq[Long] =
     if (threshold >= 1.0 || threshold <= 0.0) Nil // degenerate
     else {
-      val r = BigDecimal.decimal(Math.nextUp(1.0 / threshold),
+      // The ±1-probe guarantee needs only r >= 1/t (qualifying pairs have
+      // nb/na <= 1/t <= r ⟹ log_r gap < 1 ⟹ band gap <= 1), so a LARGER
+      // r is always sound — bands just get coarser (more candidates, same
+      // exactness). The floor 2^(31/256) caps the boundary count at 256
+      // for thresholds near 1, where nextUp(1/t) alone would mint tens of
+      // thousands of boundaries (unbounded driver-side BigDecimal work
+      // and an analyzer-killing when-chain) for no filtering benefit the
+      // tight ratio pre-filter doesn't already provide.
+      val rFloor = math.pow(2.0, 31.0 / 256.0)
+      val r = BigDecimal.decimal(
+        math.max(Math.nextUp(1.0 / threshold), rFloor),
         java.math.MathContext.UNLIMITED)
       Iterator.iterate(r)(_ * r)
         .map(p => // smallest integer n with n >= r^k (band boundary k)

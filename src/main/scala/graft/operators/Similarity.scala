@@ -499,18 +499,35 @@ object Similarity {
       // canonicalized plan strings elide the file listing, so two reads of
       // DIFFERENT parquet dirs can stringify identically — the input file
       // set disambiguates; length+mtime invalidate the entry when a file
-      // is rewritten IN PLACE under the same name (same-name staleness);
-      // the plan string still separates in-memory frames
+      // is rewritten IN PLACE under the same name (same-name staleness).
+      // One listStatus per parent DIRECTORY, not one getFileStatus per
+      // file: a many-thousand-part corpus must not pay thousands of
+      // serial FS metadata round-trips on every query call.
       val conf = session.sparkContext.hadoopConfiguration
-      val files = df.inputFiles.sorted.map { f =>
+      val sortedFiles = df.inputFiles.sorted
+      val stats: Map[String, String] = sortedFiles
+        .groupBy(f => new org.apache.hadoop.fs.Path(f).getParent)
+        .flatMap { case (dir, files) =>
+          val wanted = files.map(f =>
+            new org.apache.hadoop.fs.Path(f).getName).toSet
+          try {
+            dir.getFileSystem(conf).listStatus(dir).toSeq
+              .filter(st => wanted(st.getPath.getName))
+              .map(st => st.getPath.toString ->
+                s"${st.getLen}:${st.getModificationTime}")
+          } catch { case _: java.io.IOException => Nil }
+        }
+      def key(f: String): String = {
         val p = new org.apache.hadoop.fs.Path(f)
-        try {
-          val st = p.getFileSystem(conf).getFileStatus(p)
-          s"$f:${st.getLen}:${st.getModificationTime}"
-        } catch { case _: java.io.IOException => f }
+        // inputFiles and listStatus may differ in URI scheme spelling;
+        // fall back to the bare name match within the same parent
+        stats.getOrElse(p.toString,
+          stats.collectFirst {
+            case (k, v) if k.endsWith("/" + p.getName) => v
+          }.getOrElse(""))
       }
       (sid, df.queryExecution.analyzed.canonicalized.toString,
-        files.mkString("|"))
+        sortedFiles.map(f => s"$f:${key(f)}").mkString("|"))
     }
 
     /** An in-place rewrite reuses the plan string but changes the file
@@ -557,7 +574,10 @@ object Similarity {
         try i.unpersist() catch { case _: Exception => () }))
       lshCache.keys.foreach(k => lshCache.remove(k).foreach(i =>
         try i.unpersist() catch { case _: Exception => () }))
-      hookedSessions.clear()
+      // hookedSessions intentionally NOT cleared: the sessions are still
+      // live and already carry their evict-on-stop listener — forgetting
+      // them here would register a duplicate listener per clear()+use
+      // cycle (listeners are never deregistered)
     }
 
     def ivf(embeddings: DataFrame, nlist: Int,

@@ -77,6 +77,17 @@ class AsOfSpec extends SparkSpec {
     assert(out("knull") === None) // not matched to the null-key right row
   }
 
+  test("asOf with no keys: global as-of join still works") {
+    val left = Seq((ts(10), "e1"), (ts(3), "e0")).toDF("t", "name")
+    val right = Seq((ts(5), 7.0), (ts(9), 9.0)).toDF("qt", "price")
+    val out = AsOf.asOf(left, right, keys = Nil, "t", "qt",
+        payload = Seq("price"), rightTieBreak = "price")
+      .select("name", "asof_price")
+      .as[(String, Option[Double])].collect().toMap
+    assert(out("e1") === Some(9.0))
+    assert(out("e0") === None)
+  }
+
   test("asOf on the events corpus matches an independent formulation") {
     val ev = Tables.events(spark, sf)
     val purchases = ev.filter($"event_type" === "purchase")

@@ -41,13 +41,17 @@ class PropertySpec extends AnyFunSuite {
     // the coverage claim behind the ±1-band probe: for ANY threshold and
     // ANY integer count pair with min/max >= t (the necessary condition
     // for J >= t), the two counts' bands differ by at most 1
-    val ts = Gen.choose(0.05, 0.99)
+    // up to 0.9999: near-1 thresholds exercise the capped-r regime where
+    // the band base floors at 2^(31/256) instead of nextUp(1/t)
+    val ts = Gen.choose(0.05, 0.9999)
     val nbs = Gen.oneOf(
       Gen.choose(1L, 500L),                  // small, boundary-dense
       Gen.choose(1L, 2000000L))              // large
     samples(Gen.zip(ts, nbs), 400).foreach { case (t, nb) =>
       val bounds = Dedup.bandBoundaries(t)
       assert(bounds == bounds.sorted, s"boundaries monotone at t=$t")
+      assert(bounds.size <= 256,
+        s"boundary count must stay bounded for t=$t (got ${bounds.size})")
       // the extreme qualifying partner: the SMALLEST na with na/nb >= t
       val na = math.max(1L, math.ceil(t * nb - 1e-9).toLong)
       if (na.toDouble / nb >= t) {
