@@ -418,6 +418,16 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.asMedia(Tables.documents(s, dir)))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // aspect-fit resize plan: integer-exact target dims from metadata,
+    // no bytes touched (the pixel stage is resize(), spec-tested on
+    // real PNGs)
+    "multimodal_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(
+          Multimodal.metadata(Multimodal.asMedia(Tables.documents(s, dir))))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("target_w"), col("target_h"))
+        .orderBy(col("doc_id"))),
+
     // ---- north-star: dataset assembly (training-data pipeline) ----
     // deterministic N-way split: md5-bucket per id, stable across runs,
     // partitionings, and engines; narrow map — zero shuffle
@@ -958,6 +968,23 @@ object SparkEntry {
         |       CAST(((strlen(text) * 7) % 480) + 1 AS INT) AS height,
         |       CAST((strlen(text) // 128) + 1 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_resize_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST((strlen(text) % 640) + 1 AS BIGINT) AS width,
+        |         CAST(((strlen(text) * 7) % 480) + 1 AS BIGINT) AS height
+        |  FROM documents)
+        |SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |       CAST(CASE WHEN width <= 224 AND height <= 224 THEN width
+        |                 WHEN width * 224 >= height * 224 THEN 224
+        |                 ELSE greatest(1, (width * 224) // height) END AS INT)
+        |         AS target_w,
+        |       CAST(CASE WHEN width <= 224 AND height <= 224 THEN height
+        |                 WHEN width * 224 >= height * 224
+        |                   THEN greatest(1, (height * 224) // width)
+        |                 ELSE 224 END AS INT) AS target_h
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "multimodal_frames" ->
       """WITH f AS (

