@@ -143,6 +143,25 @@ object Sink {
       .repartition(col("date"))
       .write.mode(mode).partitionBy("date").parquet(path)
 
+  /** C6+ physical design — BUCKETED table write: pre-shuffle the fact
+    * table once at write time (`bucketBy` on the join key) so every
+    * subsequent equi-join or aggregation on that key runs with ZERO
+    * exchange — the single biggest repeated-query win at 100 TB (pay the
+    * shuffle once, amortize it over every downstream job). Requires a
+    * catalog table (bucket metadata lives there), hence saveAsTable.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      nBuckets: Int = 16,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** C5 — retention policy (`add_retention_policy('30 days')` analog):
     * drop whole date partitions older than the cutoff. No data rewrite —
     * O(partitions dropped), the property that matters at 100 TB.

@@ -141,4 +141,36 @@ class SinkSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value === 1,
       s"scan read ${scan.metrics("numFiles").value} of 3 files — not pruned")
   }
+
+  test("bucketed co-located join: zero exchange on the bucket key") {
+    import graft.sinks.Sink
+    // default warehouse dir (cwd/spark-warehouse, gitignored); tables
+    // are dropped at the end so nothing persists between runs
+    Sink.writeBucketed(Tables.orders(spark, sf), "b_orders",
+      "o_orderkey", nBuckets = 4)
+    Sink.writeBucketed(
+      Tables.lineitem(spark, sf)
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", nBuckets = 4)
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"), "o_orderkey")
+    joined.count() // force AQE finalization
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed equi-join must not shuffle:\n$plan")
+    // aggregation on the bucket key is exchange-free too
+    val agg = spark.table("b_lineitem")
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+    agg.count()
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "bucket-key aggregation must not shuffle")
+    // correctness: same cardinality as the unbucketed join
+    val expected = Tables.orders(spark, sf).join(
+      Tables.lineitem(spark, sf),
+      col("o_orderkey") === col("l_orderkey")).count()
+    assert(joined.count() === expected)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
 }
