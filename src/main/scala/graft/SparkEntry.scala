@@ -331,6 +331,19 @@ object SparkEntry {
     "dedup_embedding_nn_ann" -> ((s, dir) =>
       Similarity.nnWithinLabelAnn(Tables.embeddings(s, dir))),
 
+    // pairs -> CLUSTERS: connected components of the ngram near-dup graph
+    // (large-star/small-star), every doc labeled with its component's min
+    // doc_id — the survivor-selection step of a real corpus dedup.
+    // Oracle = DuckDB recursive CTE reachability over the same brute-force
+    // pair set (threshold 0.7 for a denser, transitive-chain-bearing graph)
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.7)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.operators.Graph.componentsFor(docs, "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // stateful-shape analytics: gap-based sessionization (batch twin of
     // the flatMapGroupsWithState streaming operator)
     "q_sessionize" -> ((s, dir) =>
@@ -887,6 +900,41 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // reachability closure over the symmetrized brute-force pair set at
+    // t=0.7; UNION (not UNION ALL) dedups rows so the recursion reaches a
+    // fixpoint; min over reachable nodes = the component's min doc_id
+    "dedup_clusters" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN length(norm) >= 3
+        |      THEN [substring(norm, i, 3) for i in range(1, length(norm) - 1)]
+        |      ELSE [norm] END) AS grams
+        |  FROM (SELECT doc_id, lang,
+        |          regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g') AS norm
+        |        FROM documents) t),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
+        |           - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) AS jaccard
+        |    FROM g a JOIN g b
+        |      ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |     AND least(len(a.grams), len(b.grams)) + 1e-9
+        |         >= greatest(len(a.grams), len(b.grams)) * 0.7) p
+        |  WHERE jaccard >= 0.7),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS node, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+        |cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+        |SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+        |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_embedding_nn" ->
       """WITH v AS (

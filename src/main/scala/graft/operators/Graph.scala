@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the step that turns near-dup
+  * PAIRS (minhash/simhash/ngram/embedding candidates, Dedup.scala) into
+  * duplicate CLUSTERS with one representative per cluster. The reference
+  * has no graph operators (SURVEY.md §2D); this is part of the mandated
+  * training-data-pipeline surface: real corpus dedup keeps one doc per
+  * connected component of the near-dup graph, not one per pair.
+  *
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * published shuffle-native CC algorithm:
+  *
+  *   large-star(u): connect every neighbor LARGER than u to the minimum
+  *     of u's neighborhood (including u);
+  *   small-star(u): connect every neighbor ≤ u (and u itself) to that
+  *     minimum.
+  *
+  * Both phases are a groupBy-u + per-group min + re-emit — pure shuffle
+  * operators with no driver-side graph state. The edge set monotonically
+  * flattens into stars rooted at each component's minimum node in
+  * O(log n) rounds (the paper's bound — vs O(diameter) for naive label
+  * propagation, which a 1000-node chain defeats; the spec includes
+  * exactly that adversarial chain).
+  *
+  * 100 TB posture:
+  *   - per-round cost: one groupBy shuffle on node id per phase; edge
+  *     rows only (node-id pairs, ~16 bytes) ever shuffle — never
+  *     payloads. Join the output back to the corpus to pick survivors.
+  *   - per-group memory: collect_set(neighbors) — bounded by current
+  *     degree. Large-star halves high degrees every round (each larger
+  *     neighbor re-points to m), so hubs shrink geometrically instead of
+  *     accumulating; this is the paper's skew argument.
+  *   - each round materializes via localCheckpoint to truncate lineage
+  *     (iterative plans otherwise grow exponentially in the optimizer).
+  *     On a cluster with dynamic executors use `spark.sparkContext
+  *     .setCheckpointDir` + `.checkpoint()` instead — same contract,
+  *     fault-tolerant storage; localCheckpoint is the single-JVM twin.
+  *   - convergence test is a 2-scalar aggregate (count + order-free
+  *     xxhash64 sum) per round — O(edges) scan, O(1) driver bytes.
+  */
+object Graph {
+
+  /** Components of the undirected graph given by `pairs` (two columns:
+    * src, dst; self-loops and duplicates tolerated; null endpoints
+    * dropped). Returns (node, component) for every node incident to at
+    * least one real edge, component = MINIMUM node id in the component
+    * (the deterministic survivor policy used across Dedup). Nodes with
+    * no edges are absent — they are their own component; callers
+    * left-join + coalesce (see `componentsFor`).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIter: Int = 50): DataFrame = {
+
+    // canonical initial edge set: (u = larger, v = smaller), the
+    // orientation both star phases preserve
+    var e = pairs
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(
+        greatest(col(srcCol), col(dstCol)).as("u"),
+        least(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // order-free edge-set fingerprint; decimal(38) sum cannot overflow
+    // under ANSI (2^63 hashes × 2^63 magnitude < 10^38)
+    def checksum(df: DataFrame): (Long, BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+
+    // large-star: symmetrize so every node sees its full neighborhood;
+    // for each u with min m = least(u, min(nbrs)): emit (x, m) for every
+    // neighbor x > u. Output keeps first-column-larger (x > u >= m).
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      sym.groupBy(col("u"))
+        .agg(collect_set(col("v")).as("nbrs"))
+        .select(
+          col("u"),
+          least(col("u"), array_min(col("nbrs"))).as("m"),
+          col("nbrs"))
+        .select(explode(filter(col("nbrs"), x => x > col("u"))).as("u2"),
+          col("m"))
+        .select(col("u2").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: edges already point larger→smaller, so u's neighbor
+    // list IS its ≤-u neighborhood and m = min(nbrs) (< u). Re-point
+    // every non-min neighbor and u itself at m.
+    def smallStar(edges: DataFrame): DataFrame = {
+      edges.groupBy(col("u"))
+        .agg(collect_set(col("v")).as("nbrs"))
+        .select(col("u"), array_min(col("nbrs")).as("m"), col("nbrs"))
+        .select(
+          explode(
+            array_union(
+              filter(col("nbrs"), x => x =!= col("m")),
+              array(col("u")))).as("x"),
+          col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    var prev = checksum(e)
+    var converged = prev._1 == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    // converged edge set = stars (node, root); roots map to themselves
+    e.select(col("u").as("node"), col("v").as("component"))
+      .union(e.select(col("v").as("node"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Component id for EVERY row of `nodes` (one column `nodeCol`):
+    * edge-incident nodes get their component minimum, isolated nodes get
+    * themselves. The standard corpus-side wrapper (narrow left join —
+    * the CC output is tiny relative to the corpus).
+    */
+  def componentsFor(
+      nodes: DataFrame,
+      nodeCol: String,
+      pairs: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+      .withColumnRenamed("node", nodeCol)
+    nodes.select(col(nodeCol))
+      .join(cc, Seq(nodeCol), "left")
+      .select(col(nodeCol),
+        coalesce(col("component"), col(nodeCol)).as("component"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph}
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side union-find — the independent oracle. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("matches union-find on a mixed component graph") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1),          // triangle
+      (10, 11), (11, 12),              // path
+      (20, 21),                        // pair
+      (30, 30),                        // self-loop only -> dropped
+      (40, 41), (41, 40), (40, 41))    // duplicates both directions
+    val got = ccOf(edges)
+    val want = unionFind(edges.filter(e => e._1 != e._2))
+    assert(got === want)
+    assert(got(3) === 1L && got(12) === 10L && got(41) === 40L)
+    assert(!got.contains(30L)) // isolated after self-loop drop
+  }
+
+  test("adversarial 1000-node chain converges (log rounds, not diameter)") {
+    // a single path 0-1-2-...-999: naive min-label propagation needs
+    // ~1000 rounds; star alternation must finish well inside maxIter=50
+    val edges = (0L until 999L).map(i => (i, i + 1))
+    val got = ccOf(edges)
+    assert(got.size === 1000)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("random graphs match union-find (deterministic seeds)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val edges = Seq.fill(300)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      assert(ccOf(edges) === unionFind(edges), s"seed $seed")
+    }
+  }
+
+  test("empty and single-edge inputs") {
+    assert(ccOf(Nil) === Map.empty)
+    assert(ccOf(Seq((7L, 3L))) === Map(7L -> 3L, 3L -> 3L))
+  }
+
+  test("componentsFor assigns isolated nodes to themselves") {
+    val nodes = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.componentsFor(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("clusters the corpus near-dup pairs transitively") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.7)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val pairList = pairs.as[(Long, Long)].collect().toSeq
+    val got = Graph.componentsFor(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val uf = unionFind(pairList)
+    // every edge-incident doc matches union-find; the rest are singletons
+    uf.foreach { case (n, c) => assert(got(n) === c) }
+    val isolated = got.keySet -- uf.keySet
+    isolated.foreach(n => assert(got(n) === n))
+    assert(got.size === docs.count())
+  }
+}
