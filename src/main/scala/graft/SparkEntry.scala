@@ -276,6 +276,15 @@ object SparkEntry {
         .select("doc_id", "fp_md5", "fp_rolling")
         .orderBy(col("doc_id"))),
 
+    // corpus Zipf head: term + document frequency, deterministic top-50
+    "text_token_freq" -> ((s, dir) =>
+      TextAnalysis.tokenFrequencies(Tables.documents(s, dir), topN = 50)),
+
+    // per-doc distinctive terms: integer-exact TF-IDF ordering
+    "text_top_terms" -> ((s, dir) =>
+      TextAnalysis.distinctiveTerms(Tables.documents(s, dir), k = 3)
+        .orderBy(col("doc_id"), col("token"))),
+
     // ---- north-star: dedup ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir))
@@ -493,7 +502,41 @@ object SparkEntry {
     "q_follow_within" -> ((s, dir) =>
       graft.streaming.StreamJoin
         .followWithinBatch(Tables.events(s, dir), "click", "purchase", 30)
-        .orderBy(col("first_id"), col("second_id"))))
+        .orderBy(col("first_id"), col("second_id"))),
+
+    // groupwise-min (TPC-H Q2 shape): min-cost supplier per part via a
+    // single struct-min aggregation pass (decorrelated argmin)
+    "q_min_cost_supplier" -> ((s, dir) =>
+      Analytics.minCostSupplier(Tables.lineitem(s, dir),
+        Tables.part(s, dir), Tables.supplier(s, dir))),
+
+    // EXCEPT: customers active in 1995 but gone in 1996 (distinct
+    // left-anti plan, pre-aggregated key sets)
+    "q_lapsed_customers" -> ((s, dir) =>
+      Analytics.lapsedCustomers(Tables.orders(s, dir), 1995, 1996)),
+
+    // built-in session_window twin of the custom sessionizer (STRICT gap:
+    // an event exactly gap after the last starts a NEW session — Spark's
+    // [start, last+gap) window semantics; the oracle uses >= breaks)
+    "q_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("max_ts"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("max_ts")).as("session_end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_us"))),
+
+    // per-vector symmetric int8 quantization (the 4× ANN-index
+    // compression pass) — bit-exact vs the DuckDB oracle. The vector is
+    // JSON-serialized for the compare: the oracle harness hashes scalar
+    // cells, and both engines print int arrays compactly ([1,-2,...])
+    "embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("scale"),
+          to_json(col("qvec")).as("qvec_json"))
+        .orderBy(col("vec_id"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -862,6 +905,91 @@ object SparkEntry {
         |    [CAST(unicode(c) AS BIGINT) for c in split(norm, '')]),
         |    (acc, b) -> (acc * 131 + b) % 1000000007) AS fp_rolling
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_min_cost_supplier" ->
+      """WITH w AS (
+        |  SELECT l_partkey, l_extendedprice, l_suppkey,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_extendedprice, l_suppkey) AS rn
+        |  FROM lineitem)
+        |SELECT w.l_partkey AS p_partkey, p.p_name,
+        |       w.l_suppkey AS s_suppkey, s.s_name,
+        |       w.l_extendedprice AS min_price
+        |FROM w
+        |JOIN part p ON p.p_partkey = w.l_partkey
+        |JOIN supplier s ON s.s_suppkey = w.l_suppkey
+        |WHERE w.rn = 1
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_lapsed_customers" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    // STRICT gap breaks (>=): Spark session_window merges an event only
+    // while ts < last + gap
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |               OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS is_break
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM b)
+        |SELECT user_id,
+        |       epoch_us(MIN(ts)) AS session_start_us,
+        |       epoch_us(MAX(ts)) AS session_end_us,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "embedding_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |           x -> abs(x))) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id, mx / 127.0 AS scale,
+        |  to_json(CASE WHEN mx = 0 THEN list_transform(e, x -> CAST(0 AS TINYINT))
+        |       ELSE list_transform(e, x -> CAST(round(x * 127.0 / mx) AS TINYINT))
+        |  END) AS qvec_json
+        |FROM m ORDER BY vec_id""".stripMargin,
+
+    "text_token_freq" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |      '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY tf DESC, token LIMIT 50""".stripMargin,
+
+    "text_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |      '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM toks WHERE token <> '' GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
+        |          FROM toks WHERE token <> '' GROUP BY token)
+        |SELECT doc_id, token, tf, df FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.token) AS rn
+        |  FROM tf JOIN dfreq USING (token)) t
+        |WHERE rn <= 3 ORDER BY doc_id, token""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g')) AS content_key,

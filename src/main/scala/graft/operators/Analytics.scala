@@ -390,4 +390,43 @@ object Analytics {
         grouping(col("l_linestatus")).as("g_status"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
+
+  /** Groupwise-min (TPC-H Q2 shape: "the supplier offering each part at
+    * the minimum price"): the correlated min-subquery decorrelated into a
+    * SINGLE aggregation pass — min over struct(price, suppkey) is the
+    * lexicographic argmin with a deterministic suppkey tiebreak, so the
+    * whole query is one lineitem shuffle on l_partkey. The textbook
+    * two-pass form (agg min + join back on price equality) scans and
+    * shuffles lineitem twice; the struct-min form halves that. Supplier
+    * is a genuine dimension (10k rows/SF) — broadcast; part joins on the
+    * already-partkey-shaped agg output.
+    */
+  def minCostSupplier(
+      li: DataFrame,
+      part: DataFrame,
+      supplier: DataFrame): DataFrame =
+    li.groupBy(col("l_partkey"))
+      .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("w"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("w.l_extendedprice").as("min_price"),
+        col("w.l_suppkey").as("s_suppkey"))
+      .join(part.select(col("p_partkey"), col("p_name")), Seq("p_partkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        Seq("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("min_price"))
+      .orderBy(col("p_partkey"))
+
+  /** EXCEPT (set difference): customers who ordered in `yearA` but not in
+    * `yearB`. Catalyst plans except() as a distinct left-anti hash join —
+    * one shuffle on the custkey after per-side pre-aggregation; the
+    * anti-join build side is the (much smaller) distinct key set, never
+    * raw orders.
+    */
+  def lapsedCustomers(orders: DataFrame, yearA: Int, yearB: Int): DataFrame = {
+    def custsIn(y: Int) = orders
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    custsIn(yearA).except(custsIn(yearB)).orderBy(col("o_custkey"))
+  }
 }

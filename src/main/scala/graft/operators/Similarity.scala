@@ -596,4 +596,46 @@ object Similarity {
         buildLshIndex(embeddings, nBits, bands, dim, carryCols = carryCols))
     }
   }
+
+  // ---------------------------------------------------- int8 quantization
+
+  /** Per-vector symmetric int8 quantization — the standard 4× index
+    * compression step (scale = max|x|/127; q_i = round(x_i·127/max|x|)):
+    * at 100 TB the quantized corpus is what stays resident for ANN rerank
+    * while full-precision vectors stay on disk. Narrow map, zero shuffle.
+    *
+    * Determinism: elementwise (x·127)/max in IEEE double then half-away-
+    * from-zero round — both identical in DuckDB (same expression tree, so
+    * the oracle is bit-exact). |q_i| ≤ 127 + sub-ulp before rounding, so
+    * the tinyint cast cannot overflow under ANSI. Zero vectors quantize
+    * to all-zeros with scale 0. This is a build-stage corpus pass, not a
+    * per-query hot loop — the interpreted HOF `transform` is acceptable
+    * here (every per-query loop in this file is a codegen'd expression).
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val e = col("embedding")
+    val mx = array_max(transform(e, x => abs(x.cast("double"))))
+    embeddings.select(
+      col("vec_id"),
+      (mx / 127.0).as("scale"),
+      when(mx === 0.0,
+        transform(e, _ => lit(0).cast("tinyint")))
+        .otherwise(transform(e,
+          x => round(x.cast("double") * 127.0 / mx).cast("tinyint")))
+        .as("qvec"))
+  }
+
+  /** Dequantized cosine vs exact cosine — the quantization-error audit
+    * (max |Δcos| is the number that decides whether int8 rerank is safe).
+    */
+  def quantizationError(embeddings: DataFrame): DataFrame = {
+    val q = quantizeInt8(embeddings)
+    val deq = embeddings.join(q, "vec_id")
+      .select(col("vec_id"),
+        normalized(col("embedding")).as("u_exact"),
+        normalized(transform(col("qvec"),
+          x => x.cast("double") * col("scale"))).as("u_deq"))
+    deq.select(col("vec_id"),
+      (lit(1.0) - dot(col("u_exact"), col("u_deq"))).as("cos_err"))
+  }
 }

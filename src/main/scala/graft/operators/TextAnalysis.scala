@@ -85,4 +85,53 @@ object TextAnalysis {
       .withColumn("fp_md5", md5(norm))
       .withColumn("fp_rolling", RollingHash.rolling_hash(norm))
   }
+
+  // ------------------------------------------------- term statistics
+
+  /** One row per token occurrence (normalized, whitespace-tokenized).
+    * The generator for the term-statistics operators below: explode is
+    * narrow; all reduction happens in the consumers' aggregates.
+    */
+  def tokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(split(Dedup.normText(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+
+  /** Corpus token-frequency head (the Zipf table): term frequency +
+    * document frequency, top `topN` by (tf desc, token) — a unique total
+    * order, so LIMIT is deterministic. One shuffle on token (partial
+    * map-side counts; the per-doc distinct for df rides the same
+    * aggregate), then TakeOrderedAndProject for the head — no full sort.
+    */
+  def tokenFrequencies(docs: DataFrame, topN: Int = 50): DataFrame =
+    tokens(docs)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(topN)
+
+  /** Per-doc top-k distinctive terms: rank by (tf desc, df asc, token) —
+    * the TF-IDF ordering with an INTEGER-EXACT key (df-ascending is
+    * monotone in idf; no float log, so the ranking is bit-reproducible
+    * across engines and cluster sizes — a deliberate determinism choice
+    * over a float score). Shapes: per-doc tf = one (doc_id, token)
+    * shuffle; global df = one token shuffle; tf⋈df joins on token
+    * (broadcastable when the vocabulary head is small, shuffle join
+    * otherwise); final per-doc top-k is a row_number window on doc_id.
+    */
+  def distinctiveTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val t = tokens(docs)
+    val tf = t.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = t.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token"))
+    tf.join(df, Seq("token"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"))
+  }
 }

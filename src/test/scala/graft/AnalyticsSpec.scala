@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, to_date}
+
 import graft.operators.Analytics
 
 /** Result sanity + physical-plan shape assertions: the point is not just
@@ -127,5 +129,31 @@ class AnalyticsSpec extends SparkSpec {
       val s = rows.filter(r => r._1 == gf && r._2 == gs).map(_._3).sum
       assert(s === n, s"grouping set ($gf,$gs)")
     }
+  }
+  test("minCostSupplier: struct-min argmin with deterministic tiebreak") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 7.0),  // tie at 5.0 -> supp 10
+      (2L, 20L, 3.0)
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val part = Seq((1L, "pa"), (2L, "pb")).toDF("p_partkey", "p_name")
+    val supp = Seq((10L, "sa"), (11L, "sb"), (12L, "sc"), (20L, "sd"))
+      .toDF("s_suppkey", "s_name")
+    val got = Analytics.minCostSupplier(li, part, supp)
+      .as[(Long, String, Long, String, Double)].collect().toSeq
+    assert(got === Seq((1L, "pa", 10L, "sa", 5.0), (2L, "pb", 20L, "sd", 3.0)))
+  }
+
+  test("lapsedCustomers: EXCEPT distinct semantics") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "1995-03-01"), (1L, "1995-07-01"),  // duplicate in A -> one row
+      (2L, "1995-01-01"), (2L, "1996-02-01"),  // present in both -> excluded
+      (3L, "1996-05-01"),                      // only B -> excluded
+      (4L, "1995-12-31")
+    ).toDF("o_custkey", "d").withColumn("o_orderdate", to_date(col("d")))
+    val got = Analytics.lapsedCustomers(orders, 1995, 1996)
+      .as[Long].collect().toSeq
+    assert(got === Seq(1L, 4L))
   }
 }

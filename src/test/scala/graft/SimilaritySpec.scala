@@ -188,4 +188,23 @@ class SimilaritySpec extends SparkSpec {
     assert(diff.isEmpty,
       s"ANN NN diverged from exact for ${diff.size} vectors: ${diff.take(5)}")
   }
+  test("int8 quantization: bounded values, zero-vector guard, small cosine error") {
+    import spark.implicits._
+    val q = Similarity.quantizeInt8(Tables.embeddings(spark, sf))
+    val rows = q.select(col("vec_id"), col("scale"),
+      array_max(col("qvec")).cast("int"), array_min(col("qvec")).cast("int"))
+      .as[(Long, Double, Int, Int)].collect()
+    rows.foreach { case (id, scale, mx, mn) =>
+      assert(scale >= 0.0 && mx <= 127 && mn >= -128, s"vec $id out of range")
+      assert(mx == 127 || mn == -127, s"vec $id: max-abs element must hit +/-127")
+    }
+    val zero = Seq((99L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantizeInt8(zero)
+      .select(col("scale"), array_max(col("qvec")).cast("int")).as[(Double, Int)].head()
+    assert(zq === ((0.0, 0)))
+    val maxErr = Similarity.quantizationError(Tables.embeddings(spark, sf))
+      .agg(max(col("cos_err"))).head.getDouble(0)
+    info(s"max int8 cosine error = $maxErr")
+    assert(maxErr < 1e-3, s"int8 dequantized cosine drifted: $maxErr")
+  }
 }

@@ -56,4 +56,35 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(vals(0) === vals(1)) // both normalize to "a b"
   }
+
+  test("token frequencies: tf/df counts and deterministic head order") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the the dog"),
+      (3L, ""),                // no tokens
+      (4L, "Cat! cat!")        // normalization lowercases; '!' kept (ws split)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenFrequencies(docs, topN = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // tf: the=3, cat!=2, cat=1, sat=1, dog=1 -> head: the, cat!, then
+    // ties at tf=1 resolve alphabetically (cat)
+    assert(got === Seq(("the", 3L, 2L), ("cat!", 2L, 1L), ("cat", 1L, 1L)))
+  }
+
+  test("distinctive terms: tf desc, df asc, token order; k bound") {
+    val docs = Seq(
+      (1L, "alpha alpha common"),
+      (2L, "beta beta common"),
+      (3L, "common gamma")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.distinctiveTerms(docs, k = 2)
+      .orderBy(col("doc_id"), col("token"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // doc 1: alpha(tf2) then common(tf1); doc 3: gamma (df=1) beats
+    // common (df=3) at equal tf — the idf-monotone tiebreak
+    assert(got === Seq(
+      (1L, "alpha", 2L, 1L), (1L, "common", 1L, 3L),
+      (2L, "beta", 2L, 1L), (2L, "common", 1L, 3L),
+      (3L, "common", 1L, 3L), (3L, "gamma", 1L, 1L)))
+  }
 }
