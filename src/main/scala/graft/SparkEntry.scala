@@ -536,7 +536,17 @@ object SparkEntry {
       Similarity.quantizeInt8(Tables.embeddings(s, dir))
         .select(col("vec_id"), col("scale"),
           to_json(col("qvec")).as("qvec_json"))
-        .orderBy(col("vec_id"))))
+        .orderBy(col("vec_id"))),
+
+    // OHLC candlestick downsampling (TimescaleDB first/last parity):
+    // one agg pass, struct-argmin open / struct-argmax close
+    "q_ohlc" -> ((s, dir) =>
+      Analytics.ohlcBuckets(Tables.events(s, dir))),
+
+    // time_bucket_gapfill + locf parity: dense hourly axis, zero-filled
+    // counts, last-observation-carried-forward averages
+    "q_gapfill_locf" -> ((s, dir) =>
+      Analytics.gapFillLocf(Tables.events(s, dir))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -905,6 +915,49 @@ object SparkEntry {
         |    [CAST(unicode(c) AS BIGINT) for c in split(norm, '')]),
         |    (acc, b) -> (acc * 131 + b) % 1000000007) AS fp_rolling
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_ohlc" ->
+      """WITH t AS (
+        |  SELECT date_trunc('hour', ts) AS bucket, ts, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY bucket
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY bucket
+        |      ORDER BY ts DESC, event_id DESC) AS rz
+        |  FROM t)
+        |SELECT epoch_us(bucket) AS bucket_us,
+        |       max(CASE WHEN ra = 1 THEN value END) AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       max(CASE WHEN rz = 1 THEN value END) AS close,
+        |       count(*) AS volume
+        |FROM r GROUP BY bucket
+        |ORDER BY bucket_us""".stripMargin,
+
+    "q_gapfill_locf" ->
+      """WITH agg AS (
+        |  SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |           / COUNT(value) AS avg_value,
+        |         COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+        |axis AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |filled AS (
+        |  SELECT a.bucket, t.event_type, g.avg_value,
+        |         COALESCE(g.n_events, 0) AS n_events
+        |  FROM axis a CROSS JOIN types t
+        |  LEFT JOIN agg g ON g.bucket = a.bucket AND g.event_type = t.event_type)
+        |SELECT epoch_us(bucket) AS bucket_us, event_type, n_events,
+        |  last_value(avg_value IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+        |FROM filled ORDER BY bucket_us, event_type""".stripMargin,
 
     "q_min_cost_supplier" ->
       """WITH w AS (

@@ -429,4 +429,56 @@ object Analytics {
       .select(col("o_custkey"))
     custsIn(yearA).except(custsIn(yearB)).orderBy(col("o_custkey"))
   }
+
+  /** OHLC downsampling (TimescaleDB candlestick / first-last parity —
+    * the same delegated-analytics family as C4): open/high/low/close/
+    * volume per hour bucket in ONE aggregation pass. open/close are
+    * lexicographic struct-min/max over (ts, event_id, value) — argmin/
+    * argmax with a deterministic event_id tiebreak that partial-aggregates
+    * map-side like any min/max (no window, no second shuffle).
+    */
+  def ohlcBuckets(events: DataFrame): DataFrame =
+    events
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("volume"))
+      .orderBy(col("bucket_us"))
+
+  /** Gap-filled time buckets with LOCF (TimescaleDB
+    * `time_bucket_gapfill` + `locf()` parity): hourly per-type averages
+    * on a DENSE bucket axis spanning [min, max] — absent buckets appear
+    * with n_events = 0 and the average carried forward from the last
+    * observed bucket (null before the first observation).
+    *
+    * Scale shape: the raw corpus is touched ONCE (the grouped aggregate);
+    * everything after — bounds, axis generation, the axis⋈agg left join,
+    * and the LOCF window — operates on bucket×type cardinality, which is
+    * independent of corpus row count (hours × types, thousands of rows at
+    * any data scale). The LOCF window partitions by type over that tiny
+    * frame; it never sees raw events.
+    */
+  def gapFillLocf(events: DataFrame): DataFrame = {
+    val agg = events
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(decSum(col("value")).as("sum_value"), count(lit(1)).as("n_events"))
+    val bounds = agg.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val axis = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("bucket"))
+      .crossJoin(events.select(col("event_type")).distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    axis.join(agg, Seq("bucket", "event_type"), "left")
+      .withColumn("avg_value", col("sum_value") / col("n_events"))
+      .withColumn("value_locf", last(col("avg_value"), ignoreNulls = true).over(w))
+      .select(unix_micros(col("bucket")).as("bucket_us"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("value_locf"))
+      .orderBy(col("bucket_us"), col("event_type"))
+  }
 }

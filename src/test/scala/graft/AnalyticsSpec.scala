@@ -156,4 +156,46 @@ class AnalyticsSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(got === Seq(1L, 4L))
   }
+  test("ohlcBuckets: argmin/argmax tiebreaks and single-agg plan") {
+    import spark.implicits._
+    val ev = Seq(
+      // same bucket; two events share the opening timestamp -> event_id ties
+      (1L, "2024-01-01 10:00:00", 5.0),
+      (2L, "2024-01-01 10:00:00", 9.0),
+      (3L, "2024-01-01 10:30:00", 1.0),
+      (4L, "2024-01-01 10:59:59", 7.0),
+      (5L, "2024-01-01 12:00:00", 2.0)
+    ).toDF("event_id", "t", "value")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val got = Analytics.ohlcBuckets(ev)
+      .as[(Long, Double, Double, Double, Double, Long)].collect().toSeq
+    assert(got.size === 2)
+    val (_, open, high, low, close, vol) = got.head
+    assert(open === 5.0 && high === 9.0 && low === 1.0
+      && close === 7.0 && vol === 4L)
+    // one aggregation, no window exchange: plan has no Window node
+    assert(!Analytics.ohlcBuckets(ev).queryExecution.executedPlan
+      .toString.contains("Window"))
+  }
+
+  test("gapFillLocf: dense axis, zero counts, carried-forward averages") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 10:15:00", "a", 4.0),
+      (2L, "2024-01-01 10:45:00", "a", 6.0),
+      // hour 11 empty for a; hour 12 has data again
+      (3L, "2024-01-01 12:10:00", "a", 8.0),
+      (4L, "2024-01-01 12:20:00", "b", 1.0)
+    ).toDF("event_id", "t", "event_type", "value")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val got = Analytics.gapFillLocf(ev)
+      .as[(Long, String, Long, Option[Double])].collect().toSeq
+    // 3 hourly buckets x 2 types = 6 dense rows
+    assert(got.size === 6)
+    val a = got.filter(_._2 == "a").map(r => (r._3, r._4))
+    assert(a === Seq((2L, Some(5.0)), (0L, Some(5.0)), (1L, Some(8.0))))
+    val b = got.filter(_._2 == "b").map(r => (r._3, r._4))
+    // b has no data before hour 12: locf stays null, counts stay 0
+    assert(b === Seq((0L, None), (0L, None), (1L, Some(1.0))))
+  }
 }
