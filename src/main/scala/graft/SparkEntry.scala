@@ -546,7 +546,28 @@ object SparkEntry {
     // time_bucket_gapfill + locf parity: dense hourly axis, zero-filled
     // counts, last-observation-carried-forward averages
     "q_gapfill_locf" -> ((s, dir) =>
-      Analytics.gapFillLocf(Tables.events(s, dir))))
+      Analytics.gapFillLocf(Tables.events(s, dir))),
+
+    // equi-width histogram: broadcast 1-row bounds + one grouped count
+    "q_value_histogram" -> ((s, dir) =>
+      Analytics.valueHistogram(Tables.events(s, dir))),
+
+    // TPC-H Q19 shape: disjunctive join predicates (OR of conjunctions)
+    // over a broadcast equi-join
+    "q_brand_revenue" -> ((s, dir) =>
+      Analytics.brandRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+
+    // t-digest-style approximate percentiles next to the exact order
+    // statistics (approx values are engine-specific → rows-only; the
+    // spec bounds approx-vs-exact error)
+    "q_approx_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
+            .as("approx_pcts"),
+          expr("percentile(value, array(0.5, 0.9, 0.99))").as("exact_pcts"))
+        .orderBy(col("event_type"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -915,6 +936,27 @@ object SparkEntry {
         |    [CAST(unicode(c) AS BIGINT) for c in split(norm, '')]),
         |    (acc, b) -> (acc * 131 + b) % 1000000007) AS fp_rolling
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_value_histogram" ->
+      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+        |SELECT event_type,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE least(9, CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT))
+        |  END AS bin,
+        |  count(*) AS n
+        |FROM events, b
+        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    "q_brand_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q_ohlc" ->
       """WITH t AS (

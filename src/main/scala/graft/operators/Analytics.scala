@@ -430,6 +430,48 @@ object Analytics {
     custsIn(yearA).except(custsIn(yearB)).orderBy(col("o_custkey"))
   }
 
+  /** Equi-width histogram: 10 bins over the global [min, max] of `value`
+    * per event_type. Two passes: a 1-row bounds aggregate (broadcast into
+    * every task as a literal-free cross join) + one grouped count — the
+    * minimal distributed histogram. Bin arithmetic is plain IEEE double
+    * ((v−lo)/width, floor, clamp) so the oracle reproduces it bit-exactly
+    * given identical bounds (min/max are selections, always identical).
+    * Degenerate lo=hi corpus maps everything to bin 0.
+    */
+  def valueHistogram(events: DataFrame, nBins: Int = 10): DataFrame = {
+    val bounds = events.agg(
+      min(col("value")).as("lo"), max(col("value")).as("hi"))
+    events.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            floor((col("value") - col("lo"))
+              / ((col("hi") - col("lo")) / nBins.toDouble)))))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive join predicates (OR of brand×size×qty
+    * conjunctions). The planner splits the OR: the common `p_partkey`
+    * equi-key drives a broadcast hash join, per-side conjuncts usable as
+    * pushdown (size/brand on the part scan, quantity on lineitem) get
+    * extracted, and only the residual disjunction evaluates post-join —
+    * the shape that matters when filters alone can't prune the scan.
+    */
+  def brandRevenue(li: DataFrame, part: DataFrame): DataFrame = {
+    def clause(brand: String, sizeHi: Int, qLo: Int, qHi: Int): Column =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(clause("Brand#1", 5, 1, 11) ||
+        clause("Brand#2", 10, 10, 20) ||
+        clause("Brand#3", 15, 20, 30))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** OHLC downsampling (TimescaleDB candlestick / first-last parity —
     * the same delegated-analytics family as C4): open/high/low/close/
     * volume per hour bucket in ONE aggregation pass. open/close are

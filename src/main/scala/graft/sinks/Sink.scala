@@ -162,6 +162,37 @@ object Sink {
       .format("parquet")
       .saveAsTable(table)
 
+  /** C6+ physical design — small-file COMPACTION: rewrite a parquet
+    * directory into ~`targetBytes` files. Streaming ingestion (A9's
+    * foreachBatch fan-out) produces one file per partition per
+    * micro-batch; at 100 TB the resulting millions of small files
+    * dominate planning time and scan overhead (footer reads, task
+    * startup), so periodic compaction is part of the sink lifecycle, not
+    * an afterthought. Sizing uses the files' actual on-disk bytes (not
+    * optimizer stats, which estimate decompressed width). Writes to
+    * `outPath` — the atomic swap of old-for-new belongs to a table
+    * format / metastore commit at scale; a file-level rename swap is
+    * spec-demonstrated.
+    *
+    * Returns the target file count chosen.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath))
+      .getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      // coalesce, not repartition: file-count reduction needs no shuffle
+      .coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
+  }
+
   /** C5 — retention policy (`add_retention_policy('30 days')` analog):
     * drop whole date partitions older than the cutoff. No data rewrite —
     * O(partitions dropped), the property that matters at 100 TB.

@@ -62,6 +62,21 @@ object StreamRoutes {
       }
     }
 
+  /** Stream-static enrichment: join each streaming micro-batch against a
+    * static dimension table (device registry, tenant config — the lookup
+    * every ingestion pipeline does before landing). Spark supports this
+    * natively, stateless: the static side is (re)planned per micro-batch
+    * and broadcast when small, so the stream side never shuffles and no
+    * streaming state accumulates. Left join keeps unregistered messages
+    * flowing (null-extended) rather than dropping them.
+    */
+  def enrichStream(
+      messages: DataFrame,
+      dim: DataFrame,
+      key: String,
+      joinType: String = "left"): DataFrame =
+    messages.join(broadcast(dim), Seq(key), joinType)
+
   /** Convenience: run the routed stream until all available data is
     * processed (test/backfill harness).
     */

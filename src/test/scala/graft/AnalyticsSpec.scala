@@ -198,4 +198,53 @@ class AnalyticsSpec extends SparkSpec {
     // b has no data before hour 12: locf stays null, counts stay 0
     assert(b === Seq((0L, None), (0L, None), (1L, Some(1.0))))
   }
+  test("brandRevenue (Q19 shape): broadcast join, disjunction post-join") {
+    val df = Analytics.brandRevenue(
+      Tables.lineitem(spark, sf), Tables.part(spark, sf))
+    assert(plan(df).contains("BroadcastHashJoin"))
+    assert(df.count() === 1)
+  }
+
+  test("valueHistogram: bins cover all rows, bounded to [0, 9]") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val h = Analytics.valueHistogram(ev)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(h.map(_._3).sum === ev.count())
+    assert(h.forall(r => r._2 >= 0 && r._2 <= 9))
+    // degenerate corpus: single value -> everything in bin 0
+    val one = Seq((1L, "x", 5.0), (2L, "x", 5.0))
+      .toDF("event_id", "event_type", "value")
+    val hd = Analytics.valueHistogram(one).as[(String, Long, Long)].collect()
+    assert(hd.toSeq === Seq(("x", 0L, 2L)))
+  }
+
+  test("approx_percentile within rank tolerance of exact order statistics") {
+    import spark.implicits._
+    // the sketch's guarantee is on RANK (±n/accuracy), not value: assert
+    // each approx percentile lies between the exact percentiles at
+    // f ± 0.005 (5× the accuracy=1000 rank bound, still tight)
+    val fracs = Seq(0.5, 0.9, 0.99)
+    val lo = fracs.map(f => math.max(0.0, f - 0.005))
+    val hi = fracs.map(f => math.min(1.0, f + 0.005))
+    val bounds = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(
+        org.apache.spark.sql.functions
+          .expr(s"percentile(value, array(${lo.mkString(",")}))").as("lo"),
+        org.apache.spark.sql.functions
+          .expr(s"percentile(value, array(${hi.mkString(",")}))").as("hi"))
+      .as[(String, Seq[Double], Seq[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val rows = SparkEntry.queries("q_approx_percentiles")(spark, sf)
+      .as[(String, Seq[Double], Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, approx, _) =>
+      val (los, his) = bounds(t)
+      approx.zipWithIndex.foreach { case (a, i) =>
+        assert(a >= los(i) && a <= his(i),
+          s"$t p=${fracs(i)}: approx=$a outside [${los(i)}, ${his(i)}]")
+      }
+    }
+  }
 }

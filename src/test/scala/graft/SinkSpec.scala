@@ -173,4 +173,30 @@ class SinkSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+  test("compact: many small files -> few sized files, data preserved") {
+    import graft.sinks.Sink
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val inPath = s"$dir/small"
+    val outPath = s"$dir/compacted"
+    val df = Tables.lineitem(spark, sf).limit(2000)
+    df.repartition(20).write.parquet(inPath)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    assert(files(inPath).size === 20)
+    Sink.compact(spark, inPath, outPath, targetBytes = 512L * 1024)
+    assert(files(outPath).size < 20, "compaction must reduce file count")
+    // content identical (same rows, any order)
+    val a = spark.read.parquet(inPath).orderBy("l_orderkey", "l_linenumber")
+      .collect().toSeq
+    val b = spark.read.parquet(outPath).orderBy("l_orderkey", "l_linenumber")
+      .collect().toSeq
+    assert(a === b)
+    // swap demonstration: rename compacted over the old dir
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(inPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(outPath),
+      new org.apache.hadoop.fs.Path(inPath))
+    assert(spark.read.parquet(inPath).count() === 2000)
+  }
 }

@@ -60,4 +60,21 @@ class StreamingSpec extends SparkSpec {
     assert(counts.toMap === Map(
       "sensor_raw" -> 2L, "device_raw" -> 1L, Router.RawTable -> 1L))
   }
+  test("stream-static enrichment: broadcast dim join, stateless, left-extends") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Message]
+    val dim = Seq(("sensors/a", "room1"), ("sensors/b", "room2"))
+      .toDF("topic", "location")
+    val enriched = StreamRoutes.enrichStream(in.toDF(), dim, "topic")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    in.addData(msg("sensors/a", "{}", 0), msg("sensors/c", "{}", 1))
+    q.processAllAvailable()
+    val got = spark.table("enriched")
+      .select("topic", "location").as[(String, Option[String])]
+      .collect().toMap
+    q.stop()
+    assert(got === Map("sensors/a" -> Some("room1"), "sensors/c" -> None))
+    assert(enriched.isStreaming)
+  }
 }
