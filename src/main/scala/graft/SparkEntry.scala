@@ -557,6 +557,29 @@ object SparkEntry {
     "q_brand_revenue" -> ((s, dir) =>
       Analytics.brandRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
 
+    // GROUP-level MinHash signatures via the native TypedImperativeAggregate
+    // (minhash_agg): one signature per source, pairwise estimated Jaccard
+    // between sources from signature agreement alone — the
+    // combine-without-touching-members property (rows-only: hash family
+    // not SQL-expressible; union/merge properties are spec-verified)
+    "dedup_group_minhash" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir).select(col("source"),
+        graft.functions.MinHash
+          .word_shingle_hashes(Dedup.normText(col("text")), 3).as("sh"))
+      val sigs = sh.groupBy(col("source"))
+        .agg(graft.functions.MinHashAgg.minhash_agg(col("sh")).as("sig"))
+      val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
+      val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
+      a.crossJoin(b).filter(col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          (aggregate(
+            zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") / 64.0)
+            .as("est_jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // t-digest-style approximate percentiles next to the exact order
     // statistics (approx values are engine-specific → rows-only; the
     // spec bounds approx-vs-exact error)

@@ -139,10 +139,13 @@ object MinHash {
       if (wr + 1 == out.length) out else java.util.Arrays.copyOf(out, wr + 1))
   }
 
-  def signature(hashes: ArrayData, k: Int, seed: Long): ArrayData = {
+  /** Fold the minima of `hashes` under the k-permutation family into
+    * `out` (elementwise running min). Shared by the per-row signature and
+    * the group aggregate — identical arithmetic means a group signature
+    * IS the signature of the union of its members' element sets.
+    */
+  def foldMin(out: Array[Long], hashes: ArrayData, k: Int, seed: Long): Unit = {
     val (a, b) = params(k, seed)
-    val out = new Array[Long](k)
-    java.util.Arrays.fill(out, Long.MaxValue)
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
@@ -156,7 +159,25 @@ object MinHash {
       }
       i += 1
     }
-    if (n == 0) java.util.Arrays.fill(out, 0L)
+  }
+
+  /** An untouched buffer (no elements seen) finalizes as all-zeros — the
+    * same convention `signature` uses for an empty input array.
+    */
+  def finalizeSig(buf: Array[Long]): Array[Long] = {
+    var i = 0
+    var untouched = true
+    while (i < buf.length && untouched) {
+      untouched = buf(i) == Long.MaxValue; i += 1
+    }
+    if (untouched) new Array[Long](buf.length) else buf
+  }
+
+  def signature(hashes: ArrayData, k: Int, seed: Long): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    foldMin(out, hashes, k, seed)
+    if (hashes.numElements() == 0) java.util.Arrays.fill(out, 0L)
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
