@@ -98,16 +98,29 @@ object TextAnalysis {
         explode(split(Dedup.normText(col("text")), " ")).as("token"))
       .filter(col("token") =!= "")
 
+  /** Per-doc term counts — the single corpus-touching pass both term-
+    * statistics operators build on: explode (narrow) + one (doc_id,
+    * token) shuffle with map-side partial counts. Everything downstream
+    * (global tf, df, rankings) derives from this vocabulary-×-doc-sized
+    * table: df(token) is exactly its row count per token (rows = docs
+    * containing the token), so no second corpus explode is ever needed.
+    */
+  def docTermCounts(docs: DataFrame): DataFrame =
+    tokens(docs)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
   /** Corpus token-frequency head (the Zipf table): term frequency +
     * document frequency, top `topN` by (tf desc, token) — a unique total
-    * order, so LIMIT is deterministic. One shuffle on token (partial
-    * map-side counts; the per-doc distinct for df rides the same
-    * aggregate), then TakeOrderedAndProject for the head — no full sort.
+    * order, so LIMIT is deterministic. One corpus pass (docTermCounts) +
+    * one token-key re-aggregation of the small per-doc table (tf = sum,
+    * df = row count — exact, no countDistinct state), then
+    * TakeOrderedAndProject for the head — no full sort.
     */
   def tokenFrequencies(docs: DataFrame, topN: Int = 50): DataFrame =
-    tokens(docs)
+    docTermCounts(docs)
       .groupBy(col("token"))
-      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .agg(sum(col("tf")).as("tf"), count(lit(1)).as("df"))
       .orderBy(col("tf").desc, col("token"))
       .limit(topN)
 
@@ -115,17 +128,14 @@ object TextAnalysis {
     * the TF-IDF ordering with an INTEGER-EXACT key (df-ascending is
     * monotone in idf; no float log, so the ranking is bit-reproducible
     * across engines and cluster sizes — a deliberate determinism choice
-    * over a float score). Shapes: per-doc tf = one (doc_id, token)
-    * shuffle; global df = one token shuffle; tf⋈df joins on token
-    * (broadcastable when the vocabulary head is small, shuffle join
-    * otherwise); final per-doc top-k is a row_number window on doc_id.
+    * over a float score). Shapes: ONE corpus pass (docTermCounts, whose
+    * exchange both branches reuse), df re-aggregated from it on the
+    * token key (broadcastable when the vocabulary is small, shuffle join
+    * otherwise), final per-doc top-k as a row_number window on doc_id.
     */
   def distinctiveTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val t = tokens(docs)
-    val tf = t.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val df = t.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = docTermCounts(docs)
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("token"))
