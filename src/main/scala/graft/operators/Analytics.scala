@@ -506,14 +506,19 @@ object Analytics {
     * frame; it never sees raw events.
     */
   def gapFillLocf(events: DataFrame): DataFrame = {
+    // lazy localCheckpoint: three consumers (axis bounds, the type set,
+    // the join build side) share ONE materialization of the tiny
+    // bucket×type aggregate — without it each consumer re-scans the raw
+    // corpus (measured 3 full scans). Everything below derives from agg.
     val agg = events
       .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
       .agg(decSum(col("value")).as("sum_value"), count(lit(1)).as("n_events"))
+      .localCheckpoint(false)
     val bounds = agg.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
     val axis = bounds
       .select(explode(sequence(col("lo"), col("hi"),
         expr("INTERVAL 1 HOUR"))).as("bucket"))
-      .crossJoin(events.select(col("event_type")).distinct())
+      .crossJoin(agg.select(col("event_type")).distinct())
     val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     axis.join(agg, Seq("bucket", "event_type"), "left")

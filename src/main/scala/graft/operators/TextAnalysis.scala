@@ -128,19 +128,24 @@ object TextAnalysis {
     * the TF-IDF ordering with an INTEGER-EXACT key (df-ascending is
     * monotone in idf; no float log, so the ranking is bit-reproducible
     * across engines and cluster sizes — a deliberate determinism choice
-    * over a float score). Shapes: ONE corpus pass (docTermCounts, whose
-    * exchange both branches reuse), df re-aggregated from it on the
-    * token key (broadcastable when the vocabulary is small, shuffle join
-    * otherwise), final per-doc top-k as a row_number window on doc_id.
+    * over a float score).
+    *
+    * Shape: ONE corpus pass (docTermCounts), then df attached as a
+    * plain count window over the token partition — not a self-join: the
+    * aggregate-then-join form re-scanned the corpus (Catalyst prunes the
+    * df branch's tf column, the subtrees stop canonicalizing equal, and
+    * ReuseExchange drops out — measured 2 full scans). Window form =
+    * one scan + two small shuffles on the vocabulary-×-doc table.
     */
   def distinctiveTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tf = docTermCounts(docs)
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+    val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("token"))
-    tf.join(df, Seq("token"))
-      .withColumn("rn", row_number().over(w))
+    docTermCounts(docs)
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"))
   }
