@@ -91,6 +91,24 @@ object ScaleCheck {
       Similarity.nnWithinLabelAnn(bigEmb).count()
     }
 
+    time("term stats: doc term counts") {
+      TextAnalysis.docTermCounts(big).count()
+    }
+    time("term stats: per-doc top-3 terms") {
+      TextAnalysis.distinctiveTerms(big).count()
+    }
+    // connected components on the minhash near-dup graph: pairs are
+    // ~linear in corpus size here (each replica family is a clique of
+    // size `mult`), so CC cost should track pair count × log rounds
+    time("CC over minhash pairs (star rounds)") {
+      graft.operators.Graph.connectedComponents(
+        Dedup.minhashLshPairs(big, 0.8)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))).count()
+    }
+    time("int8 quantization (narrow)") {
+      Similarity.quantizeInt8(bigEmb).count()
+    }
+
     time("assembly: hash split (narrow)") {
       Assembly.hashSplit(big, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

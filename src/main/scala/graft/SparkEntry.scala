@@ -557,6 +557,19 @@ object SparkEntry {
     "q_brand_revenue" -> ((s, dir) =>
       Analytics.brandRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
 
+    // ntile + percent_rank window pass, partitioned by nation (a global
+    // ntile would single-task; partitioned quantiles scale)
+    "q_customer_quartiles" -> ((s, dir) =>
+      Analytics.customerSpendQuartiles(Tables.orders(s, dir),
+        Tables.customer(s, dir))),
+
+    // edit-distance fuzzy near-dup pairs, (lang, prefix)-blocked — the
+    // typo/OCR-noise dedup family; both engines run the identical
+    // Levenshtein on identical 40-char prefixes
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // GROUP-level MinHash signatures via the native TypedImperativeAggregate
     // (minhash_agg): one signature per source, pairwise estimated Jaccard
     // between sources from signature agreement alone — the
@@ -1023,6 +1036,38 @@ object SparkEntry {
         |    ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
         |FROM filled ORDER BY bucket_us, event_type""".stripMargin,
+
+    "q_customer_quartiles" ->
+      """WITH t AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |         COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (
+        |  SELECT t.*, c.c_nationkey
+        |  FROM t JOIN customer c ON c.c_custkey = t.o_custkey)
+        |SELECT o_custkey, c_nationkey, total_spend, n_orders,
+        |  ntile(4) OVER (PARTITION BY c_nationkey
+        |    ORDER BY total_spend DESC, o_custkey) AS quartile,
+        |  percent_rank() OVER (PARTITION BY c_nationkey
+        |    ORDER BY total_spend DESC, o_custkey) AS pct_rank
+        |FROM j ORDER BY o_custkey""".stripMargin,
+
+    "dedup_edit_distance" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang,
+        |         regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, substring(norm, 1, 8) AS blk,
+        |         substring(norm, 1, 40) AS cmp
+        |  FROM n)
+        |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       levenshtein(a.cmp, b.cmp) AS edit_dist
+        |FROM p a JOIN p b
+        |  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.cmp, b.cmp) <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_min_cost_supplier" ->
       """WITH w AS (

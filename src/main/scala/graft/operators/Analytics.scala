@@ -472,6 +472,30 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** Per-nation customer spend quartiles: ntile + percent_rank in one
+    * window pass, PARTITIONED by nation — a global (unpartitioned) ntile
+    * would funnel every row through one task; partitioned quantile
+    * assignment is the shape that scales (for a truly global ranking use
+    * the range-partitioned sort + offset idiom in Assembly.globalShuffle).
+    * percent_rank = (rank−1)/(n−1) is an integer ratio in IEEE double —
+    * bit-identical cross-engine.
+    */
+  def customerSpendQuartiles(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val totals = orders.groupBy(col("o_custkey"))
+      .agg(decSum(col("o_totalprice")).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+    totals
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey"), col("c_nationkey"), col("total_spend"),
+        col("n_orders"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** OHLC downsampling (TimescaleDB candlestick / first-last parity —
     * the same delegated-analytics family as C4): open/high/low/close/
     * volume per hour bucket in ONE aggregation pass. open/close are

@@ -346,6 +346,38 @@ object Dedup {
       .select(col("lang"), col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
+  // ------------------------------------------------- edit distance
+
+  /** Edit-distance (Levenshtein) fuzzy near-dup pairs — the
+    * typo/OCR-noise family the token-level operators miss. Scoped BY
+    * DEFINITION to (lang, `prefixLen`-char prefix) blocks with the
+    * distance computed on `cmpLen`-char prefixes: blocked fuzzy match is
+    * the standard trade (unblocked all-pairs Levenshtein is O(n²·L²) and
+    * has no sublinear exact structure). Within a block the cost is
+    * pairs × O(cmpLen²), bounded by block population — the same
+    * skew-guard/salting options as the other pair generators apply if a
+    * corpus degenerates into one block.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      maxDist: Int = 5,
+      prefixLen: Int = 8,
+      cmpLen: Int = 40): DataFrame = {
+    val n = docs.select(col("doc_id"), col("lang"),
+      normText(col("text")).as("norm"))
+      .withColumn("blk", substring(col("norm"), 1, prefixLen))
+      .withColumn("cmp", substring(col("norm"), 1, cmpLen))
+    val a = n.select(col("lang"), col("blk"),
+      col("doc_id").as("doc_a"), col("cmp").as("cmp_a"))
+    val b = n.select(col("lang"), col("blk"),
+      col("doc_id").as("doc_b"), col("cmp").as("cmp_b"))
+    a.join(b, Seq("lang", "blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        levenshtein(col("cmp_a"), col("cmp_b")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Cosine near-dup over an embedding column within a blocking key —

@@ -247,4 +247,23 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+  test("customerSpendQuartiles: partitioned window, quartiles balanced") {
+    import spark.implicits._
+    val df = Analytics.customerSpendQuartiles(
+      Tables.orders(spark, sf), Tables.customer(spark, sf))
+    // no single-partition global window: the Window sort key includes the
+    // nation partition (plan shows partial, not global, ordering)
+    assert(!plan(df).contains("Exchange SinglePartition"),
+      "quartile window must not funnel through one partition")
+    val got = df.select($"c_nationkey", $"quartile", $"pct_rank")
+      .as[(Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._2 >= 1 && r._2 <= 4))
+    assert(got.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    // within each nation, quartile sizes differ by at most 1 (ntile contract)
+    got.groupBy(_._1).foreach { case (nk, rows) =>
+      val sizes = rows.groupBy(_._2).map(_._2.size)
+      assert(sizes.max - sizes.min <= 1, s"nation $nk: $sizes")
+    }
+  }
 }

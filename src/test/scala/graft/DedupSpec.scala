@@ -132,4 +132,22 @@ class DedupSpec extends SparkSpec {
     val cos = pairs.select("cosine").as[Double].collect()
     assert(cos.forall(_ >= 0.4))
   }
+  test("editDistancePairs: finds typo pairs inside blocks, respects maxDist") {
+    import spark.implicits._
+    // strings shorter than cmpLen=40 so the FULL text is compared
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps"),
+      (2L, "en", "the quick brown fox jumpz"),   // 1 edit from doc 1
+      (3L, "en", "the quick brawn fox jumps"),   // 1 edit from doc 1
+      (4L, "en", "completely different text"),
+      (5L, "de", "the quick brown fox jumps")    // other lang block
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.editDistancePairs(docs, maxDist = 5)
+      .select("doc_a", "doc_b", "edit_dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got.find(p => p._1 == 1L && p._2 == 2L).get._3 === 1)
+    // cross-lang and different-prefix rows never pair
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L))
+  }
 }
