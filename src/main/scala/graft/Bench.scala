@@ -61,6 +61,11 @@ object Bench {
       if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
     val total = results.values.map(_._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    // The driver keeps only the TAIL of sbt output; with 70+ per-query
+    // entries the leading "metric":"total" prefix of the line above can be
+    // truncated away (it was in round 3). Repeat the headline numbers as a
+    // short trailing line so they always survive tail capture.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -583,7 +583,14 @@ object SparkEntry {
         .agg(graft.functions.MinHashAgg.minhash_agg(col("sh")).as("sig"))
       val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
       val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
-      a.crossJoin(b).filter(col("source_a") < col("source_b"))
+      // K² in the number of SOURCES (groups), not documents: one signature
+      // row per source, so the cross join is |sources|² — a handful here,
+      // broadcast-sized for thousands. The explicit broadcast hint pins the
+      // plan to BroadcastNestedLoopJoin so the planner never shuffles the
+      // signature side as sources grow. Do NOT reuse this shape for
+      // per-document groups — that K² is the thing LSH banding exists to
+      // avoid (Dedup.lshCandidates).
+      a.crossJoin(broadcast(b)).filter(col("source_a") < col("source_b"))
         .select(col("source_a"), col("source_b"),
           (aggregate(
             zip_with(col("sig_a"), col("sig_b"),
@@ -595,14 +602,24 @@ object SparkEntry {
 
     // t-digest-style approximate percentiles next to the exact order
     // statistics (approx values are engine-specific → rows-only; the
-    // spec bounds approx-vs-exact error)
+    // spec bounds approx-vs-exact error). Projected to SCALAR columns:
+    // the driver's comparator sorts rows pandas-side and cannot hash
+    // array cells (round-3 red row), so one column per quantile.
     "q_approx_percentiles" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
           expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
-            .as("approx_pcts"),
-          expr("percentile(value, array(0.5, 0.9, 0.99))").as("exact_pcts"))
+            .as("ap"),
+          expr("percentile(value, array(0.5, 0.9, 0.99))").as("ep"))
+        .select(
+          col("event_type"),
+          element_at(col("ap"), 1).as("p50_approx"),
+          element_at(col("ap"), 2).as("p90_approx"),
+          element_at(col("ap"), 3).as("p99_approx"),
+          element_at(col("ep"), 1).as("p50_exact"),
+          element_at(col("ep"), 2).as("p90_exact"),
+          element_at(col("ep"), 3).as("p99_exact"))
         .orderBy(col("event_type"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -176,23 +176,47 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3,
       s"4x16-bit banding guarantees recall only for hamming <= 3, got $maxDist")
+    def chunk(sh: Column, b: Int): Column =
+      shiftright(sh, b * 16).bitwiseAND(0xffffL)
     val sh = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
     val banded = sh.select(
       col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sh"), b * 16).bitwiseAND(0xffffL)): _*))
+      posexplode(array((0 until 4).map(b => chunk(col("sh"), b)): _*))
         .as(Seq("band", "bucket")))
+    // EXACTLY-ONCE emission, no pair-level distinct(): a pair sharing k
+    // bands would match k times, so emit it only from its FIRST agreeing
+    // band — computable post-join from the two full signatures (a when
+    // chain over the four 16-bit chunks). The former distinct() shuffled
+    // every duplicate pair row; this filter kills duplicates inside the
+    // join stage for free.
+    val firstBand = (0 until 4).reverse.foldLeft(lit(4)) { (acc, b) =>
+      when(chunk(col("sh_a"), b) === chunk(col("sh_b"), b), lit(b))
+        .otherwise(acc)
+    }
+    // SALTED ×8 like ngramJaccardPairs: a degenerate corpus (boilerplate /
+    // near-empty docs) concentrates in one 16-bit bucket per band, and a
+    // join key's within-key cross product runs on ONE task — quadratic
+    // work AQE cannot split (partitions small in bytes, skew in PAIR
+    // count). The probe carries a deterministic salt of doc_a (coalesce
+    // keeps it non-nullable so InferFiltersFromConstraints can't push a
+    // plan-splitting isnotnull below the shared exchange); the build
+    // explodes all S salts. Each pair still matches once per shared band,
+    // at salt(doc_a), and the first-band filter keeps exactly one.
+    val salts = 8
     val a = banded.select(
       col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      coalesce(pmod(xxhash64(col("doc_id")), lit(salts.toLong)), lit(0L))
+        .as("salt"))
     val b = banded.select(
       col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      explode(sequence(lit(0L), lit(salts - 1L))).as("salt"))
+    a.join(b, Seq("band", "bucket", "salt"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(col("band") === firstBand)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
   }
 

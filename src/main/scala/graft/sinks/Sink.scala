@@ -1,7 +1,6 @@
 package graft.sinks
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.{Comparator, Properties}
+import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
@@ -196,29 +195,32 @@ object Sink {
   /** C5 — retention policy (`add_retention_policy('30 days')` analog):
     * drop whole date partitions older than the cutoff. No data rewrite —
     * O(partitions dropped), the property that matters at 100 TB.
+    *
+    * Runs on the Hadoop `FileSystem` API (like [[compact]]), so the same
+    * call works against local paths, `file:` URIs, HDFS, and S3A — the
+    * filesystems a 100 TB table actually lives on. A `java.nio` walk
+    * (round ≤3) only ever worked on the local disk.
     */
-  def applyRetention(path: String, cutoffDateInclusive: String): Seq[String] = {
-    val root = Paths.get(path)
-    if (!Files.isDirectory(root)) return Nil
-    val dropped = scala.collection.mutable.ArrayBuffer[String]()
-    val listing = Files.list(root)
-    try listing.forEach { p =>
-      val name = p.getFileName.toString
-      if (name.startsWith("date=")) {
-        val date = name.substring("date=".length)
-        if (date < cutoffDateInclusive) {
-          deleteRecursively(p)
-          dropped += date
-        }
+  def applyRetention(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cutoffDateInclusive: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.isDirectory(root)) return Nil
+    val dropped = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { p =>
+        val name = p.getName
+        if (name.startsWith("date=")) {
+          val date = name.substring("date=".length)
+          if (date < cutoffDateInclusive) {
+            fs.delete(p, true) // recursive: one metadata op per partition
+            Some(date)
+          } else None
+        } else None
       }
-    } finally listing.close()
-    dropped.toSeq.sorted
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    val walk = Files.walk(p)
-    try walk.sorted(Comparator.reverseOrder[Path]())
-      .forEach(f => Files.delete(f))
-    finally walk.close()
+    dropped.sorted
   }
 }

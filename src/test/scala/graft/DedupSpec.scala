@@ -73,6 +73,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() > 0)
   }
 
+  test("simhashPairs equals brute-force hamming<=3 and emits each pair once") {
+    // ground truth: unblocked all-pairs hamming over the full corpus
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+    val a = sh.select(col("doc_id").as("da"), col("s").as("sa"))
+    val b = sh.select(col("doc_id").as("db"), col("s").as("sb"))
+    val brute = a.crossJoin(b).filter(col("da") < col("db"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashPairs(docs, maxDist = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    // pigeonhole recall at d<=3 is exact, and the first-agreeing-band
+    // rule must emit each pair EXACTLY once (no distinct in the plan)
+    assert(banded.toSet === brute)
+    assert(banded.length === banded.toSet.size, "duplicate pair emitted")
+  }
+
+  test("simhashPairs bounded on a degenerate corpus (10k identical docs)") {
+    // 10k copies of one text -> every signature identical -> all four
+    // band buckets are maximally hot. The salt spreads the within-bucket
+    // cross product over tasks and the first-band rule emits each of the
+    // n(n-1)/2 pairs exactly once (at band 0) with no distinct shuffle.
+    val n = 10000
+    val degenerate = spark.range(n.toLong)
+      .select(col("id").as("doc_id"),
+        lit("boilerplate header repeated verbatim across the crawl").as("text"),
+        lit("en").as("lang"))
+    val got = Dedup.simhashPairs(degenerate, maxDist = 3).count()
+    assert(got === n.toLong * (n - 1) / 2)
+  }
+
   test("ngram jaccard agrees with a hand-computed pair") {
     val two = Seq((1L, "abcd", "en", 4L), (2L, "abce", "en", 4L))
       .toDF("doc_id", "text", "lang", "n_chars")

@@ -48,7 +48,7 @@ class SimilaritySpec extends SparkSpec {
     index.unpersist()
   }
 
-  test("ivfQuery over a prebuilt index: multi-probe cells, recall >= 0.7") {
+  test("ivfQuery over a prebuilt index: multi-probe cells, recall >= 0.85") {
     // the driver corpus is isotropic (labels carry no geometry), so IVF
     // recall ≈ probe fraction; nprobe=12/16 is the honest setting here —
     // the clustered-corpus test below shows the nprobe=4 regime
@@ -59,14 +59,16 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     info(s"IVF recall@10 = $recall (nlist=16, nprobe=12, isotropic corpus)")
-    assert(recall >= 0.7)
+    // measured 0.94 on this corpus — floor set just below so a real
+    // regression surfaces instead of hiding under a slack bound
+    assert(recall >= 0.85)
     val perQuery = Similarity.ivfQuery(index, queryIds, k = 10)
       .groupBy("query_id").count().as[(Long, Long)].collect().toMap
     assert(perQuery.values.forall(_ <= 10))
     index.unpersist()
   }
 
-  test("ivfQuery on a CLUSTERED corpus: recall >= 0.9 at nprobe=4/16") {
+  test("ivfQuery on a CLUSTERED corpus: recall >= 0.95 at nprobe=4/16") {
     // IVF's value shows when the data has cluster structure: 16 synthetic
     // centers, members = center + small noise. Deterministic seed.
     val rnd = new scala.util.Random(11L)
@@ -85,7 +87,9 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     info(s"IVF recall@10 on clustered corpus = $recall (nlist=16, nprobe=4)")
-    assert(recall >= 0.9)
+    // measured 1.0 on the synthetic clustered corpus; 0.95 leaves room
+    // for k-means tie-order wobble only
+    assert(recall >= 0.95)
     index.unpersist()
   }
 

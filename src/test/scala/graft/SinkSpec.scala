@@ -110,8 +110,11 @@ class SinkSpec extends SparkSpec {
       .toDF("time", "v")
       .withColumn("time", col("time").cast("timestamp"))
     Sink.writePartitionedByDate(df, dir)
-    val dropped = Sink.applyRetention(dir, "2024-01-10")
+    // explicit file: URI — retention goes through the Hadoop FileSystem
+    // API, the path an HDFS/S3A table takes at scale
+    val dropped = Sink.applyRetention(spark, s"file:$dir", "2024-01-10")
     assert(dropped === Seq("2024-01-01"))
+    assert(Sink.applyRetention(spark, s"$dir/nonexistent", "2024-01-10") === Nil)
     val remaining = spark.read.parquet(dir).select("v").as[String]
       .collect().toSet
     assert(remaining === Set("b", "c"))
