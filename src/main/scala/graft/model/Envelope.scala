@@ -79,6 +79,43 @@ object Envelope {
       // carried alongside the envelope for analytics parity with the source
       col("event_id"), col("user_id"), col("event_type"), col("value"))
 
+  /** A1 live connector: adapt a SOCKET-shaped unbounded source — an actual
+    * TCP stream an external process feeds line by line — to the envelope.
+    * This is the closest sandbox analog of the reference's broker
+    * subscription (`/root/reference/internal/mqtt/mqtt.go:73-106`: delivery
+    * callback hands (topic, payload) to the router); here the wire framing
+    * is one message per line, `topic<space>payload`, with arrival time
+    * stamped by the source (the reference's processing-time semantics,
+    * cmd/hermod/main.go:125). A production MQTT/Kafka connector swaps ONLY
+    * the `format(...)` + the first projection; routing, transforms,
+    * fan-out, and watermarked aggregates downstream are source-agnostic.
+    *
+    * A line without a space is all topic, empty payload — mirroring a
+    * broker message with an empty body.
+    */
+  def messagesFromSocket(
+      spark: org.apache.spark.sql.SparkSession,
+      host: String,
+      port: Int): DataFrame = {
+    val stream = spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port)
+      .option("includeTimestamp", "true")
+      .load() // (value string, timestamp) — one line per message
+    val topic = substring_index(col("value"), " ", 1)
+    // everything after the first space; start index beyond the string
+    // length yields "" (the empty-payload contract above)
+    val payload = col("value").substr(
+      length(substring_index(col("value"), " ", 1)) + 2, length(col("value")))
+    stream.select(
+      topic.as("topic"),
+      payload.cast("binary").as("payload"),
+      lit(0).as("qos"),
+      lit(false).as("retain"),
+      col("timestamp").as("time"))
+  }
+
   /** A1 beyond files: adapt an UNBOUNDED non-file source — Spark's
     * rate-micro-batch generator, the stand-in for a live broker in this
     * sandbox — to the same envelope. The adapter is the whole point: a

@@ -54,4 +54,23 @@ class MinHashAggSpec extends SparkSpec {
       .groupBy(col("g")).agg(MinHashAgg.minhash_agg(col("sh")).as("sig"))
     assert(df.as[(String, Seq[Long])].head()._2 === Seq.fill(64)(0L))
   }
+
+  test("pairwise signature compare plans as a broadcast join, no shuffle") {
+    // the dedup_group_minhash shape: one signature row per SOURCE, so the
+    // pairwise cross join is |sources|^2 and must broadcast the build side
+    // rather than shuffle it as sources grow
+    val sigs = shingled.groupBy(col("lang"))
+      .agg(MinHashAgg.minhash_agg(col("sh")).as("sig"))
+    val a = sigs.select(col("lang").as("la"), col("sig").as("siga"))
+    val b = sigs.select(col("lang").as("lb"), col("sig").as("sigb"))
+    val pairs = a.crossJoin(broadcast(b)).filter(col("la") < col("lb"))
+    pairs.count() // finalize AQE
+    val plan = pairs.queryExecution.executedPlan.toString
+    // the signature AGGREGATION shuffles on the group key (inherent); the
+    // pairwise JOIN must broadcast, never CartesianProduct/shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast NLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"signature compare must not run as a shuffled cartesian:\n$plan")
+  }
 }
