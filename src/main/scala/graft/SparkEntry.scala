@@ -79,6 +79,27 @@ object SparkEntry {
         .drop("time")
         .orderBy(col("device"), col("time_us"))),
 
+    // A13+A5 — config-DEPLOYABLE transform: the same iot_metrics route
+    // built from pure TOML (select/where Spark SQL expression strings, no
+    // registry entry, no recompile — the reference's drop-a-Lua-file
+    // deployment path, README.md:184-221). Must hash-match the
+    // registry-based transform_iot_metrics above.
+    "transform_config_expr" -> ((s, dir) => {
+      val toml =
+        """[[routes]]
+          |filter = "events/#"
+          |where = "try_parse_json(cast(payload as string)) is not null"
+          |select = ["time", "topic as device", "coalesce(cast(get_json_object(cast(payload as string), '$.temperature') as double), cast(get_json_object(cast(payload as string), '$.value') as double), 0.0d) as value", "cast(payload as string) as raw"]
+          |table = "iot_metrics"
+          |""".stripMargin
+      val router = graft.config.EngineConfig.fromToml(toml)
+        .buildRouter(Map.empty)
+      router.fanOut(messages(s, dir))("iot_metrics")
+        .withColumn("time_us", unix_micros(col("time")))
+        .drop("time")
+        .orderBy(col("device"), col("time_us"))
+    }),
+
     // B1-B5 — codec scalar surface on the documents table
     "codec_functions" -> ((s, dir) => {
       import graft.functions.Codecs
@@ -662,6 +683,18 @@ object SparkEntry {
         |ORDER BY route ASC NULLS FIRST""".stripMargin,
 
     "transform_iot_metrics" ->
+      """SELECT 'events/' || event_type || '/' || user_id AS device,
+        |       COALESCE(CAST(json_extract(props, '$.temperature') AS DOUBLE),
+        |                CAST(json_extract(props, '$.value') AS DOUBLE),
+        |                0.0) AS value,
+        |       props AS raw,
+        |       epoch_us(ts) AS time_us
+        |FROM events
+        |WHERE json_valid(props)
+        |ORDER BY device, time_us""".stripMargin,
+
+    // identical semantics to transform_iot_metrics, deployed from TOML
+    "transform_config_expr" ->
       """SELECT 'events/' || event_type || '/' || user_id AS device,
         |       COALESCE(CAST(json_extract(props, '$.temperature') AS DOUBLE),
         |                CAST(json_extract(props, '$.value') AS DOUBLE),

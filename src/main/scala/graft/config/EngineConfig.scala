@@ -46,7 +46,15 @@ final case class RouteConfig(
     script: String = "",
     workers: Int = 1,       // default router.go:111-113
     queueSize: Int = 100,   // default router.go:114-116
-    table: String = Router.DefaultTable)
+    table: String = Router.DefaultTable,
+    // Config-deployable transform: a Spark SQL select list (+ optional
+    // where) compiled with expr() at plan build — the no-recompile
+    // deployment path the reference's Lua layer provides
+    // (/root/reference/README.md:184-221): drop a TOML edit, not a jar.
+    // Mutually exclusive with `script` (which names a precompiled
+    // registered transform).
+    select: Seq[String] = Nil,
+    where: String = "")
 
 final case class EngineConfig(
     mqtt: MqttConfig = MqttConfig(),
@@ -66,14 +74,34 @@ final case class EngineConfig(
         workers = 1, queueSize = 100, table = pipeline.tableName))
     } else Nil
 
-  /** Resolve scripts against a transform registry and build the Router. */
+  /** Resolve each route's transform and build the Router. A route's
+    * transform comes from exactly one of:
+    *   - `select` (+ optional `where`): Spark SQL expression strings
+    *     compiled via `expr()` — deployable by editing config alone, the
+    *     full scalar-function surface with zero recompilation (Catalyst
+    *     sees plain expressions: pushdown, pruning, codegen all apply);
+    *   - `script`: a name resolved against the precompiled transform
+    *     registry (for logic beyond a select list — typed fan-out, UDAFs);
+    *   - neither: passthrough capture.
+    */
   def buildRouter(transforms: Map[String, DataFrame => DataFrame]): Router = {
     val rs = buildRouteConfigs.zipWithIndex.map { case (rc, i) =>
-      val t = rc.script match {
-        case "" => None
-        case s  => Some(transforms.getOrElse(s,
-          throw new IllegalArgumentException(s"unknown transform script: $s")))
-      }
+      require(rc.script.isEmpty || rc.select.isEmpty,
+        s"route $i: `script` and `select` are mutually exclusive")
+      val t: Option[DataFrame => DataFrame] =
+        if (rc.select.nonEmpty) {
+          import org.apache.spark.sql.functions.expr
+          val selects = rc.select // parse errors surface at fanOut, per call
+          val where = rc.where
+          Some { df =>
+            val filtered = if (where.isEmpty) df else df.filter(expr(where))
+            filtered.select(selects.map(expr): _*)
+          }
+        } else rc.script match {
+          case "" => None
+          case s  => Some(transforms.getOrElse(s,
+            throw new IllegalArgumentException(s"unknown transform script: $s")))
+        }
       Route(s"route_$i", rc.filter, rc.table, t)
     }
     new Router(rs)
@@ -211,7 +239,10 @@ object EngineConfig {
         script = str(r, "script"),
         workers = int(r, "workers", 1),
         queueSize = int(r, "queue_size", 100),
-        table = str(r, "table", Router.DefaultTable)))
+        table = str(r, "table", Router.DefaultTable),
+        select = r.getOrElse("select", Seq.empty).asInstanceOf[Seq[Any]]
+          .map(_.toString),
+        where = str(r, "where")))
     EngineConfig(
       mqtt = MqttConfig(
         broker = str(mqtt, "broker"),

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.config.EngineConfig
+import graft.model.Message
+import graft.operators.Transforms
+
+/** Config-DEPLOYABLE transforms: a route whose transform is Spark SQL
+  * expression strings in TOML (`select` + `where`), compiled via `expr()`
+  * at plan build — no registry entry, no recompile. This is the Spark
+  * analog of the reference's drop-a-Lua-file deployment
+  * (`/root/reference/README.md:184-221`): editing config alone changes
+  * what a route computes.
+  */
+class ConfigExprRouteSpec extends SparkSpec {
+
+  private def msgs = {
+    import spark.implicits._
+    Seq(
+      Message("sensors/a", """{"temperature":21.5}""".getBytes("UTF-8"),
+        0, retain = false, Timestamp.valueOf("2026-01-01 00:00:00")),
+      Message("sensors/b", """{"value":7.0}""".getBytes("UTF-8"),
+        0, retain = false, Timestamp.valueOf("2026-01-01 00:00:01")),
+      Message("sensors/c", """{"other":true}""".getBytes("UTF-8"),
+        0, retain = false, Timestamp.valueOf("2026-01-01 00:00:02")),
+      Message("sensors/d", "not json".getBytes("UTF-8"),
+        0, retain = false, Timestamp.valueOf("2026-01-01 00:00:03"))
+    ).toDF()
+  }
+
+  private val exprToml =
+    """[[routes]]
+      |filter = "sensors/#"
+      |where = "try_parse_json(cast(payload as string)) is not null"
+      |select = ["time", "topic as device", "coalesce(cast(get_json_object(cast(payload as string), '$.temperature') as double), cast(get_json_object(cast(payload as string), '$.value') as double), 0.0d) as value", "cast(payload as string) as raw"]
+      |table = "iot_metrics"
+      |""".stripMargin
+
+  test("TOML select/where route equals the registry-based transform") {
+    val router = EngineConfig.fromToml(exprToml).buildRouter(Map.empty)
+    val fromConfig = router.fanOut(msgs)("iot_metrics")
+      .orderBy(col("device")).collect().toSeq
+    val fromRegistry = Transforms.iotMetrics(msgs)
+      .orderBy(col("device")).collect().toSeq
+    assert(fromConfig === fromRegistry)
+    // the non-JSON message fell through the where to... nowhere: the route
+    // matched it (sensors/#) but the transform filtered it out
+    assert(router.fanOut(msgs)("iot_metrics").count() === 3)
+  }
+
+  test("select expressions keep Catalyst in charge: no UDF in the plan") {
+    val router = EngineConfig.fromToml(exprToml).buildRouter(Map.empty)
+    val plan = router.fanOut(msgs)("iot_metrics")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"config-deployed transform must stay expression-only:\n$plan")
+  }
+
+  test("script and select on one route are rejected") {
+    val cfg = EngineConfig.fromToml(
+      """[[routes]]
+        |filter = "#"
+        |script = "t.lua"
+        |select = ["topic"]
+        |""".stripMargin)
+    intercept[IllegalArgumentException] {
+      cfg.buildRouter(Map("t.lua" -> identity[org.apache.spark.sql.DataFrame] _))
+    }
+  }
+
+  test("malformed select expression surfaces as an analysis error at use") {
+    val cfg = EngineConfig.fromToml(
+      """[[routes]]
+        |filter = "#"
+        |select = ["this is not ( valid sql"]
+        |table = "t"
+        |""".stripMargin)
+    val router = cfg.buildRouter(Map.empty) // building is lazy, legal
+    intercept[Exception] {
+      router.fanOut(msgs)("t").collect()
+    }
+  }
+}
