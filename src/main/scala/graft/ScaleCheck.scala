@@ -19,6 +19,8 @@ import graft.operators.{Assembly, Curation, Dedup, Sessionize, Similarity,
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    // optional 2nd arg: run only probes whose name contains this substring
+    val only = args.lift(1)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -44,11 +46,12 @@ object ScaleCheck {
     val n = big.count()
     println(s"corpus: $n0 -> $n docs (x$mult)")
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$r")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (only.forall(name.contains)) {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$r")
+      }
 
     time("text_stats (full scan)") {
       TextAnalysis.withQuality(big).agg(sum("n_tokens")).collect(); n
@@ -101,9 +104,12 @@ object ScaleCheck {
     // ~linear in corpus size here (each replica family is a clique of
     // size `mult`), so CC cost should track pair count × log rounds
     time("CC over minhash pairs (star rounds)") {
-      graft.operators.Graph.connectedComponents(
+      val (cc, rounds) = graft.operators.Graph.connectedComponentsWithRounds(
         Dedup.minhashLshPairs(big, 0.8)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))).count()
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val n = cc.count()
+      println(s"  CC rounds-to-convergence: $rounds")
+      n
     }
     time("int8 quantization (narrow)") {
       Similarity.quantizeInt8(bigEmb).count()

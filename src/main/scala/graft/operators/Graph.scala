@@ -56,7 +56,17 @@ object Graph {
       pairs: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, srcCol, dstCol, maxIter)._1
+
+  /** Same, also returning rounds-to-convergence — the measurable form of
+    * the O(log n) claim (ScaleCheck records it at 10×/20×).
+    */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIter: Int = 50): (DataFrame, Int) = {
 
     // canonical initial edge set: (u = larger, v = smaller), the
     // orientation both star phases preserve
@@ -127,9 +137,9 @@ object Graph {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
 
     // converged edge set = stars (node, root); roots map to themselves
-    e.select(col("u").as("node"), col("v").as("component"))
+    (e.select(col("u").as("node"), col("v").as("component"))
       .union(e.select(col("v").as("node"), col("v").as("component")))
-      .distinct()
+      .distinct(), it)
   }
 
   /** Component id for EVERY row of `nodes` (one column `nodeCol`):
