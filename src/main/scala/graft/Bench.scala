@@ -52,7 +52,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> timeQuery { fn(spark, sfDir).count(); () }
     }
-    val qs = results.map { case (k, (sec, _)) => s"\"" + k + "\":" + sec }
+    // 0.1 ms precision per query keeps the full line ~40% shorter — the
+    // driver's tail buffer is ~4 KB and round 4's full line overflowed it.
+    def fmt(sec: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(sec))
+    val qs = results.map { case (k, (sec, _)) => s"\"" + k + "\":" + fmt(sec) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) =>
       s"\"" + k + "\":\"" + jsonEscape(e) + "\""
@@ -63,9 +67,11 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     // The driver keeps only the TAIL of sbt output; with 70+ per-query
     // entries the leading "metric":"total" prefix of the line above can be
-    // truncated away (it was in round 3). Repeat the headline numbers as a
-    // short trailing line so they always survive tail capture.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errs.size},"sf":"$sfDir"}""")
+    // truncated away (it was in rounds 3 and 4). Repeat the headline
+    // numbers as a short trailing line so they always survive tail
+    // capture — under a DISTINCT metric name so a by-metric consumer
+    // cannot double-count the total.
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

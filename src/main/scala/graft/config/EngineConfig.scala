@@ -51,8 +51,10 @@ final case class RouteConfig(
     // where) compiled with expr() at plan build — the no-recompile
     // deployment path the reference's Lua layer provides
     // (/root/reference/README.md:184-221): drop a TOML edit, not a jar.
-    // Mutually exclusive with `script` (which names a precompiled
-    // registered transform).
+    // `select` is mutually exclusive with `script` (which names a
+    // precompiled registered transform); `where` composes with either —
+    // or, alone, filters the passthrough capture. A declared `where` is
+    // NEVER silently dropped.
     select: Seq[String] = Nil,
     where: String = "")
 
@@ -85,22 +87,30 @@ final case class EngineConfig(
     *   - neither: passthrough capture.
     */
   def buildRouter(transforms: Map[String, DataFrame => DataFrame]): Router = {
+    import org.apache.spark.sql.functions.expr
     val rs = buildRouteConfigs.zipWithIndex.map { case (rc, i) =>
       require(rc.script.isEmpty || rc.select.isEmpty,
         s"route $i: `script` and `select` are mutually exclusive")
+      val where = rc.where // parse errors surface at fanOut, per call
+      val applyWhere: DataFrame => DataFrame =
+        df => if (where.isEmpty) df else df.filter(expr(where))
       val t: Option[DataFrame => DataFrame] =
         if (rc.select.nonEmpty) {
-          import org.apache.spark.sql.functions.expr
-          val selects = rc.select // parse errors surface at fanOut, per call
-          val where = rc.where
-          Some { df =>
-            val filtered = if (where.isEmpty) df else df.filter(expr(where))
-            filtered.select(selects.map(expr): _*)
-          }
+          val selects = rc.select
+          Some(df => applyWhere(df).select(selects.map(expr): _*))
         } else rc.script match {
-          case "" => None
-          case s  => Some(transforms.getOrElse(s,
-            throw new IllegalArgumentException(s"unknown transform script: $s")))
+          case "" if where.isEmpty => None
+          case "" =>
+            // where-only route: filter, THEN the canonical passthrough
+            // capture — a declared predicate must apply even without a
+            // select list (silently capturing everything would be a
+            // config-deployment footgun).
+            Some(df => graft.model.Envelope.passthrough(applyWhere(df)))
+          case s =>
+            val fn = transforms.getOrElse(s,
+              throw new IllegalArgumentException(s"unknown transform script: $s"))
+            if (where.isEmpty) Some(fn)
+            else Some(df => fn(applyWhere(df)))
         }
       Route(s"route_$i", rc.filter, rc.table, t)
     }
@@ -232,17 +242,30 @@ object EngineConfig {
     val mqtt = section("mqtt")
     val db = section("database")
     val pipe = section("pipeline")
+    // `select` accepts an array OR a bare string (a one-expression select
+    // list is a natural thing to write in TOML); anything else names the
+    // route and key in the error instead of a bare ClassCastException —
+    // config-only deployment deserves config-quality load errors.
+    def selectList(r: Map[String, Any], i: Int): Seq[String] =
+      r.get("select") match {
+        case None              => Nil
+        case Some(s: Seq[_])   => s.map(_.toString)
+        case Some(s: String)   => Seq(s)
+        case Some(other)       => throw new IllegalArgumentException(
+          s"route $i: `select` must be a string or an array of strings, " +
+            s"got: $other")
+      }
     val routes = t.getOrElse("routes", Seq.empty).asInstanceOf[Seq[Any]]
       .map(_.asInstanceOf[Map[String, Any]])
-      .map(r => RouteConfig(
+      .zipWithIndex
+      .map { case (r, i) => RouteConfig(
         filter = str(r, "filter"),
         script = str(r, "script"),
         workers = int(r, "workers", 1),
         queueSize = int(r, "queue_size", 100),
         table = str(r, "table", Router.DefaultTable),
-        select = r.getOrElse("select", Seq.empty).asInstanceOf[Seq[Any]]
-          .map(_.toString),
-        where = str(r, "where")))
+        select = selectList(r, i),
+        where = str(r, "where")) }
     EngineConfig(
       mqtt = MqttConfig(
         broker = str(mqtt, "broker"),

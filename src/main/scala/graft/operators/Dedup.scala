@@ -173,9 +173,10 @@ object Dedup {
     * pigeonhole guarantee; d ≥ 4 could place one differing bit per band and
     * silently miss pairs, hence the hard require).
     */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, salts: Int = 8): DataFrame = {
     require(maxDist <= 3,
       s"4x16-bit banding guarantees recall only for hamming <= 3, got $maxDist")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     def chunk(sh: Column, b: Int): Column =
       shiftright(sh, b * 16).bitwiseAND(0xffffL)
     val sh = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
@@ -193,16 +194,20 @@ object Dedup {
       when(chunk(col("sh_a"), b) === chunk(col("sh_b"), b), lit(b))
         .otherwise(acc)
     }
-    // SALTED ×8 like ngramJaccardPairs: a degenerate corpus (boilerplate /
-    // near-empty docs) concentrates in one 16-bit bucket per band, and a
-    // join key's within-key cross product runs on ONE task — quadratic
-    // work AQE cannot split (partitions small in bytes, skew in PAIR
-    // count). The probe carries a deterministic salt of doc_a (coalesce
-    // keeps it non-nullable so InferFiltersFromConstraints can't push a
-    // plan-splitting isnotnull below the shared exchange); the build
-    // explodes all S salts. Each pair still matches once per shared band,
-    // at salt(doc_a), and the first-band filter keeps exactly one.
-    val salts = 8
+    // SALTED ×`salts` like ngramJaccardPairs: a degenerate corpus
+    // (boilerplate / near-empty docs) concentrates in one 16-bit bucket
+    // per band, and a join key's within-key cross product runs on ONE
+    // task — quadratic work AQE cannot split (partitions small in bytes,
+    // skew in PAIR count). The probe carries a deterministic salt of
+    // doc_a (coalesce keeps it non-nullable so
+    // InferFiltersFromConstraints can't push a plan-splitting isnotnull
+    // below the shared exchange); the build explodes all S salts. Each
+    // pair still matches once per shared band, at salt(doc_a), and the
+    // first-band filter keeps exactly one. The salt factor amplifies the
+    // build side ×S unconditionally — the insurance premium against the
+    // degenerate-bucket case; callers with a known-benign corpus can pass
+    // salts = 1 to skip it (the exactly-once first-band emission does not
+    // depend on salting).
     val a = banded.select(
       col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"),

@@ -236,10 +236,14 @@ class AnalyticsSpec extends SparkSpec {
           .expr(s"percentile(value, array(${hi.mkString(",")}))").as("hi"))
       .as[(String, Seq[Double], Seq[Double])].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
+    // the query projects scalar columns (p50/p90/p99 approx + exact) so
+    // the harness comparator can hash them — reassemble the approx triple
     val rows = SparkEntry.queries("q_approx_percentiles")(spark, sf)
-      .as[(String, Seq[Double], Seq[Double])].collect()
+      .selectExpr("event_type", "p50_approx", "p90_approx", "p99_approx")
+      .as[(String, Double, Double, Double)].collect()
+      .map { case (t, p50, p90, p99) => (t, Seq(p50, p90, p99)) }
     assert(rows.nonEmpty)
-    rows.foreach { case (t, approx, _) =>
+    rows.foreach { case (t, approx) =>
       val (los, his) = bounds(t)
       approx.zipWithIndex.foreach { case (a, i) =>
         assert(a >= los(i) && a <= his(i),

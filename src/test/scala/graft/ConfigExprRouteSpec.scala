@@ -71,6 +71,59 @@ class ConfigExprRouteSpec extends SparkSpec {
     }
   }
 
+  test("where-only route filters the passthrough capture, never silently drops the predicate") {
+    val cfg = EngineConfig.fromToml(
+      """[[routes]]
+        |filter = "sensors/#"
+        |where = "topic <> 'sensors/c'"
+        |table = "kept"
+        |""".stripMargin)
+    val out = cfg.buildRouter(Map.empty).fanOut(msgs)("kept")
+    // passthrough projection (canonical 6 columns), minus the filtered row
+    assert(out.columns.toSeq ===
+      Seq("time", "topic", "qos", "retain", "raw", "json"))
+    assert(out.count() === 3)
+    assert(out.filter(col("topic") === "sensors/c").count() === 0)
+  }
+
+  test("where composes with a registry script as a pre-filter") {
+    val cfg = EngineConfig.fromToml(
+      """[[routes]]
+        |filter = "sensors/#"
+        |script = "metrics"
+        |where = "topic <> 'sensors/b'"
+        |table = "iot_metrics"
+        |""".stripMargin)
+    val out = cfg.buildRouter(Map("metrics" -> Transforms.iotMetrics _))
+      .fanOut(msgs)("iot_metrics")
+    assert(out.filter(col("device") === "sensors/b").count() === 0)
+    assert(out.count() === 2) // a and c parse as JSON; b pre-filtered; d not JSON
+  }
+
+  test("scalar select string is accepted as a one-element select list") {
+    val cfg = EngineConfig.fromToml(
+      """[[routes]]
+        |filter = "#"
+        |select = "topic as t"
+        |table = "topics"
+        |""".stripMargin)
+    val out = cfg.buildRouter(Map.empty).fanOut(msgs)("topics")
+    assert(out.columns.toSeq === Seq("t"))
+    assert(out.count() === 4)
+  }
+
+  test("non-string non-array select fails with a route-naming error") {
+    val e = intercept[IllegalArgumentException] {
+      EngineConfig.fromToml(
+        """[[routes]]
+          |filter = "#"
+          |select = 42
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("route 0"))
+    assert(e.getMessage.contains("select"))
+  }
+
   test("malformed select expression surfaces as an analysis error at use") {
     val cfg = EngineConfig.fromToml(
       """[[routes]]
