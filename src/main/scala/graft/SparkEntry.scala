@@ -196,6 +196,45 @@ object SparkEntry {
     "q_shipment_gaps" -> ((s, dir) =>
       Analytics.shipmentGaps(Tables.lineitem(s, dir))),
 
+    // TPC-H Q7 shape — nation×nation trade-volume matrix by ship year;
+    // nation broadcast twice under different aliases
+    "q7_trade_volume" -> ((s, dir) =>
+      Analytics.nationTradeVolume(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
+
+    // TPC-H Q8 shape — market share via conditional aggregation in the
+    // same shuffle as the denominator
+    "q8_market_share" -> ((s, dir) =>
+      Analytics.marketShare(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir), Tables.part(s, dir))),
+
+    // TPC-H Q9 shape (adapted: no partsupp in this corpus) — profit by
+    // supplier nation × order year over name-matched parts
+    "q9_product_profit" -> ((s, dir) =>
+      Analytics.productTypeProfit(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.part(s, dir))),
+
+    // TPC-H Q10 shape — top-20 customers by returned revenue in a window
+    "q10_returned_items" -> ((s, dir) =>
+      Analytics.returnedItemLosses(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir))),
+
+    // TPC-H Q13 shape — order-count distribution over a LEFT join
+    "q13_order_distribution" -> ((s, dir) =>
+      Analytics.orderCountDistribution(Tables.customer(s, dir),
+        Tables.orders(s, dir))),
+
+    // TPC-H Q15 shape — top supplier(s) by quarterly revenue, ties kept
+    // via a broadcast scalar-max join (no single-partition window)
+    "q15_top_supplier" -> ((s, dir) =>
+      Analytics.topSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+
+    // TPC-H Q18 shape — HAVING on a per-order aggregate, then enrich
+    "q18_large_orders" -> ((s, dir) =>
+      Analytics.largeVolumeOrders(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir))),
+
     // exact interpolated percentiles per event type (order statistics)
     "q_percentiles" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -923,6 +962,109 @@ object SparkEntry {
         |FROM g WHERE prev_ship_us IS NOT NULL
         |GROUP BY l_suppkey
         |ORDER BY l_suppkey""".stripMargin,
+
+    "q7_trade_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate) AS l_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,8))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |       CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_1'
+        |                          THEN l_extendedprice * (1 - l_discount)
+        |                          ELSE 0.0 END AS DECIMAL(18,8))) AS DOUBLE)
+        |       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                       AS DECIMAL(18,8))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region   ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,8))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |                 AND p_name LIKE '%widget%'
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,8))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-07-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |                      AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM per_cust
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                       AS DECIMAL(18,8))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS sum_qty
+        |  FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum_qty > 250.0)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       epoch_us(o_orderdate) AS o_orderdate_us,
+        |       o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,8))) AS DOUBLE) AS revenue,

@@ -552,4 +552,153 @@ object Analytics {
         coalesce(col("n_events"), lit(0L)).as("n_events"), col("value_locf"))
       .orderBy(col("bucket_us"), col("event_type"))
   }
+
+  /** TPC-H Q7 shape — directional trade-volume matrix: revenue by
+    * (supplier nation, customer nation, ship year). Unlike canonical Q7
+    * (one nation pair) the full matrix keeps the query meaningful at every
+    * SF; the plan is the same: nation is broadcast TWICE under different
+    * aliases, supplier is broadcast (a thin key→nation map even at 100 TB
+    * — 10M suppliers ≈ 160 MB; if it outgrows the broadcast threshold AQE
+    * falls back to a key shuffle), so the only big shuffles are
+    * lineitem⋈orders and ⋈customer on their join keys.
+    */
+  def nationTradeVolume(li: DataFrame, o: DataFrame, c: DataFrame,
+      s: DataFrame, n: DataFrame): DataFrame = {
+    val n1 = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = n.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s.join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape — market share of one supplier nation within one
+    * customer region, by order year: conditional aggregation over the
+    * 6-way join (numerator = CASE WHEN inside the same single shuffle as
+    * the denominator — never two passes).
+    */
+  def marketShare(li: DataFrame, o: DataFrame, c: DataFrame, s: DataFrame,
+      n: DataFrame, r: DataFrame, partDf: DataFrame,
+      suppNation: String = "NATION_1", custRegion: String = "ASIA",
+      pType: String = "ECONOMY"): DataFrame = {
+    val n1 = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val custRegionNations = n
+      .join(broadcast(r.filter(col("r_name") === custRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    li
+      .join(broadcast(partDf.filter(col("p_type") === pType)
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custRegionNations), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(s.join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (decSum(when(col("supp_nation") === suppNation,
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0)), 8) /
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8))
+          .as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape (adapted — this corpus has no partsupp, so profit =
+    * discounted revenue without the supplycost term): revenue by supplier
+    * nation × order year over parts matching a name token. part is
+    * filtered BEFORE the join and broadcast.
+    */
+  def productTypeProfit(li: DataFrame, o: DataFrame, s: DataFrame,
+      n: DataFrame, partDf: DataFrame, nameToken: String = "widget"): DataFrame =
+    li
+      .join(broadcast(partDf.filter(col("p_name").contains(nameToken))
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+        .as("sum_profit"))
+      .orderBy(col("nation"), col("o_year"))
+
+  /** TPC-H Q10 shape — returned-item reporting: top 20 customers by
+    * revenue lost to returns in a window. The selective filters (return
+    * flag, half-year) are pushed to the scans; one agg shuffle on
+    * custkey; TakeOrderedAndProject for the top-k.
+    */
+  def returnedItemLosses(li: DataFrame, o: DataFrame, c: DataFrame,
+      n: DataFrame): DataFrame =
+    li.filter(col("l_returnflag") === "R")
+      .join(o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-07-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q13 shape — customer order-count distribution: LEFT join so
+    * zero-order customers count, two aggregations (per-customer, then
+    * per-count). Both shuffles are on high-cardinality keys; the second
+    * input is already one row per customer.
+    */
+  def orderCountDistribution(c: DataFrame, o: DataFrame): DataFrame =
+    c.join(o.filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15 shape — top supplier(s) by quarterly revenue, ties kept:
+    * the per-supplier aggregate is tiny (one row per supplier), so the
+    * global max is a broadcast scalar join against it — no single-
+    * partition window over the big side.
+    */
+  def topSupplier(li: DataFrame, s: DataFrame): DataFrame = {
+    val rev = li
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 8)
+        .as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(top), col("total_revenue") === col("max_revenue"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: HAVING on a per-order
+    * aggregate, then enrich with customer. The heavy groupBy(l_orderkey)
+    * pre-aggregates lineitem map-side (combiner), and the survivors
+    * (p99 of orders) are what joins orders/customer.
+    */
+  def largeVolumeOrders(li: DataFrame, o: DataFrame, c: DataFrame,
+      minQty: Double = 250.0): DataFrame =
+    li.groupBy(col("l_orderkey"))
+      .agg(decSum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
 }

@@ -251,6 +251,64 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+  test("q7/q8/q9: dims broadcast, one agg shuffle, fact side never shuffles for dims") {
+    val li = Tables.lineitem(spark, sf); val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf); val s = Tables.supplier(spark, sf)
+    val n = Tables.nation(spark, sf); val r = Tables.region(spark, sf)
+    val p = Tables.part(spark, sf)
+    Seq(
+      Analytics.nationTradeVolume(li, o, c, s, n),
+      Analytics.marketShare(li, o, c, s, n, r, p),
+      Analytics.productTypeProfit(li, o, s, n, p)
+    ).foreach { df =>
+      val pl = plan(df)
+      assert(pl.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$pl")
+      assert(df.count() > 0)
+    }
+  }
+
+  test("q8 market share stays within [0,1] and conditional agg is one pass") {
+    import spark.implicits._
+    val df = Analytics.marketShare(Tables.lineitem(spark, sf),
+      Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf),
+      Tables.region(spark, sf), Tables.part(spark, sf))
+    val shares = df.select($"mkt_share").as[Double].collect()
+    assert(shares.nonEmpty)
+    assert(shares.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("q10/q18 plan TakeOrderedAndProject for the top-k") {
+    val q10 = Analytics.returnedItemLosses(Tables.lineitem(spark, sf),
+      Tables.orders(spark, sf), Tables.customer(spark, sf), Tables.nation(spark, sf))
+    val q18 = Analytics.largeVolumeOrders(Tables.lineitem(spark, sf),
+      Tables.orders(spark, sf), Tables.customer(spark, sf))
+    assert(plan(q10).contains("TakeOrderedAndProject"))
+    assert(plan(q18).contains("TakeOrderedAndProject"))
+    assert(q10.count() > 0 && q18.count() > 0)
+  }
+
+  test("q15 top supplier: scalar max via broadcast join, ties kept, no global window") {
+    val df = Analytics.topSupplier(Tables.lineitem(spark, sf),
+      Tables.supplier(spark, sf))
+    val pl = plan(df)
+    assert(!pl.contains("Window"), s"no window expected:\n$pl")
+    import spark.implicits._
+    val revs = df.select($"total_revenue").as[Double].collect()
+    assert(revs.nonEmpty && revs.distinct.length === 1,
+      "all surviving rows must share the max revenue")
+  }
+
+  test("q13 counts zero-order customers via the LEFT join") {
+    import spark.implicits._
+    val df = Analytics.orderCountDistribution(
+      Tables.customer(spark, sf), Tables.orders(spark, sf))
+    val total = df.agg(org.apache.spark.sql.functions.sum($"custdist"))
+      .as[Long].head()
+    assert(total === Tables.customer(spark, sf).count(),
+      "every customer lands in exactly one count bucket")
+  }
+
   test("customerSpendQuartiles: partitioned window, quartiles balanced") {
     import spark.implicits._
     val df = Analytics.customerSpendQuartiles(
