@@ -129,6 +129,30 @@ object ScaleCheck {
     time("curation pipeline (score+dedup+split)") {
       Curation.curate(big).count()
     }
+    time("assembly: greedy sequence packing") {
+      Assembly.packSequences(big, 256).count()
+    }
+    // benchmark side stays FIXED as the corpus grows (every 20th base doc)
+    // — the realistic shape: contamination cost must track the corpus
+    // scan, not the benchmark
+    time("contamination audit (fixed benchmark)") {
+      TextAnalysis.contamination(big,
+        isBenchmark = col("doc_id") % 20 === 0 && col("doc_id") < 1000000L)
+        .count()
+    }
+    time("repetition metrics (2 scans)") {
+      TextAnalysis.repetitionMetrics(big).count()
+    }
+    // nightly-ingest shape: batch = one replica slab, reference = the rest
+    time("cross-corpus dedup (1-slab batch)") {
+      Dedup.crossCorpusNew(
+        batch = big.filter(col("doc_id") >= (mult - 1).toLong * 1000000L),
+        reference = big.filter(col("doc_id") < (mult - 1).toLong * 1000000L))
+        .count()
+    }
+    time("per-source cap (rank window)") {
+      Curation.capPerSource(big, 1000).count()
+    }
 
     val ev = Tables.events(spark, "/root/testdata/sf0.1")
     time("sessionize 100k events") { Sessionize.batchSessions(ev).count() }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Envelope
-import graft.operators.{Analytics, Assembly, Dedup, Multimodal, Route,
-  Router, Sessionize, Similarity, Transforms, TextAnalysis}
+import graft.operators.{Analytics, Assembly, Curation, Dedup, Multimodal,
+  Route, Router, Sessionize, Similarity, Transforms, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -659,6 +659,49 @@ object SparkEntry {
             .as("est_jaccard"))
         .orderBy(col("source_a"), col("source_b"))
     }),
+
+    // ---- round 5: curation-pipeline additions ----
+
+    // greedy token-budget sequence packing per source (training-context
+    // assembly); sequential-per-group by nature, so sources are the
+    // parallel unit — oracle is the same greedy fold as a recursive CTE
+    "assembly_pack_sequences" -> ((s, dir) =>
+      Assembly.packSequences(Tables.documents(s, dir), tokenBudget = 256)
+        .orderBy(col("source"), col("doc_id"))),
+
+    // benchmark-contamination audit: distinct word-5-gram overlap of every
+    // corpus doc against the benchmark set (doc_id % 20 == 0 stands in
+    // for the eval suite); benchmark gram set broadcasts
+    "text_contamination" -> ((s, dir) =>
+      TextAnalysis.contamination(
+        Tables.documents(s, dir), isBenchmark = col("doc_id") % 20 === 0)
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style repetition metrics: top-bigram share + duplicate-
+    // trigram share per doc, with the boilerplate flag (thresholds
+    // tightened below the published 0.18/0.30 defaults so the synthetic
+    // corpus exercises both branches of the flag)
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(Tables.documents(s, dir),
+        topBigramMax = 0.10, dupTrigramMax = 0.05)
+        .orderBy(col("doc_id"))),
+
+    // incremental-ingest dedup: the "new batch" (src10..src19, the
+    // 5-char source names) anti-joined against the existing corpus
+    // (src0..src9) by content key, then deduped within the batch
+    "dedup_cross_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossCorpusNew(
+        batch = docs.filter(length(col("source")) > 4),
+        reference = docs.filter(length(col("source")) <= 4))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-domain cap: keep the 20 largest docs per source — the
+    // anti-over-representation guard on the training mix
+    "curation_domain_cap" -> ((s, dir) =>
+      Curation.capPerSource(Tables.documents(s, dir), maxPerSource = 20)
+        .orderBy(col("source"), col("rank_in_source"))),
 
     // t-digest-style approximate percentiles next to the exact order
     // statistics (approx values are engine-specific → rows-only; the
@@ -1604,5 +1647,134 @@ object SparkEntry {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_us(p.ts) >= epoch_us(c.ts)
         | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
-        |ORDER BY first_id, second_id""".stripMargin)
+        |ORDER BY first_id, second_id""".stripMargin,
+
+    // same greedy fold as the Spark mapPartitions pass, expressed as a
+    // per-source recursive CTE walking rn = 1, 2, ... carrying (seq_id,
+    // accumulated tokens) as recursion state
+    "assembly_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT doc_id, source, n_tokens, rn,
+        |         CAST(1 AS BIGINT) AS seq_id, n_tokens AS acc
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.doc_id, d.source, d.n_tokens, d.rn,
+        |         CASE WHEN p.acc + d.n_tokens > 256
+        |              THEN p.seq_id + 1 ELSE p.seq_id END,
+        |         CASE WHEN p.acc + d.n_tokens > 256
+        |              THEN d.n_tokens ELSE p.acc + d.n_tokens END
+        |  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT doc_id, source, n_tokens, seq_id
+        |FROM pack ORDER BY source, doc_id""".stripMargin,
+
+    "text_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |gi AS (
+        |  SELECT doc_id, ws,
+        |         unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+        |  FROM w),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+        |  FROM gi),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        |corpus AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM g WHERE doc_id % 20 <> 0 GROUP BY doc_id),
+        |ov AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM g JOIN bench USING (gram)
+        |  WHERE g.doc_id % 20 <> 0
+        |  GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams, n_overlap, contamination_ratio,
+        |       contamination_ratio >= 0.5 AS contaminated
+        |FROM (
+        |  SELECT w.doc_id,
+        |         COALESCE(n_grams, 0) AS n_grams,
+        |         COALESCE(n_overlap, 0) AS n_overlap,
+        |         CASE WHEN COALESCE(n_grams, 0) > 0
+        |              THEN CAST(COALESCE(n_overlap, 0) AS DOUBLE)
+        |                   / CAST(n_grams AS DOUBLE)
+        |              ELSE 0.0 END AS contamination_ratio
+        |  FROM w LEFT JOIN corpus USING (doc_id) LEFT JOIN ov USING (doc_id)
+        |  WHERE w.doc_id % 20 <> 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+        |        FROM w)),
+        |tri AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        |        FROM w)),
+        |bigmax AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_bigram_count
+        |  FROM (SELECT doc_id, gram, count(*) AS c FROM big GROUP BY doc_id, gram)
+        |  GROUP BY doc_id),
+        |tric AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |         CAST(count(DISTINCT gram) AS BIGINT) AS n_dtri
+        |  FROM tri GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, max_bigram_count, top_bigram_ratio,
+        |       n_trigrams, dup_trigram_ratio,
+        |       (top_bigram_ratio > 0.10 OR dup_trigram_ratio > 0.05) AS repetitive
+        |FROM (
+        |  SELECT w.doc_id,
+        |    CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_bigrams,
+        |    COALESCE(max_bigram_count, 0) AS max_bigram_count,
+        |    CASE WHEN len(ws) >= 2
+        |         THEN CAST(COALESCE(max_bigram_count, 0) AS DOUBLE)
+        |              / CAST(len(ws) - 1 AS DOUBLE)
+        |         ELSE 0.0 END AS top_bigram_ratio,
+        |    CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_trigrams,
+        |    CASE WHEN len(ws) >= 3
+        |         THEN 1.0 - CAST(n_dtri AS DOUBLE) / CAST(n_tri AS DOUBLE)
+        |         ELSE 0.0 END AS dup_trigram_ratio
+        |  FROM w LEFT JOIN bigmax USING (doc_id) LEFT JOIN tric USING (doc_id))
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_cross_corpus" ->
+      """WITH ref AS (
+        |  SELECT DISTINCT md5(regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g')) AS content_key
+        |  FROM documents WHERE length(source) <= 4),
+        |b AS (
+        |  SELECT doc_id, source,
+        |         md5(regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g')) AS content_key
+        |  FROM documents WHERE length(source) > 4)
+        |SELECT doc_id, source, content_key
+        |FROM (
+        |  SELECT b.*, row_number() OVER (
+        |      PARTITION BY content_key ORDER BY doc_id) AS rn
+        |  FROM b
+        |  WHERE content_key NOT IN (SELECT content_key FROM ref))
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "curation_domain_cap" ->
+      """SELECT doc_id, source, n_chars, rank_in_source
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(row_number() OVER (
+        |             PARTITION BY source
+        |             ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_in_source
+        |  FROM documents)
+        |WHERE rank_in_source <= 20
+        |ORDER BY source, rank_in_source""".stripMargin)
 }

@@ -240,4 +240,47 @@ object Assembly {
     }
     spark.createDataFrame(indexed, outSchema).drop("_hkey")
   }
+
+  /** Greedy sequence packing: walk each source's docs in doc_id order and
+    * append to the current training sequence until the token budget would
+    * overflow, then start the next one — the standard "pack short docs
+    * into fixed-length contexts" step before tokenizer/loader handoff.
+    * A doc longer than the budget gets a sequence of its own (it will be
+    * truncated downstream; the packer never splits a doc).
+    *
+    * Greedy packing is inherently sequential PER GROUP — seq_id(i) depends
+    * on every earlier doc in the same source — so the source is the
+    * parallelism unit: one hash repartition on `source`, a per-partition
+    * (source, doc_id) sort, and a single forward pass with O(1) state per
+    * partition (mapPartitions; state resets on source change, so many
+    * sources per partition are fine). At 100 TB the unit would be
+    * (source, shard) with shards cut on ingest boundaries — the pass and
+    * its guarantees are unchanged.
+    *
+    * Output: (doc_id, source, n_tokens, seq_id) with seq_id dense from 1
+    * per source. Deterministic under any partition count: the order the
+    * fold sees is fixed by the sort, and assignment depends only on it.
+    */
+  def packSequences(docs: DataFrame, tokenBudget: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("source"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        var cur: String = null
+        var seq = 0L
+        var acc = 0L
+        it.map { case (id, src, n) =>
+          if (src != cur) { cur = src; seq = 1L; acc = n }
+          else if (acc + n > tokenBudget) { seq += 1L; acc = n }
+          else acc += n
+          (id, src, n, seq)
+        }
+      }
+      .toDF("doc_id", "source", "n_tokens", "seq_id")
+  }
 }

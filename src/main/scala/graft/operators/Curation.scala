@@ -38,4 +38,25 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("quality_score"), col("split"))
   }
+
+  /** Per-source (per-domain) document cap: keep the `maxPerSource`
+    * largest docs per source (n_chars desc, doc_id tiebreak — a total
+    * order, so the cut is deterministic). The anti-over-representation
+    * guard every web-scale corpus applies so no single domain dominates
+    * the training mix.
+    *
+    * One shuffle on `source` + a per-partition sort (row_number window);
+    * sources are the parallelism unit. A skew-prone giant domain at
+    * 100 TB would use the two-phase variant: per-partition top-N
+    * pre-prune (cheap, no shuffle) before the global window — the final
+    * window then sees at most N × partitions rows per source.
+    */
+  def capPerSource(docs: DataFrame, maxPerSource: Int = 20): DataFrame =
+    docs
+      .withColumn("rank_in_source", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank_in_source") <= maxPerSource)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("rank_in_source"))
 }

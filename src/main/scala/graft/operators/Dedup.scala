@@ -61,6 +61,33 @@ object Dedup {
       .filter(col("rn") === 1)
       .drop("rn", "content_key")
 
+  /** Incremental-ingest (cross-corpus) exact dedup: the docs in `batch`
+    * whose content does not already exist in `reference`, deduped within
+    * the batch itself (min-doc_id survivor — same policy as
+    * [[exactDedup]]). This is the "dedupe tonight's crawl against the
+    * corpus we already have" step, run on every ingest cycle.
+    *
+    * 100 TB shape: both sides reduce to 16-byte md5 keys before any
+    * shuffle — the reference side to a DISTINCT key set, the batch keeps
+    * (doc_id, source, key). The anti-join then shuffles keys, never text.
+    * Nightly batches are orders of magnitude smaller than the corpus, so
+    * with a bucketed reference key table (see Sink.writeBucketed) the
+    * reference side reads pre-partitioned with zero exchange and only the
+    * batch shuffles.
+    */
+  def crossCorpusNew(batch: DataFrame, reference: DataFrame): DataFrame = {
+    val key = md5(normText(col("text")))
+    val refKeys = reference.select(key.as("content_key")).distinct()
+    batch
+      .withColumn("content_key", key)
+      .join(refKeys, Seq("content_key"), "left_anti")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_key")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("content_key"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word w-shingles as a distinct array column (native higher-order

@@ -86,6 +86,118 @@ object TextAnalysis {
       .withColumn("fp_rolling", RollingHash.rolling_hash(norm))
   }
 
+  // ------------------------------------------------- word n-grams
+
+  /** Lowercased alphanumeric word array (runs of [a-z0-9] after lower()).
+    * The shared tokenizer for the gram-based curation operators below;
+    * the regex is Java/RE2-common so the DuckDB oracle splits identically.
+    */
+  def wordArray(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), w => w =!= "")
+
+  /** All word n-grams (with multiplicity) as space-joined strings; empty
+    * array when the doc has fewer than n words. Pure higher-order-function
+    * expression — no explode, no shuffle, stays inside codegen.
+    *
+    * The `when` guard matters: Spark's `sequence(1, size-n+1)` generates a
+    * DESCENDING sequence when the doc is short (stop < start), which would
+    * fabricate grams from out-of-range slices.
+    */
+  def wordGrams(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark-contamination check: for every corpus doc, the fraction of
+    * its distinct word n-grams that appear anywhere in the benchmark set —
+    * the standard eval-leak audit before training (n-gram overlap a la
+    * GPT-3/PaLM appendix decontamination).
+    *
+    * 100 TB shape: the benchmark side is a fixed eval suite — tiny by
+    * construction — so its distinct-gram set BROADCASTS and the corpus
+    * side is one scan + narrow explode + map-side-combinable count; no
+    * corpus-vs-corpus shuffle ever happens. Docs with zero overlap keep a
+    * row (left join, ratio 0) so the output is a total audit, not a hit
+    * list.
+    */
+  def contamination(
+      docs: DataFrame,
+      isBenchmark: Column,
+      n: Int = 5,
+      flagThreshold: Double = 0.5): DataFrame = {
+    val withGrams = docs
+      .withColumn("grams", array_distinct(wordGrams(wordArray(col("text")), n)))
+    val benchGrams = withGrams.filter(isBenchmark)
+      .select(explode(col("grams")).as("gram"))
+      .distinct()
+    val corpus = withGrams.filter(!isBenchmark)
+      .select(col("doc_id"), col("grams"))
+    val overlap = corpus
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contamination_ratio",
+        when(col("n_grams") > 0,
+          col("n_overlap").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("contamination_ratio") >= flagThreshold)
+  }
+
+  /** Gopher-style repetition metrics: most-frequent-bigram share and
+    * duplicate-trigram share per doc — the cheap boilerplate/degenerate-
+    * text filter a curation pipeline runs corpus-wide.
+    *
+    * dup_trigram_ratio is computed entirely with array expressions
+    * (distinct-size over size — no explode); only the bigram MODE needs a
+    * (doc_id, gram) aggregation, and that shuffle carries gram COUNTS per
+    * doc (vocabulary-sized), never the corpus text.
+    */
+  def repetitionMetrics(
+      docs: DataFrame,
+      topBigramMax: Double = 0.18,
+      dupTrigramMax: Double = 0.30): DataFrame = {
+    val ws = wordArray(col("text"))
+    val base = docs.select(
+      col("doc_id"),
+      wordGrams(ws, 2).as("bigrams"),
+      wordGrams(ws, 3).as("trigrams"))
+    val perDoc = base.select(
+      col("doc_id"),
+      size(col("bigrams")).cast("long").as("n_bigrams"),
+      size(col("trigrams")).cast("long").as("n_trigrams"),
+      size(array_distinct(col("trigrams"))).cast("long").as("n_distinct_trigrams"))
+    val topBigram = base
+      .select(col("doc_id"), explode(col("bigrams")).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_bigram_count"))
+    perDoc
+      .join(topBigram, Seq("doc_id"), "left")
+      .withColumn("max_bigram_count", coalesce(col("max_bigram_count"), lit(0L)))
+      .withColumn("top_bigram_ratio",
+        when(col("n_bigrams") > 0,
+          col("max_bigram_count").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_trigram_ratio",
+        when(col("n_trigrams") > 0,
+          lit(1.0) - col("n_distinct_trigrams").cast("double")
+            / col("n_trigrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("repetitive",
+        col("top_bigram_ratio") > topBigramMax
+          || col("dup_trigram_ratio") > dupTrigramMax)
+      .select(col("doc_id"), col("n_bigrams"), col("max_bigram_count"),
+        col("top_bigram_ratio"), col("n_trigrams"), col("dup_trigram_ratio"),
+        col("repetitive"))
+  }
+
   // ------------------------------------------------- term statistics
 
   /** One row per token occurrence (normalized, whitespace-tokenized).

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Assembly, Curation, Dedup, TextAnalysis}
+
+/** Round-5 curation-pipeline operators: sequence packing, contamination
+  * audit, repetition metrics, cross-corpus dedup, per-source cap.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*): DataFrame =
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  // ---------------------------------------------------------- packing
+
+  test("packSequences: no sequence exceeds the budget unless single-doc") {
+    val packed = Assembly.packSequences(
+      Tables.documents(spark, sf), tokenBudget = 256)
+    val bad = packed.groupBy(col("source"), col("seq_id"))
+      .agg(sum(col("n_tokens")).as("tot"), count(lit(1)).as("n"))
+      .filter(col("tot") > 256 && col("n") > 1)
+    assert(bad.count() === 0)
+  }
+
+  test("packSequences: seq ids dense from 1 per source") {
+    val packed = Assembly.packSequences(
+      Tables.documents(spark, sf), tokenBudget = 256)
+    val bySrc = packed.groupBy(col("source"))
+      .agg(min(col("seq_id")).as("mn"), max(col("seq_id")).as("mx"),
+        countDistinct(col("seq_id")).as("nd"))
+    assert(bySrc.filter(col("mn") =!= 1 || col("mx") =!= col("nd")).count() === 0)
+  }
+
+  test("packSequences: deterministic under input partitioning") {
+    val d = Tables.documents(spark, sf)
+    val a = Assembly.packSequences(d, 256).collect().toSet
+    val b = Assembly.packSequences(d.repartition(13), 256).collect().toSet
+    assert(a === b)
+  }
+
+  test("packSequences: greedy fold matches hand-computed, oversized doc isolated") {
+    // tokens: 100, 100, 400 (oversized), 100, 200, 60
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val d = docs(
+      (1L, words(100), "s"), (2L, words(100), "s"), (3L, words(400), "s"),
+      (4L, words(100), "s"), (5L, words(200), "s"), (6L, words(60), "s"))
+    val out = Assembly.packSequences(d, tokenBudget = 256)
+      .orderBy("doc_id").select("doc_id", "seq_id")
+      .as[(Long, Long)].collect().toSeq
+    // greedy: [1,2]=200 | 3=400 alone | [4]=100, +200 would overflow | [5,6]=260>256? 200+60=260>256 → 5 alone? no:
+    // acc=100(4); 4+5: 100+200=300>256 → seq+1 for 5 (acc=200); 200+60=260>256 → seq+1 for 6
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (6L, 5L)))
+  }
+
+  // ---------------------------------------------------- contamination
+
+  private val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+
+  test("contamination: exact copy of a benchmark doc scores 1.0, disjoint scores 0") {
+    val d = docs(
+      (0L, benchText, "bench"),          // benchmark (doc_id % 2 == 0)
+      (1L, benchText, "web"),            // full copy → ratio 1.0
+      (3L, "one two three four five six seven", "web"), // disjoint → 0.0
+      (5L, "tiny doc", "web"))           // < 5 words → no grams, still a row
+    val out = TextAnalysis.contamination(d, isBenchmark = col("doc_id") % 2 === 0)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_overlap", "contamination_ratio", "contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, 4L, 1.0, true),
+      (3L, 3L, 0L, 0.0, false),
+      (5L, 0L, 0L, 0.0, false)))
+  }
+
+  test("contamination: partial overlap counts distinct grams once") {
+    // shares exactly the first 5-gram with the benchmark, repeated twice —
+    // distinct-gram semantics must count it once in n_grams and n_overlap
+    val shared = "alpha beta gamma delta epsilon"
+    val d = docs(
+      (0L, benchText, "bench"),
+      (1L, s"$shared unique1 $shared", "web"))
+    val out = TextAnalysis.contamination(d, isBenchmark = col("doc_id") % 2 === 0)
+      .select("n_grams", "n_overlap").as[(Long, Long)].head()
+    // words: 5 shared + unique1 + 5 shared = 11 words → 7 gram positions,
+    // distinct: pos1 == pos7 → 6 distinct grams; only "alpha beta gamma
+    // delta epsilon" is in the benchmark set
+    assert(out === ((6L, 1L)))
+  }
+
+  test("contamination: benchmark gram set broadcasts") {
+    val d = Tables.documents(spark, sf)
+    val plan = TextAnalysis.contamination(d, col("doc_id") % 20 === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast gram join, got:\n$plan")
+  }
+
+  // ------------------------------------------------------- repetition
+
+  test("repetitionMetrics: degenerate spam doc maxes both ratios") {
+    val d = docs((1L, "spam spam spam spam", "s"))
+    val r = TextAnalysis.repetitionMetrics(d)
+      .select("n_bigrams", "max_bigram_count", "top_bigram_ratio",
+        "dup_trigram_ratio", "repetitive")
+      .as[(Long, Long, Double, Double, Boolean)].head()
+    // bigrams: 3 × "spam spam" → top ratio 1.0; trigrams: 2 identical → dup 0.5
+    assert(r === ((3L, 3L, 1.0, 0.5, true)))
+  }
+
+  test("repetitionMetrics: all-unique doc has zero dup-trigram ratio") {
+    val d = docs((1L, "a b c d e f g h", "s"))
+    val r = TextAnalysis.repetitionMetrics(d)
+      .select("top_bigram_ratio", "dup_trigram_ratio", "repetitive")
+      .as[(Double, Double, Boolean)].head()
+    assert(math.abs(r._1 - 1.0 / 7.0) < 1e-12)
+    assert(r._2 === 0.0)
+    assert(!r._3)
+  }
+
+  test("repetitionMetrics: doc shorter than the gram emits zeros, keeps its row") {
+    val d = docs((1L, "word", "s"), (2L, "two words", "s"))
+    val r = TextAnalysis.repetitionMetrics(d).orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "n_trigrams", "dup_trigram_ratio")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq((1L, 0L, 0L, 0.0), (2L, 1L, 0L, 0.0)))
+  }
+
+  // ----------------------------------------------------- cross-corpus
+
+  test("crossCorpusNew: drops batch docs already in the reference (normalized)") {
+    val ref = docs((1L, "Existing   Document Text", "src0"))
+    val batch = docs(
+      (10L, "existing document text", "src10"),  // dup of ref modulo norm
+      (11L, "genuinely new content", "src10"),
+      (12L, "genuinely  NEW content", "src11"),  // in-batch dup of 11
+      (13L, "another new one", "src11"))
+    val out = Dedup.crossCorpusNew(batch, ref)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(11L, 13L))  // 10 dropped (in ref), 12 dropped (min-id 11 wins)
+  }
+
+  test("crossCorpusNew: empty reference passes the batch through deduped") {
+    val ref = docs().where(lit(false))
+    val batch = docs((1L, "a", "s"), (2L, "a", "s"), (3L, "b", "s"))
+    val out = Dedup.crossCorpusNew(batch, ref)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 3L))
+  }
+
+  // -------------------------------------------------------- source cap
+
+  test("capPerSource: at most N per source, ranked by size desc") {
+    val out = Curation.capPerSource(Tables.documents(spark, sf), maxPerSource = 3)
+    val counts = out.groupBy("source").count()
+    assert(counts.filter(col("count") > 3).count() === 0)
+    // rank 1 = the largest doc of its source
+    val viaMax = Tables.documents(spark, sf)
+      .groupBy("source").agg(max("n_chars").as("mx"))
+    val r1 = out.filter(col("rank_in_source") === 1)
+      .join(viaMax, "source")
+      .filter(col("n_chars") =!= col("mx"))
+    assert(r1.count() === 0)
+  }
+
+  test("capPerSource: deterministic tiebreak on doc_id") {
+    val d = docs(
+      (5L, "aaaa", "s"), (3L, "bbbb", "s"), (9L, "cccc", "s"), (1L, "dd", "s"))
+    val out = Curation.capPerSource(d, maxPerSource = 2)
+      .orderBy("rank_in_source")
+      .select("doc_id").as[Long].collect().toSeq
+    // all of 5,3,9 have n_chars=4 → doc_id ascending breaks the tie
+    assert(out === Seq(3L, 5L))
+  }
+}
