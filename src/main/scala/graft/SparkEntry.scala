@@ -235,6 +235,28 @@ object SparkEntry {
       Analytics.largeVolumeOrders(Tables.lineitem(s, dir), Tables.orders(s, dir),
         Tables.customer(s, dir))),
 
+    // TPC-H Q11 shape — per-part value with a global-threshold scalar
+    // subquery derived from the same aggregate (one lineitem scan)
+    "q11_important_parts" -> ((s, dir) =>
+      Analytics.importantPartValue(Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+
+    // TPC-H Q12 shape — conditional high/low-priority counts per flag
+    "q12_priority_distribution" -> ((s, dir) =>
+      Analytics.shipPriorityDistribution(Tables.lineitem(s, dir),
+        Tables.orders(s, dir))),
+
+    // TPC-H Q20 shape — semi-join against an aggregated subquery
+    "q20_heavy_suppliers" -> ((s, dir) =>
+      Analytics.heavyPartSuppliers(Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), Tables.part(s, dir))),
+
+    // TPC-H Q21 shape — EXISTS/NOT-EXISTS self-joins decorrelated into
+    // one per-order aggregate
+    "q21_waiting_suppliers" -> ((s, dir) =>
+      Analytics.waitingSuppliers(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.supplier(s, dir))),
+
     // exact interpolated percentiles per event type (order statistics)
     "q_percentiles" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -703,6 +725,37 @@ object SparkEntry {
       Curation.capPerSource(Tables.documents(s, dir), maxPerSource = 20)
         .orderBy(col("source"), col("rank_in_source"))),
 
+    // ---- round 5 (cont.): quality / PII / span-dedup additions ----
+
+    // Gopher-style quality rule set: per-rule flags + conjunction, all
+    // pure column expressions in one scan (word-count band tightened to
+    // the synthetic corpus's 8..100 so both branches are exercised)
+    "text_quality_gopher" -> ((s, dir) =>
+      graft.operators.TextAnalysis.gopherQuality(
+        Tables.documents(s, dir), minWords = 20, maxWords = 80)
+        .orderBy(col("doc_id"))),
+
+    // PII audit + redaction: the corpus carries no PII, so a
+    // deterministic PII-bearing column is derived from driver data
+    // (email from source, phone/IP from doc_id) and the operator's
+    // counts + redacted fingerprint are oracle-checked end to end
+    "text_pii_redact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val piiText = concat(
+        col("text"),
+        lit(" contact "), col("source"), lit("_"),
+        col("doc_id").cast("string"), lit("@example.com call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))
+      graft.operators.Pii.audit(d, piiText).orderBy(col("doc_id"))
+    }),
+
+    // C4/RefinedWeb-style sub-document span dedup: tumbling 10-word
+    // spans, keep the globally-first occurrence, per-doc audit row with
+    // the kept-text fingerprint
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.spanDedup(Tables.documents(s, dir), k = 10)),
+
     // t-digest-style approximate percentiles next to the exact order
     // statistics (approx values are engine-specific → rows-only; the
     // spec bounds approx-vs-exact error). Projected to SCALAR columns:
@@ -1107,6 +1160,68 @@ object SparkEntry {
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount)
+        |             AS DECIMAL(18,8))) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+        |FROM pv
+        |WHERE v * (SELECT COUNT(*) FROM pv) > 2 * (SELECT SUM(v) FROM pv)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "q12_priority_distribution" ->
+      """SELECT l_returnflag,
+        |       COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))
+        |         AS high_line_count,
+        |       COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+        |         AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q20_heavy_suppliers" ->
+      """WITH qty AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey, l_partkey)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM qty WHERE sum_qty > 50.0)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |         COUNT(DISTINCT l_suppkey) AS n_supp,
+        |         COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+        |                             THEN l_suppkey END) AS n_flagged,
+        |         MIN(CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+        |           AS suppkey
+        |  FROM lineitem
+        |  GROUP BY l_orderkey)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM per_order
+        |JOIN orders   ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON suppkey = s_suppkey
+        |WHERE n_supp > 1 AND n_flagged = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
 
     "q6_forecast_revenue" ->
@@ -1776,5 +1891,113 @@ object SparkEntry {
         |             ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_in_source
         |  FROM documents)
         |WHERE rank_in_source <= 20
-        |ORDER BY source, rank_in_source""".stripMargin)
+        |ORDER BY source, rank_in_source""".stripMargin,
+
+    "text_quality_gopher" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |      AS non_ws,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+        |      AS n_symbols,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> regexp_matches(x, '[A-Za-z]')))
+        |         AS BIGINT) AS alpha_words,
+        |    (CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\ba\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\bor\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(text, '\bin\b') THEN 1 ELSE 0 END)
+        |      AS n_stop_present
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  CASE WHEN n_words > 0 THEN non_ws / n_words ELSE 0.0 END
+        |    AS mean_word_len,
+        |  CASE WHEN n_words > 0 THEN n_symbols / n_words ELSE 0.0 END
+        |    AS symbol_ratio,
+        |  CASE WHEN n_words > 0
+        |       THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END
+        |    AS alpha_word_ratio,
+        |  CAST(n_stop_present AS BIGINT) AS n_stop_present,
+        |  (n_words >= 20 AND n_words <= 80) AS flag_word_count,
+        |  (CASE WHEN n_words > 0 THEN non_ws / n_words ELSE 0.0 END
+        |     BETWEEN 3.0 AND 10.0) AS flag_mean_len,
+        |  (CASE WHEN n_words > 0 THEN n_symbols / n_words ELSE 0.0 END
+        |     <= 0.1) AS flag_symbols,
+        |  (CASE WHEN n_words > 0
+        |        THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END
+        |     >= 0.8) AS flag_alpha,
+        |  (n_stop_present >= 2) AS flag_stopwords,
+        |  ((n_words >= 20 AND n_words <= 80)
+        |   AND (CASE WHEN n_words > 0 THEN non_ws / n_words ELSE 0.0 END
+        |          BETWEEN 3.0 AND 10.0)
+        |   AND (CASE WHEN n_words > 0 THEN n_symbols / n_words ELSE 0.0 END
+        |          <= 0.1)
+        |   AND (CASE WHEN n_words > 0
+        |             THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END
+        |          >= 0.8)
+        |   AND (n_stop_present >= 2)) AS pass_gopher
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         concat(text, ' contact ', source, '_',
+        |                CAST(doc_id AS VARCHAR), '@example.com call +1-555-',
+        |                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |                ' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.1')
+        |           AS pii_text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(pii_text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS n_emails,
+        |    CAST(len(regexp_extract_all(pii_text,
+        |      '\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}|\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b'))
+        |      AS BIGINT) AS n_phones,
+        |    CAST(len(regexp_extract_all(pii_text,
+        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |    regexp_replace(regexp_replace(regexp_replace(pii_text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}|\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b', '<PHONE>', 'g'),
+        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+        |  FROM p)
+        |SELECT doc_id, n_emails, n_phones, n_ips,
+        |       CAST(length(redacted) AS BIGINT) AS redacted_len,
+        |       md5(redacted) AS redacted_md5
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+        |         array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS span
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(0,
+        |            CAST(floor((len(ws) - 1) / 10.0) AS INT))) AS i
+        |        FROM w WHERE len(ws) > 0)),
+        |ranked AS (
+        |  SELECT doc_id, span_idx, span,
+        |         row_number() OVER (PARTITION BY span
+        |                            ORDER BY doc_id, span_idx) AS rn
+        |  FROM spans)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |       CASE WHEN count(*) FILTER (WHERE rn = 1) > 0
+        |            THEN md5(string_agg(CASE WHEN rn = 1 THEN span END,
+        |                                ' ' ORDER BY span_idx))
+        |            ELSE NULL END AS kept_md5
+        |FROM ranked
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)
 }

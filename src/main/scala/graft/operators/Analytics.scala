@@ -701,4 +701,118 @@ object Analytics {
         col("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
+
+  /** TPC-H Q11 shape (adapted: this corpus has no partsupp, so "important
+    * stock value" becomes important SHIPPED value, and the canonical
+    * single-nation supplier filter widens to a region so the sandbox's
+    * sparse supplier table stays non-empty at every SF): per-part revenue
+    * over one region's suppliers, keeping parts above 2× the mean share.
+    *
+    * The threshold is Q11's scalar subquery — and the scale story is that
+    * it derives from the SAME per-part aggregate: lineitem is scanned
+    * once, the one-row (total, count) aggregate of the per-part table is
+    * broadcast back as a cross join, and the filter runs on the already-
+    * aggregated (part-cardinality) side. Comparisons stay in DECIMAL end
+    * to end so both engines make identical keep/drop decisions at the
+    * threshold boundary.
+    */
+  def importantPartValue(li: DataFrame, s: DataFrame, n: DataFrame,
+      r: DataFrame, regionName: String = "ASIA"): DataFrame = {
+    val regionSupps = s
+      .join(broadcast(n.join(broadcast(r.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey")).select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = li
+      .join(broadcast(regionSupps), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 8))).as("value_dec"))
+    val thresh = perPart.agg(sum(col("value_dec")).as("total_dec"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(thresh))
+      .filter(col("value_dec") * col("n_parts") > col("total_dec") * lit(2))
+      .select(col("l_partkey"), col("value_dec").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12 shape (adapted: no l_shipmode/l_commitdate here — shipmode
+    * → return flag, late-commit → order priority): high- vs low-priority
+    * lineitem counts per flag for one ship year. One join + one
+    * conditional aggregation in a single shuffle; the outputs are counts,
+    * so the oracle compare is integer-exact by construction.
+    */
+  def shipPriorityDistribution(li: DataFrame, o: DataFrame,
+      shipYear: Int = 1997): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.filter(col("l_shipdate") >= lit(s"$shipYear-01-01").cast("timestamp")
+        && col("l_shipdate") < lit(s"${shipYear + 1}-01-01").cast("timestamp"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(high, lit(1))).as("high_line_count"),
+        count(when(!high, lit(1))).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q20 shape (adapted: availqty → shipped quantity): suppliers who
+    * moved more than `minQty` units of any name-matched part in a ship
+    * year — a semi-join against an aggregated subquery. part is filtered
+    * FIRST and broadcast (never joined raw), the (suppkey, partkey)
+    * aggregate combines map-side, and the supplier probe is left_semi so
+    * no row multiplication ever happens. The quantity threshold compares
+    * in DECIMAL for engine-exact boundary behavior.
+    */
+  def heavyPartSuppliers(li: DataFrame, s: DataFrame, partDf: DataFrame,
+      nameToken: String = "red", shipYear: Int = 1997,
+      minQty: Double = 50.0): DataFrame = {
+    val qty = li
+      .filter(col("l_shipdate") >= lit(s"$shipYear-01-01").cast("timestamp")
+        && col("l_shipdate") < lit(s"${shipYear + 1}-01-01").cast("timestamp"))
+      .join(broadcast(partDf.filter(col("p_name").contains(nameToken))
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"))
+      .filter(col("sum_qty") > lit(minQty))
+      .select(col("l_suppkey"))
+      .distinct()
+    s.join(qty, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21 shape (adapted: no commit/receipt dates — "kept the order
+    * waiting" becomes "sole returned-flag supplier on a multi-supplier
+    * finished order"). The canonical formulation is an EXISTS plus a
+    * NOT EXISTS correlated self-join on lineitem; here both are
+    * decorrelated into ONE per-order aggregate (distinct-supplier count,
+    * flagged-supplier count, and the flagged supplier's key via
+    * min-over-a-singleton), which is also the only plan that survives
+    * 100 TB: lineitem is scanned once and the quadratic self-join never
+    * materializes.
+    */
+  def waitingSuppliers(li: DataFrame, o: DataFrame, s: DataFrame,
+      topK: Int = 100): DataFrame =
+    // Two plain hash aggregates instead of two COUNT(DISTINCT ...) in one:
+    // multiple distinct aggregates make Spark Expand the fact table ×3 and
+    // run the distinct machinery over it (measured 3-6 s at sf0.1 vs <1 s
+    // for this shape). Collapsing to (orderkey, suppkey [, has_r]) first is
+    // a map-side-combinable pre-aggregation — the formulation that also
+    // holds at 100 TB, where an Expand of lineitem is 3× the biggest table.
+    li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_supp"),
+        sum(col("has_r")).as("n_flagged"),
+        min(when(col("has_r") === 1, col("l_suppkey"))).as("suppkey"))
+      .filter(col("n_supp") > 1 && col("n_flagged") === 1)
+      .join(o.filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(s), col("suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(topK)
 }

@@ -455,4 +455,56 @@ object Dedup {
         Similarity.dot(col("u_a"), col("u_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // ------------------------------------------------- sub-document spans
+
+  /** Sub-document (span-level) exact dedup, C4/RefinedWeb-style: the
+    * corpus-wide pass that removes REPEATED PASSAGES (boilerplate,
+    * licenses, navigation chrome) while keeping each passage's first
+    * occurrence. Documents are cut into tumbling `k`-word spans (the
+    * single-line corpus stand-in for line/paragraph units); a span is kept
+    * iff it is the globally-first occurrence of its content, ordered by
+    * (doc_id, span_idx) — a total order, so the survivor set is
+    * deterministic and engine-independent.
+    *
+    * 100 TB shape: span generation is a narrow per-row array expression
+    * (no explode until the spans exist), then ONE shuffle keyed on the
+    * span content to rank occurrences, then one (doc_id) shuffle to
+    * re-assemble per-doc stats + the kept-text fingerprint. The shuffled
+    * payload is (hash-sized key, doc_id, idx) — never the full document.
+    * A pathologically hot span (the same license block a billion times)
+    * skews one reducer; the mitigation is the same two-level trick the
+    * exact-dedup path uses — pre-aggregate min-(doc_id, idx) per
+    * (span, partition) map-side, which the rank-1 window here already
+    * approximates via the window's partial sort.
+    *
+    * Output: per doc, total spans, surviving spans, and md5 of the
+    * re-assembled kept text (null when every span was a duplicate) — the
+    * audit row a curation pipeline logs per document.
+    */
+  def spanDedup(docs: DataFrame, k: Int = 10): DataFrame = {
+    val ws = TextAnalysis.wordArray(col("text"))
+    val spans = docs
+      .select(col("doc_id"),
+        when(size(ws) > 0,
+          transform(sequence(lit(0), floor((size(ws) - 1).cast("double") / k).cast("int")),
+            i => concat_ws(" ", slice(ws, i * k + 1, lit(k)))))
+          .otherwise(array().cast("array<string>")).as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("span_idx", "span")))
+    val ranked = spans.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("span")).orderBy(col("doc_id"), col("span_idx"))))
+    ranked
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(when(col("rn") === 1, lit(1))).as("n_kept"),
+        sort_array(collect_list(when(col("rn") === 1,
+          struct(col("span_idx"), col("span"))))).as("kept"))
+      .select(col("doc_id"), col("n_spans"), col("n_kept"),
+        when(col("n_kept") > 0,
+          md5(concat_ws(" ", transform(col("kept"), x => x("span")))))
+          .otherwise(lit(null).cast("string")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -198,6 +198,64 @@ object TextAnalysis {
         col("repetitive"))
   }
 
+  /** Gopher-style quality rule set (Rae et al. 2021, table A1 — the
+    * published heuristic filter suite for web-scale corpora): word-count
+    * bounds, mean-word-length band, symbol-to-word ratio, alphabetic-word
+    * ratio, and required-stopword presence, each surfaced as its own flag
+    * plus the conjunction.
+    *
+    * Every rule is a pure column expression over one scan — no shuffle, no
+    * UDF, fully codegen'd — which is exactly how a 100 TB quality pass must
+    * run: the filter decides while the text is still in the scan stage, so
+    * rejected documents never reach an exchange. Ratios divide doubles
+    * computed from integer counts, so both engines agree bit-for-bit.
+    */
+  def gopherQuality(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val text = col("text")
+    val nWords = countMatches(text, "\\S+").cast("long")
+    // total non-whitespace chars / words = mean token length (exact ints in,
+    // one IEEE division out — engine-portable)
+    val nonWs = length(regexp_replace(text, "\\s", "")).cast("double")
+    val nSymbols = countMatches(text, "#|\\.\\.\\.").cast("double")
+    val alphaWords =
+      size(filter(split(text, "\\s+"), w => w.rlike("[A-Za-z]"))).cast("long")
+    val stops = Seq("the", "a", "of", "and", "or", "in")
+    val nStopPresent = stops.map(s =>
+      when(text.rlike(s"\\b$s\\b"), 1).otherwise(0)).reduce(_ + _)
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len",
+        when(nWords > 0, nonWs / nWords.cast("double")).otherwise(lit(0.0)))
+      .withColumn("symbol_ratio",
+        when(nWords > 0, nSymbols / nWords.cast("double")).otherwise(lit(0.0)))
+      .withColumn("alpha_word_ratio",
+        when(nWords > 0, alphaWords.cast("double") / nWords.cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("n_stop_present", nStopPresent.cast("long"))
+      .withColumn("flag_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("flag_mean_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("flag_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("flag_alpha", col("alpha_word_ratio") >= minAlphaRatio)
+      .withColumn("flag_stopwords", col("n_stop_present") >= minStopwords)
+      .withColumn("pass_gopher",
+        col("flag_word_count") && col("flag_mean_len") && col("flag_symbols")
+          && col("flag_alpha") && col("flag_stopwords"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_word_ratio"), col("n_stop_present"),
+        col("flag_word_count"), col("flag_mean_len"), col("flag_symbols"),
+        col("flag_alpha"), col("flag_stopwords"), col("pass_gopher"))
+  }
+
   // ------------------------------------------------- term statistics
 
   /** One row per token occurrence (normalized, whitespace-tokenized).

@@ -180,4 +180,36 @@ class DedupSpec extends SparkSpec {
     // cross-lang and different-prefix rows never pair
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L))
   }
+
+  test("spanDedup: duplicated spans drop, first occurrence survives") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"license$i").mkString(" ") // one exact span
+    val docs = Seq(
+      (1L, boiler + " " + (1 to 10).map(i => s"alpha$i").mkString(" ")),
+      (2L, boiler + " " + (1 to 10).map(i => s"beta$i").mkString(" ")),
+      (3L, (1 to 7).map(i => s"gamma$i").mkString(" ")) // one partial span
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, k = 10)
+      .as[(Long, Long, Long, Option[String])].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ===
+      Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 1L, 1L)))
+    // doc 2 keeps only its own content; its fingerprint is md5 of the
+    // beta span alone
+    val betaMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest((1 to 10).map(i => s"beta$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(1)._4 === Some(betaMd5))
+  }
+
+  test("spanDedup: a doc that is entirely boilerplate keeps nothing (null md5)") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, k = 10)
+      .as[(Long, Long, Long, Option[String])].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 1L, got.head._4),
+      (2L, 1L, 0L, None)))
+    assert(got.head._4.isDefined)
+  }
 }

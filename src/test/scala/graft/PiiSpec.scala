@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pii
+
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redact: exact vectors for email, phone, ip") {
+    val got = Seq(
+      "mail me at jane.doe+spam@sub.example.co.uk today",
+      "call +1-555-0134 or 555-123-4567 now",
+      "host 192.168.0.1 and 10.0.0.255",
+      "no pii here at all",
+      "mixed a@b.io 555-123-4567 8.8.8.8"
+    ).toDF("text")
+      .select(Pii.redact(col("text"))).as[String].collect().toSeq
+    assert(got(0) === "mail me at <EMAIL> today")
+    assert(got(1) === "call <PHONE> or <PHONE> now")
+    assert(got(2) === "host <IP> and <IP>")
+    assert(got(3) === "no pii here at all")
+    assert(got(4) === "mixed <EMAIL> <PHONE> <IP>")
+  }
+
+  test("countPii matches the number of redactions") {
+    val df = Seq(
+      ("a@b.co c@d.org", 2L, 0L, 0L),
+      ("+1-555-0134 x 555-123-4567", 0L, 2L, 0L),
+      ("1.2.3.4", 0L, 0L, 1L)
+    ).toDF("text", "e", "p", "i")
+    val got = df.select(
+      Pii.countPii(col("text"), Pii.emailPattern),
+      Pii.countPii(col("text"), Pii.phonePattern),
+      Pii.countPii(col("text"), Pii.ipv4Pattern),
+      col("e"), col("p"), col("i")).as[(Long, Long, Long, Long, Long, Long)]
+      .collect()
+    got.foreach { case (ge, gp, gi, e, p, i) =>
+      assert((ge, gp, gi) === ((e, p, i)))
+    }
+  }
+
+  test("audit over derived corpus column: every doc carries the injected PII") {
+    val d = Tables.documents(spark, sf)
+    val piiText = concat(col("text"), lit(" contact "), col("source"),
+      lit("_"), col("doc_id").cast("string"),
+      lit("@example.com call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))
+    val got = Pii.audit(d, piiText)
+    val rows = got.select("n_emails", "n_phones", "n_ips")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (e, p, i) => e >= 1 && p >= 1 && i >= 1 },
+      "the derived column injects at least one of each PII category")
+    // audit output carries no raw text — only counts, length, fingerprint
+    assert(got.columns.toSet ===
+      Set("doc_id", "n_emails", "n_phones", "n_ips",
+        "redacted_len", "redacted_md5"))
+  }
+}

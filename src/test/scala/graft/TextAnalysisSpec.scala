@@ -87,4 +87,40 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "beta", 2L, 1L), (2L, "common", 1L, 3L),
       (3L, "common", 1L, 3L), (3L, "gamma", 1L, 1L)))
   }
+
+  test("gopherQuality: per-rule flags on constructed edge docs") {
+    val docs = Seq(
+      // 25 words, mean len ok, stopwords present → passes everything
+      (1L, ("the a of and " + Seq.fill(21)("token").mkString(" "))),
+      // too short (3 words)
+      (2L, "the a of"),
+      // symbol-heavy: ellipses push symbol_ratio over 0.1
+      (3L, ("the a of and " + Seq.fill(21)("wait ...").mkString(" "))),
+      // numeric soup: alpha ratio below 0.8
+      (4L, ("the a of and " + Seq.fill(30)("12345").mkString(" "))),
+      // no stopwords at all
+      (5L, Seq.fill(30)("zzz").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(docs, minWords = 20, maxWords = 80)
+      .orderBy(col("doc_id"))
+      .select("pass_gopher", "flag_word_count", "flag_symbols",
+        "flag_alpha", "flag_stopwords")
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(got(0) === ((true, true, true, true, true)))
+    assert(!got(1)._2, "3 words must fail the word-count band")
+    assert(!got(2)._3, "ellipsis soup must fail the symbol-ratio rule")
+    assert(!got(3)._4, "numeric soup must fail the alpha-word rule")
+    assert(!got(4)._5, "stopword-free text must fail the stopword rule")
+    assert(got.tail.forall(!_._1), "any failed rule fails the conjunction")
+  }
+
+  test("gopherQuality on the corpus: both branches populated, ratios bounded") {
+    val df = TextAnalysis.gopherQuality(
+      Tables.documents(spark, sf), minWords = 20, maxWords = 80)
+    val rows = df.select("pass_gopher", "mean_word_len", "symbol_ratio",
+      "alpha_word_ratio").as[(Boolean, Double, Double, Double)].collect()
+    assert(rows.exists(_._1) && rows.exists(!_._1),
+      "thresholds must split the synthetic corpus")
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= 1 && r._4 >= 0 && r._4 <= 1))
+  }
 }
