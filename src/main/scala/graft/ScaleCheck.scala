@@ -153,6 +153,29 @@ object ScaleCheck {
     time("per-source cap (rank window)") {
       Curation.capPerSource(big, 1000).count()
     }
+    // replicas share every span with their base doc — the adversarial
+    // case for span dedup: duplicate mass grows with mult while the
+    // surviving set stays ~constant
+    time("span dedup (10-word spans)") {
+      Dedup.spanDedup(big, 10).count()
+    }
+    time("gopher quality rules (1 scan)") {
+      TextAnalysis.gopherQuality(big).filter(col("pass_gopher")).count()
+    }
+    time("pii redact (1 scan)") {
+      graft.operators.Pii.audit(big,
+        concat(col("text"), lit(" x"), col("doc_id").cast("string"),
+          lit("@example.com"))).agg(sum("n_emails")).collect(); n
+    }
+    // MG sketch vs the exact Zipf head: both one token pass, but the
+    // sketch's shuffle payload is capacity-sized summaries, not the
+    // vocabulary×doc table
+    time("heavy hitters sketch (MG, cap=32)") {
+      TextAnalysis.heavyHitters(big, 32).count()
+    }
+    time("exact token frequencies (head 50)") {
+      TextAnalysis.tokenFrequencies(big, 50).count()
+    }
 
     val ev = Tables.events(spark, "/root/testdata/sf0.1")
     time("sessionize 100k events") { Sessionize.batchSessions(ev).count() }

@@ -756,6 +756,12 @@ object SparkEntry {
     "dedup_spans" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir), k = 10)),
 
+    // Misra-Gries heavy hitters over the token stream (bounded-memory
+    // one-pass sketch; estimates are merge-order-dependent → rows-only,
+    // the spec proves the MG guarantees against exact counts)
+    "text_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir), capacity = 32)),
+
     // t-digest-style approximate percentiles next to the exact order
     // statistics (approx values are engine-specific → rows-only; the
     // spec bounds approx-vs-exact error). Projected to SCALAR columns:

@@ -280,6 +280,25 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Single-pass bounded-memory heavy hitters over the token stream —
+    * the sketch twin of [[tokenFrequencies]]: a Misra-Gries
+    * `TypedImperativeAggregate` ([[graft.functions.FreqSketch]]) whose
+    * partial buffers carry ≤ `capacity` entries and merge associatively,
+    * so the final reducer sees capacity-sized summaries no matter how big
+    * the corpus is. est ≤ true ≤ est + max_underestimate is the MG
+    * guarantee, spec-verified against exact counts; rank is the
+    * deterministic (est desc, token) order within the summary.
+    */
+  def heavyHitters(docs: DataFrame, capacity: Int = 32): DataFrame =
+    tokens(docs)
+      .agg(graft.functions.FreqSketch.freq_sketch(col("token"), capacity)
+        .as("sketch"))
+      .select(posexplode(col("sketch")).as(Seq("rank", "entry")))
+      .select(col("rank").cast("long").as("rank"),
+        col("entry.item").as("token"),
+        col("entry.est").as("est_count"),
+        col("entry.err").as("max_underestimate"))
+
   /** Corpus token-frequency head (the Zipf table): term frequency +
     * document frequency, top `topN` by (tf desc, token) — a unique total
     * order, so LIMIT is deterministic. One corpus pass (docTermCounts) +
