@@ -762,6 +762,22 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(Tables.documents(s, dir), capacity = 32)),
 
+    // NEAR-dup curation end to end: quality filter → exact ngram-Jaccard
+    // pairs → connected components → keep component minimum → split;
+    // every stage already carries its own oracle, so the composition is
+    // hash-checked (oracle = quality CTE + brute-force pairs + recursive
+    // CTE reachability + hash-split CASE)
+    "pipeline_curate_neardup" -> ((s, dir) =>
+      Curation.curateNearDup(Tables.documents(s, dir),
+        minQuality = 0.5, threshold = 0.7)
+        .orderBy(col("doc_id"))),
+
+    // per-label embedding diagnostics: centroid norm, mean squared norm,
+    // within-label variance trace — fixed-point (1e-6) integer sums make
+    // the doubles bit-identical across engines
+    "embedding_label_stats" -> ((s, dir) =>
+      Similarity.labelEmbeddingStats(Tables.embeddings(s, dir))),
+
     // t-digest-style approximate percentiles next to the exact order
     // statistics (approx values are engine-specific → rows-only; the
     // spec bounds approx-vs-exact error). Projected to SCALAR columns:
@@ -2005,5 +2021,85 @@ object SparkEntry {
         |            ELSE NULL END AS kept_md5
         |FROM ranked
         |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curate_neardup" ->
+      s"""WITH RECURSIVE f AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens,
+         |    CAST(length(text) AS DOUBLE) AS n_chars_d,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct,
+         |    CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|or|in)\\b')) AS DOUBLE) AS n_stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, text, n_tokens,
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (1.0 - CASE WHEN n_chars_d > 0 THEN n_punct / n_chars_d ELSE 0.0 END) * 0.3
+         |      + least(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 5.0, 1.0) * 0.3
+         |      AS quality_score
+         |  FROM f),
+         |s AS (SELECT * FROM q WHERE quality_score >= 0.5),
+         |g AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct(CASE WHEN length(norm) >= 3
+         |      THEN [substring(norm, i, 3) for i in range(1, length(norm) - 1)]
+         |      ELSE [norm] END) AS grams
+         |  FROM (SELECT doc_id, lang,
+         |          regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g') AS norm
+         |        FROM s) t),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |        / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
+         |           - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) AS jaccard
+         |    FROM g a JOIN g b
+         |      ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |     AND least(len(a.grams), len(b.grams)) + 1e-9
+         |         >= greatest(len(a.grams), len(b.grams)) * 0.7) p
+         |  WHERE jaccard >= 0.7),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u AS node, u AS comp FROM edges
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+         |cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+         |SELECT s.doc_id, s.lang, s.n_tokens, s.quality_score,
+         |       ${Assembly.hashSplitOracleCase("s.doc_id",
+              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
+         |FROM s LEFT JOIN cc ON cc.node = s.doc_id
+         |WHERE COALESCE(cc.component, s.doc_id) = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+
+    "embedding_label_stats" ->
+      """WITH sc AS (
+        |  SELECT label,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |              AS BIGINT) AS vi,
+        |         unnest(range(1, len(embedding) + 1)) AS dim
+        |  FROM embeddings),
+        |counts AS (
+        |  SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label),
+        |perdim AS (
+        |  SELECT label, dim, SUM(vi) AS sum_vi,
+        |         SUM(CAST(vi AS HUGEINT) * vi) AS sumsq_vi
+        |  FROM sc GROUP BY label, dim),
+        |perlabel AS (
+        |  SELECT label,
+        |         SUM(CAST(sum_vi AS HUGEINT) * sum_vi) AS csq,
+        |         SUM(sumsq_vi) AS ssq
+        |  FROM perdim GROUP BY label)
+        |SELECT p.label, c.n_vectors,
+        |  sqrt(CAST(csq AS DOUBLE)) / (CAST(n_vectors AS DOUBLE) * 1000000.0)
+        |    AS centroid_norm,
+        |  CAST(ssq AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * 1e12)
+        |    AS mean_sq_norm,
+        |  CAST(ssq AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * 1e12)
+        |    - (sqrt(CAST(csq AS DOUBLE)) / (CAST(n_vectors AS DOUBLE) * 1000000.0))
+        |      * (sqrt(CAST(csq AS DOUBLE)) / (CAST(n_vectors AS DOUBLE) * 1000000.0))
+        |    AS variance_trace
+        |FROM perlabel p JOIN counts c USING (label)
+        |ORDER BY label""".stripMargin)
 }

@@ -39,6 +39,44 @@ object Curation {
         col("quality_score"), col("split"))
   }
 
+  /** End-to-end NEAR-duplicate curation — the production big sibling of
+    * [[curate]]: quality filter → exact n-gram Jaccard near-dup pairs →
+    * connected components → keep each component's minimum doc_id →
+    * deterministic split. This is the pass real corpus builds run (near
+    * dups, not just byte dups, dominate web-scale redundancy), composed
+    * from operators that each already carry their own oracle
+    * (withQuality, ngramJaccardPairs, Graph.componentsFor,
+    * Assembly.hashSplit) — so the full composition is DuckDB-checkable.
+    *
+    * Scale story, in order: (1) the quality filter is columnar and runs
+    * before ANY pair work, so rejected docs never enter candidate
+    * generation; (2) pair generation is the banded+salted exact join
+    * (Ω(pairs) floor documented in SCALING.md — swap in minhashLshPairs
+    * for the approximate path at larger thresholds, same downstream);
+    * (3) clustering is O(log n)-round star contraction, shuffling 16-byte
+    * id pairs; (4) survivor selection is doc_id == component (component
+    * id IS the member minimum), a narrow filter; (5) the split is a
+    * narrow hash map.
+    */
+  def curateNearDup(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      threshold: Double = 0.7,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val scored = TextAnalysis.withQuality(docs)
+      .filter(col("quality_score") >= minQuality)
+    val pairs = Dedup.ngramJaccardPairs(scored, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comps = Graph.componentsFor(scored, "doc_id", pairs)
+    val survivors = scored
+      .join(comps, Seq("doc_id"))
+      .filter(col("doc_id") === col("component"))
+    Assembly.hashSplit(survivors, "doc_id", splits)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"), col("split"))
+  }
+
   /** Per-source (per-domain) document cap: keep the `maxPerSource`
     * largest docs per source (n_chars desc, doc_id tiebreak — a total
     * order, so the cut is deterministic). The anti-over-representation

@@ -638,4 +638,55 @@ object Similarity {
     deq.select(col("vec_id"),
       (lit(1.0) - dot(col("u_exact"), col("u_deq"))).as("cos_err"))
   }
+
+  // ---------------------------------------------- per-label diagnostics
+
+  /** Per-label embedding diagnostics: centroid norm, mean squared vector
+    * norm, and the within-label variance trace
+    * (E[‖v‖²] − ‖centroid‖² = Σ_d Var[v_d]) — the compactness/diversity
+    * audit a corpus build runs per cluster/source before trusting labels
+    * for stratification or IVF training.
+    *
+    * Scale shape: one posexplode to (label, dim) with map-side-combinable
+    * integer sums — the shuffle is labels×dims rows (corpus-size-
+    * independent), then a labels-sized reduction. Nothing corpus-sized
+    * crosses the network.
+    *
+    * Determinism: float components are fixed-pointed at 1e-6
+    * (`round(v·1e6)` is exact in double — 24-bit float mantissa × 20-bit
+    * scale < 53 bits), all sums run in integer/decimal space, and the
+    * only float ops are final divisions/sqrt on exact integers — so both
+    * engines produce bit-identical doubles and the oracle hash-compares.
+    */
+  def labelEmbeddingStats(embeddings: DataFrame): DataFrame = {
+    val counts = embeddings.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val dec = "decimal(19,0)"
+    val scaled = embeddings.select(
+      col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        round(col("v").cast("double") * 1000000.0).cast("long").as("vi"))
+    val perDim = scaled
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        sum(col("vi")).as("sum_vi"),
+        sum(col("vi").cast(dec) * col("vi").cast(dec)).as("sumsq_vi"))
+    perDim
+      .groupBy(col("label"))
+      .agg(
+        sum(col("sum_vi").cast(dec) * col("sum_vi").cast(dec)).as("csq"),
+        sum(col("sumsq_vi")).as("ssq"))
+      .join(broadcast(counts), Seq("label"))
+      .select(
+        col("label"),
+        col("n_vectors"),
+        (sqrt(col("csq").cast("double"))
+          / (col("n_vectors").cast("double") * 1000000.0))
+          .as("centroid_norm"),
+        (col("ssq").cast("double")
+          / (col("n_vectors").cast("double") * 1e12)).as("mean_sq_norm"))
+      .withColumn("variance_trace",
+        col("mean_sq_norm") - col("centroid_norm") * col("centroid_norm"))
+      .orderBy(col("label"))
+  }
 }

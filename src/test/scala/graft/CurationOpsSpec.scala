@@ -176,4 +176,30 @@ class CurationOpsSpec extends SparkSpec {
     // all of 5,3,9 have n_chars=4 → doc_id ascending breaks the tie
     assert(out === Seq(3L, 5L))
   }
+
+  test("curateNearDup: no two survivors are near-dups; survivors are component minima") {
+    val threshold = 0.7
+    val corpus = Tables.documents(spark, sf)
+    val out = Curation.curateNearDup(corpus, minQuality = 0.5, threshold = threshold)
+    val survivors = out.select("doc_id").as[Long].collect().toSet
+    assert(survivors.nonEmpty)
+    // a direct near-dup pair implies same component, so at most one of the
+    // two can be a component minimum: no surviving pair at J >= t
+    val scored = graft.operators.TextAnalysis.withQuality(corpus)
+      .filter(col("quality_score") >= 0.5)
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(scored, threshold)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(!(survivors.contains(a) && survivors.contains(b)),
+        s"near-dup pair ($a, $b) both survived")
+    }
+    // every quality survivor is either kept or reachable from a kept doc:
+    // count matches quality survivors minus (component sizes - 1)
+    val comps = graft.operators.Graph.componentsFor(
+      scored, "doc_id",
+      graft.operators.Dedup.ngramJaccardPairs(scored, threshold)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val expectSurvivors = comps.filter(col("doc_id") === col("component")).count()
+    assert(survivors.size.toLong === expectSurvivors)
+  }
 }

@@ -211,4 +211,30 @@ class SimilaritySpec extends SparkSpec {
     info(s"max int8 cosine error = $maxErr")
     assert(maxErr < 1e-3, s"int8 dequantized cosine drifted: $maxErr")
   }
+
+  test("labelEmbeddingStats: constructed extremes and corpus invariants") {
+    import spark.implicits._
+    // label 0: identical vectors -> variance_trace ~ 0, centroid_norm =
+    // vector norm; label 1: opposite vectors -> centroid ~ 0
+    val v = Array(3.0f, 4.0f) // norm 5
+    val d = Seq(
+      (0L, v, 0), (1L, v, 0),
+      (2L, v, 1), (3L, v.map(-_), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelEmbeddingStats(d)
+      .select("label", "n_vectors", "centroid_norm", "mean_sq_norm",
+        "variance_trace")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === Seq((0, 2L), (1, 2L)))
+    assert(math.abs(got(0)._3 - 5.0) < 1e-5)      // centroid norm = ||v||
+    assert(math.abs(got(0)._5) < 1e-5)            // zero dispersion
+    assert(math.abs(got(1)._3) < 1e-5)            // centroid cancels
+    assert(math.abs(got(1)._5 - 25.0) < 1e-4)     // all mass is variance
+    // corpus invariants: counts partition the corpus; trace >= 0
+    val corpus = Tables.embeddings(spark, sf)
+    val stats = Similarity.labelEmbeddingStats(corpus)
+      .select("n_vectors", "variance_trace").as[(Long, Double)].collect()
+    assert(stats.map(_._1).sum === corpus.count())
+    assert(stats.forall(_._2 >= -1e-9), "variance trace must be nonnegative")
+  }
 }
