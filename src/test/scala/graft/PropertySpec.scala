@@ -119,4 +119,62 @@ class PropertySpec extends AnyFunSuite {
       assert(graft.functions.MqttFunctions.topicMatches(t, t))
     }
   }
+
+  test("property: MG sketch guarantees under random streams, chunkings, merge trees") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.FreqSketchAgg
+
+    val capacity = 8
+    val agg = FreqSketchAgg(BoundReference(0, StringType, nullable = true), capacity)
+    // zipf-ish stream: few heavy items over a long tail
+    val item = Gen.frequency(
+      8 -> Gen.oneOf("hot1", "hot2", "hot3"),
+      3 -> Gen.oneOf("warm1", "warm2", "warm3", "warm4"),
+      2 -> Gen.choose(0, 400).map(i => s"tail$i"))
+    val stream = Gen.choose(50, 800).flatMap(n => Gen.listOfN(n, item))
+    samples(Gen.zip(stream, Gen.choose(1, 7)), 40).foreach { case (items, chunks) =>
+      val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val n = items.size.toLong
+      // build one partial buffer per chunk, then fold-merge (a skewed
+      // merge tree — the worst case for bound accumulation)
+      val parts = items.grouped(math.max(1, items.size / chunks)).map { chunk =>
+        val buf = agg.createAggregationBuffer()
+        chunk.foreach(s => agg.update(buf, InternalRow(UTF8String.fromString(s))))
+        // serialize/deserialize round-trip must be the identity
+        agg.deserialize(agg.serialize(buf))
+      }.toSeq
+      val merged = parts.reduce(agg.merge)
+      assert(merged.items.size <= capacity)
+      assert(merged.n === n)
+      assert(merged.decs <= n / (capacity + 1),
+        s"decrement total ${merged.decs} exceeds n/(c+1) = ${n / (capacity + 1)}")
+      merged.items.foreach { case (k, est) =>
+        val truth = exact(k)
+        assert(est <= truth && truth <= est + merged.decs,
+          s"$k: est=$est true=$truth decs=${merged.decs}")
+      }
+      exact.filter(_._2 > n / (capacity + 1)).keys.foreach { k =>
+        assert(merged.items.contains(k), s"heavy item $k missing")
+      }
+    }
+  }
+
+  test("property: spanDedup span arithmetic — counts partition into ceil(words/k)") {
+    // pure check of the span-count contract the operator relies on:
+    // n_spans(doc) = ceil(words/k), with the final span carrying the
+    // remainder — mirrored against a straightforward grouped implementation
+    val words = Gen.choose(0, 47).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")))
+    val k = 10
+    samples(words, 200).foreach { ws =>
+      val expected = if (ws.isEmpty) 0 else (ws.size + k - 1) / k
+      val spans = ws.grouped(k).map(_.mkString(" ")).toSeq
+      assert(spans.size === expected)
+      assert(spans.mkString(" ") === ws.mkString(" "),
+        "concatenating spans must reconstruct the document")
+    }
+  }
 }
