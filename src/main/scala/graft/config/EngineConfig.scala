@@ -85,6 +85,11 @@ final case class EngineConfig(
     *   - `script`: a name resolved against the precompiled transform
     *     registry (for logic beyond a select list — typed fan-out, UDAFs);
     *   - neither: passthrough capture.
+    *
+    * Escaping note for regex-bearing expressions: TOML basic strings and
+    * Spark SQL single-quoted literals each consume one backslash level,
+    * so a regex `\b` must be written `\\\\b` in the TOML text
+    * (demonstrated end-to-end in StreamPiiRouteSpec).
     */
   def buildRouter(transforms: Map[String, DataFrame => DataFrame]): Router = {
     import org.apache.spark.sql.functions.expr
