@@ -778,6 +778,14 @@ object SparkEntry {
     "embedding_label_stats" -> ((s, dir) =>
       Similarity.labelEmbeddingStats(Tables.embeddings(s, dir))),
 
+    // dataset profiling: per-column row/null/distinct/min/max in ONE
+    // scan (exact distincts here for the oracle; the approx flag is the
+    // 100 TB path — see Profile scaladoc). Only integer/string columns
+    // registered: float min/max render engine-specifically.
+    "profile_documents" -> ((s, dir) =>
+      graft.operators.Profile.profile(Tables.documents(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars"), exact = true)),
+
     // t-digest-style approximate percentiles next to the exact order
     // statistics (approx values are engine-specific → rows-only; the
     // spec bounds approx-vs-exact error). Projected to SCALAR columns:
@@ -2101,5 +2109,31 @@ object SparkEntry {
         |      * (sqrt(CAST(csq AS DOUBLE)) / (CAST(n_vectors AS DOUBLE) * 1000000.0))
         |    AS variance_trace
         |FROM perlabel p JOIN counts c USING (label)
-        |ORDER BY label""".stripMargin)
+        |ORDER BY label""".stripMargin,
+
+    "profile_documents" ->
+      """WITH w AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(doc_id)  AS c1n, COUNT(DISTINCT doc_id)  AS c1d,
+        |      CAST(MIN(doc_id)  AS VARCHAR) AS c1mn, CAST(MAX(doc_id)  AS VARCHAR) AS c1mx,
+        |    COUNT(lang)    AS c2n, COUNT(DISTINCT lang)    AS c2d,
+        |      CAST(MIN(lang)    AS VARCHAR) AS c2mn, CAST(MAX(lang)    AS VARCHAR) AS c2mx,
+        |    COUNT(source)  AS c3n, COUNT(DISTINCT source)  AS c3d,
+        |      CAST(MIN(source)  AS VARCHAR) AS c3mn, CAST(MAX(source)  AS VARCHAR) AS c3mx,
+        |    COUNT(n_chars) AS c4n, COUNT(DISTINCT n_chars) AS c4d,
+        |      CAST(MIN(n_chars) AS VARCHAR) AS c4mn, CAST(MAX(n_chars) AS VARCHAR) AS c4mx
+        |  FROM documents)
+        |SELECT column_name, n_rows, n_nonnull,
+        |       n_rows - n_nonnull AS n_nulls,
+        |       n_distinct, min_value, max_value
+        |FROM (
+        |  SELECT 'doc_id' AS column_name, n_rows, c1n AS n_nonnull,
+        |         c1d AS n_distinct, c1mn AS min_value, c1mx AS max_value FROM w
+        |  UNION ALL
+        |  SELECT 'lang', n_rows, c2n, c2d, c2mn, c2mx FROM w
+        |  UNION ALL
+        |  SELECT 'source', n_rows, c3n, c3d, c3mn, c3mx FROM w
+        |  UNION ALL
+        |  SELECT 'n_chars', n_rows, c4n, c4d, c4mn, c4mx FROM w)
+        |ORDER BY column_name""".stripMargin)
 }
