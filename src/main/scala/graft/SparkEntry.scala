@@ -1245,13 +1245,13 @@ object SparkEntry {
         |           AS suppkey
         |  FROM lineitem
         |  GROUP BY l_orderkey)
-        |SELECT s_name, COUNT(*) AS numwait
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
         |FROM per_order
         |JOIN orders   ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
         |JOIN supplier ON suppkey = s_suppkey
         |WHERE n_supp > 1 AND n_flagged = 1
-        |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey
         |LIMIT 100""".stripMargin,
 
     "q6_forecast_revenue" ->
@@ -2010,21 +2010,21 @@ object SparkEntry {
         |  FROM documents),
         |spans AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
-        |         array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS span
+        |         md5(array_to_string(ws[(i*10+1):(i*10+10)], ' ')) AS span_key
         |  FROM (SELECT doc_id, ws,
         |          unnest(generate_series(0,
         |            CAST(floor((len(ws) - 1) / 10.0) AS INT))) AS i
         |        FROM w WHERE len(ws) > 0)),
         |ranked AS (
-        |  SELECT doc_id, span_idx, span,
-        |         row_number() OVER (PARTITION BY span
+        |  SELECT doc_id, span_idx, span_key,
+        |         row_number() OVER (PARTITION BY span_key
         |                            ORDER BY doc_id, span_idx) AS rn
         |  FROM spans)
         |SELECT doc_id,
         |       CAST(count(*) AS BIGINT) AS n_spans,
         |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
         |       CASE WHEN count(*) FILTER (WHERE rn = 1) > 0
-        |            THEN md5(string_agg(CASE WHEN rn = 1 THEN span END,
+        |            THEN md5(string_agg(CASE WHEN rn = 1 THEN span_key END,
         |                                ' ' ORDER BY span_idx))
         |            ELSE NULL END AS kept_md5
         |FROM ranked

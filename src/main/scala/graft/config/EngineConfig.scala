@@ -254,7 +254,11 @@ object EngineConfig {
     def selectList(r: Map[String, Any], i: Int): Seq[String] =
       r.get("select") match {
         case None              => Nil
-        case Some(s: Seq[_])   => s.map(_.toString)
+        case Some(s: Seq[_])   => s.zipWithIndex.map {
+          case (e: String, _) => e
+          case (other, j)     => throw new IllegalArgumentException(
+            s"route $i: `select[$j]` must be a string, got: $other")
+        }
         case Some(s: String)   => Seq(s)
         case Some(other)       => throw new IllegalArgumentException(
           s"route $i: `select` must be a string or an array of strings, " +

@@ -812,7 +812,10 @@ object Analytics {
       .groupBy(col("suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(s), col("suppkey") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
-      .orderBy(col("numwait").desc, col("s_name"))
+      // keyed by suppkey end to end (names need not be unique); suppkey in
+      // the output makes the ordering a total order, so the LIMIT cut is
+      // deterministic even under name collisions
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(topK)
 }

@@ -468,19 +468,22 @@ object Dedup {
     * deterministic and engine-independent.
     *
     * 100 TB shape: span generation is a narrow per-row array expression
-    * (no explode until the spans exist), then ONE shuffle keyed on the
-    * span content to rank occurrences, then one (doc_id) shuffle to
-    * re-assemble per-doc stats + the kept-text fingerprint. The shuffled
-    * payload is (hash-sized key, doc_id, idx) — never the full document.
-    * A pathologically hot span (the same license block a billion times)
-    * skews one reducer; the mitigation is the same two-level trick the
-    * exact-dedup path uses — pre-aggregate min-(doc_id, idx) per
-    * (span, partition) map-side, which the rank-1 window here already
-    * approximates via the window's partial sort.
+    * that hashes each span IN PLACE (no explode until the 32-hex span
+    * keys exist), then ONE shuffle keyed on the span hash to rank
+    * occurrences, then one (doc_id) shuffle to re-assemble per-doc stats.
+    * Both exchanges carry (span_md5, doc_id, idx) — never document text
+    * — so the network payload is constant per span regardless of span
+    * width. A pathologically hot span (the same license block a billion
+    * times) skews one reducer; the mitigation is the same two-level trick
+    * the exact-dedup path uses — pre-aggregate min-(doc_id, idx) per
+    * (span_key, partition) map-side.
     *
-    * Output: per doc, total spans, surviving spans, and md5 of the
-    * re-assembled kept text (null when every span was a duplicate) — the
-    * audit row a curation pipeline logs per document.
+    * Output: per doc, total spans, surviving spans, and a fingerprint of
+    * the surviving content: md5 over the ordered sequence of kept span
+    * hashes (null when every span was a duplicate) — the audit row a
+    * curation pipeline logs per document. Keying and fingerprinting on
+    * md5(span) rather than raw text is the same identity the exact-dedup
+    * path uses (16-byte key, collision-negligible).
     */
   def spanDedup(docs: DataFrame, k: Int = 10): DataFrame = {
     val ws = TextAnalysis.wordArray(col("text"))
@@ -488,22 +491,23 @@ object Dedup {
       .select(col("doc_id"),
         when(size(ws) > 0,
           transform(sequence(lit(0), floor((size(ws) - 1).cast("double") / k).cast("int")),
-            i => concat_ws(" ", slice(ws, i * k + 1, lit(k)))))
-          .otherwise(array().cast("array<string>")).as("spans"))
-      .select(col("doc_id"), posexplode(col("spans")).as(Seq("span_idx", "span")))
+            i => md5(concat_ws(" ", slice(ws, i * k + 1, lit(k))))))
+          .otherwise(array().cast("array<string>")).as("span_keys"))
+      .select(col("doc_id"),
+        posexplode(col("span_keys")).as(Seq("span_idx", "span_key")))
     val ranked = spans.withColumn("rn",
       row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("span")).orderBy(col("doc_id"), col("span_idx"))))
+        .partitionBy(col("span_key")).orderBy(col("doc_id"), col("span_idx"))))
     ranked
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_spans"),
         count(when(col("rn") === 1, lit(1))).as("n_kept"),
         sort_array(collect_list(when(col("rn") === 1,
-          struct(col("span_idx"), col("span"))))).as("kept"))
+          struct(col("span_idx"), col("span_key"))))).as("kept"))
       .select(col("doc_id"), col("n_spans"), col("n_kept"),
         when(col("n_kept") > 0,
-          md5(concat_ws(" ", transform(col("kept"), x => x("span")))))
+          md5(concat_ws(" ", transform(col("kept"), x => x("span_key")))))
           .otherwise(lit(null).cast("string")).as("kept_md5"))
       .orderBy(col("doc_id"))
   }

@@ -30,7 +30,7 @@ object Pii {
   val ipv4Pattern: String = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
   def countPii(text: Column, pattern: String): Column =
-    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+    TextAnalysis.countMatches(text, pattern).cast("long")
 
   /** Redact in a fixed order (email → phone → ip) so the output is
     * deterministic regardless of pattern overlap.

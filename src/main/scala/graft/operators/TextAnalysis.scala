@@ -18,8 +18,19 @@ import graft.functions.RollingHash
   */
 object TextAnalysis {
 
-  private def countMatches(text: Column, pattern: String): Column =
+  /** Non-overlapping match count — the shared counting primitive for the
+    * quality/PII/token surfaces (Java∩RE2 regex dialect so DuckDB oracles
+    * run the identical pattern).
+    */
+  def countMatches(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** The engine-wide stopword list: one definition feeding withQuality's
+    * ratio, gopherQuality's presence rule, and (as a literal) the oracle
+    * SQL — edit here and the oracles, not one of them.
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "or", "in")
+  val stopwordRegex: String = s"\\b(${stopwords.mkString("|")})\\b"
 
   /** Whitespace tokens (runs of non-space). */
   def tokenCountWs(text: Column): Column = countMatches(text, "\\S+")
@@ -60,7 +71,7 @@ object TextAnalysis {
     val nChars = length(text).cast("double")
     val nTokens = tokenCountWs(text)
     val nPunct = countMatches(text, "[^A-Za-z0-9\\s]").cast("double")
-    val nStop = countMatches(text, "\\b(the|a|of|and|or|in)\\b").cast("double")
+    val nStop = countMatches(text, stopwordRegex).cast("double")
     docs
       .withColumn("n_tokens", nTokens)
       .withColumn("n_tokens_bpe", tokenCountBpe(text))
@@ -115,11 +126,14 @@ object TextAnalysis {
     * GPT-3/PaLM appendix decontamination).
     *
     * 100 TB shape: the benchmark side is a fixed eval suite — tiny by
-    * construction — so its distinct-gram set BROADCASTS and the corpus
-    * side is one scan + narrow explode + map-side-combinable count; no
-    * corpus-vs-corpus shuffle ever happens. Docs with zero overlap keep a
-    * row (left join, ratio 0) so the output is a total audit, not a hit
-    * list.
+    * construction — so its distinct-gram set BROADCASTS, and the corpus
+    * side is ONE tokenization pass: the gram count rides along the
+    * posexplode_outer (so no second scan ever recomputes the gram
+    * pipeline), the broadcast left join marks bench hits in place, and a
+    * single map-side-combinable (doc_id) aggregation produces the audit.
+    * No corpus-vs-corpus shuffle, no doc⋈doc join. Docs with zero grams
+    * keep a row (outer explode, ratio 0) so the output is a total audit,
+    * not a hit list.
     */
   def contamination(
       docs: DataFrame,
@@ -131,22 +145,22 @@ object TextAnalysis {
     val benchGrams = withGrams.filter(isBenchmark)
       .select(explode(col("grams")).as("gram"))
       .distinct()
-    val corpus = withGrams.filter(!isBenchmark)
-      .select(col("doc_id"), col("grams"))
-    val overlap = corpus
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"))
+    withGrams.filter(!isBenchmark)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        posexplode_outer(col("grams")).as(Seq("gi", "gram")))
+      .join(broadcast(benchGrams.withColumn("bench_hit", lit(1))),
+        Seq("gram"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_overlap"))
-    corpus
-      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
-      .join(overlap, Seq("doc_id"), "left")
-      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .agg(
+        first(col("n_grams")).as("n_grams"),
+        count(col("bench_hit")).as("n_overlap"))
       .withColumn("contamination_ratio",
         when(col("n_grams") > 0,
           col("n_overlap").cast("double") / col("n_grams").cast("double"))
           .otherwise(lit(0.0)))
       .withColumn("contaminated", col("contamination_ratio") >= flagThreshold)
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        col("contamination_ratio"), col("contaminated"))
   }
 
   /** Gopher-style repetition metrics: most-frequent-bigram share and
@@ -227,8 +241,7 @@ object TextAnalysis {
     val nSymbols = countMatches(text, "#|\\.\\.\\.").cast("double")
     val alphaWords =
       size(filter(split(text, "\\s+"), w => w.rlike("[A-Za-z]"))).cast("long")
-    val stops = Seq("the", "a", "of", "and", "or", "in")
-    val nStopPresent = stops.map(s =>
+    val nStopPresent = stopwords.map(s =>
       when(text.rlike(s"\\b$s\\b"), 1).otherwise(0)).reduce(_ + _)
     docs
       .withColumn("n_words", nWords)

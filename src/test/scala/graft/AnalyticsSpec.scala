@@ -395,7 +395,7 @@ class AnalyticsSpec extends SparkSpec {
       l.contains("Scan parquet") && l.contains("lineitem"))
     assert(liScans <= 1, s"lineitem scanned $liScans times:\n$pl")
     import spark.implicits._
-    val got = df.as[(String, Long)].collect()
+    val got = df.as[(Long, String, Long)].collect()
     assert(got.nonEmpty)
     // spot-check one supplier's numwait against a direct computation
     val perOrder = Tables.lineitem(spark, sf)
@@ -409,7 +409,7 @@ class AnalyticsSpec extends SparkSpec {
       .join(Tables.orders(spark, sf).filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
       .count()
-    assert(got.map(_._2).sum === perOrder,
+    assert(got.map(_._3).sum === perOrder,
       "numwait totals must equal the number of qualifying orders")
   }
 }

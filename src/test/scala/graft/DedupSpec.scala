@@ -193,12 +193,13 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[String])].collect().toSeq
     assert(got.map(r => (r._1, r._2, r._3)) ===
       Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 1L, 1L)))
-    // doc 2 keeps only its own content; its fingerprint is md5 of the
-    // beta span alone
-    val betaMd5 = java.security.MessageDigest.getInstance("MD5")
-      .digest((1 to 10).map(i => s"beta$i").mkString(" ").getBytes("UTF-8"))
+    // doc 2 keeps only its own content; its fingerprint is md5 over the
+    // kept span-hash sequence — here, md5(md5(beta span))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    assert(got(1)._4 === Some(betaMd5))
+    val betaFp = md5hex(md5hex((1 to 10).map(i => s"beta$i").mkString(" ")))
+    assert(got(1)._4 === Some(betaFp))
   }
 
   test("spanDedup: a doc that is entirely boilerplate keeps nothing (null md5)") {
