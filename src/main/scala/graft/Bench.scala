@@ -44,13 +44,25 @@ object Bench {
     // dominate its time (measured swings of 2-10×). The measured pass below
     // reports steady-state throughput — the quantity comparable round over
     // round and to a long-lived cluster.
+    //
+    // Execution is forced via queryExecution.toRdd.count(): a plain
+    // df.count() plants a COUNT on top and lets the optimizer prune the
+    // registered plan under it — in particular a left outer join whose
+    // right side is unique-keyed gets ELIMINATED, so queries shaped
+    // "per-row table LEFT JOIN per-key aggregate" (contamination,
+    // repetition) were timed with their dominant branch never executing
+    // (measured 0.2 s "cost" for a 2.6 s computation). toRdd executes the
+    // registered plan exactly as Verify's parquet write does.
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(); ()
+    }
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> timeQuery { fn(spark, sfDir).count(); () }
+      name -> timeQuery { force(fn(spark, sfDir)) }
     }
     // 0.1 ms precision per query keeps the full line ~40% shorter — the
     // driver's tail buffer is ~4 KB and round 4's full line overflowed it.

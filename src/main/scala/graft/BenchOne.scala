@@ -15,10 +15,13 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val fn = SparkEntry.queries(name)
-    fn(spark, sfDir).count()
+    // toRdd.count() executes the registered plan as-is; df.count() would
+    // let the optimizer prune it (see Bench.force)
+    def force(): Unit = { fn(spark, sfDir).queryExecution.toRdd.count(); () }
+    force()
     val times = (1 to n).map { _ =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      force()
       (System.nanoTime() - t0) / 1e9
     }
     println(s"BENCHONE $name ${times.map(t => f"$t%.2f").mkString(" ")}")

@@ -46,6 +46,12 @@ object ScaleCheck {
     val n = big.count()
     println(s"corpus: $n0 -> $n docs (x$mult)")
 
+    // execute a plan as registered (df.count() lets the optimizer prune
+    // the plan under a COUNT — e.g. eliminate a unique-keyed left join —
+    // so probe times would not measure the operator; see Bench.force)
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+
     def time(name: String)(f: => Long): Unit =
       if (only.forall(name.contains)) {
         val t0 = System.nanoTime()
@@ -56,10 +62,10 @@ object ScaleCheck {
     time("text_stats (full scan)") {
       TextAnalysis.withQuality(big).agg(sum("n_tokens")).collect(); n
     }
-    time("exact dedup groups") { Dedup.exactGroups(big).count() }
-    time("ngram jaccard pairs t=0.8") { Dedup.ngramJaccardPairs(big, 0.8).count() }
-    time("minhash LSH pairs t=0.8") { Dedup.minhashLshPairs(big, 0.8).count() }
-    time("simhash pairs d<=3") { Dedup.simhashPairs(big, 3).count() }
+    time("exact dedup groups") { force(Dedup.exactGroups(big)) }
+    time("ngram jaccard pairs t=0.8") { force(Dedup.ngramJaccardPairs(big, 0.8)) }
+    time("minhash LSH pairs t=0.8") { force(Dedup.minhashLshPairs(big, 0.8)) }
+    time("simhash pairs d<=3") { force(Dedup.simhashPairs(big, 3)) }
 
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val bigEmb = (0 until mult).map { i =>
@@ -68,7 +74,7 @@ object ScaleCheck {
     }.reduce(_ unionByName _).repartition(64).cache()
     println(s"embeddings: ${bigEmb.count()} vectors")
     time("brute-force cosine top-10 x5") {
-      Similarity.bruteForceTopK(bigEmb, Seq(0L, 1L, 2L, 3L, 4L), 10).count()
+      force(Similarity.bruteForceTopK(bigEmb, Seq(0L, 1L, 2L, 3L, 4L), 10))
     }
     // index build is the offline stage; queries must not pay it again
     var lshIdx: Similarity.LshIndex = null
@@ -76,29 +82,29 @@ object ScaleCheck {
       lshIdx = Similarity.buildLshIndex(bigEmb); lshIdx.signed.count()
     }
     time("LSH ANN top-10 x5 (prebuilt)") {
-      Similarity.lshQuery(lshIdx, Seq(0L, 1L, 2L, 3L, 4L), 10).count()
+      force(Similarity.lshQuery(lshIdx, Seq(0L, 1L, 2L, 3L, 4L), 10))
     }
     var ivfIdx: Similarity.IvfIndex = null
     time("IVF index build (offline stage)") {
       ivfIdx = Similarity.buildIvfIndex(bigEmb, nlist = 64); ivfIdx.celled.count()
     }
     time("IVF ANN top-10 x5 (prebuilt)") {
-      Similarity.ivfQuery(ivfIdx, Seq(0L, 1L, 2L, 3L, 4L), 10).count()
+      force(Similarity.ivfQuery(ivfIdx, Seq(0L, 1L, 2L, 3L, 4L), 10))
     }
     time("NN within label (exact, agg argmax)") {
       // |block|² dots are inherent on this isotropic corpus, but pair rows
       // no longer shuffle (partial-agg argmax) — time should track CPU
-      Similarity.nnWithinLabel(bigEmb).count()
+      force(Similarity.nnWithinLabel(bigEmb))
     }
     time("NN within label ANN (LSH buckets)") {
-      Similarity.nnWithinLabelAnn(bigEmb).count()
+      force(Similarity.nnWithinLabelAnn(bigEmb))
     }
 
     time("term stats: doc term counts") {
-      TextAnalysis.docTermCounts(big).count()
+      force(TextAnalysis.docTermCounts(big))
     }
     time("term stats: per-doc top-3 terms") {
-      TextAnalysis.distinctiveTerms(big).count()
+      force(TextAnalysis.distinctiveTerms(big))
     }
     // connected components on the minhash near-dup graph: pairs are
     // ~linear in corpus size here (each replica family is a clique of
@@ -112,7 +118,7 @@ object ScaleCheck {
       n
     }
     time("int8 quantization (narrow)") {
-      Similarity.quantizeInt8(bigEmb).count()
+      force(Similarity.quantizeInt8(bigEmb))
     }
 
     time("assembly: hash split (narrow)") {
@@ -121,46 +127,44 @@ object ScaleCheck {
         .groupBy("split").count().count()
     }
     time("assembly: stratified sample 1/5") {
-      Assembly.stratifiedSample(big, "lang", "doc_id", 1, 5).count()
+      force(Assembly.stratifiedSample(big, "lang", "doc_id", 1, 5))
     }
     time("assembly: global shuffle") {
-      Assembly.globalShuffle(big, "doc_id").count()
+      force(Assembly.globalShuffle(big, "doc_id"))
     }
     time("curation pipeline (score+dedup+split)") {
-      Curation.curate(big).count()
+      force(Curation.curate(big))
     }
     time("assembly: greedy sequence packing") {
-      Assembly.packSequences(big, 256).count()
+      force(Assembly.packSequences(big, 256))
     }
     // benchmark side stays FIXED as the corpus grows (every 20th base doc)
     // — the realistic shape: contamination cost must track the corpus
     // scan, not the benchmark
     time("contamination audit (fixed benchmark)") {
-      TextAnalysis.contamination(big,
-        isBenchmark = col("doc_id") % 20 === 0 && col("doc_id") < 1000000L)
-        .count()
+      force(TextAnalysis.contamination(big,
+        isBenchmark = col("doc_id") % 20 === 0 && col("doc_id") < 1000000L))
     }
     time("repetition metrics (2 scans)") {
-      TextAnalysis.repetitionMetrics(big).count()
+      force(TextAnalysis.repetitionMetrics(big))
     }
     // nightly-ingest shape: batch = one replica slab, reference = the rest
     time("cross-corpus dedup (1-slab batch)") {
-      Dedup.crossCorpusNew(
+      force(Dedup.crossCorpusNew(
         batch = big.filter(col("doc_id") >= (mult - 1).toLong * 1000000L),
-        reference = big.filter(col("doc_id") < (mult - 1).toLong * 1000000L))
-        .count()
+        reference = big.filter(col("doc_id") < (mult - 1).toLong * 1000000L)))
     }
     time("per-source cap (rank window)") {
-      Curation.capPerSource(big, 1000).count()
+      force(Curation.capPerSource(big, 1000))
     }
     // replicas share every span with their base doc — the adversarial
     // case for span dedup: duplicate mass grows with mult while the
     // surviving set stays ~constant
     time("span dedup (10-word spans)") {
-      Dedup.spanDedup(big, 10).count()
+      force(Dedup.spanDedup(big, 10))
     }
     time("gopher quality rules (1 scan)") {
-      TextAnalysis.gopherQuality(big).filter(col("pass_gopher")).count()
+      force(TextAnalysis.gopherQuality(big).filter(col("pass_gopher")))
     }
     time("pii redact (1 scan)") {
       graft.operators.Pii.audit(big,
@@ -171,14 +175,14 @@ object ScaleCheck {
     // sketch's shuffle payload is capacity-sized summaries, not the
     // vocabulary×doc table
     time("heavy hitters sketch (MG, cap=32)") {
-      TextAnalysis.heavyHitters(big, 32).count()
+      force(TextAnalysis.heavyHitters(big, 32))
     }
     time("exact token frequencies (head 50)") {
-      TextAnalysis.tokenFrequencies(big, 50).count()
+      force(TextAnalysis.tokenFrequencies(big, 50))
     }
 
     val ev = Tables.events(spark, "/root/testdata/sf0.1")
-    time("sessionize 100k events") { Sessionize.batchSessions(ev).count() }
+    time("sessionize 100k events") { force(Sessionize.batchSessions(ev)) }
     // replicate events with SHIFTED user ids: corpus grows by users (the
     // 100 TB shape), per-user density constant — interval-join and
     // sessionize state must scale with users, pair work per key constant
@@ -190,10 +194,11 @@ object ScaleCheck {
     println(s"events: ${bigEv.count()} rows")
     time("interval join click->purchase 30m") {
       graft.streaming.StreamJoin
-        .followWithinBatch(bigEv, "click", "purchase", 30).count()
+        .followWithinBatch(bigEv, "click", "purchase", 30)
+        .queryExecution.toRdd.count()
     }
     time(s"sessionize ${mult * 100}k events") {
-      Sessionize.batchSessions(bigEv).count()
+      force(Sessionize.batchSessions(bigEv))
     }
 
     spark.stop()

@@ -19,6 +19,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * identical signatures) in tight primitive loops.
   */
 
+/** IN-ORDER (multiset) xxhash64 values of all n-word windows of a
+  * single-space-normalized string — the sibling of
+  * [[WordShingleHashesExpr]] that keeps duplicates and positions, for the
+  * gram-statistics operators (repetition, contamination) where
+  * multiplicity and index carry meaning. Fewer than n words → EMPTY array
+  * (mirroring TextAnalysis.wordGrams), empty string → empty array.
+  * Hash identity is the same xxhash64-over-gram-bytes as the shingle
+  * expression, so a hash equality IS a gram string equality
+  * (64-bit collision odds are the same trade ngramJaccardPairs documents).
+  */
+case class WordGramHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash.wordGramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHash.wordGramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashesExpr =
+    copy(child = newChild)
+}
+
 /** Sorted DISTINCT xxhash64 values of all w-word windows of a
   * single-space-normalized string. Window bytes are exactly the
   * `concat_ws(" ", words)` content, and the hash is Spark's xxhash64
@@ -205,6 +232,36 @@ object MinHash {
 
   def simhash64(c: Column): Column =
     GraftShims.column(SimHash64Expr(GraftShims.expression(c)))
+
+  /** In-order n-word-gram hashes (with multiplicity) of a single-space-
+    * normalized string; < n words or empty input → empty array.
+    */
+  def wordGramHashes(s: UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val len = s.numBytes()
+    if (len == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val starts = scala.collection.mutable.ArrayBuffer[Int](0)
+    var i = 0
+    while (i < len) {
+      if (s.getByte(i) == ' ') starts += i + 1
+      i += 1
+    }
+    val nWords = starts.length
+    if (nWords < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val arr = new Array[Long](nWords - n + 1)
+    var j = 0
+    while (j < arr.length) {
+      val from = starts(j)
+      val until = if (j + n < nWords) starts(j + n) - 1 else len
+      arr(j) = XXH64.hashUnsafeBytes(base, offset + from, until - from, XxSeed)
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+
+  def word_gram_hashes(c: Column, n: Int): Column =
+    GraftShims.column(WordGramHashesExpr(GraftShims.expression(c), n))
 
   def word_shingle_hashes(c: Column, w: Int): Column =
     GraftShims.column(WordShingleHashesExpr(GraftShims.expression(c), w))

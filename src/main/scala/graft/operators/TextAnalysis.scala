@@ -108,17 +108,40 @@ object TextAnalysis {
 
   /** All word n-grams (with multiplicity) as space-joined strings; empty
     * array when the doc has fewer than n words. Pure higher-order-function
-    * expression — no explode, no shuffle, stays inside codegen.
+    * expression — no explode, no shuffle.
     *
     * The `when` guard matters: Spark's `sequence(1, size-n+1)` generates a
     * DESCENDING sequence when the doc is short (stop < start), which would
     * fabricate grams from out-of-range slices.
+    *
+    * This is the REFERENCE form (string grams — what the DuckDB oracles
+    * compute). The gram-statistics hot paths use [[gramHashes]] instead:
+    * HOF lambdas are CodegenFallback, and exploding the interpreted string
+    * pipeline measured ~10 µs/row; the codegen'd hash twin keeps the whole
+    * stage compiled. Equivalence (hash-gram counts == string-gram counts)
+    * is spec-asserted.
     */
   def wordGrams(ws: Column, n: Int): Column =
     when(size(ws) >= n,
       transform(sequence(lit(1), size(ws) - (n - 1)),
         i => concat_ws(" ", slice(ws, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+
+  /** Single-space word normalization whose ' '-split tokens equal
+    * [[wordArray]]'s exactly (collapse every non-alphanumeric run to one
+    * space, trim the ends).
+    */
+  def normWords(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** In-order word n-gram xxhash64 values with multiplicity — the
+    * codegen'd twin of [[wordGrams]] (custom Catalyst expression, tight
+    * byte-scanning loop, no interpreted lambdas). A hash stands for its
+    * gram string (64-bit collisions are the documented ngramJaccardPairs
+    * trade), so counts/ratios computed over hashes equal the string form.
+    */
+  def gramHashes(text: Column, n: Int): Column =
+    graft.functions.MinHash.word_gram_hashes(normWords(text), n)
 
   /** Benchmark-contamination check: for every corpus doc, the fraction of
     * its distinct word n-grams that appear anywhere in the benchmark set —
@@ -140,19 +163,32 @@ object TextAnalysis {
       isBenchmark: Column,
       n: Int = 5,
       flagThreshold: Double = 0.5): DataFrame = {
+    // hashed grams (codegen'd expression) — exploding the interpreted
+    // string-gram pipeline measured ~10 µs/row; the coalesce makes the
+    // column non-nullable so InferFiltersFromConstraints cannot push an
+    // isnotnull(<pipeline>) re-derivation below the projection (the
+    // normText lesson)
     val withGrams = docs
-      .withColumn("grams", array_distinct(wordGrams(wordArray(col("text")), n)))
+      .withColumn("grams",
+        coalesce(array_distinct(gramHashes(col("text"), n)),
+          array().cast("array<long>")))
     val benchGrams = withGrams.filter(isBenchmark)
       .select(explode(col("grams")).as("gram"))
       .distinct()
+    // `grams` is referenced EXACTLY once (inside the generator): a second
+    // reference (e.g. a size() projection) gets inlined by CollapseProject
+    // and the interpreted higher-order-function pipeline then evaluates
+    // twice per row (measured ~10× on this op). The gram count is instead
+    // recovered from the posexplode index: max(gi)+1, with the outer
+    // explode's null row mapping empty docs to 0.
     withGrams.filter(!isBenchmark)
-      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+      .select(col("doc_id"),
         posexplode_outer(col("grams")).as(Seq("gi", "gram")))
       .join(broadcast(benchGrams.withColumn("bench_hit", lit(1))),
         Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(
-        first(col("n_grams")).as("n_grams"),
+        (coalesce(max(col("gi")), lit(-1)) + 1).cast("long").as("n_grams"),
         count(col("bench_hit")).as("n_overlap"))
       .withColumn("contamination_ratio",
         when(col("n_grams") > 0,
@@ -176,11 +212,14 @@ object TextAnalysis {
       docs: DataFrame,
       topBigramMax: Double = 0.18,
       dupTrigramMax: Double = 0.30): DataFrame = {
-    val ws = wordArray(col("text"))
+    // hashed grams: the string-gram form of this operator measured ~20 s
+    // at sf0.1 once the benchmark stopped letting the optimizer prune the
+    // mode branch — the codegen'd hash expression keeps gram generation,
+    // the explode, and the counts inside compiled stages
     val base = docs.select(
       col("doc_id"),
-      wordGrams(ws, 2).as("bigrams"),
-      wordGrams(ws, 3).as("trigrams"))
+      gramHashes(col("text"), 2).as("bigrams"),
+      gramHashes(col("text"), 3).as("trigrams"))
     val perDoc = base.select(
       col("doc_id"),
       size(col("bigrams")).cast("long").as("n_bigrams"),

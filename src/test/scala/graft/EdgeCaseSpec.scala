@@ -104,4 +104,52 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.streaming.StreamJoin
       .followWithinBatch(ev, "click", "purchase", 30).count() === 0)
   }
+
+  test("gopherQuality on empty/null/unicode text: zero-guarded, no exceptions") {
+    val docs = Seq(
+      (1L, ""), (2L, null.asInstanceOf[String]),
+      (3L, "héllo wörld ünïcode the a of and or in text")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.gopherQuality(docs)
+      .select("doc_id", "n_words", "mean_word_len", "pass_gopher")
+      .collect()
+    // empty text: all counts zero, fails word-count rule, no div-by-zero
+    val empty = got.find(_.getLong(0) == 1L).get
+    assert(empty.getLong(1) === 0L && empty.getDouble(2) === 0.0)
+    assert(!empty.getBoolean(3))
+    // null text propagates null counts without throwing; unicode words
+    // count as words (non-whitespace runs) even when not [A-Za-z]-only
+    val uni = got.find(_.getLong(0) == 3L).get
+    assert(uni.getLong(1) === 10L)
+  }
+
+  test("spanDedup: empty and sub-k docs emit correct span counts") {
+    val docs = Seq(
+      (1L, ""), (2L, "one two three"),
+      (3L, "one two three")  // exact dup of doc 2's single partial span
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.spanDedup(docs, k = 10)
+      .select("doc_id", "n_spans", "n_kept").as[(Long, Long, Long)]
+      .collect().toSeq
+    // doc 1 has no words -> no spans -> no row (same as the oracle's
+    // len(ws) > 0 guard); docs 2/3 dedupe on the partial span
+    assert(got === Seq((2L, 1L, 1L), (3L, 1L, 0L)))
+  }
+
+  test("pii redact: null-safe and unicode-transparent") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      Option("mail ünïcode@exämple.com stays — non-ASCII local part"),
+      Option("plain a@b.io goes"),
+      Option.empty[String]
+    ).toDF("text")
+    val got = df.select(graft.operators.Pii.redact(col("text")))
+      .as[Option[String]].collect().toSeq
+    // pattern is ASCII-classed: the unicode address does NOT match in
+    // either engine (dialect-identical behavior), the plain one does,
+    // null stays null
+    assert(got(0).get.contains("ünïcode@exämple.com"))
+    assert(got(1).get === "plain <EMAIL> goes")
+    assert(got(2).isEmpty)
+  }
 }

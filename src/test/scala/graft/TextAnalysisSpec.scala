@@ -88,6 +88,40 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "common", 1L, 3L), (3L, "gamma", 1L, 1L)))
   }
 
+  test("gramHashes ≡ wordGrams: sizes, multiplicity, distincts — incl. punctuation") {
+    val docs = Seq(
+      (1L, "the quick brown fox the quick brown fox"),
+      (2L, "a.b,c!!d  e-f"),        // punctuation runs are separators
+      (3L, "one two"),              // shorter than n for n=3,5
+      (4L, ""), (5L, "repeat repeat repeat repeat")
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5)) {
+      val viaStrings = docs.select(
+        col("doc_id"),
+        size(TextAnalysis.wordGrams(TextAnalysis.wordArray(col("text")), n)).as("sz"),
+        size(array_distinct(
+          TextAnalysis.wordGrams(TextAnalysis.wordArray(col("text")), n))).as("dsz"))
+        .orderBy("doc_id").as[(Long, Int, Int)].collect().toSeq
+      val viaHashes = docs.select(
+        col("doc_id"),
+        size(TextAnalysis.gramHashes(col("text"), n)).as("sz"),
+        size(array_distinct(TextAnalysis.gramHashes(col("text"), n))).as("dsz"))
+        .orderBy("doc_id").as[(Long, Int, Int)].collect().toSeq
+      assert(viaHashes === viaStrings, s"n=$n")
+    }
+    // per-gram multiplicity: the mode count agrees between forms
+    val topViaStrings = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.wordGrams(TextAnalysis.wordArray(col("text")), 2)).as("g"))
+      .groupBy("doc_id", "g").count().groupBy("doc_id")
+      .agg(max("count")).orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val topViaHashes = docs
+      .select(col("doc_id"), explode(TextAnalysis.gramHashes(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").count().groupBy("doc_id")
+      .agg(max("count")).orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(topViaHashes === topViaStrings)
+  }
+
   test("gopherQuality: per-rule flags on constructed edge docs") {
     val docs = Seq(
       // 25 words, mean len ok, stopwords present → passes everything
