@@ -415,6 +415,19 @@ object Similarity {
     * buckets hold no same-label candidate fall back to the exact pass
     * (coverage is total by construction).
     */
+  /** ANN twin of [[nnWithinLabel]] via SRP-LSH banded buckets + 1-bit
+    * multi-probe + exact rerank, with a total-coverage exact fallback.
+    *
+    * MEASURED CAVEAT (round 5, forced-execution ScaleCheck): on an
+    * ISOTROPIC corpus SRP band buckets stay fat (4-bit bands ⇒ ~1/16 of a
+    * label per bucket), and multi-probe × bucket-population explodes to
+    * ~pairs×probes dot products — 491 s at 20× where the exact
+    * dedupe-first path costs 5 s. Use this twin when labels are large AND
+    * the embedding space is clustered (buckets then isolate true
+    * neighbors); on isotropic data the exact path is strictly better.
+    * The count()-era probe hid this by pruning the dot-product column —
+    * see SCALING.md "bench integrity".
+    */
   def nnWithinLabelAnn(
       embeddings: DataFrame,
       nBits: Int = 64,
