@@ -60,6 +60,16 @@ object GraftFunctions {
           "jaccard_sorted_ge(a, b, <double literal threshold>)")
       }),
 
+    (FunctionIdentifier("word_gram_hashes"),
+      info("word_gram_hashes",
+        "word_gram_hashes(str, n) - in-order word n-gram xxhash64 values " +
+          "(multiset) of a single-space-normalized string"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, Literal(n: Int, IntegerType)) => WordGramHashesExpr(c, n)
+        case _ => throw new IllegalArgumentException(
+          "word_gram_hashes(column, <int literal>)")
+      }),
+
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of array<double>"),
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),

@@ -55,4 +55,16 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT topic_matches(c, c) FROM (SELECT 'a' AS c)").collect()
     }
   }
+
+  test("word_gram_hashes via SQL: multiset in order, short/empty -> empty") {
+    val rows = spark.sql(
+      """SELECT size(word_gram_hashes('a b a b', 2)) AS n,
+        |       word_gram_hashes('a b a b', 2)[0] = word_gram_hashes('a b a b', 2)[2] AS rep,
+        |       size(word_gram_hashes('a', 2)) AS short_n,
+        |       size(word_gram_hashes('', 2)) AS empty_n""".stripMargin)
+      .collect()(0)
+    assert(rows.getInt(0) === 3)      // (a b)(b a)(a b)
+    assert(rows.getBoolean(1))        // duplicate gram, duplicate hash
+    assert(rows.getInt(2) === 0 && rows.getInt(3) === 0)
+  }
 }
