@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Benchmark main. Prints ONE machine-readable JSON line (plus a short tail
+  * line that survives output-tail truncation) and writes the COMPLETE
+  * per-query detail to a file, so a single noisy-host window or a 4 KB
+  * stdout tail can never destroy the round's evidence.
+  *
+  * Noise defenses (each earned by a prior round's corrupted artifact):
+  *   - per-query value = MEDIAN of N forced runs (default 3,
+  *     SPARK_GRAFT_BENCH_REPS to override) — one scheduler stall or
+  *     noisy-neighbor window cannot poison a query's number;
+  *   - the full per-run detail goes to bench_full.json
+  *     (SPARK_GRAFT_BENCH_OUT to override) — all entries recoverable from
+  *     the repo even when the driver keeps only the stdout tail;
+  *   - the tail line names the slowest 5 queries, so the expensive end of
+  *     the distribution is identifiable even from a truncated capture.
+  */
 object Bench {
 
   /** Time one thunk: (seconds, error). A failing query must surface in the
@@ -18,6 +33,13 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, err)
   }
 
+  /** Median of a non-empty sample; even sizes average the middle pair. */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
   /** Minimal JSON string escape for the error payload. */
   def jsonEscape(s: String): String =
     s.flatMap {
@@ -33,6 +55,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,29 +86,70 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> timeQuery { force(fn(spark, sfDir)) }
+    // Measured passes: run the FULL suite reps times (round-robin, not
+    // back-to-back per query) so a single noisy-host window degrades one
+    // run of many queries instead of all runs of a few — the median then
+    // discards it. Per-query value = median across runs.
+    val names = SparkEntry.queries.keys.toSeq
+    val runsByQuery = collection.mutable.LinkedHashMap(
+      names.map(n => n -> Vector.empty[(Double, Option[String])]): _*)
+    for (_ <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
+      runsByQuery(name) =
+        runsByQuery(name) :+ timeQuery { force(fn(spark, sfDir)) }
+    }
+    val results = runsByQuery.toSeq.map { case (name, runs) =>
+      (name, median(runs.map(_._1)), runs.map(_._1),
+        runs.flatMap(_._2).headOption)
     }
     // 0.1 ms precision per query keeps the full line ~40% shorter — the
     // driver's tail buffer is ~4 KB and round 4's full line overflowed it.
     def fmt(sec: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(sec))
-    val qs = results.map { case (k, (sec, _)) => s"\"" + k + "\":" + fmt(sec) }
+    val qs = results.map { case (k, med, _, _) => s"\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, Some(e))) =>
+    val errs = results.collect { case (k, _, _, Some(e)) =>
       s"\"" + k + "\":\"" + jsonEscape(e) + "\""
     }
     val errField =
       if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
-    val total = results.values.map(_._1).sum
+    val total = results.map(_._2).sum
+    // Complete evidence to a FILE (committed alongside BENCH_r{N}): every
+    // query, every run, the median, and any error — immune to stdout-tail
+    // truncation and auditable after a noisy run.
+    val fileJson = {
+      val entries = results.map { case (k, med, runs, err) =>
+        val runsJson = runs.map(fmt).mkString("[", ",", "]")
+        val errJson = err.map(e => s""","err":"${jsonEscape(e)}"""").getOrElse("")
+        s"""    "$k": {"median":${fmt(med)},"runs":$runsJson$errJson}"""
+      }.mkString(",\n")
+      s"""{
+  "metric": "total",
+  "value": ${fmt(total)},
+  "unit": "sec",
+  "sf": "$sfDir",
+  "reps": $reps,
+  "nqueries": ${results.size},
+  "nerrors": ${errs.size},
+  "queries": {
+$entries
+  }
+}
+"""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      fileJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
-    // The driver keeps only the TAIL of sbt output; with 70+ per-query
+    // The driver keeps only the TAIL of sbt output; with 90+ per-query
     // entries the leading "metric":"total" prefix of the line above can be
-    // truncated away (it was in rounds 3 and 4). Repeat the headline
-    // numbers as a short trailing line so they always survive tail
-    // capture — under a DISTINCT metric name so a by-metric consumer
-    // cannot double-count the total.
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errs.size},"sf":"$sfDir"}""")
+    // truncated away (it was in rounds 3-5). Repeat the headline numbers
+    // as a short trailing line — distinct metric name so a by-metric
+    // consumer cannot double-count — and name the slowest 5 queries so the
+    // expensive tail of the distribution survives truncation too.
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, med, _, _) => s"\"" + k + "\":" + fmt(med) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errs.size},"reps":$reps,"slowest":$slowest,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

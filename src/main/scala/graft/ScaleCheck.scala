@@ -60,7 +60,9 @@ object ScaleCheck {
       }
 
     time("text_stats (full scan)") {
-      TextAnalysis.withQuality(big).agg(sum("n_tokens")).collect(); n
+      // force() the full projection: an .agg(sum(col)).collect() here would
+      // let the optimizer prune every other quality column from the scan
+      force(TextAnalysis.withQuality(big))
     }
     time("exact dedup groups") { force(Dedup.exactGroups(big)) }
     time("ngram jaccard pairs t=0.8") { force(Dedup.ngramJaccardPairs(big, 0.8)) }
@@ -167,9 +169,12 @@ object ScaleCheck {
       force(TextAnalysis.gopherQuality(big).filter(col("pass_gopher")))
     }
     time("pii redact (1 scan)") {
-      graft.operators.Pii.audit(big,
+      // force() the registered plan: timing via .agg(sum("n_emails")) let
+      // the optimizer prune the redact (3 regexp_replace), md5, and
+      // phone/IP columns, so only the email-count regex actually ran
+      force(graft.operators.Pii.audit(big,
         concat(col("text"), lit(" x"), col("doc_id").cast("string"),
-          lit("@example.com"))).agg(sum("n_emails")).collect(); n
+          lit("@example.com"))))
     }
     // MG sketch vs the exact Zipf head: both one token pass, but the
     // sketch's shuffle payload is capacity-sized summaries, not the

@@ -1987,13 +1987,13 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
         |      AS n_emails,
         |    CAST(len(regexp_extract_all(pii_text,
-        |      '\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}|\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b'))
+        |      '(?:\+|\b)[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}|\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b'))
         |      AS BIGINT) AS n_phones,
         |    CAST(len(regexp_extract_all(pii_text,
         |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
         |    regexp_replace(regexp_replace(regexp_replace(pii_text,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}|\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b', '<PHONE>', 'g'),
+        |      '(?:\+|\b)[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}|\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b', '<PHONE>', 'g'),
         |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
         |  FROM p)
         |SELECT doc_id, n_emails, n_phones, n_ips,

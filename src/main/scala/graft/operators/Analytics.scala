@@ -773,7 +773,11 @@ object Analytics {
         .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"))
-      .filter(col("sum_qty") > lit(minQty))
+      // a Double literal would coerce sum_qty to double for the compare;
+      // a DECIMAL literal keeps the comparison in decimal, matching the
+      // oracle's DECIMAL 50.0 literal exactly at the boundary
+      .filter(col("sum_qty") >
+        lit(java.math.BigDecimal.valueOf(minQty)).cast(DecimalType(18, 2)))
       .select(col("l_suppkey"))
       .distinct()
     s.join(qty, col("s_suppkey") === col("l_suppkey"), "left_semi")

@@ -23,9 +23,13 @@ object Pii {
 
   val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** NANP-ish: optional +CC then 3-3-4 groups with - or space separators. */
+  /** NANP-ish: optional +CC then 3-3-4 groups with - or space separators.
+    * Both alternatives are left-anchored — `(?:\+|\b)` on the first one so
+    * it cannot start mid-digit-run (e.g. inside "99945-678-9012") — and
+    * `(?:\+|\b)` is in the Java∩RE2 dialect, so the oracle stays identical.
+    */
   val phonePattern: String =
-    "\\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}|\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
+    "(?:\\+|\\b)[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{4}|\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
 
   val ipv4Pattern: String = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 

@@ -29,6 +29,13 @@ object Profile {
       df: DataFrame,
       columns: Seq[String],
       exact: Boolean = false): DataFrame = {
+    // names are spliced into selectExpr ('$c' literal + backtick
+    // identifiers) — restrict to identifier characters so a quote or
+    // backtick in a column name cannot produce malformed/injected SQL
+    columns.foreach { c =>
+      require(c.matches("[A-Za-z0-9_]+"),
+        s"profile: column name must match [A-Za-z0-9_]+, got '$c'")
+    }
     val aggs = columns.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nonnull"),

@@ -13,7 +13,8 @@ class PiiSpec extends SparkSpec {
       "call +1-555-0134 or 555-123-4567 now",
       "host 192.168.0.1 and 10.0.0.255",
       "no pii here at all",
-      "mixed a@b.io 555-123-4567 8.8.8.8"
+      "mixed a@b.io 555-123-4567 8.8.8.8",
+      "blob 99945-678-9012 is not a phone"
     ).toDF("text")
       .select(Pii.redact(col("text"))).as[String].collect().toSeq
     assert(got(0) === "mail me at <EMAIL> today")
@@ -21,6 +22,9 @@ class PiiSpec extends SparkSpec {
     assert(got(2) === "host <IP> and <IP>")
     assert(got(3) === "no pii here at all")
     assert(got(4) === "mixed <EMAIL> <PHONE> <IP>")
+    // boundary guard: a match cannot start mid-digit-run — the 5-digit
+    // prefix means no alternative may fire anywhere in this blob
+    assert(got(5) === "blob 99945-678-9012 is not a phone")
   }
 
   test("countPii matches the number of redactions") {
