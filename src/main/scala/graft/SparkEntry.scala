@@ -416,9 +416,13 @@ object SparkEntry {
         .select(col("label"), col("vec_a"), col("vec_b"))
         .orderBy(col("vec_a"), col("vec_b"))),
 
-    // approximate twin: SRP-LSH bucketed candidates within the label +
-    // exact rerank (rows-only: hyperplanes not SQL-expressible; top-1
-    // agreement vs the exact path is spec-measured — currently 100%)
+    // approximate twin: COVERAGE-AWARE DISPATCH — prices the SRP-LSH
+    // bucket path (probe⋈candidate join size, band-0 histogram) against
+    // the exact dedupe-first path and runs whichever is cheaper. On this
+    // isotropic corpus that is the exact path (round 5 measured the raw
+    // bucket path at 491 s vs 5 s at 20×); a clustered corpus takes the
+    // buckets (spec-asserted). Rows-only: hyperplanes not SQL-expressible;
+    // top-1 agreement vs the exact path is spec-measured — currently 100%
     "dedup_embedding_nn_ann" -> ((s, dir) =>
       Similarity.nnWithinLabelAnn(Tables.embeddings(s, dir))),
 

@@ -397,7 +397,90 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** Nearest within-label neighbor via SRP-LSH candidate generation: every
+  /** ANN twin of [[nnWithinLabel]] — COVERAGE-AWARE DISPATCH.
+    *
+    * Round-5 forced-execution ScaleCheck measured the raw bucket path at
+    * 491 s (20× corpus) where the exact dedupe-first path costs 5 s: on an
+    * ISOTROPIC corpus SRP band buckets stay fat (4-bit bands ⇒ ~1/16 of a
+    * label per bucket) and multi-probe × bucket-population explodes to
+    * ~pairs×probes dot products, while the exact path's dedupe-first move
+    * collapses replica mass before any pairwise work. An operator that is
+    * strictly dominated on a MEASURABLE corpus property must not run
+    * anyway — so this entry point prices both plans first
+    * ([[annCostEstimate]]: two small aggs over the prebuilt cached index)
+    * and takes the bucket path only when it is estimated to save at least
+    * half the exact work (`costAdvantage`). Both paths return identical
+    * schemas and — per the companion spec — identical top-1 answers on
+    * this corpus, so dispatch never changes correctness, only cost.
+    */
+  def nnWithinLabelAnn(
+      embeddings: DataFrame,
+      nBits: Int = 64,
+      bands: Int = 16,
+      dim: Int = 64,
+      costAdvantage: Double = 0.5): DataFrame = {
+    val (bucketDots, exactDots) = annCostEstimate(embeddings, nBits, bands, dim)
+    if (bucketDots < costAdvantage * exactDots)
+      nnWithinLabelAnnBuckets(embeddings, nBits, bands, dim)
+    else nnWithinLabel(embeddings)
+  }
+
+  /** Dispatch cost model for [[nnWithinLabelAnn]]: estimated dot-product
+    * counts `(bucketPath, exactPath)`, from small aggregates over the
+    * cached LSH index (the index is shared with the bucket path, so
+    * pricing never duplicates the signing scan):
+    *
+    *   - bucket path = bands × Σ_{label,bucket} probeOcc × candOcc for
+    *     BAND 0 — the exact expected size of the probe⋈candidate join,
+    *     with probe occupancy counted from the real home+1-flip probe
+    *     set (flip probes into EMPTY neighbor buckets — the clustered
+    *     case — price as zero, which a Σn² model would overcharge).
+    *     SRP bits are i.i.d., so band 0's histogram is representative
+    *     of every band;
+    *   - exact path = Σ_label nd² over DISTINCT unit vectors, because
+    *     [[nnWithinLabel]] collapses identical vectors BEFORE pairwise
+    *     work (the move the raw bucket path lacks).
+    *
+    * Structural consequence, worth stating: at the default 4-bit bands a
+    * UNIFORM bucket histogram gives bucket ≈ (1+bitsPerBand)×n² ≥ n², so
+    * fat-bucket corpora (isotropic data) always dispatch exact; the
+    * bucket path wins only when buckets isolate small clusters AND flip
+    * neighborhoods are sparse — precisely the corpus LSH is for.
+    *
+    * Public so specs can assert the dispatch decision itself, not just
+    * its observable timing.
+    */
+  def annCostEstimate(
+      embeddings: DataFrame,
+      nBits: Int = 64,
+      bands: Int = 16,
+      dim: Int = 64): (Double, Double) = {
+    val index = IndexCache.lsh(embeddings, nBits, bands, dim,
+      carryCols = Seq("label"))
+    val bitsPerBand = index.bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
+    val home = col("sig").bitwiseAND(mask)
+    val probeSet = array(home +: (0 until bitsPerBand).map(i =>
+      home.bitwiseXOR(lit(1L << i))): _*)
+    val probeOcc = index.signed
+      .select(col("label"), explode(probeSet).as("bucket"))
+      .groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("p_n"))
+    val candOcc = index.signed
+      .groupBy(col("label"), home.as("bucket")).agg(count(lit(1)).as("c_n"))
+    def scalar(df: DataFrame): Double =
+      Option(df.first().get(0)).map(_.asInstanceOf[Long].toDouble)
+        .getOrElse(0.0)
+    val band0Dots = scalar(probeOcc
+      .join(candOcc, Seq("label", "bucket"))
+      .agg(sum(col("p_n") * col("c_n"))))
+    val distinctSumSq = scalar(index.signed
+      .select(col("label"), col("unit")).distinct()
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n"))))
+    (bands.toDouble * band0Dots, distinctSumSq)
+  }
+
+  /** The raw SRP-LSH bucket path behind [[nnWithinLabelAnn]]: every
     * vector probes its band buckets (plus 1-bit-flip multi-probes) and
     * compares only same-label vectors sharing a bucket, exact-reranked.
     * SRP-LSH is DATA-INDEPENDENT — collision probability depends only on
@@ -407,28 +490,18 @@ object Similarity {
     * agreement 0.607⁴ plus the 1-flip term), measured as ~zero top-1
     * divergence in the companion spec.
     *
-    * Still APPROXIMATE by construction: registered as its own rows-only
-    * query (`dedup_embedding_nn_ann`), with [[nnWithinLabel]] the
-    * hash-checked exact twin. A pair sharing several buckets is scored
-    * per occurrence and collapsed by the same partial-aggregating argmax —
-    * repeated cheap dots beat a pair-dedup shuffle. Vectors whose probed
-    * buckets hold no same-label candidate fall back to the exact pass
-    * (coverage is total by construction).
+    * Still APPROXIMATE by construction: registered (via the dispatcher)
+    * as its own rows-only query (`dedup_embedding_nn_ann`), with
+    * [[nnWithinLabel]] the hash-checked exact twin. A pair sharing
+    * several buckets is scored per occurrence and collapsed by the same
+    * partial-aggregating argmax — repeated cheap dots beat a pair-dedup
+    * shuffle. Vectors whose probed buckets hold no same-label candidate
+    * fall back to the exact pass (coverage is total by construction).
+    * Profitable when labels are large AND the embedding space is
+    * clustered (buckets then isolate true neighbors); the dispatcher
+    * prices exactly that condition.
     */
-  /** ANN twin of [[nnWithinLabel]] via SRP-LSH banded buckets + 1-bit
-    * multi-probe + exact rerank, with a total-coverage exact fallback.
-    *
-    * MEASURED CAVEAT (round 5, forced-execution ScaleCheck): on an
-    * ISOTROPIC corpus SRP band buckets stay fat (4-bit bands ⇒ ~1/16 of a
-    * label per bucket), and multi-probe × bucket-population explodes to
-    * ~pairs×probes dot products — 491 s at 20× where the exact
-    * dedupe-first path costs 5 s. Use this twin when labels are large AND
-    * the embedding space is clustered (buckets then isolate true
-    * neighbors); on isotropic data the exact path is strictly better.
-    * The count()-era probe hid this by pruning the dot-product column —
-    * see SCALING.md "bench integrity".
-    */
-  def nnWithinLabelAnn(
+  def nnWithinLabelAnnBuckets(
       embeddings: DataFrame,
       nBits: Int = 64,
       bands: Int = 16,

@@ -176,10 +176,13 @@ class SimilaritySpec extends SparkSpec {
     assert(nn.size === 7)
   }
 
-  test("nnWithinLabelAnn (LSH buckets) equals the exact result here") {
+  test("nnWithinLabelAnnBuckets (raw LSH path) equals the exact result here") {
     val exact = Similarity.nnWithinLabel(emb)
       .select("vec_id", "nn_vec_id").as[(Long, Long)].collect().toMap
-    val ann = Similarity.nnWithinLabelAnn(emb)
+    // the raw bucket path directly — the dispatcher would (correctly)
+    // price this isotropic corpus to the exact twin, which must not
+    // exempt the bucket machinery from its agreement spec
+    val ann = Similarity.nnWithinLabelAnnBuckets(emb)
       .select("vec_id", "nn_vec_id").as[(Long, Long)].collect().toMap
     assert(ann.size === exact.size)
     val diff = exact.collect {
@@ -191,6 +194,58 @@ class SimilaritySpec extends SparkSpec {
     // NN with p ≈ 1 − 3e-5 per vector on this corpus — exact today
     assert(diff.isEmpty,
       s"ANN NN diverged from exact for ${diff.size} vectors: ${diff.take(5)}")
+  }
+
+  test("ANN dispatch: isotropic corpus prices to the exact path") {
+    val (bucketDots, exactDots) = Similarity.annCostEstimate(emb)
+    info(s"isotropic cost estimate: bucket=$bucketDots exact=$exactDots")
+    // fat SRP buckets (each holds ~1/16 of a label) make the bucket path
+    // a multiple of the exact work here — round 5 measured 491 s vs 5 s
+    // at 20× before the dispatcher existed
+    assert(bucketDots >= 0.5 * exactDots,
+      "dispatcher must NOT take the bucket path on the isotropic corpus")
+    // and the dispatching entry point therefore matches exact verbatim
+    val exact = Similarity.nnWithinLabel(emb)
+      .select("vec_id", "nn_vec_id").as[(Long, Long)].collect().toMap
+    val got = Similarity.nnWithinLabelAnn(emb)
+      .select("vec_id", "nn_vec_id").as[(Long, Long)].collect().toMap
+    assert(got === exact)
+  }
+
+  test("ANN dispatch: clustered corpus takes the bucket path, high agreement") {
+    // big labels + tight clusters: the regime SRP buckets are FOR. 2
+    // labels × 1200 vectors in 40-member clusters, indexed with WIDE
+    // bands (bands=4 ⇒ 16-bit buckets): each cluster isolates in its own
+    // bucket and flip neighborhoods are empty, so the probe⋈candidate
+    // join is ~cluster-sized lists against a 1200²-per-label exact join.
+    // (At the default 4-bit bands no corpus of distinct vectors beats
+    // exact — 16 buckets can't isolate 60 clusters; param choice is part
+    // of the operator and the cost model prices whatever it's given.)
+    val rnd = new scala.util.Random(17L)
+    val centers = Array.fill(60, 64)(rnd.nextGaussian())
+    val rows = (0 until 2400).map { i =>
+      val c = centers(i % 60)
+      val v = c.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v.toSeq, i % 2)
+    }
+    val cemb = rows.toDF("vec_id", "embedding", "label")
+    val (bucketDots, exactDots) =
+      Similarity.annCostEstimate(cemb, nBits = 64, bands = 4)
+    info(s"clustered cost estimate: bucket=$bucketDots exact=$exactDots")
+    assert(bucketDots < 0.5 * exactDots,
+      "dispatcher must take the bucket path on the clustered corpus")
+    val ann = Similarity.nnWithinLabelAnn(cemb, nBits = 64, bands = 4)
+      .select("vec_id", "nn_vec_id").as[(Long, Long)].collect().toMap
+    assert(ann.size === 2400)
+    val exact = Similarity.nnWithinLabel(cemb)
+      .select("vec_id", "nn_vec_id").as[(Long, Long)].collect().toMap
+    val agree = exact.count { case (v, n) => ann.get(v).contains(n) }
+    val agreement = agree.toDouble / exact.size
+    info(s"clustered bucket-path top-1 agreement = $agreement")
+    // near-identical cluster members collide in ≥1 band with p ≈ 1, and
+    // the exact rerank makes candidate order exact
+    assert(agreement >= 0.99,
+      s"bucket path agreement $agreement below floor on clustered corpus")
   }
   test("int8 quantization: bounded values, zero-vector guard, small cosine error") {
     import spark.implicits._
