@@ -156,7 +156,7 @@ object ScaleCheck {
         batch = big.filter(col("doc_id") >= (mult - 1).toLong * 1000000L),
         reference = big.filter(col("doc_id") < (mult - 1).toLong * 1000000L)))
     }
-    time("per-source cap (rank window)") {
+    time("per-source cap (two-phase)") {
       force(Curation.capPerSource(big, 1000))
     }
     // replicas share every span with their base doc — the adversarial

@@ -83,18 +83,57 @@ object Curation {
     * guard every web-scale corpus applies so no single domain dominates
     * the training mix.
     *
-    * One shuffle on `source` + a per-partition sort (row_number window);
-    * sources are the parallelism unit. A skew-prone giant domain at
-    * 100 TB would use the two-phase variant: per-partition top-N
-    * pre-prune (cheap, no shuffle) before the global window — the final
-    * window then sees at most N × partitions rows per source.
+    * TWO-PHASE at scale: phase 1 ([[localTopPerSource]]) keeps each
+    * input partition's top `maxPerSource` rows per source with a bounded
+    * in-memory heap — a narrow map, NO shuffle, and provably lossless
+    * (a row outside its partition's local top-N cannot be in the global
+    * top-N). The global `row_number` window then sees at most
+    * N × partitions rows per source, so a billion-doc domain costs one
+    * reducer a bounded sort instead of a billion-row sort — the
+    * single-window formulation's scale-killer.
     */
   def capPerSource(docs: DataFrame, maxPerSource: Int = 20): DataFrame =
-    docs
+    localTopPerSource(docs, maxPerSource)
       .withColumn("rank_in_source", row_number().over(
         Window.partitionBy(col("source"))
           .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
       .filter(col("rank_in_source") <= maxPerSource)
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("rank_in_source"))
+
+  /** Phase 1 of [[capPerSource]]: per-PARTITION top-`n` per source, as a
+    * bounded-memory heap fold (worst kept row at the heap head, evicted
+    * on a better arrival). State is `sources-per-partition × n` tuples —
+    * constant per task however large the partition. Exposed package-wide
+    * so specs can assert the bound, not just the final answer.
+    */
+  private[graft] def localTopPerSource(
+      docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // head of the queue = WORST kept row: smallest n_chars, then largest
+    // doc_id — eviction compares against it in O(1), replaces in O(log n)
+    val worstFirst: Ordering[(Long, Long)] =
+      Ordering.by { case (nChars, docId) => (-nChars, docId) }
+    docs
+      .select(col("doc_id").cast("long"), col("source").cast("string"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+        it.foreach { case (docId, source, nChars) =>
+          val h = heaps.getOrElseUpdate(source,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          if (h.size < n) h.enqueue((nChars, docId))
+          else if (worstFirst.lt((nChars, docId), h.head)) {
+            h.dequeue(); h.enqueue((nChars, docId))
+          }
+        }
+        heaps.iterator.flatMap { case (source, h) =>
+          h.iterator.map { case (nChars, docId) => (docId, source, nChars) }
+        }
+      }
+      .toDF("doc_id", "source", "n_chars")
+  }
 }

@@ -177,6 +177,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(out === Seq(3L, 5L))
   }
 
+  test("capPerSource two-phase: degenerate single-source corpus is pre-pruned to a bounded window input") {
+    // 100k docs, ONE domain: the skew case where the old single-window
+    // formulation sorted the whole corpus on one reducer. Phase 1 must
+    // bound the global window's input at N × partitions, and the final
+    // answer must equal the plain-window formulation.
+    val nParts = 8
+    val big = spark.range(100000L)
+      .repartition(nParts)
+      .select(col("id").as("doc_id"), lit("the-one-domain").as("source"),
+        (col("id") * 7919L % 100003L).as("n_chars"))
+    val pruned = Curation.localTopPerSource(big, 20)
+    val prunedCount = pruned.count()
+    assert(prunedCount <= 20L * nParts,
+      s"phase-1 output $prunedCount exceeds N x partitions = ${20 * nParts}")
+    val got = Curation.capPerSource(big, maxPerSource = 20)
+      .orderBy("rank_in_source")
+      .select("doc_id", "rank_in_source").as[(Long, Long)].collect().toSeq
+    assert(got.size === 20)
+    // reference: plain global sort of the same corpus
+    val expect = big.orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(20).select("doc_id").as[Long].collect().toSeq
+    assert(got.map(_._1) === expect)
+    assert(got.map(_._2) === (1L to 20L))
+  }
+
   test("curateNearDup: no two survivors are near-dups; survivors are component minima") {
     val threshold = 0.7
     val corpus = Tables.documents(spark, sf)
