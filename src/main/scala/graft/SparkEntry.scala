@@ -100,6 +100,56 @@ object SparkEntry {
         .orderBy(col("device"), col("time_us"))
     }),
 
+    // A13+A5 FULL contract from pure TOML — multi-RECORD fan-out
+    // ([[routes.records]]): one message emits records to N tables with a
+    // per-record table override and per-record predicate, compiled from
+    // config alone (the complete Lua parseRecords contract,
+    // router.go:291-341, examples/multi_table.lua:30 — zero recompile).
+    // Must hash-match transform_generic_multi_table, which computes the
+    // same records through the precompiled GenericTransform escape hatch.
+    "transform_config_multi_table" -> ((s, dir) => {
+      val m = Tables.events(s, dir).select(
+        concat(lit("sensors/s"), col("user_id").cast("string")).as("topic"),
+        to_json(struct(
+          col("value").as("temperature"),
+          when(col("user_id") % 2 === 0, col("value") * 0.5).as("humidity"),
+          when(col("event_type") === "click", lit("high")).as("alert")))
+          .cast("binary").as("payload"),
+        lit(0).as("qos"), lit(false).as("retain"), col("ts").as("time"))
+      val toml =
+        """[[routes]]
+          |filter = "sensors/#"
+          |
+          |[[routes.records]]
+          |table = "sensor_readings"
+          |where = "get_json_object(cast(payload as string), '$.temperature') is not null or get_json_object(cast(payload as string), '$.humidity') is not null"
+          |select = ["time", "coalesce(nullif(regexp_extract(topic, 'sensors/([^/]+)', 1), ''), 'unknown') as sensor_id", "coalesce(cast(get_json_object(cast(payload as string), '$.temperature') as double), 0.0d) as temperature", "coalesce(cast(get_json_object(cast(payload as string), '$.humidity') as double), 0.0d) as humidity", "coalesce(cast(get_json_object(cast(payload as string), '$.battery') as double), 100.0d) as battery"]
+          |
+          |[[routes.records]]
+          |table = "sensor_events"
+          |where = "get_json_object(cast(payload as string), '$.alert') is not null"
+          |select = ["time", "coalesce(nullif(regexp_extract(topic, 'sensors/([^/]+)', 1), ''), 'unknown') as sensor_id", "'alert' as event_type", "cast(payload as string) as details"]
+          |""".stripMargin
+      val tables = graft.config.EngineConfig.fromToml(toml)
+        .buildRouter(Map.empty).fanOut(m)
+      val r = tables("sensor_readings").select(
+        lit("sensor_readings").as("rec_table"),
+        unix_micros(col("time")).as("time_us"),
+        col("sensor_id"), col("temperature"), col("humidity"), col("battery"),
+        lit(null).cast("string").as("event_type"),
+        lit(false).as("has_details"))
+      val e = tables("sensor_events").select(
+        lit("sensor_events").as("rec_table"),
+        unix_micros(col("time")).as("time_us"),
+        col("sensor_id"),
+        lit(null).cast("double").as("temperature"),
+        lit(null).cast("double").as("humidity"),
+        lit(null).cast("double").as("battery"),
+        col("event_type"), col("details").isNotNull.as("has_details"))
+      r.unionByName(e)
+        .orderBy(col("rec_table"), col("time_us"), col("sensor_id"))
+    }),
+
     // B1-B5 — codec scalar surface on the documents table
     "codec_functions" -> ((s, dir) => {
       import graft.functions.Codecs
@@ -1293,6 +1343,32 @@ object SparkEntry {
         |ORDER BY topic, timestamp, temperature_celsius""".stripMargin,
 
     "transform_generic_multi_table" ->
+      """WITH m AS (
+        |  SELECT 's' || user_id AS sensor_id,
+        |         epoch_us(ts) AS time_us,
+        |         value,
+        |         CASE WHEN user_id % 2 = 0 THEN value * 0.5 END AS humidity,
+        |         CASE WHEN event_type = 'click' THEN 'high' END AS alert
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'sensor_readings' AS rec_table, time_us, sensor_id,
+        |         value AS temperature,
+        |         COALESCE(humidity, 0.0) AS humidity,
+        |         100.0 AS battery,
+        |         CAST(NULL AS VARCHAR) AS event_type,
+        |         FALSE AS has_details
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'sensor_events', time_us, sensor_id,
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |         CAST(NULL AS DOUBLE), 'alert', TRUE
+        |  FROM m WHERE alert IS NOT NULL) u
+        |ORDER BY rec_table, time_us, sensor_id""".stripMargin,
+
+    // identical record semantics to the generic path, recomputed by the
+    // oracle the same way — the TOML route and the precompiled transform
+    // must both match this (and therefore each other)
+    "transform_config_multi_table" ->
       """WITH m AS (
         |  SELECT 's' || user_id AS sensor_id,
         |         epoch_us(ts) AS time_us,

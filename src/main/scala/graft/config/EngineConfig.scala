@@ -41,6 +41,18 @@ final case class DatabaseConfig(
 
 final case class PipelineConfig(luaScript: String = "", tableName: String = "")
 
+/** One record group of a config-deployed multi-record route
+  * (`[[routes.records]]`): the TOML spelling of the Lua contract's "one
+  * message emits N records to different tables"
+  * (router.go:291-341, examples/multi_table.lua:30). `where` decides
+  * whether a given message produces THIS record (0..N fan-out); `select`
+  * builds the record's columns; `table` is the per-RECORD sink override.
+  */
+final case class RecordConfig(
+    table: String = "",
+    select: Seq[String] = Nil,
+    where: String = "")
+
 final case class RouteConfig(
     filter: String = "",
     script: String = "",
@@ -56,7 +68,11 @@ final case class RouteConfig(
     // or, alone, filters the passthrough capture. A declared `where` is
     // NEVER silently dropped.
     select: Seq[String] = Nil,
-    where: String = "")
+    where: String = "",
+    // Multi-record fan-out groups; mutually exclusive with both `script`
+    // and `select`. The route-level `where` composes (applied before
+    // every group's own predicate).
+    records: Seq[RecordConfig] = Nil)
 
 final case class EngineConfig(
     mqtt: MqttConfig = MqttConfig(),
@@ -96,9 +112,30 @@ final case class EngineConfig(
     val rs = buildRouteConfigs.zipWithIndex.map { case (rc, i) =>
       require(rc.script.isEmpty || rc.select.isEmpty,
         s"route $i: `script` and `select` are mutually exclusive")
+      require(rc.records.isEmpty || (rc.script.isEmpty && rc.select.isEmpty),
+        s"route $i: `records` is mutually exclusive with `script`/`select`")
       val where = rc.where // parse errors surface at fanOut, per call
       val applyWhere: DataFrame => DataFrame =
         df => if (where.isEmpty) df else df.filter(expr(where))
+      if (rc.records.nonEmpty) {
+        // multi-record fan-out from pure TOML: each group is its own
+        // (predicate, select list, target table) — one matched message
+        // emits a record per group whose predicate holds
+        val emits = rc.records.zipWithIndex.map { case (g, j) =>
+          require(g.table.nonEmpty,
+            s"route $i records[$j]: `table` is required")
+          require(g.select.nonEmpty,
+            s"route $i records[$j]: `select` is required")
+          val gWhere = g.where
+          val gSelect = g.select
+          g.table -> ((df: DataFrame) => {
+            val base = applyWhere(df)
+            val kept = if (gWhere.isEmpty) base else base.filter(expr(gWhere))
+            kept.select(gSelect.map(expr): _*)
+          })
+        }
+        Route(s"route_$i", rc.filter, rc.table, None, emits)
+      } else {
       val t: Option[DataFrame => DataFrame] =
         if (rc.select.nonEmpty) {
           val selects = rc.select
@@ -118,6 +155,7 @@ final case class EngineConfig(
             else Some(df => fn(applyWhere(df)))
         }
       Route(s"route_$i", rc.filter, rc.table, t)
+      }
     }
     new Router(rs)
   }
@@ -137,7 +175,21 @@ object EngineConfig {
       .foreach { line =>
         if (line.startsWith("[[") && line.endsWith("]]")) {
           val name = line.substring(2, line.length - 2).trim
-          val arr = root.getOrElseUpdate(name,
+          val dot = name.lastIndexOf('.')
+          // one nesting level of dotted array-of-tables ([[routes.records]]):
+          // append a sub-table array to the LAST element of the parent
+          // array — standard TOML semantics for the subset we parse
+          val host: scala.collection.mutable.Map[String, Any] =
+            if (dot > 0) {
+              val parent = name.substring(0, dot)
+              val parr = root.getOrElse(parent, throw new IllegalArgumentException(
+                s"[[${name}]] before any [[${parent}]]"))
+                .asInstanceOf[scala.collection.mutable.ArrayBuffer[scala.collection.mutable.Map[String, Any]]]
+              require(parr.nonEmpty, s"[[${name}]] before any [[${parent}]]")
+              parr.last
+            } else root
+          val key = if (dot > 0) name.substring(dot + 1) else name
+          val arr = host.getOrElseUpdate(key,
             scala.collection.mutable.ArrayBuffer[scala.collection.mutable.Map[String, Any]]())
             .asInstanceOf[scala.collection.mutable.ArrayBuffer[scala.collection.mutable.Map[String, Any]]]
           val tbl = scala.collection.mutable.Map[String, Any]()
@@ -264,6 +316,14 @@ object EngineConfig {
           s"route $i: `select` must be a string or an array of strings, " +
             s"got: $other")
       }
+    def recordList(r: Map[String, Any], i: Int): Seq[RecordConfig] =
+      r.getOrElse("records", Seq.empty).asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Map[String, Any]])
+        .zipWithIndex
+        .map { case (g, j) => RecordConfig(
+          table = str(g, "table"),
+          select = selectList(g, i),
+          where = str(g, "where")) }
     val routes = t.getOrElse("routes", Seq.empty).asInstanceOf[Seq[Any]]
       .map(_.asInstanceOf[Map[String, Any]])
       .zipWithIndex
@@ -274,7 +334,8 @@ object EngineConfig {
         queueSize = int(r, "queue_size", 100),
         table = str(r, "table", Router.DefaultTable),
         select = selectList(r, i),
-        where = str(r, "where")) }
+        where = str(r, "where"),
+        records = recordList(r, i)) }
     EngineConfig(
       mqtt = MqttConfig(
         broker = str(mqtt, "broker"),

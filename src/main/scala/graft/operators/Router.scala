@@ -30,11 +30,20 @@ import graft.schema.{Catalog => SchemaCatalog}
   * Queue-full drop semantics (router.go:354-355) are deliberately NOT
   * reproduced — Spark back-pressures instead of dropping (SURVEY.md §4).
   */
+/** A route. `emits` is the multi-RECORD fan-out contract
+  * (router.go:291-341, examples/multi_table.lua:30): when non-empty, one
+  * matched message emits 0..N records to DIFFERENT tables — each emit is
+  * `(target table, transform)` applied to the route's branch, and the
+  * per-emit transform's own predicate decides whether a given message
+  * produces that record. `transform`/`table` are ignored when `emits` is
+  * set (they are the 1-table special case).
+  */
 final case class Route(
     name: String,
     filter: String,
     table: String = Router.DefaultTable,
-    transform: Option[DataFrame => DataFrame] = None)
+    transform: Option[DataFrame => DataFrame] = None,
+    emits: Seq[(String, DataFrame => DataFrame)] = Nil)
 
 final class Router(val routes: Seq[Route], catalog: SchemaCatalog = SchemaCatalog(Map.empty)) {
   require(routes.map(_.name).distinct.length == routes.length,
@@ -71,13 +80,18 @@ final class Router(val routes: Seq[Route], catalog: SchemaCatalog = SchemaCatalo
     * passthrough branch keyed by route name "".
     */
   def branches(messages: DataFrame): Map[String, DataFrame] = {
-    val routed = routes.zipWithIndex.map { case (r, i) =>
+    val routed = routes.zipWithIndex.flatMap { case (r, i) =>
       val branch = messages.filter(branchPredicate(i))
-      val out = r.transform match {
-        case Some(t) => t(branch)
-        case None    => Envelope.passthrough(branch)
+      if (r.emits.nonEmpty)
+        // multi-record route: one branch entry per emitted table
+        r.emits.map { case (tbl, fn) => s"${r.name}#$tbl" -> fn(branch) }
+      else {
+        val out = r.transform match {
+          case Some(t) => t(branch)
+          case None    => Envelope.passthrough(branch)
+        }
+        Seq(r.name -> out)
       }
-      r.name -> out
     }.toMap
     val unmatched = messages.filter(!routes.indices
       .map(branchPredicate)
@@ -92,14 +106,21 @@ final class Router(val routes: Seq[Route], catalog: SchemaCatalog = SchemaCatalo
     * fails the whole branch before anything runs.
     */
   def fanOut(messages: DataFrame): Map[String, DataFrame] = {
-    val byTable = routes.zipWithIndex
-      .groupBy { case (r, _) => r.table }
-      .map { case (table, rs) =>
-        val dfs = rs.map { case (r, i) =>
-          val branch = messages.filter(branchPredicate(i))
-          r.transform.map(_(branch)).getOrElse(Envelope.passthrough(branch))
-        }
-        table -> dfs.reduce(_ unionByName _)
+    // (table, output) contributions — a single-table route contributes
+    // once; a multi-record route contributes one output per emit, so one
+    // message can land records in N tables (the Lua parseRecords contract)
+    val contribs = routes.zipWithIndex.flatMap { case (r, i) =>
+      val branch = messages.filter(branchPredicate(i))
+      if (r.emits.nonEmpty)
+        r.emits.map { case (tbl, fn) => tbl -> fn(branch) }
+      else
+        Seq(r.table ->
+          r.transform.map(_(branch)).getOrElse(Envelope.passthrough(branch)))
+    }
+    val byTable = contribs
+      .groupBy(_._1)
+      .map { case (table, dfs) =>
+        table -> dfs.map(_._2).reduce(_ unionByName _)
       }
     byTable.foreach { case (table, df) =>
       catalog.validate(table, df.columns) match {

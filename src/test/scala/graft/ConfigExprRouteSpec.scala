@@ -124,6 +124,56 @@ class ConfigExprRouteSpec extends SparkSpec {
     assert(e.getMessage.contains("select"))
   }
 
+  test("[[routes.records]]: one message emits records to N tables from pure TOML") {
+    val cfg = EngineConfig.fromToml(
+      """[[routes]]
+        |filter = "sensors/#"
+        |
+        |[[routes.records]]
+        |table = "readings"
+        |where = "get_json_object(cast(payload as string), '$.temperature') is not null or get_json_object(cast(payload as string), '$.value') is not null"
+        |select = ["topic as sensor", "coalesce(cast(get_json_object(cast(payload as string), '$.temperature') as double), cast(get_json_object(cast(payload as string), '$.value') as double)) as reading"]
+        |
+        |[[routes.records]]
+        |table = "raw_json"
+        |where = "try_parse_json(cast(payload as string)) is not null"
+        |select = ["topic", "cast(payload as string) as raw"]
+        |""".stripMargin)
+    assert(cfg.routes.head.records.map(_.table) === Seq("readings", "raw_json"))
+    val out = cfg.buildRouter(Map.empty).fanOut(msgs)
+    // message a: both records; b: both; c: raw_json only; d: neither —
+    // the 0..N-records-per-message contract, driven by config alone
+    val readings = out("readings").orderBy("sensor")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(readings === Seq(("sensors/a", 21.5), ("sensors/b", 7.0)))
+    val raw = out("raw_json").select("topic").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().toSet
+    assert(raw === Set("sensors/a", "sensors/b", "sensors/c"))
+  }
+
+  test("records route is mutually exclusive with select/script") {
+    val cfg = EngineConfig.fromToml(
+      """[[routes]]
+        |filter = "#"
+        |select = ["topic"]
+        |
+        |[[routes.records]]
+        |table = "t"
+        |select = ["topic"]
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException] { cfg.buildRouter(Map.empty) }
+    assert(e.getMessage.contains("records"))
+  }
+
+  test("[[routes.records]] before any [[routes]] is a parse error") {
+    intercept[IllegalArgumentException] {
+      EngineConfig.parseToml(
+        """[[routes.records]]
+          |table = "t"
+          |""".stripMargin)
+    }
+  }
+
   test("malformed select expression surfaces as an analysis error at use") {
     val cfg = EngineConfig.fromToml(
       """[[routes]]
