@@ -317,15 +317,22 @@ object SparkEntry {
           expr("percentile(value, 0.99)").as("p99"))
         .orderBy(col("event_type"))),
 
-    // sketch aggregate — HLL distinct users per event type alongside the
-    // exact count (approx value is engine-specific → rows-only check;
-    // the spec bounds its error against the exact count)
+    // sketch aggregate — HLL distinct users per event type, made
+    // ORACLE-CHECKABLE: the exact count is SQL-recomputable and the HLL
+    // error claim is reduced to an in-plan boolean (|approx−exact| ≤
+    // 3·rsd·exact, rsd = Spark's 0.05 default) that the oracle pins to
+    // TRUE — a drifting sketch now hash-mismatches instead of hiding
+    // behind a rows-only check
     "q_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
           approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double")
+            <= col("exact_users").cast("double") * 0.15)
+            .as("approx_within_3rsd"))
         .orderBy(col("event_type"))),
 
     // A6 — transform.lua's legacy 1→1 contract (C→F conversion, rot13,
@@ -810,11 +817,16 @@ object SparkEntry {
     "dedup_spans" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir), k = 10)),
 
-    // Misra-Gries heavy hitters over the token stream (bounded-memory
-    // one-pass sketch; estimates are merge-order-dependent → rows-only,
-    // the spec proves the MG guarantees against exact counts)
+    // Misra-Gries heavy hitters over the token stream, registered as the
+    // HASH-VERIFIABLE audit: per-item estimates are merge-order-dependent
+    // (not SQL-recomputable), but the MG guarantees are deterministic
+    // claims over exact counts — every token above the n/(cap+1) survival
+    // threshold with its exact count (oracle recomputes both) plus claim
+    // booleans the oracle pins to TRUE (reported, est ≤ true ≤ est+err,
+    // ≤ capacity entries). The raw sketch listing stays available as
+    // TextAnalysis.heavyHitters (spec-tested incl. merge invariance).
     "text_heavy_hitters" -> ((s, dir) =>
-      TextAnalysis.heavyHitters(Tables.documents(s, dir), capacity = 32)),
+      TextAnalysis.heavyHittersAudit(Tables.documents(s, dir), capacity = 32)),
 
     // NEAR-dup curation end to end: quality filter → exact ngram-Jaccard
     // pairs → connected components → keep component minimum → split;
@@ -840,26 +852,35 @@ object SparkEntry {
       graft.operators.Profile.profile(Tables.documents(s, dir),
         Seq("doc_id", "lang", "source", "n_chars"), exact = true)),
 
-    // t-digest-style approximate percentiles next to the exact order
-    // statistics (approx values are engine-specific → rows-only; the
-    // spec bounds approx-vs-exact error). Projected to SCALAR columns:
-    // the driver's comparator sorts rows pandas-side and cannot hash
-    // array cells (round-3 red row), so one column per quantile.
+    // approximate percentiles next to the exact order statistics, made
+    // ORACLE-CHECKABLE: exact quantiles are SQL-recomputable, and the
+    // sketch claim becomes an in-plan boolean — the approx value must lie
+    // inside the exact [q−0.01, q+0.01] value bracket (approx_percentile
+    // at accuracy 1000 guarantees rank error ≤ 0.001·n, 10× inside the
+    // bracket), which the oracle pins to TRUE. Scalar columns only: the
+    // driver's comparator cannot hash array cells (round-3 red row).
     "q_approx_percentiles" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
           expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
             .as("ap"),
-          expr("percentile(value, array(0.5, 0.9, 0.99))").as("ep"))
+          expr("percentile(value, array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91, 0.98, 0.99, 1.0))")
+            .as("ep"))
         .select(
           col("event_type"),
-          element_at(col("ap"), 1).as("p50_approx"),
-          element_at(col("ap"), 2).as("p90_approx"),
-          element_at(col("ap"), 3).as("p99_approx"),
-          element_at(col("ep"), 1).as("p50_exact"),
-          element_at(col("ep"), 2).as("p90_exact"),
-          element_at(col("ep"), 3).as("p99_exact"))
+          element_at(col("ep"), 2).as("p50_exact"),
+          element_at(col("ep"), 5).as("p90_exact"),
+          element_at(col("ep"), 8).as("p99_exact"),
+          (element_at(col("ap"), 1) >= element_at(col("ep"), 1)
+            && element_at(col("ap"), 1) <= element_at(col("ep"), 3))
+            .as("p50_within_rank_bound"),
+          (element_at(col("ap"), 2) >= element_at(col("ep"), 4)
+            && element_at(col("ap"), 2) <= element_at(col("ep"), 6))
+            .as("p90_within_rank_bound"),
+          (element_at(col("ap"), 3) >= element_at(col("ep"), 7)
+            && element_at(col("ap"), 3) <= element_at(col("ep"), 9))
+            .as("p99_within_rank_bound"))
         .orderBy(col("event_type"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1094,6 +1115,45 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // exact side recomputed; the sketch-error claim is pinned TRUE — a
+    // drifting HLL breaks the hash
+    "q_approx_distinct" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS approx_within_3rsd
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_approx_percentiles" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50_exact,
+        |       quantile_cont(value, 0.9) AS p90_exact,
+        |       quantile_cont(value, 0.99) AS p99_exact,
+        |       TRUE AS p50_within_rank_bound,
+        |       TRUE AS p90_within_rank_bound,
+        |       TRUE AS p99_within_rank_bound
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // MG survival threshold is integer-exact (true*(cap+1) > n); the
+    // sketch-side guarantees are pinned TRUE
+    "text_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |    '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS true_count
+        |      FROM toks WHERE token <> '' GROUP BY token),
+        |t AS (SELECT CAST(sum(true_count) AS BIGINT) AS total_tokens FROM c)
+        |SELECT c.token, c.true_count,
+        |       TRUE AS reported, TRUE AS bound_ok,
+        |       TRUE AS sketch_within_capacity, TRUE AS all_reported_bounds_ok
+        |FROM c, t
+        |WHERE c.true_count * 33 > t.total_tokens
+        |ORDER BY c.token""".stripMargin,
 
     "q_running_total" ->
       """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,

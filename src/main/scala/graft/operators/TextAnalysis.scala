@@ -351,6 +351,57 @@ object TextAnalysis {
         col("entry.est").as("est_count"),
         col("entry.err").as("max_underestimate"))
 
+  /** Hash-verifiable Misra-Gries audit — the oracle-checkable face of
+    * [[heavyHitters]]. The sketch's per-item estimates are merge-order
+    * dependent (not SQL-recomputable), but the MG GUARANTEES are
+    * deterministic claims over exact counts, which are:
+    *
+    *   - (a) every token with true_count × (capacity+1) > total_tokens
+    *     MUST be reported (the classic MG survival bound, integer-exact —
+    *     no division);
+    *   - (b) every reported item satisfies est ≤ true ≤ est + err;
+    *   - (c) the summary holds ≤ capacity entries.
+    *
+    * Output: one row per GUARANTEED-reported token (a deterministic,
+    * SQL-computable set) carrying its exact count plus the claim
+    * booleans, with the corpus-level (b)/(c) claims as constant columns.
+    * The DuckDB oracle recomputes the exact side and pins every boolean
+    * to TRUE — a sketch that drops a heavy hitter or breaks its error
+    * bound now hash-mismatches instead of hiding behind a rows-only
+    * check. (The spec additionally stresses (b) on adversarial corpora
+    * where decrements actually occur.)
+    *
+    * Plan note: the exact-count branch is the same one-pass token
+    * aggregation the equality twin uses; the audit evaluates it twice
+    * (rows + claims). At 100 TB you would persist the token counts —
+    * here the honest double scan keeps the query self-contained.
+    */
+  def heavyHittersAudit(docs: DataFrame, capacity: Int = 32): DataFrame = {
+    val sk = heavyHitters(docs, capacity)
+      .select(col("token"), col("est_count"), col("max_underestimate"))
+    val ex = tokens(docs).groupBy(col("token"))
+      .agg(count(lit(1)).as("true_count"))
+    val tot = ex.agg(sum(col("true_count")).as("total_tokens"))
+    val j = ex.join(broadcast(sk), Seq("token"), "left_outer")
+      .crossJoin(broadcast(tot))
+    val reported = col("est_count").isNotNull
+    val boundOk = reported && col("est_count") <= col("true_count") &&
+      col("true_count") <= col("est_count") + col("max_underestimate")
+    val required =
+      col("true_count") * (capacity + 1) > col("total_tokens")
+    val claims = j.agg(
+      sum(when(reported, 1L).otherwise(0L)).as("n_reported"),
+      sum(when(reported && !boundOk, 1L).otherwise(0L)).as("n_viol"))
+      .select(
+        (col("n_reported") <= capacity).as("sketch_within_capacity"),
+        (col("n_viol") === 0L).as("all_reported_bounds_ok"))
+    j.filter(required)
+      .select(col("token"), col("true_count"),
+        reported.as("reported"), boundOk.as("bound_ok"))
+      .crossJoin(broadcast(claims))
+      .orderBy(col("token"))
+  }
+
   /** Corpus token-frequency head (the Zipf table): term frequency +
     * document frequency, top `topN` by (tf desc, token) — a unique total
     * order, so LIMIT is deterministic. One corpus pass (docTermCounts) +

@@ -236,12 +236,15 @@ class AnalyticsSpec extends SparkSpec {
           .expr(s"percentile(value, array(${hi.mkString(",")}))").as("hi"))
       .as[(String, Seq[Double], Seq[Double])].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
-    // the query projects scalar columns (p50/p90/p99 approx + exact) so
-    // the harness comparator can hash them — reassemble the approx triple
-    val rows = SparkEntry.queries("q_approx_percentiles")(spark, sf)
-      .selectExpr("event_type", "p50_approx", "p90_approx", "p99_approx")
-      .as[(String, Double, Double, Double)].collect()
-      .map { case (t, p50, p90, p99) => (t, Seq(p50, p90, p99)) }
+    // raw approx values, checked at the tighter ±0.005 bracket (the
+    // registered query carries the ±0.01 claim as oracle-pinned booleans)
+    val rows = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions
+        .expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)")
+        .as("ap"))
+      .as[(String, Seq[Double])].collect()
+      .map { case (t, ap) => (t, ap) }
     assert(rows.nonEmpty)
     rows.foreach { case (t, approx) =>
       val (los, his) = bounds(t)
@@ -250,6 +253,14 @@ class AnalyticsSpec extends SparkSpec {
           s"$t p=${fracs(i)}: approx=$a outside [${los(i)}, ${his(i)}]")
       }
     }
+    // and the registered audit's claims must all hold
+    val claims = SparkEntry.queries("q_approx_percentiles")(spark, sf)
+      .select("p50_within_rank_bound", "p90_within_rank_bound",
+        "p99_within_rank_bound")
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(claims.nonEmpty && claims.forall {
+      case (a, b, c) => a && b && c
+    })
   }
   test("q7/q8/q9: dims broadcast, one agg shuffle, fact side never shuffles for dims") {
     val li = Tables.lineitem(spark, sf); val o = Tables.orders(spark, sf)

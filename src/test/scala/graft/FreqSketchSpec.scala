@@ -46,6 +46,42 @@ class FreqSketchSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersAudit: claim booleans all hold; required set matches exact counts") {
+    val capacity = 32
+    val audit = TextAnalysis.heavyHittersAudit(
+      Tables.documents(spark, sf), capacity)
+      .as[(String, Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(audit.nonEmpty)
+    audit.foreach { case (tok, _, reported, boundOk, cap, allOk) =>
+      assert(reported && boundOk && cap && allOk, s"claim failed for $tok")
+    }
+    // the emitted row set is exactly the exact-count survival set
+    val exact = TextAnalysis.tokens(Tables.documents(spark, sf))
+      .groupBy("token").count().as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val expected = exact.filter { case (_, c) => c * (capacity + 1) > n }
+    assert(audit.map(a => a._1 -> a._2).toMap === expected)
+  }
+
+  test("heavyHittersAudit on an adversarial corpus (decrements occur): claims still hold") {
+    // 4 heavy items + a long tail of singletons around capacity 4: MG
+    // must decrement, est < true, and the audit booleans must survive it
+    val words = (Seq.fill(400)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(200)("gamma") ++ Seq.fill(150)("delta") ++
+      (1 to 120).map(i => s"tail$i")).mkString(" ")
+    val docs = Seq((1L, words, "en", "adv", words.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val audit = TextAnalysis.heavyHittersAudit(docs, capacity = 4)
+      .as[(String, Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(audit.nonEmpty)
+    audit.foreach { case (tok, _, reported, boundOk, cap, allOk) =>
+      assert(reported && boundOk && cap && allOk,
+        s"adversarial claim failed for $tok")
+    }
+    // n = 1170, threshold n/5 = 234 → alpha and beta are guaranteed rows
+    assert(audit.map(_._1).toSet === Set("alpha", "beta"))
+  }
+
   test("guarantees are partitioning-invariant (merge tree shape)") {
     val capacity = 16
     val base = TextAnalysis.tokens(Tables.documents(spark, sf))

@@ -32,11 +32,21 @@ class SkewSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within 5% of exact on the events corpus") {
-    val rows = SparkEntry.queries("q_approx_distinct")(spark, sf)
+    // the registered query reduces this bound to a boolean the oracle
+    // pins TRUE; here the raw values are checked at the tighter 1·rsd
+    val rows = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
       .select("approx_users", "exact_users").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
     rows.foreach { case (approx, exact) =>
       assert(math.abs(approx - exact).toDouble / exact <= 0.05,
         s"approx=$approx exact=$exact")
     }
+    val claims = SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .select("approx_within_3rsd").as[Boolean].collect()
+    assert(claims.nonEmpty && claims.forall(identity))
   }
 }
