@@ -94,6 +94,10 @@ final case class EngineConfig(
 
   /** Resolve each route's transform and build the Router. A route's
     * transform comes from exactly one of:
+    *   - `records` ([[RecordConfig]] groups): the multi-RECORD fan-out —
+    *     one matched message emits a record per group whose predicate
+    *     holds, each to the group's own table (the complete Lua
+    *     parseRecords contract from pure TOML);
     *   - `select` (+ optional `where`): Spark SQL expression strings
     *     compiled via `expr()` — deployable by editing config alone, the
     *     full scalar-function surface with zero recompilation (Catalyst
