@@ -326,15 +326,47 @@ object Dedup {
 
   def ngramJaccardPairs(
       docs: DataFrame,
-      threshold: Double = 0.65): DataFrame = {
+      threshold: Double = 0.65): DataFrame =
+    hashedSetJaccardPairs(
+      docs.select(
+        col("doc_id"), col("lang"),
+        graft.functions.NgramHashes.ngram_hashes(normText(col("text")), 3)
+          .as("grams")),
+      threshold, blockKeys = Seq("lang"))
+      .select(col("lang"), col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Exact word-3-shingle Jaccard pairs — the same banded-exact join over
+    * the MINHASH operators' similarity space (word shingles via
+    * `word_shingle_hashes`, no lang blocking, matching
+    * [[minhashLshPairs]]'s candidate-free ground truth). Used by the
+    * `dedup_minhash` recall audit: the exact pair set is DuckDB-
+    * recomputable from string shingles, so LSH recall becomes a
+    * hash-verified claim instead of a spec-only one.
+    */
+  def wordShingleJaccardPairs(
+      docs: DataFrame,
+      threshold: Double = 0.8): DataFrame =
+    hashedSetJaccardPairs(
+      docs.select(
+        col("doc_id"),
+        graft.functions.MinHash.word_shingle_hashes(normText(col("text")), 3)
+          .as("grams")),
+      threshold, blockKeys = Nil)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Shared banded-exact core: COMPLETE Jaccard-≥-threshold pairs over any
+    * sorted-distinct hashed-set column, blocked on integer-exact size
+    * bands (±1 probe) plus optional equality `blockKeys`, salted ×8. See
+    * the inline notes — every design decision here was measured.
+    */
+  private def hashedSetJaccardPairs(
+      gramsDf: DataFrame, // (doc_id, [blockKeys...], grams)
+      threshold: Double,
+      blockKeys: Seq[String]): DataFrame = {
     val eps = 1e-9
     // repartition materializes gram arrays once; both join branches reuse
     // the exchange instead of recomputing the gram pipeline per reference
-    val g0 = docs.select(
-      col("doc_id"), col("lang"),
-      graft.functions.NgramHashes.ngram_hashes(normText(col("text")), 3)
-        .as("grams"))
-      .withColumn("n_g", size(col("grams")))
+    val g0 = gramsDf.withColumn("n_g", size(col("grams")))
     // EXACT log-band assignment, no per-row floating point: band(n) =
     // floor(log_r(n)) computed by counting precomputed INTEGER boundaries
     // b_k = min{ n : log_r(n) >= k }, with r = nextUp(1/t) and powers
@@ -382,24 +414,26 @@ object Dedup {
     // InferFiltersFromConstraints pushes an isnotnull(pmod(...)) below the
     // probe branch's exchange, the two branch children stop canonicalizing
     // equal, and ReuseExchange no longer shares the materialized grams
-    val probe = g.select(col("lang"), col("doc_id").as("doc_a"),
+    val keyCols = blockKeys.map(col)
+    val probe = g.select(keyCols ++ Seq(col("doc_id").as("doc_a"),
         col("n_g").as("n_a"), col("grams").as("g_a"),
         coalesce(pmod(xxhash64(col("doc_id")), lit(salts.toLong)), lit(0L))
           .as("salt"),
-        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("band"))
-    val build = g.select(col("lang"), col("b0").as("band"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("band")): _*)
+    val build = g.select(keyCols ++ Seq(col("b0").as("band"),
         col("doc_id").as("doc_b"), col("n_g").as("n_b"),
         col("grams").as("g_b"),
-        explode(sequence(lit(0L), lit(salts - 1L))).as("salt"))
+        explode(sequence(lit(0L), lit(salts - 1L))).as("salt")): _*)
     val jac = graft.functions.SortedIntersect
       .jaccard_sorted(col("g_a"), col("g_b"))
-    probe.join(build, Seq("lang", "band", "salt"))
+    probe.join(build, blockKeys ++ Seq("band", "salt"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("n_a"), col("n_b")) + eps >=
         greatest(col("n_a"), col("n_b")) * threshold)
       .filter(graft.functions.SortedIntersect
         .jaccard_sorted_ge(col("g_a"), col("g_b"), threshold))
-      .select(col("lang"), col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .select(keyCols ++ Seq(col("doc_a"), col("doc_b"),
+        jac.as("jaccard")): _*)
   }
 
   // ------------------------------------------------- edit distance

@@ -64,6 +64,27 @@ class DedupSpec extends SparkSpec {
     assert((lsh -- exact).isEmpty)
   }
 
+  test("wordShingleJaccardPairs: banded-exact equals brute force; LSH audit claims hold") {
+    // brute-force ground truth over the SAME shingle space
+    val g = docs.select(col("doc_id"), Dedup.wordShingles(col("text")).as("sh"))
+    val a = g.select(col("doc_id").as("da"), col("sh").as("sa"))
+    val b = g.select(col("doc_id").as("db"), col("sh").as("sb"))
+    val brute = a.crossJoin(b).filter(col("da") < col("db"))
+      .select(col("da"), col("db"), Dedup.jaccard(col("sa"), col("sb")).as("j"))
+      .filter(col("j") >= 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val banded = Dedup.wordShingleJaccardPairs(docs, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute, "banded-exact must be COMPLETE, not approximate")
+    // the registered audit's claims on this corpus
+    val audit = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(audit.length === 1)
+    val (nExact, recallOk, noFp) = audit.head
+    assert(nExact === brute.size.toLong)
+    assert(recallOk && noFp)
+  }
+
   test("simhash is deterministic; near-dup docs are hamming-close") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
     val s1 = sh.orderBy("doc_id").limit(3).as[(Long, Long)].collect()
