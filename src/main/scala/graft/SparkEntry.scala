@@ -743,8 +743,14 @@ object SparkEntry {
     // GROUP-level MinHash signatures via the native TypedImperativeAggregate
     // (minhash_agg): one signature per source, pairwise estimated Jaccard
     // between sources from signature agreement alone — the
-    // combine-without-touching-members property (rows-only: hash family
-    // not SQL-expressible; union/merge properties are spec-verified)
+    // combine-without-touching-members property. Registered as the
+    // HASH-VERIFIABLE audit: the hash family is not SQL-expressible, but
+    // the EXACT Jaccard of the source shingle-set unions is (the oracle
+    // recomputes it from string shingles), so every pair carries the
+    // exact value plus an estimate-error claim (|est − exact| ≤ 0.25 =
+    // 4σ for k=64, σ = √(J(1−J)/64) ≤ 1/16) the oracle pins TRUE. A
+    // broken signature merge now hash-mismatches; the union/merge
+    // properties remain spec-verified too.
     "dedup_group_minhash" -> ((s, dir) => {
       val sh = Tables.documents(s, dir).select(col("source"),
         graft.functions.MinHash
@@ -760,13 +766,45 @@ object SparkEntry {
       // signature side as sources grow. Do NOT reuse this shape for
       // per-document groups — that K² is the thing LSH banding exists to
       // avoid (Dedup.lshCandidates).
-      a.crossJoin(broadcast(b)).filter(col("source_a") < col("source_b"))
+      val est = a.crossJoin(broadcast(b))
+        .filter(col("source_a") < col("source_b"))
         .select(col("source_a"), col("source_b"),
           (aggregate(
             zip_with(col("sig_a"), col("sig_b"),
               (x, y) => when(x === y, 1).otherwise(0)),
             lit(0), (acc, x) => acc + x).cast("double") / 64.0)
             .as("est_jaccard"))
+      // EXACT union-set Jaccard, scalably: distinct (source, shingle)
+      // rows self-join on the shingle hash — intersection sizes come from
+      // one equi-join + count, never a crossJoin of the big shingle
+      // arrays. Source pairs with empty intersection are restored by the
+      // left join against the (tiny) source-pair frame.
+      val srcSh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.MinHash
+            .word_shingle_hashes(Dedup.normText(col("text")), 3)).as("h"))
+        .distinct()
+      val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = srcSh.select(col("source").as("source_a"), col("h"))
+        .join(srcSh.select(col("source").as("source_b"), col("h")), Seq("h"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val exact = est.select(col("source_a"), col("source_b"))
+        .join(inter, Seq("source_a", "source_b"), "left_outer")
+        .na.fill(0L, Seq("n_inter"))
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("n").as("n_a"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("n").as("n_b"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"),
+          (col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+            .as("exact_jaccard"))
+      est.join(exact, Seq("source_a", "source_b"))
+        .select(col("source_a"), col("source_b"), col("exact_jaccard"),
+          (abs(col("est_jaccard") - col("exact_jaccard")) <= 0.25)
+            .as("est_within_bound"))
         .orderBy(col("source_a"), col("source_b"))
     }),
 
@@ -1730,6 +1768,28 @@ object SparkEntry {
         |       >= greatest(len(a.grams), len(b.grams)) * 0.8) p
         |WHERE jaccard >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // exact union-set Jaccard per source pair recomputed from string
+    // shingles; the signature-estimate error claim is pinned TRUE
+    "dedup_group_minhash" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    string_split(regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, list_distinct(CASE WHEN len(words) >= 3
+        |    THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+        |    ELSE [array_to_string(words, ' ')] END) AS sh
+        |  FROM w),
+        |su AS (
+        |  SELECT source, list_distinct(flatten(list(sh))) AS sh FROM d GROUP BY source)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    AS exact_jaccard,
+        |  TRUE AS est_within_bound
+        |FROM su a JOIN su b ON a.source < b.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // exact word-3-shingle pair count recomputed from string shingles;
     // the LSH recall / no-false-positive claims are pinned TRUE
