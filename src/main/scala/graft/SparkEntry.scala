@@ -458,10 +458,40 @@ object SparkEntry {
           (col("n_fp") === 0L).as("no_false_positives"))
     }),
 
-    "dedup_simhash" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-        .orderBy(col("doc_id"))),
+    // SimHash banded near-dup, registered as the HASH-VERIFIABLE audit.
+    // The 64-bit fingerprint itself is not SQL-expressible (seeded
+    // xxhash64), but a THEOREM about the pipeline is: identical
+    // normalized text => identical token array => identical simhash =>
+    // hamming 0 => the 4x16-bit banding MUST report the pair (all four
+    // bands agree). So the audit row carries the exact-duplicate pair
+    // count (recomputed by the oracle from normalized text alone) plus
+    // the detected-at-hamming-0 completeness claim the oracle pins TRUE.
+    // Deliberately NOT claimed: recall vs J>=0.8 shingle pairs — at
+    // hamming<=3 simhash only catches J≳0.95 (expected hamming at
+    // J=0.8 is ~10 bits), so that claim would be corpus-luck, not
+    // design. Brute-force-equality of the banding and hamming-closeness
+    // of near-dups stay spec-verified (DedupSpec).
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // exact-dup pairs from a 16-byte key groupBy-join — one shuffle on
+      // md5(normText), never on text; the same key discipline as
+      // Dedup.exactGroups
+      val keyed = docs.select(col("doc_id"),
+        md5(Dedup.normText(col("text"))).as("k"))
+      val dup = keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val det0 = Dedup.simhashPairs(docs, maxDist = 3)
+        .filter(col("hamming") === 0)
+        .select(col("doc_a"), col("doc_b"))
+      val nDup = dup.agg(count(lit(1)).as("n_dup"))
+      val nMiss = dup.join(det0, Seq("doc_a", "doc_b"), "left_anti")
+        .agg(count(lit(1)).as("n_miss"))
+      nDup.crossJoin(nMiss).select(
+        col("n_dup").as("n_exact_dup_pairs"),
+        (col("n_miss") === 0L).as("dups_all_detected_hamming0"))
+    }),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.8)
@@ -1790,6 +1820,18 @@ object SparkEntry {
         |  TRUE AS est_within_bound
         |FROM su a JOIN su b ON a.source < b.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // exact-duplicate pair count recomputed from normalized text alone;
+    // the detected-at-hamming-0 completeness claim (a theorem of the
+    // simhash pipeline, see the query comment) is pinned TRUE
+    "dedup_simhash" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g') AS k
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact_dup_pairs,
+        |       TRUE AS dups_all_detected_hamming0
+        |FROM n a JOIN n b ON a.k = b.k AND a.doc_id < b.doc_id""".stripMargin,
 
     // exact word-3-shingle pair count recomputed from string shingles;
     // the LSH recall / no-false-positive claims are pinned TRUE
