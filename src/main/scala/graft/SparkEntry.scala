@@ -696,6 +696,16 @@ object SparkEntry {
       graft.operators.Curation.curate(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // decontamination pass: corpus docs whose word-5-gram overlap with
+    // the benchmark set (doc_id % 20 == 0 stand-in) stays under 0.5 —
+    // the APPLY side of text_contamination, survivors carry the ratio
+    "pipeline_decontaminate" -> ((s, dir) =>
+      graft.operators.Curation.decontaminate(
+        Tables.documents(s, dir), isBenchmark = col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("contamination_ratio"))
+        .orderBy(col("doc_id"))),
+
     // interval join (batch twin of the watermarked stream-stream join):
     // purchases within 30 min after each click, per user — equi-join on
     // the key, time window as inline post-filter, µs-long arithmetic
@@ -2135,6 +2145,43 @@ object SparkEntry {
         |  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
         |SELECT doc_id, source, n_tokens, seq_id
         |FROM pack ORDER BY source, doc_id""".stripMargin,
+
+    // same gram/ratio computation as text_contamination, kept to the
+    // sub-threshold survivors and joined back for the passthrough columns
+    "pipeline_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |gi AS (
+        |  SELECT doc_id, ws,
+        |         unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+        |  FROM w),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+        |  FROM gi),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+        |corpus AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM g WHERE doc_id % 20 <> 0 GROUP BY doc_id),
+        |ov AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM g JOIN bench USING (gram)
+        |  WHERE g.doc_id % 20 <> 0
+        |  GROUP BY g.doc_id),
+        |audit AS (
+        |  SELECT w.doc_id,
+        |         CASE WHEN COALESCE(n_grams, 0) > 0
+        |              THEN CAST(COALESCE(n_overlap, 0) AS DOUBLE)
+        |                   / CAST(n_grams AS DOUBLE)
+        |              ELSE 0.0 END AS contamination_ratio
+        |  FROM w LEFT JOIN corpus USING (doc_id) LEFT JOIN ov USING (doc_id)
+        |  WHERE w.doc_id % 20 <> 0)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars, a.contamination_ratio
+        |FROM documents d JOIN audit a USING (doc_id)
+        |WHERE a.contamination_ratio < 0.5
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_contamination" ->
       """WITH w AS (

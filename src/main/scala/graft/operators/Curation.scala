@@ -77,6 +77,34 @@ object Curation {
         col("quality_score"), col("split"))
   }
 
+  /** Benchmark decontamination — the APPLY side of
+    * [[TextAnalysis.contamination]]: drop every corpus doc whose distinct
+    * word-n-gram overlap with the benchmark set reaches `flagThreshold`,
+    * carrying the ratio on each survivor so the cut is reviewable
+    * downstream. The pass every serious training build runs before the
+    * eval suite means anything.
+    *
+    * Scale shape: two corpus scans (the audit's gram pass, then the
+    * survivor projection) plus ONE doc_id-keyed join of the corpus
+    * against the per-doc audit — no text ever enters the audit shuffle
+    * (the audit aggregates hashed-gram tuples), and the benchmark gram
+    * set broadcasts exactly as in the audit. Deliberately NOT fused into
+    * one scan: carrying `text` through the audit's posexplode would put
+    * the full corpus payload on the exchange, which is the expensive
+    * resource at 100 TB; a second columnar scan is not.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      isBenchmark: org.apache.spark.sql.Column,
+      n: Int = 5,
+      flagThreshold: Double = 0.5): DataFrame = {
+    val clean = TextAnalysis
+      .contamination(docs, isBenchmark, n, flagThreshold)
+      .filter(!col("contaminated"))
+      .select(col("doc_id"), col("contamination_ratio"))
+    docs.filter(!isBenchmark).join(clean, Seq("doc_id"))
+  }
+
   /** Per-source (per-domain) document cap: keep the `maxPerSource`
     * largest docs per source (n_chars desc, doc_id tiebreak — a total
     * order, so the cut is deterministic). The anti-over-representation

@@ -100,6 +100,53 @@ class CurationOpsSpec extends SparkSpec {
       s"expected broadcast gram join, got:\n$plan")
   }
 
+  // --------------------------------------------------- decontamination
+
+  test("decontaminate: drops flagged docs, keeps survivors with their ratio") {
+    val d = docs(
+      (0L, benchText, "bench"),            // benchmark (doc_id % 2 == 0)
+      (1L, benchText, "web"),              // ratio 1.0 → dropped
+      (3L, "one two three four five six seven", "web"), // 0.0 → kept
+      (5L, "tiny doc", "web"))             // no grams → 0.0 → kept
+    val out = Curation.decontaminate(d, isBenchmark = col("doc_id") % 2 === 0)
+      .orderBy("doc_id")
+      .select("doc_id", "contamination_ratio")
+      .as[(Long, Double)].collect().toSeq
+    assert(out === Seq((3L, 0.0), (5L, 0.0)))
+  }
+
+  test("decontaminate: benchmark docs never appear in the output") {
+    val out = Curation.decontaminate(
+      Tables.documents(spark, sf), isBenchmark = col("doc_id") % 20 === 0)
+    assert(out.filter(col("doc_id") % 20 === 0).count() === 0)
+    assert(out.count() > 0)
+  }
+
+  // --------------------------------------- registered hash-family audits
+
+  test("dedup_simhash audit: dup count matches independent count, claim holds") {
+    val row = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .select("n_exact_dup_pairs", "dups_all_detected_hamming0")
+      .as[(Long, Boolean)].head()
+    // independent exact-dup pair count: sum over normText groups of C(k,2)
+    val expect = Tables.documents(spark, sf)
+      .groupBy(md5(Dedup.normText(col("text"))))
+      .agg(count(lit(1)).as("k")).filter(col("k") > 1)
+      .select(coalesce(sum(col("k") * (col("k") - 1) / 2), lit(0)).cast("long"))
+      .as[Long].head()
+    assert(row._1 === expect)
+    assert(row._2, "every exact-dup pair must be detected at hamming 0")
+  }
+
+  test("dedup_group_minhash audit: estimate stays within the 4-sigma bound") {
+    val rows = SparkEntry.queries("dedup_group_minhash")(spark, sf)
+      .select("exact_jaccard", "est_within_bound")
+      .as[(Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2), "a pair's signature estimate left the bound")
+    assert(rows.forall(r => r._1 >= 0.0 && r._1 <= 1.0))
+  }
+
   // ------------------------------------------------------- repetition
 
   test("repetitionMetrics: degenerate spam doc maxes both ratios") {
