@@ -885,6 +885,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // bloom-prefiltered twin of dedup_cross_corpus: identical survivors
+    // (shared oracle = equivalence proof); the bloom clears most of the
+    // batch in a narrow map so only suspects reach the exact anti-join
+    "dedup_cross_corpus_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossCorpusNewBloom(
+        batch = docs.filter(length(col("source")) > 4),
+        reference = docs.filter(length(col("source")) <= 4),
+        expectedItems = 1000L, fpp = 0.03)
+        .orderBy(col("doc_id"))
+    }),
+
+    // boilerplate removal: drop 10-word chunks shared by >=2 docs and
+    // re-assemble each doc from its surviving chunks (apply side of the
+    // span-dedup detection pass)
+    "dedup_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateRemoval(Tables.documents(s, dir), k = 10,
+        maxDocs = 2)),
+
     // per-domain cap: keep the 20 largest docs per source — the
     // anti-over-representation guard on the training mix
     "curation_domain_cap" -> ((s, dir) =>
@@ -2276,6 +2295,59 @@ object SparkEntry {
         |  FROM b
         |  WHERE content_key NOT IN (SELECT content_key FROM ref))
         |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // same SQL as dedup_cross_corpus: the bloom prefilter must be
+    // answer-invariant (no-false-negative theorem), so the twin
+    // hash-matching THIS oracle is the equivalence proof
+    "dedup_cross_corpus_bloom" ->
+      """WITH ref AS (
+        |  SELECT DISTINCT md5(regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g')) AS content_key
+        |  FROM documents WHERE length(source) <= 4),
+        |b AS (
+        |  SELECT doc_id, source,
+        |         md5(regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g')) AS content_key
+        |  FROM documents WHERE length(source) > 4)
+        |SELECT doc_id, source, content_key
+        |FROM (
+        |  SELECT b.*, row_number() OVER (
+        |      PARTITION BY content_key ORDER BY doc_id) AS rn
+        |  FROM b
+        |  WHERE content_key NOT IN (SELECT content_key FROM ref))
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // tumbling 10-word chunks; chunks in >=2 distinct docs are dropped
+    // everywhere and each doc is re-assembled from the survivors in order
+    "dedup_boilerplate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |         array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS chunk
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(0,
+        |            CAST(floor((len(ws) - 1) / 10.0) AS INT))) AS i
+        |        FROM w WHERE len(ws) > 0)),
+        |hot AS (
+        |  SELECT chunk FROM c GROUP BY chunk
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT doc_id, idx, chunk FROM c
+        |  WHERE chunk NOT IN (SELECT chunk FROM hot)),
+        |stats AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        |  FROM c GROUP BY doc_id),
+        |kk AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_chunks,
+        |       COALESCE(kk.n_kept, 0) AS n_kept, kk.clean_text
+        |FROM stats s LEFT JOIN kk USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "curation_domain_cap" ->

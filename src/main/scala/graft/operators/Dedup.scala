@@ -88,6 +88,94 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("content_key"))
   }
 
+  /** Bloom-prefiltered twin of [[crossCorpusNew]] — same contract, same
+    * survivors (equivalence is what the shared oracle verifies), different
+    * 100 TB cost model. A Bloom filter over the reference key set is built
+    * with Spark's mergeable sketch aggregate (`stat.bloomFilter` — map-side
+    * partials, one tree-reduce, no row ever collected) and broadcast; the
+    * batch then probes it in a NARROW map. Rows the filter clears (the
+    * overwhelming majority of a nightly crawl) never enter the anti-join
+    * at all — only Bloom-positives (true matches + the `fpp` false-positive
+    * sliver) do exact key confirmation. No false negatives is a Bloom
+    * THEOREM, so clear ∪ (suspects ∖ reference) ≡ batch ∖ reference
+    * exactly; `fpp` trades broadcast bytes against suspect-join size, it
+    * never affects the answer.
+    *
+    * The probe UDF costs one murmur-hash per row on a 32-char key
+    * (off-codegen but trivially cheap next to the scan); the within-batch
+    * survivor window is unchanged from [[crossCorpusNew]].
+    */
+  def crossCorpusNewBloom(
+      batch: DataFrame,
+      reference: DataFrame,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.03): DataFrame = {
+    val key = md5(normText(col("text")))
+    val refKeys = reference.select(key.as("content_key")).distinct()
+    val bloom = refKeys.stat.bloomFilter("content_key", expectedItems, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((k: String) => bc.value.mightContainString(k))
+    val keyed = batch.withColumn("content_key", key)
+    val clear = keyed.filter(!might(col("content_key")))
+    val confirmedNew = keyed.filter(might(col("content_key")))
+      .join(refKeys, Seq("content_key"), "left_anti")
+    clear.unionByName(confirmedNew)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_key")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("content_key"))
+  }
+
+  /** Boilerplate REMOVAL — the apply side of [[spanDedup]]'s detection
+    * pass, CCNet/C4-style: cut each document into tumbling `k`-word
+    * chunks, find chunks occurring in >= `maxDocs` DISTINCT documents
+    * (navigation chrome, license blocks, cookie banners), drop every
+    * occurrence, and re-assemble each document from its surviving chunks
+    * in order. Unlike spanDedup (which keeps first occurrences and emits
+    * fingerprints), this is the pass that rewrites the corpus text.
+    *
+    * 100 TB shape: chunking + hashing happen IN PLACE per row; the hot-set
+    * detection shuffles only (md5, doc_id) tuples; removal indices come
+    * back as one (doc_id, int-list) row per AFFECTED document — the
+    * broadcast-hinted join side — and the rewrite is a narrow
+    * higher-order-function filter over the in-place chunk array. Document
+    * text never crosses the network; if boilerplate ever touches so many
+    * docs the index lists outgrow a broadcast, the join degrades to one
+    * doc_id-keyed exchange of int lists (still never text).
+    */
+  def boilerplateRemoval(
+      docs: DataFrame, k: Int = 10, maxDocs: Int = 2): DataFrame = {
+    val ws = TextAnalysis.wordArray(col("text"))
+    val base = docs
+      .select(col("doc_id"),
+        when(size(ws) > 0,
+          transform(sequence(lit(0),
+            floor((size(ws) - 1).cast("double") / k).cast("int")),
+            i => concat_ws(" ", slice(ws, i * k + 1, lit(k)))))
+          .otherwise(array().cast("array<string>")).as("chunks"))
+      .filter(size(col("chunks")) > 0)
+    val exploded = base
+      .select(col("doc_id"),
+        posexplode(col("chunks")).as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("idx"), md5(col("chunk")).as("h"))
+    val hot = exploded.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= maxDocs)
+      .select(col("h"))
+    val removed = exploded.join(hot.hint("broadcast"), Seq("h"))
+      .groupBy(col("doc_id")).agg(collect_set(col("idx")).as("rm"))
+    val rm = coalesce(col("rm"), array().cast("array<int>"))
+    val kept = filter(col("chunks"), (_, i) => !array_contains(rm, i))
+    base.join(removed.hint("broadcast"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        size(kept).cast("long").as("n_kept"),
+        when(size(kept) > 0, array_join(kept, " "))
+          .otherwise(lit(null).cast("string")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word w-shingles as a distinct array column (native higher-order

@@ -234,4 +234,48 @@ class DedupSpec extends SparkSpec {
       (2L, 1L, 0L, None)))
     assert(got.head._4.isDefined)
   }
+
+  test("boilerplateRemoval: shared chunks drop everywhere, docs re-assemble") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"license$i").mkString(" ")
+    val alpha = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val beta = (1 to 10).map(i => s"beta$i").mkString(" ")
+    val gamma = (1 to 7).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq(
+      (1L, boiler + " " + alpha),
+      (2L, boiler + " " + beta),
+      (3L, gamma)
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateRemoval(docs, k = 10, maxDocs = 2)
+      .as[(Long, Long, Long, Option[String])].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, Some(alpha)),
+      (2L, 2L, 1L, Some(beta)),
+      (3L, 1L, 1L, Some(gamma))))
+  }
+
+  test("boilerplateRemoval: all-boilerplate doc empties to null text") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val got = Dedup.boilerplateRemoval(docs, k = 10, maxDocs = 2)
+      .as[(Long, Long, Long, Option[String])].collect().toSeq
+    assert(got === Seq((1L, 1L, 0L, None), (2L, 1L, 0L, None)))
+  }
+
+  test("crossCorpusNewBloom ≡ crossCorpusNew (no-false-negative theorem)") {
+    val batch = docs.filter(length(col("source")) > 4)
+    val reference = docs.filter(length(col("source")) <= 4)
+    val exact = Dedup.crossCorpusNew(batch, reference)
+      .select("doc_id", "source", "content_key")
+      .as[(Long, String, String)].collect().toSet
+    // tiny filter + high fpp: force real false positives through the
+    // suspect path so the exact-confirm stage is exercised, not idle
+    val bloom = Dedup.crossCorpusNewBloom(batch, reference,
+      expectedItems = 50L, fpp = 0.5)
+      .select("doc_id", "source", "content_key")
+      .as[(Long, String, String)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(bloom === exact)
+  }
 }
