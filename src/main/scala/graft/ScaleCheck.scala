@@ -185,6 +185,23 @@ object ScaleCheck {
     time("exact token frequencies (head 50)") {
       force(TextAnalysis.tokenFrequencies(big, 50))
     }
+    // bloom twin of the nightly-ingest shape above: the clear fraction
+    // of the batch must skip the anti-join, so growth tracks the batch
+    // scan + the (fixed) reference sketch build
+    time("cross-corpus bloom (1-slab batch)") {
+      force(Dedup.crossCorpusNewBloom(
+        batch = big.filter(col("doc_id") >= (mult - 1).toLong * 1000000L),
+        reference = big.filter(col("doc_id") < (mult - 1).toLong * 1000000L),
+        expectedItems = n0 * (mult - 1).toLong, fpp = 0.03))
+    }
+    // replicas share every chunk with their base doc — hot-set size
+    // stays ~constant while duplicate mass grows with mult
+    time("boilerplate removal (10-word chunks)") {
+      force(Dedup.boilerplateRemoval(big, 10))
+    }
+    time("semantic dedup (SemDeDup, within-label)") {
+      force(Dedup.semanticDedup(bigEmb))
+    }
 
     val ev = Tables.events(spark, "/root/testdata/sf0.1")
     time("sessionize 100k events") { force(Sessionize.batchSessions(ev)) }

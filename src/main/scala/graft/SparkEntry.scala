@@ -529,6 +529,12 @@ object SparkEntry {
     "dedup_embedding_nn_ann" -> ((s, dir) =>
       Similarity.nnWithinLabelAnn(Tables.embeddings(s, dir))),
 
+    // SemDeDup: within-label cosine pairs -> connected components ->
+    // keep each component's min vec_id; every vector labeled with its
+    // component + survivor flag (the semantic-dedup mask)
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(Tables.embeddings(s, dir), threshold = 0.35)),
+
     // pairs -> CLUSTERS: connected components of the ngram near-dup graph
     // (large-star/small-star), every doc labeled with its component's min
     // doc_id — the survivor-selection step of a real corpus dedup.
@@ -1928,6 +1934,30 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
         |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // SemDeDup oracle: brute-force within-label cosine pairs at the same
+    // threshold, recursive-CTE reachability closure, min reachable id =
+    // component, kept = (vec_id == component)
+    "dedup_semantic" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.e, b.e) >= 0.35),
+        |edges AS (
+        |  SELECT va AS u, vb AS w FROM pairs
+        |  UNION SELECT vb, va FROM pairs),
+        |reach AS (
+        |  SELECT u AS node, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.w, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+        |cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+        |SELECT m.vec_id, m.label,
+        |       COALESCE(cc.component, m.vec_id) AS component,
+        |       (m.vec_id = COALESCE(cc.component, m.vec_id)) AS kept
+        |FROM embeddings m LEFT JOIN cc ON cc.node = m.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
 
     "dedup_embedding_nn" ->
       """WITH v AS (

@@ -578,6 +578,33 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): embeddings are
+    * pre-clustered (here the `label` column — in production a k-means/IVF
+    * assignment), cosine near-dup pairs are verified WITHIN clusters
+    * only, pairs close into connected components, and each component
+    * keeps its minimum vec_id. Every vector comes back labeled with its
+    * component and a `kept` flag — the survivor mask a curation pipeline
+    * applies to the training mix.
+    *
+    * 100 TB shape: the cluster blocking bounds pair generation to
+    * within-cell all-pairs (the SemDeDup recipe — cells are sized to
+    * make that affordable); components run the same O(log n)-round
+    * large-star/small-star contraction as [[Graph.connectedComponents]],
+    * shuffling 8-byte id pairs; the survivor flag is a narrow left join
+    * of the (tiny) component table back to the corpus.
+    */
+  def semanticDedup(
+      embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val pairs = embeddingNearDupPairs(embeddings, threshold)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val comps = Graph.componentsFor(embeddings, "vec_id", pairs)
+    embeddings.select(col("vec_id"), col("label"))
+      .join(comps, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("component"),
+        (col("vec_id") === col("component")).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------- sub-document spans
 
   /** Sub-document (span-level) exact dedup, C4/RefinedWeb-style: the

@@ -263,6 +263,24 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq((1L, 1L, 0L, None), (2L, 1L, 0L, None)))
   }
 
+  test("semanticDedup: transitive chain collapses to one component, min kept") {
+    import spark.implicits._
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // chain 1~2~3 at cos25° ≈ 0.906 per hop; 1~3 at cos50° ≈ 0.64 is
+    // BELOW the 0.9 threshold — only reachability puts 3 in component 1
+    val emb = Seq(
+      (1L, v(0), 0), (2L, v(25), 0), (3L, v(50), 0),
+      (4L, v(140), 0),      // isolated within label 0
+      (5L, v(0), 1)         // alone in label 1
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.semanticDedup(emb, threshold = 0.9)
+      .as[(Long, Int, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0, 1L, true), (2L, 0, 1L, false), (3L, 0, 1L, false),
+      (4L, 0, 4L, true), (5L, 1, 5L, true)))
+  }
+
   test("crossCorpusNewBloom ≡ crossCorpusNew (no-false-negative theorem)") {
     val batch = docs.filter(length(col("source")) > 4)
     val reference = docs.filter(length(col("source")) <= 4)
