@@ -605,6 +605,32 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** Label-free [[semanticDedup]]: when no pre-clustering exists, learn
+    * the cells first with the IVF coarse quantizer
+    * ([[Similarity.buildIvfIndex]] — bounded-sample k-means training +
+    * ONE assignment scan, cost independent of corpus size beyond the
+    * scan) and run the same pair → components → survivor pass within the
+    * learned cells. This is the full SemDeDup recipe (Abbas et al. 2023:
+    * k-means the embeddings, dedup within clusters); with `label`-style
+    * cells already present, use [[semanticDedup]] directly.
+    *
+    * Not oracle-registered: k-means centroids are not SQL-replayable.
+    * The spec asserts the operator's contract instead — every vector
+    * labeled, kept = component minimum, and NO two kept vectors in the
+    * same cell are cosine-near-dups (the property the oracle-checked
+    * within-cell pass guarantees given any cell assignment).
+    */
+  def semanticDedupAuto(
+      embeddings: DataFrame,
+      nlist: Int = 16,
+      threshold: Double = 0.35): DataFrame = {
+    val idx = Similarity.buildIvfIndex(embeddings, nlist)
+    val relabeled = idx.celled.select(col("vec_id"),
+      col("unit").as("embedding"), col("cell").as("label"))
+    semanticDedup(relabeled, threshold)
+      .withColumnRenamed("label", "cell")
+  }
+
   // ------------------------------------------------- sub-document spans
 
   /** Sub-document (span-level) exact dedup, C4/RefinedWeb-style: the

@@ -281,6 +281,28 @@ class DedupSpec extends SparkSpec {
       (4L, 0, 4L, true), (5L, 1, 5L, true)))
   }
 
+  test("semanticDedupAuto: learned cells, kept mask, no near-dup survivors") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val got = Dedup.semanticDedupAuto(emb, nlist = 4, threshold = 0.35)
+    val rows = got.as[(Long, Int, Long, Boolean)].collect()
+    assert(rows.length.toLong === n, "every vector labeled")
+    // kept flag is exactly (vec_id == component)
+    assert(rows.forall { case (v, _, c, k) => k === (v == c) })
+    // deterministic: fixed seed => identical output on a second build
+    val again = Dedup.semanticDedupAuto(emb, nlist = 4, threshold = 0.35)
+      .as[(Long, Int, Long, Boolean)].collect()
+    assert(rows.toSeq === again.toSeq)
+    // the SemDeDup contract: no two SURVIVORS in the same cell are
+    // cosine near-dups at the threshold
+    val kept = got.filter(col("kept"))
+      .select(col("vec_id"), col("cell").as("label"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val survivors = Dedup.embeddingNearDupPairs(kept, threshold = 0.35)
+    assert(survivors.count() === 0L)
+  }
+
   test("crossCorpusNewBloom ≡ crossCorpusNew (no-false-negative theorem)") {
     val batch = docs.filter(length(col("source")) > 4)
     val reference = docs.filter(length(col("source")) <= 4)
