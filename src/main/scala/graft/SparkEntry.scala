@@ -681,6 +681,14 @@ object SparkEntry {
         .select(col("source"), col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // temperature-controlled mixing (alpha sampling): keep rates derive
+    // from per-source counts via n^(1/T) reweighting at a 0.5 budget
+    "assembly_temperature_mix" -> ((s, dir) =>
+      Assembly.temperatureMix(Tables.documents(s, dir), "source", "doc_id",
+          temperature = 2.0, targetFraction = 0.5)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // deterministic global shuffle: dense position 0..n-1 in hash order
     // (range-partitioned sort + offset enumeration — fully distributed)
     "assembly_global_shuffle" -> ((s, dir) =>
@@ -925,6 +933,11 @@ object SparkEntry {
       graft.operators.TextAnalysis.gopherQuality(
         Tables.documents(s, dir), minWords = 20, maxWords = 80)
         .orderBy(col("doc_id"))),
+
+    // hashed bag-of-words linear classifier: integer logit (md5-derived
+    // feature weights), keep = logit > 0 — the model-based quality pass
+    "text_classifier_score" -> ((s, dir) =>
+      graft.operators.TextAnalysis.classifierScore(Tables.documents(s, dir))),
 
     // PII audit + redaction: the corpus carries no PII, so a
     // deterministic PII-bearing column is derived from driver data
@@ -2119,6 +2132,31 @@ object SparkEntry {
               Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.5), 0.25)}
          |ORDER BY doc_id""".stripMargin,
 
+    // recompute the n^(1/2) rates and the SAME 4-hex bucket boundary as
+    // Assembly.boundHexOf, then apply weightedMix's hash predicate
+    "assembly_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT sum(pow(n, 0.5)) AS zz, sum(n) AS total FROM c),
+        |r AS (
+        |  SELECT c.source,
+        |         least(1.0, (0.5 * z.total) * (pow(c.n, 0.5) / z.zz) / c.n)
+        |           AS rate
+        |  FROM c, z),
+        |b AS (
+        |  SELECT source,
+        |         CASE WHEN rate >= 1.0 THEN 'ffff~'
+        |              ELSE lpad(to_hex(GREATEST(0, LEAST(65535,
+        |                     CAST(round(rate * 65536) AS BIGINT)))), 4, '0')
+        |         END AS bound
+        |  FROM r)
+        |SELECT d.source, d.doc_id
+        |FROM documents d JOIN b USING (source)
+        |WHERE substring(md5('graft' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |      < b.bound
+        |ORDER BY d.doc_id""".stripMargin,
+
     "assembly_global_shuffle" ->
       """SELECT row_number() OVER (
         |         ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id) - 1
@@ -2390,6 +2428,31 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rank_in_source <= 20
         |ORDER BY source, rank_in_source""".stripMargin,
+
+    // same hashed-feature weights: first 4 md5 hex chars decoded via
+    // strpos arithmetic (portable hex->int), (h % 997) - 498, integer sum
+    "text_classifier_score" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(ws) AS BIGINT) AS n_words,
+        |       COALESCE(CAST(list_sum(list_transform(ws, t ->
+        |         ((strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 4096
+        |          + (strpos('0123456789abcdef', substring(md5(t), 2, 1)) - 1) * 256
+        |          + (strpos('0123456789abcdef', substring(md5(t), 3, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substring(md5(t), 4, 1)) - 1))
+        |         % 997 - 498)) AS BIGINT), 0) AS logit,
+        |       COALESCE(CAST(list_sum(list_transform(ws, t ->
+        |         ((strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 4096
+        |          + (strpos('0123456789abcdef', substring(md5(t), 2, 1)) - 1) * 256
+        |          + (strpos('0123456789abcdef', substring(md5(t), 3, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substring(md5(t), 4, 1)) - 1))
+        |         % 997 - 498)) AS BIGINT), 0) > 0 AS keep
+        |FROM w
+        |ORDER BY doc_id""".stripMargin,
 
     "text_quality_gopher" ->
       """WITH f AS (

@@ -163,6 +163,43 @@ object Assembly {
     if (rate >= 1.0) "ffff~"
     else f"${math.max(0, math.min(65535, math.round(rate * 65536))).toInt}%04x"
 
+  /** Temperature-controlled source mixing — the alpha-sampling rule the
+    * multilingual/multi-corpus training mixes use (GPT-3, NLLB, mT5):
+    * source s gets mixture weight ∝ n_s^(1/T), so T=1 reproduces natural
+    * proportions and T→∞ approaches uniform-over-sources; the per-source
+    * keep rate is min(1, budget·w_s/n_s) against a `targetFraction`
+    * budget of the corpus. Rates derive from per-source COUNTS, so this
+    * is a two-pass op: one count aggregation (collected driver-side —
+    * state is source-cardinality-bounded, the dataset/domain-bucket
+    * granularity real mixes use, NOT per-doc), then [[weightedMix]]'s
+    * narrow deterministic hash filter with the computed rates.
+    *
+    * Oracle note: the rate arithmetic (pow, sum, divide) is recomputed
+    * in SQL; both engines round to the same 4-hex bucket boundary, so a
+    * disagreement requires a rate within ~1e-11 of a 1/65536 boundary —
+    * checked against the static corpus, where it is observably not the
+    * case (and any regeneration re-verifies via the hash gate).
+    */
+  def temperatureMix(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      temperature: Double = 2.0,
+      targetFraction: Double = 0.5,
+      salt: String = "graft"): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val counts = df.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val wPow = counts.map { case (s, n) =>
+      s -> math.pow(n.toDouble, 1.0 / temperature) }
+    val z = wPow.toSeq.sortBy(_._1).map(_._2).sum
+    val budget = targetFraction * total
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, budget * (wPow(s) / z) / n.toDouble) }
+    weightedMix(df, sourceCol, idCol, rates, defaultRate = 0.0, salt)
+  }
+
   /** Weighted mix WITH upsampling — the "this source for 2.5 epochs"
     * assembly step: rate r yields floor(r) guaranteed copies of every row
     * plus one more for the deterministic hash-selected frac(r) fraction.

@@ -441,4 +441,31 @@ object TextAnalysis {
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"))
   }
+
+  /** Model-based quality filtering PLUMBING — the linear-classifier pass
+    * (fastText/logreg family) every production corpus runs after the
+    * rule-based Gopher gate: score each doc with a hashed bag-of-words
+    * linear model and keep docs over the decision boundary. The weights
+    * here are a deterministic hash-derived stand-in (no trained model
+    * ships in this sandbox); production swaps `feat` for a lookup into
+    * broadcast trained weights — the plan shape (one scan, zero
+    * shuffle, narrow HOF fold per row) is exactly what it would run.
+    *
+    * Determinism: the feature weight is INTEGER ((md5-derived 16-bit
+    * feature id) mod 997 − 498) and the logit is an integer SUM, so the
+    * score is exact on both engines — no float accumulation order, no
+    * sigmoid transcendental at the boundary (sigmoid is monotone, so
+    * thresholding the logit IS thresholding the probability).
+    */
+  def classifierScore(docs: DataFrame): DataFrame = {
+    val ws = wordArray(col("text"))
+    val feat = (w: Column) =>
+      conv(substring(md5(w), 1, 4), 16, 10).cast("long") % 997L - 498L
+    docs.select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      aggregate(ws, lit(0L), (acc, w) => acc + feat(w)).as("logit"))
+      .withColumn("keep", col("logit") > 0L)
+      .orderBy(col("doc_id"))
+  }
 }

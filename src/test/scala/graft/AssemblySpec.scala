@@ -132,4 +132,37 @@ class AssemblySpec extends SparkSpec {
     // shuffled: the hash order must not be the identity order
     assert(rows.map(_._2).toSeq !== rows.map(_._2).sorted.toSeq)
   }
+
+  test("temperatureMix: T=1 reproduces natural proportions exactly") {
+    // power-of-two counts make every rate computation float-exact, so
+    // T=1 must equal a flat weightedMix at the target fraction
+    val df = ((0 until 64).map(i => (i.toLong, "a")) ++
+      (64 until 128).map(i => (i.toLong, "b")))
+      .toDF("doc_id", "source")
+    val t1 = Assembly.temperatureMix(df, "source", "doc_id",
+      temperature = 1.0, targetFraction = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val flat = Assembly.weightedMix(df, "source", "doc_id",
+      rates = Map.empty, defaultRate = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(t1 === flat)
+    assert(t1.nonEmpty && t1.size < 128)
+  }
+
+  test("temperatureMix: T=2 upsamples the small source to full (clamped)") {
+    // counts 900/100, T=2, frac=0.5: w = (30, 10), budget = 500 ->
+    // rate_b = 500*(10/40)/100 = 1.25 -> clamped to 1.0 (keep ALL of b);
+    // rate_a = 500*(30/40)/900 = 0.41666...
+    val df = ((0 until 900).map(i => (i.toLong, "a")) ++
+      (900 until 1000).map(i => (i.toLong, "b")))
+      .toDF("doc_id", "source")
+    val kept = Assembly.temperatureMix(df, "source", "doc_id",
+      temperature = 2.0, targetFraction = 0.5)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    val bySource = kept.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySource("b") === 100, "small source upsampled to keep-all")
+    val aFrac = bySource("a").toDouble / 900
+    assert(aFrac > 0.35 && aFrac < 0.48,
+      s"large source downsampled to ~0.4167, got $aFrac")
+  }
 }

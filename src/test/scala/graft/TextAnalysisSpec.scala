@@ -157,4 +157,20 @@ class TextAnalysisSpec extends SparkSpec {
       "thresholds must split the synthetic corpus")
     assert(rows.forall(r => r._3 >= 0 && r._3 <= 1 && r._4 >= 0 && r._4 <= 1))
   }
+
+  test("classifierScore: hand-computed hashed-feature logits") {
+    // md5("a") = 0cc175... -> 0x0cc1 = 3265; 3265 % 997 = 274; -498 -> -224
+    // md5("b") = 92eb5f... -> 0x92eb = 37611; 37611 % 997 = 722; -498 -> +224
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "a b"), (4L, "b b a"), (5L, "  !! ")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.classifierScore(docs)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, -224L, false),
+      (2L, 1L, 224L, true),
+      (3L, 2L, 0L, false),    // boundary is strict: logit > 0
+      (4L, 3L, 224L, true),
+      (5L, 0L, 0L, false)))   // wordless doc: zero-feature fold
+  }
 }
