@@ -689,6 +689,12 @@ object SparkEntry {
         .select(col("source"), col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // balanced-shard manifest: hash positions cut into 100-doc shards,
+    // one audit row per shard (docs, payload, id range)
+    "assembly_shard_manifest" -> ((s, dir) =>
+      Assembly.shardManifest(Tables.documents(s, dir), "doc_id",
+        docsPerShard = 100, sizeCol = "n_chars")),
+
     // deterministic global shuffle: dense position 0..n-1 in hash order
     // (range-partitioned sort + offset enumeration — fully distributed)
     "assembly_global_shuffle" -> ((s, dir) =>
@@ -2156,6 +2162,22 @@ object SparkEntry {
         |WHERE substring(md5('graft' || CAST(d.doc_id AS VARCHAR)), 1, 4)
         |      < b.bound
         |ORDER BY d.doc_id""".stripMargin,
+
+    // same hash-ordered dense positions as assembly_global_shuffle,
+    // floor(pos/100) shard cut, per-shard audit aggregates
+    "assembly_shard_manifest" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (
+        |           ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id)
+        |           - 1 AS pos
+        |  FROM documents)
+        |SELECT CAST(floor(pos / 100.0) AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+        |       min(doc_id) AS min_id,
+        |       max(doc_id) AS max_id
+        |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "assembly_global_shuffle" ->
       """SELECT row_number() OVER (

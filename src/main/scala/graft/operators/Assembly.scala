@@ -278,6 +278,56 @@ object Assembly {
     spark.createDataFrame(indexed, outSchema).drop("_hkey")
   }
 
+  /** Balanced-shard assignment + audit manifest — the layout step that
+    * hands a curated corpus to the training loader: deterministic
+    * hash-shuffled dense positions ([[globalShuffle]]) cut into
+    * `docsPerShard`-sized shards, with one manifest row per shard
+    * (docs, payload size, id range). Every shard is exactly full except
+    * the last, the assignment is replay-stable under any partitioning,
+    * and the manifest is the thing a loader checksums before an epoch.
+    *
+    * Scale shape: globalShuffle's two linear passes + one shard-keyed
+    * aggregation; the manifest is shard-cardinality-sized. The actual
+    * write ([[writeShardsWithManifest]]) partitions by the shard column
+    * so each shard lands as its own directory.
+    */
+  def shardManifest(
+      df: DataFrame,
+      idCol: String,
+      docsPerShard: Int,
+      sizeCol: String): DataFrame =
+    withShards(df, idCol, docsPerShard)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).as("n_bytes"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"))
+      .orderBy(col("shard"))
+
+  /** The shard assignment itself: dense hash position / docsPerShard. */
+  def withShards(
+      df: DataFrame, idCol: String, docsPerShard: Int): DataFrame = {
+    require(docsPerShard > 0, s"docsPerShard must be > 0, got $docsPerShard")
+    globalShuffle(df, idCol)
+      .withColumn("shard",
+        floor(col("pos") / lit(docsPerShard.toDouble)).cast("long"))
+  }
+
+  /** Write the sharded corpus (one directory per shard via partitionBy)
+    * and return the manifest for the caller to persist alongside.
+    */
+  def writeShardsWithManifest(
+      df: DataFrame,
+      idCol: String,
+      docsPerShard: Int,
+      sizeCol: String,
+      path: String): DataFrame = {
+    withShards(df, idCol, docsPerShard)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    shardManifest(df, idCol, docsPerShard, sizeCol)
+  }
+
   /** Greedy sequence packing: walk each source's docs in doc_id order and
     * append to the current training sequence until the token budget would
     * overflow, then start the next one — the standard "pack short docs

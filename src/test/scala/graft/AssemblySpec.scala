@@ -133,6 +133,24 @@ class AssemblySpec extends SparkSpec {
     assert(rows.map(_._2).toSeq !== rows.map(_._2).sorted.toSeq)
   }
 
+  test("writeShardsWithManifest: full shards, readable layout, manifest matches") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val manifest = Assembly.writeShardsWithManifest(
+      docs, "doc_id", docsPerShard = 100, sizeCol = "n_chars", path = dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val n = docs.count()
+    assert(manifest.map(_._2).sum === n, "manifest covers every doc")
+    // every shard but the last is exactly full
+    assert(manifest.init.forall(_._2 === 100L))
+    assert(manifest.last._2 <= 100L)
+    // shard ids are dense from 0
+    assert(manifest.map(_._1) === manifest.indices.map(_.toLong))
+    // the written layout reads back with the same per-shard counts
+    val back = spark.read.parquet(dir)
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(back === manifest.map(m => m._1 -> m._2).toMap)
+  }
+
   test("temperatureMix: T=1 reproduces natural proportions exactly") {
     // power-of-two counts make every rate computation float-exact, so
     // T=1 must equal a flat weightedMix at the target fraction
