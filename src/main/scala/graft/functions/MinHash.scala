@@ -68,6 +68,32 @@ case class WordShingleHashesExpr(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** IN-ORDER xxhash64 values of the TUMBLING k-word chunks of a
+  * single-space-normalized string — including the short final chunk
+  * (unlike the sliding-gram expressions, which need full windows). The
+  * codegen'd detection-side hasher for [[graft.operators.Dedup
+  * .boilerplateRemoval]]: chunk bytes are exactly the
+  * `concat_ws(" ", slice(words, i*k+1, k))` content, so a hash equality
+  * IS a chunk-string equality (same 64-bit-collision trade the other
+  * hash operators document). Empty input → empty array.
+  */
+case class TumblingChunkHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "tumbling_chunk_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash.tumblingChunkHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHash.tumblingChunkHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): TumblingChunkHashesExpr =
+    copy(child = newChild)
+}
+
 /** k-element minhash signature over an array of base hashes. */
 case class MinHashSigExpr(child: Expression, k: Int, seed: Long)
     extends UnaryExpression {
@@ -260,8 +286,36 @@ object MinHash {
     UnsafeArrayData.fromPrimitiveArray(arr)
   }
 
+  /** Tumbling k-word chunk hashes, short final chunk included. */
+  def tumblingChunkHashes(s: UTF8String, k: Int): ArrayData = {
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val len = s.numBytes()
+    if (len == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val starts = scala.collection.mutable.ArrayBuffer[Int](0)
+    var i = 0
+    while (i < len) {
+      if (s.getByte(i) == ' ') starts += i + 1
+      i += 1
+    }
+    val nWords = starts.length
+    val nChunks = (nWords + k - 1) / k
+    val arr = new Array[Long](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val from = starts(c * k)
+      val until = if ((c + 1) * k < nWords) starts((c + 1) * k) - 1 else len
+      arr(c) = XXH64.hashUnsafeBytes(base, offset + from, until - from, XxSeed)
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+
   def word_gram_hashes(c: Column, n: Int): Column =
     GraftShims.column(WordGramHashesExpr(GraftShims.expression(c), n))
+
+  def tumbling_chunk_hashes(c: Column, k: Int): Column =
+    GraftShims.column(TumblingChunkHashesExpr(GraftShims.expression(c), k))
 
   def word_shingle_hashes(c: Column, w: Int): Column =
     GraftShims.column(WordShingleHashesExpr(GraftShims.expression(c), w))

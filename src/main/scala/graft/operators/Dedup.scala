@@ -135,17 +135,25 @@ object Dedup {
     * in order. Unlike spanDedup (which keeps first occurrences and emits
     * fingerprints), this is the pass that rewrites the corpus text.
     *
-    * 100 TB shape: chunking + hashing happen IN PLACE per row; the hot-set
-    * detection shuffles only (md5, doc_id) tuples; removal indices come
-    * back as one (doc_id, int-list) row per AFFECTED document — the
-    * broadcast-hinted join side — and the rewrite is a narrow
-    * higher-order-function filter over the in-place chunk array. Document
-    * text never crosses the network; if boilerplate ever touches so many
-    * docs the index lists outgrow a broadcast, the join degrades to one
-    * doc_id-keyed exchange of int lists (still never text).
+    * 100 TB shape: the DETECTION pass is fully codegen'd — tumbling-chunk
+    * xxhash64 values are computed in place by
+    * [[graft.functions.TumblingChunkHashesExpr]] (no chunk strings, no
+    * interpreted higher-order lambdas) and only (8-byte hash, doc_id,
+    * idx) tuples shuffle to the hot-set count; removal indices come back
+    * as one (doc_id, int-list) row per AFFECTED document — the
+    * broadcast-hinted join side — and the REWRITE pass materializes the
+    * chunk strings once and filters them with a narrow higher-order
+    * expression. Document text never crosses the network; if boilerplate
+    * ever touches so many docs the index lists outgrow a broadcast, the
+    * join degrades to one doc_id-keyed exchange of int lists (still
+    * never text).
     */
   def boilerplateRemoval(
       docs: DataFrame, k: Int = 10, maxDocs: Int = 2): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHash.tumbling_chunk_hashes(
+          TextAnalysis.normWords(col("text")), k)).as(Seq("idx", "h")))
     val ws = TextAnalysis.wordArray(col("text"))
     val base = docs
       .select(col("doc_id"),
@@ -155,10 +163,6 @@ object Dedup {
             i => concat_ws(" ", slice(ws, i * k + 1, lit(k)))))
           .otherwise(array().cast("array<string>")).as("chunks"))
       .filter(size(col("chunks")) > 0)
-    val exploded = base
-      .select(col("doc_id"),
-        posexplode(col("chunks")).as(Seq("idx", "chunk")))
-      .select(col("doc_id"), col("idx"), md5(col("chunk")).as("h"))
     val hot = exploded.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= maxDocs)
