@@ -177,4 +177,29 @@ class PropertySpec extends AnyFunSuite {
         "concatenating spans must reconstruct the document")
     }
   }
+
+  test("property: tumbling chunk hashes equal xxhash64 of the chunk strings") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    // the codegen'd detection hasher must agree with hashing the
+    // concat_ws(" ", slice) chunk strings one by one — hash equality IS
+    // chunk-string equality, the invariant boilerplateRemoval rides on
+    val words = Gen.choose(0, 47).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "d1")))
+    val k = 10
+    samples(words, 200).foreach { ws =>
+      val got = graft.functions.MinHash.tumblingChunkHashes(
+        UTF8String.fromString(ws.mkString(" ")), k)
+      val chunks =
+        if (ws.isEmpty) Seq.empty[String]
+        else ws.grouped(k).map(_.mkString(" ")).toSeq
+      assert(got.numElements() === chunks.size)
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        val u = UTF8String.fromString(c)
+        val exp = XXH64.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        assert(got.getLong(i) === exp)
+      }
+    }
+  }
 }
