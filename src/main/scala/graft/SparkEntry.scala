@@ -877,6 +877,37 @@ object SparkEntry {
       Assembly.packSequences(Tables.documents(s, dir), tokenBudget = 256)
         .orderBy(col("source"), col("doc_id"))),
 
+    // context-window chunking: 50-word windows advancing by 40 (10-word
+    // overlap); narrow tokenize+slice pipeline, chunk bodies stay in-row
+    // (md5 fingerprint out)
+    "assembly_chunk_windows" -> ((s, dir) =>
+      Assembly.chunkWindows(Tables.documents(s, dir), window = 50, stride = 40)),
+
+    // snapshot diff: old = drop doc_id%20==19 + ' v1' edit on %20==3,
+    // new = drop doc_id%20==11 — so added/removed/changed/unchanged all
+    // occur; fingerprints computed at the scan, full-outer on the key
+    "corpus_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val prev = d.filter(col("doc_id") % 20 =!= 19)
+        .withColumn("text",
+          when(col("doc_id") % 20 === 3, concat(col("text"), lit(" v1")))
+            .otherwise(col("text")))
+      val cur = d.filter(col("doc_id") % 20 =!= 11)
+      graft.operators.Snapshot.corpusDiff(prev, cur)
+    }),
+
+    // payment-card candidates + Luhn checksum as a pure HOF expression;
+    // one derived card varies validity with doc_id, one is always valid
+    "text_pii_cards" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cardText = concat(
+        col("text"), lit(" pay 4"),
+        lpad(((col("doc_id") * 7919) % 1000000000000000L).cast("string"),
+          15, "0"),
+        lit(" or 4111111111111111"))
+      graft.operators.Pii.cardAudit(d, cardText)
+    }),
+
     // benchmark-contamination audit: distinct word-5-gram overlap of every
     // corpus doc against the benchmark set (doc_id % 20 == 0 stands in
     // for the eval suite); benchmark gram set broadcasts
@@ -2254,6 +2285,74 @@ object SparkEntry {
         |  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
         |SELECT doc_id, source, n_tokens, seq_id
         |FROM pack ORDER BY source, doc_id""".stripMargin,
+
+    // identical word split + start positions 0, 40, 80, … (DuckDB slice
+    // is 1-based inclusive, so window [start+1 : start+50] = Spark
+    // slice(ws, start+1, 50))
+    "assembly_chunk_windows" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words,
+        |         unnest(generate_series(0,
+        |           CAST(floor((len(ws) - 1) / 40.0) AS BIGINT))) AS k
+        |  FROM w WHERE len(ws) > 0)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS chunk_idx,
+        |       CAST(k * 40 AS BIGINT) AS chunk_start,
+        |       CAST(least(50, n_words - k * 40) AS BIGINT) AS n_tokens,
+        |       md5(array_to_string(ws[(k*40+1):(k*40+50)], ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // same snapshot derivation + full outer join on the key
+    "corpus_diff" ->
+      """WITH snap_old AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 20 = 3 THEN text || ' v1'
+        |                  ELSE text END) AS old_md5
+        |  FROM documents WHERE doc_id % 20 <> 19),
+        |snap_new AS (
+        |  SELECT doc_id, md5(text) AS new_md5
+        |  FROM documents WHERE doc_id % 20 <> 11)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       o.old_md5, n.new_md5,
+        |       CASE WHEN o.old_md5 IS NULL THEN 'added'
+        |            WHEN n.new_md5 IS NULL THEN 'removed'
+        |            WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM snap_old o FULL OUTER JOIN snap_new n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // same candidate regex; Luhn recomputed digit-by-digit with
+    // list_transform over the reversed string (1-based i → (i-1)%2
+    // doubles the same positions Spark's 0-based transform index does)
+    "text_pii_cards" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         concat(text, ' pay 4',
+        |                lpad(CAST((doc_id * 7919) % 1000000000000000
+        |                          AS VARCHAR), 15, '0'),
+        |                ' or 4111111111111111') AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, regexp_extract_all(t, '\b[0-9]{16}\b') AS l
+        |      FROM p),
+        |e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS card_idx, l[i] AS card
+        |      FROM (SELECT doc_id, l,
+        |              unnest(generate_series(1, len(l))) AS i
+        |            FROM c WHERE len(l) > 0)),
+        |v AS (SELECT doc_id, card_idx, card, reverse(card) AS rev FROM e)
+        |SELECT doc_id, card_idx, md5(card) AS card_md5,
+        |       (list_sum(list_transform(generate_series(1, length(rev)),
+        |          i -> CASE WHEN (i - 1) % 2 = 1
+        |                    THEN CASE WHEN 2 * CAST(substring(rev, i, 1) AS INT) > 9
+        |                              THEN 2 * CAST(substring(rev, i, 1) AS INT) - 9
+        |                              ELSE 2 * CAST(substring(rev, i, 1) AS INT) END
+        |                    ELSE CAST(substring(rev, i, 1) AS INT) END)) % 10 = 0)
+        |         AS luhn_valid
+        |FROM v ORDER BY doc_id, card_idx""".stripMargin,
 
     // same gram/ratio computation as text_contamination, kept to the
     // sub-threshold survivors and joined back for the passthrough columns

@@ -370,4 +370,51 @@ object Assembly {
       }
       .toDF("doc_id", "source", "n_tokens", "seq_id")
   }
+
+  /** Context-window chunking: cut each document's word stream into
+    * fixed-size windows of `window` words advancing by `stride` words
+    * (overlap = window - stride) — the standard prep step between
+    * curation and tokenization when documents exceed the model's context
+    * length. Start positions are 0, stride, 2·stride, … while the start
+    * is inside the document, so every word is covered, the tail chunk may
+    * be short, and a document shorter than one window still yields
+    * exactly one chunk; empty docs yield none.
+    *
+    * Output: (doc_id, chunk_idx, chunk_start, n_tokens, chunk_md5) —
+    * position, length, and content fingerprint per chunk, ordered.
+    *
+    * 100 TB shape: narrow — tokenize, sequence-of-starts explode, and
+    * HOF slice all pipeline into the scan; no shuffle, no state. The
+    * chunk TEXT never leaves the row (the output carries its md5), so
+    * the result is manifest-sized even when the corpus is not. A caller
+    * that wants the chunk bodies materialized swaps the md5 projection
+    * for `concat_ws(" ", chunk)` — the plan shape is identical.
+    */
+  def chunkWindows(
+      docs: DataFrame,
+      window: Int = 50,
+      stride: Int = 40): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    docs
+      .select(col("doc_id"),
+        TextAnalysis.wordArray(col("text")).as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("ws"), col("n_words"),
+        explode(sequence(lit(0L),
+          floor((col("n_words") - 1) / lit(stride)).cast("long")))
+          .as("chunk_idx"))
+      .withColumn("chunk_start", col("chunk_idx") * stride)
+      .withColumn("chunk",
+        slice(col("ws"), (col("chunk_start") + 1).cast("int"), lit(window)))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("chunk_start"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

@@ -60,4 +60,56 @@ object Pii {
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
         length(col("redacted")).cast("long").as("redacted_len"),
         md5(col("redacted")).as("redacted_md5"))
+
+  // ------------------------------------------- payment-card detection
+
+  /** 16 consecutive digits, word-bounded — the CANDIDATE pattern. A bare
+    * digit-run regex false-positives on ids/timestamps, which is why card
+    * detection must pair it with the Luhn checksum below.
+    */
+  val cardPattern: String = "\\b[0-9]{16}\\b"
+
+  /** Luhn mod-10 checksum validity of a digit string, as a pure
+    * higher-order-function column: reverse, double every second digit
+    * (subtracting 9 on overflow), sum ≡ 0 (mod 10). No UDF — the lambda
+    * forms (`transform` with index, `aggregate`) keep the expression in
+    * the SQL engine, and the identical computation is expressible in
+    * DuckDB (`list_transform` + `list_sum`), so validity is
+    * oracle-checkable bit for bit.
+    *
+    * HOF lambdas are CodegenFallback; card candidates are rare after the
+    * regex gate, so the interpreted path prices per-candidate, not
+    * per-byte.
+    */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val chars = filter(split(rev, ""), c => c =!= "")
+    val contrib = transform(chars, (c, i) => {
+      val d = c.cast("int")
+      val dd = when(i % 2 === 1, d * 2).otherwise(d)
+      when(dd > 9, dd - 9).otherwise(dd)
+    })
+    aggregate(contrib, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** Per-candidate card audit: every 16-digit candidate in `textCol`,
+    * with its position, fingerprint, and Luhn verdict. One row per
+    * candidate (docs with none drop out), ordered.
+    *
+    * 100 TB shape: regexp extraction + explode are narrow (pipeline into
+    * the scan, no shuffle); output is candidate-sized, not corpus-sized,
+    * and the card NUMBER itself never leaves the row — only its md5.
+    */
+  def cardAudit(docs: DataFrame, textCol: Column): DataFrame =
+    docs
+      .withColumn("card_text", textCol)
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("card_text"), lit(cardPattern), lit(0)))
+          .as(Seq("card_idx", "card")))
+      .select(
+        col("doc_id"),
+        col("card_idx").cast("long").as("card_idx"),
+        md5(col("card")).as("card_md5"),
+        luhnValid(col("card")).as("luhn_valid"))
+      .orderBy(col("doc_id"), col("card_idx"))
 }

@@ -183,4 +183,46 @@ class AssemblySpec extends SparkSpec {
     assert(aFrac > 0.35 && aFrac < 0.48,
       s"large source downsampled to ~0.4167, got $aFrac")
   }
+
+  test("chunkWindows: coverage, overlap, tail, and short-doc semantics") {
+    val df = Seq(
+      (1L, (1 to 95).map(i => s"w$i").mkString(" ")), // 95 words
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, "")                                        // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val out = Assembly.chunkWindows(df, window = 50, stride = 40)
+      .select("doc_id", "chunk_idx", "chunk_start", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toList
+    // doc 1: starts 0, 40, 80 -> lengths 50, 50, 15
+    assert(out.filter(_._1 == 1L) ===
+      List((1L, 0L, 0L, 50L), (1L, 1L, 40L, 50L), (1L, 2L, 80L, 15L)))
+    // doc 2: one short chunk covering the whole doc
+    assert(out.filter(_._1 == 2L) === List((2L, 0L, 0L, 3L)))
+    assert(!out.exists(_._1 == 3L), "empty doc yields no chunks")
+  }
+
+  test("chunkWindows: consecutive chunks share window-stride words") {
+    val df = Seq((1L, (1 to 90).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // materialize chunk bodies the way the scaladoc describes
+    val bodies = df
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.wordArray(col("text")).as("ws"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("ws"), 1, 50)).as("c0"),
+        concat_ws(" ", slice(col("ws"), 41, 50)).as("c1"),
+        concat_ws(" ", slice(col("ws"), 81, 50)).as("c2"))
+      .as[(Long, String, String, String)].head()
+    val tail0 = bodies._2.split(" ").drop(40).toList
+    val head1 = bodies._3.split(" ").take(10).toList
+    assert(tail0 === head1, "10-word overlap between consecutive chunks")
+    // and the registered query's md5 matches md5 of those bodies
+    val md5s = Assembly.chunkWindows(df, 50, 40)
+      .select("chunk_md5").as[String].collect().toList
+    val expected = List(bodies._2, bodies._3, bodies._4).map { s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(md5s === expected)
+  }
 }

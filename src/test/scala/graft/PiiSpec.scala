@@ -62,4 +62,33 @@ class PiiSpec extends SparkSpec {
       Set("doc_id", "n_emails", "n_phones", "n_ips",
         "redacted_len", "redacted_md5"))
   }
+
+  test("luhnValid: known-valid and known-invalid card vectors") {
+    // 4111111111111111 / 5500005555555559 / 4012888888881881 are the
+    // classic test-card numbers (valid); flipping a digit breaks them
+    val got = Seq(
+      "4111111111111111" -> true,
+      "5500005555555559" -> true,
+      "4012888888881881" -> true,
+      "4111111111111112" -> false,
+      "4012888888881882" -> false,
+      "1234567890123456" -> false
+    ).toDF("card", "expected")
+      .select(Pii.luhnValid(col("card")), col("expected"))
+      .as[(Boolean, Boolean)].collect()
+    got.foreach { case (v, e) => assert(v === e) }
+  }
+
+  test("cardAudit: candidates gated by word boundary, verdict per card") {
+    val df = Seq(
+      (1L, "pay 4111111111111111 or 4111111111111112 ok"),
+      (2L, "id 94111111111111111 is 17 digits, no candidate"),
+      (3L, "nothing here")
+    ).toDF("doc_id", "text")
+    val out = Pii.cardAudit(df, col("text"))
+      .select("doc_id", "card_idx", "luhn_valid")
+      .as[(Long, Long, Boolean)].collect().toList
+    assert(out === List((1L, 0L, true), (1L, 1L, false)),
+      "two candidates in doc 1 (one valid), none elsewhere")
+  }
 }
