@@ -548,6 +548,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // integer-mass PageRank over the customer–supplier trade graph
+    // (customers = even node ids, suppliers = odd; symmetric edges from
+    // distinct order↔supplier pairs); 10 fixed iterations, long
+    // arithmetic throughout so the DuckDB unrolled recurrence matches
+    // bit for bit
+    "graph_pagerank" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("a"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.Graph.pageRankInt(edges, iterations = 10)
+    }),
+
     // stateful-shape analytics: gap-based sessionization (batch twin of
     // the flatMapGroupsWithState streaming operator)
     "q_sessionize" -> ((s, dir) =>
@@ -1984,6 +2001,38 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
         |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // same graph derivation; the 10 fixed iterations are UNROLLED as
+    // chained CTEs (pr1..pr10) because the recurrence aggregates over the
+    // previous frontier, which recursive CTEs can't express portably —
+    // `//` is DuckDB integer division, the twin of Spark SQL's `div`
+    "graph_pagerank" -> {
+      val header =
+        """WITH pairs AS (
+          |  SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS a,
+          |                  CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS b
+          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+          |edges AS (
+          |  SELECT a AS src, b AS dst FROM pairs
+          |  UNION ALL
+          |  SELECT b AS src, a AS dst FROM pairs),
+          |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+          |nodes AS (SELECT DISTINCT src AS node FROM edges
+          |          UNION SELECT DISTINCT dst AS node FROM edges),
+          |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes)""".stripMargin
+      val steps = (1 to 10).map { i =>
+        s"""pr$i AS (
+           |  SELECT n.node,
+           |         CAST(150000 + coalesce(
+           |           sum((p.mass * 85) // (100 * o.outdeg)), 0) AS BIGINT) AS mass
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.dst = n.node
+           |  LEFT JOIN pr${i - 1} p ON p.node = e.src
+           |  LEFT JOIN outdeg o ON o.src = e.src
+           |  GROUP BY n.node)""".stripMargin
+      }.mkString(",\n")
+      header + ",\n" + steps + "\nSELECT node, mass FROM pr10 ORDER BY node"
+    },
 
     // SemDeDup oracle: brute-force within-label cosine pairs at the same
     // threshold, recursive-CTE reachability closure, min reachable id =

@@ -90,4 +90,35 @@ class GraphSpec extends SparkSpec {
     isolated.foreach(n => assert(got(n) === n))
     assert(got.size === docs.count())
   }
+
+  test("pageRankInt: exact hand-computed masses on a 3-node star") {
+    // undirected star centered at 1: edges both directions
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    def masses(iters: Int): Map[Long, Long] =
+      Graph.pageRankInt(edges, iterations = iters)
+        .as[(Long, Long)].collect().toMap
+    // iter 1: center gets 850000 from each leaf + 150000 base;
+    // each leaf gets (1000000*85) div (100*2) = 425000 + base
+    assert(masses(1) === Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
+    // iter 2: leaves (1850000*85) div 200 = 786250 + base = 936250;
+    // center 2*((575000*85) div 100) = 2*488750 + base = 1127500
+    assert(masses(2) === Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
+  }
+
+  test("pageRankInt: determinism under repartitioning, mass bound, hub rank") {
+    // two components: a 4-leaf star (hub 10) and a 2-cycle (20, 21)
+    val base = Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L),
+      (20L, 21L))
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val r1 = Graph.pageRankInt(edges, 10).as[(Long, Long)].collect().toMap
+    val r2 = Graph.pageRankInt(edges.repartition(13), 10)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 === r2, "mass must not depend on partition layout")
+    // floor truncation only ever loses mass
+    assert(r1.values.sum <= 7L * 1000000L)
+    // the hub outranks every leaf; the symmetric 2-cycle stays at scale
+    assert((11L to 14L).forall(l => r1(10L) > r1(l)))
+    assert(r1(20L) === 1000000L && r1(21L) === 1000000L)
+  }
 }
