@@ -497,6 +497,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // directional partial-copy pairs: |A∩B|/|A| ≥ 60% over word
+    // 3-shingles via the postings self-join (see containmentPairs —
+    // Jaccard's size band can't block the asymmetric ratio)
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), pct = 60)),
+
     // exact path: dedupe-first (identical vectors collapse before any
     // pairwise work) + partial-aggregating argmax so pair rows never
     // shuffle — hash-checked against the all-pairs SQL oracle
@@ -992,6 +998,17 @@ object SparkEntry {
     // feature weights), keep = logit > 0 — the model-based quality pass
     "text_classifier_score" -> ((s, dir) =>
       graft.operators.TextAnalysis.classifierScore(Tables.documents(s, dir))),
+
+    // bigram LM perplexity-proxy score: integer-scaled MLE transition
+    // weights trained on the corpus itself, per-doc mass + per-bigram avg
+    "text_lm_score" -> ((s, dir) =>
+      graft.operators.TextAnalysis.lmScore(Tables.documents(s, dir))),
+
+    // conjunctive tf-idf search: all three terms required, integer idf
+    // lattice, deterministic (score desc, doc_id) top-20
+    "text_search_topk" -> ((s, dir) =>
+      graft.operators.TextAnalysis.searchTopK(
+        Tables.documents(s, dir), Seq("vector", "hash", "merge"), k = 20)),
 
     // PII audit + redaction: the corpus carries no PII, so a
     // deterministic PII-bearing column is derived from driver data
@@ -1901,6 +1918,29 @@ object SparkEntry {
         |WHERE jaccard >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // brute-force directional containment over string word-3-shingles;
+    // the integer boundary (shared*100 >= 60*n_a) mirrors the Spark
+    // filter exactly, and the ratio is one int/int IEEE division
+    "dedup_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(words) >= 3
+        |    THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+        |    ELSE [array_to_string(words, ' ')] END) AS sh
+        |  FROM w)
+        |SELECT doc_a, doc_b, n_a, shared,
+        |       CAST(shared AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+        |FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(len(a.sh) AS BIGINT) AS n_a,
+        |         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS shared
+        |  FROM g a JOIN g b ON a.doc_id <> b.doc_id) p
+        |WHERE shared * 100 >= 60 * n_a
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // exact union-set Jaccard per source pair recomputed from string
     // shingles; the signature-estimate error claim is pinned TRUE
     "dedup_group_minhash" ->
@@ -2623,6 +2663,63 @@ object SparkEntry {
         |         % 997 - 498)) AS BIGINT), 0) > 0 AS keep
         |FROM w
         |ORDER BY doc_id""".stripMargin,
+
+    // same integer recurrence: c2 = bigram counts, c1 = history-word
+    // window sum over the c2 table, weight = (c2*1e6) // c1, per-doc
+    // mass/avg via the per-doc count table; `//` = DuckDB int division
+    "text_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ws)),
+        |                               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+        |  FROM w WHERE len(ws) >= 2),
+        |dgc AS (SELECT doc_id, gram, count(*) AS k FROM bg GROUP BY 1, 2),
+        |c2 AS (SELECT gram, CAST(sum(k) AS BIGINT) AS c2 FROM dgc GROUP BY 1),
+        |wt AS (
+        |  SELECT gram,
+        |         (c2 * 1000000) // CAST(sum(c2) OVER (
+        |            PARTITION BY split_part(gram, ' ', 1)) AS BIGINT) AS wgt
+        |  FROM c2),
+        |agg AS (
+        |  SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(d.k * wt.wgt) AS BIGINT) AS lm_mass
+        |  FROM dgc d JOIN wt USING (gram) GROUP BY 1)
+        |SELECT doc_id,
+        |       COALESCE(n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(lm_mass, 0) AS lm_mass,
+        |       CASE WHEN COALESCE(n_bigrams, 0) > 0
+        |            THEN lm_mass // n_bigrams ELSE 0 END AS lm_avg
+        |FROM documents LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same integer idf lattice; df from the matched postings, N scalar,
+    // HAVING-style conjunctive gate, (score desc, doc_id) unique order
+    "text_search_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |      '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token IN ('vector', 'hash', 'merge')
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT doc_id, token, tf,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM m),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_terms,
+        |         CAST(sum(tf * ((((SELECT count(*) FROM documents) - df + 1)
+        |                         * 1000000) // (df + 1))) AS BIGINT) AS score
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id, score FROM s WHERE n_terms = 3
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "text_quality_gopher" ->
       """WITH f AS (

@@ -690,4 +690,74 @@ object Dedup {
           .otherwise(lit(null).cast("string")).as("kept_md5"))
       .orderBy(col("doc_id"))
   }
+
+  // -------------------------------------------------------- containment
+
+  /** Directional containment pairs — partial-copy detection, the
+    * asymmetric sibling of Jaccard near-dup: C(A→B) = |S(A)∩S(B)| / |S(A)|
+    * over distinct word-3-shingle sets. A short doc quoted wholesale
+    * inside a long one has high containment but low Jaccard (the union is
+    * dominated by B), so [[wordShingleJaccardPairs]] misses exactly the
+    * quote/excerpt/boilerplate-embedding duplicates this operator exists
+    * for. One row per ORDERED pair (doc_a contained in doc_b) at
+    * `pct`-percent containment; both directions can appear.
+    *
+    * Size banding (the Jaccard blocker) cannot apply — containment puts
+    * NO bound on |B|/|A|, that asymmetry being the point — so candidates
+    * come from the inverted-index join: postings (gram → doc) self-joined
+    * on gram, and |A∩B| is exactly the per-(a,b) match count because
+    * shingle sets are distinct (sorted-distinct hash arrays, the
+    * [[wordShingleJaccardPairs]] identity; 64-bit collisions are the same
+    * documented trade). Candidate generation and intersection counting
+    * are ONE join+aggregate — no array re-attachment, nothing pair-shaped
+    * carries payload.
+    *
+    * The integer filter `shared·100 ≥ pct·n_a` is the exact boundary (no
+    * float rounding); the reported `containment` ratio is a single
+    * correctly-rounded int/int division, bit-equal on any IEEE engine.
+    *
+    * 100 TB shape: the join cost is Ω(Σ_g df(g)²) — hot shingles
+    * (boilerplate sentences) dominate, and unlike the Jaccard path
+    * there is no completeness-preserving band to hide behind. `maxDf`
+    * drops grams appearing in more than that many docs BEFORE the join —
+    * the standard stopword-shingle prune of containment search (cap 0 =
+    * off = exact semantics, the oracle's form). A capped run can only
+    * lose pairs whose every shared shingle is corpus-hot; the spec pins
+    * capped ⊆ exact. Per-gram df itself is one map-side-combinable count
+    * over the postings table. Prefix filtering (probe only the
+    * (1-pct%)·n_a+1 smallest hashes of A) is the further pruning step at
+    * extreme scale; it composes with this plan without changing the
+    * aggregate.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      pct: Int = 60,
+      maxDf: Long = 0L): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be 1..100, got $pct")
+    val g = docs.select(
+      col("doc_id"),
+      graft.functions.MinHash.word_shingle_hashes(normText(col("text")), 3)
+        .as("grams"))
+      .withColumn("n_g", size(col("grams")).cast("long"))
+    val post0 = g.select(col("doc_id"), col("n_g"),
+      explode(col("grams")).as("gram"))
+    val post =
+      if (maxDf <= 0L) post0
+      else {
+        val wDf = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gram"))
+        post0.withColumn("df", count(lit(1)).over(wDf))
+          .filter(col("df") <= maxDf).drop("df")
+      }
+    post.as("a")
+      .join(post.select(col("doc_id").as("b_doc"), col("gram")).as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") =!= col("b_doc"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b_doc").as("doc_b"))
+      .agg(first(col("a.n_g")).as("n_a"), count(lit(1)).as("shared"))
+      .filter(col("shared") * 100L >= lit(pct.toLong) * col("n_a"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("shared"),
+        (col("shared").cast("double") / col("n_a").cast("double"))
+          .as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -468,4 +468,116 @@ object TextAnalysis {
       .withColumn("keep", col("logit") > 0L)
       .orderBy(col("doc_id"))
   }
+
+  /** Bigram language-model quality score — the perplexity-proxy filter
+    * (CCNet / Wikipedia-LM family) that ranks documents by how typical
+    * their word transitions are of the corpus: a doc full of common
+    * transitions scores high, boilerplate-free natural prose scores mid,
+    * and gibberish/OCR noise (transitions the corpus has never seen
+    * twice) scores near zero. Here the model is trained ON the corpus
+    * being scored — the self-scoring setup used for in-corpus outlier
+    * detection; scoring against a fixed external model is the same plan
+    * with the weight table read instead of derived.
+    *
+    * Model and score are INTEGER-EXACT so the oracle reproduces them bit
+    * for bit (no float log-prob accumulation): with c2(g) = corpus count
+    * of bigram g and c1(g) = count of g's history word as a history
+    * (= Σ c2 over bigrams sharing g's first word),
+    *
+    *   weight(g) = (c2(g) · 10^6) div c1(g)      — scaled MLE P(w2|w1)
+    *   lm_mass(d) = Σ_{g∈d, with multiplicity} weight(g)
+    *   lm_avg(d)  = lm_mass(d) div n_bigrams(d)  — per-transition score
+    *
+    * Integer floor-division loses < 1 unit in 10^6 per bigram — ranking
+    * noise far below any filtering threshold, in exchange for exact
+    * cross-engine reproducibility (same argument as Graph.pageRankInt).
+    *
+    * 100 TB shape: ONE corpus tokenization pass (explode is narrow) into
+    * a (doc_id, gram) partial-count aggregate; the model table (bigram
+    * vocabulary) derives from that table, never from a second scan — c1
+    * is a window over the history-word partition of the c2 table
+    * (vocabulary-sized, not corpus-sized; the aggregate-then-self-join
+    * form loses ReuseExchange and re-scans, see distinctiveTerms). The
+    * scoring join is gram-keyed vocabulary⋈per-doc-counts; hot grams
+    * ("of the") skew the probe side, but the build side is one row per
+    * gram so AQE's skew-join split handles it (the build row replicates
+    * per split — no correctness interaction, unlike aggregations). One
+    * final doc_id-keyed sum. Docs with <2 words keep a zeroed row (left
+    * join) — the output is a total audit, not a hit list.
+    */
+  def lmScore(docs: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val bigrams = docs
+      .select(col("doc_id"),
+        explode(wordGrams(wordArray(col("text")), 2)).as("gram"))
+    val dgc = bigrams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("k"))
+    val c2 = dgc.groupBy(col("gram")).agg(sum(col("k")).as("c2"))
+    val wHist = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring_index(col("gram"), " ", 1))
+    val weights = c2
+      .withColumn("c1", sum(col("c2")).over(wHist))
+      .select(col("gram"),
+        expr(s"(c2 * ${scale}L) div c1").as("w"))
+    val scored = dgc.join(weights, "gram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("w")).as("lm_mass"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_mass"), lit(0L)).as("lm_mass"))
+      .withColumn("lm_avg",
+        when(col("n_bigrams") > 0L, expr("lm_mass div n_bigrams"))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Conjunctive full-text search with tf-idf ranking — the retrieval
+    * face of the inverted index: docs containing ALL `terms`, ranked by
+    *
+    *   score(d) = Σ_t tf(d,t) · idf_int(t)
+    *   idf_int(t) = ((N − df(t) + 1) · 10^6) div (df(t) + 1)
+    *
+    * — the add-one-smoothed idf on an integer lattice (monotone in the
+    * real idf, so the RANKING is the tf-idf ranking; integer so the
+    * score and therefore the top-k cut are bit-reproducible across
+    * engines — same determinism trade as distinctiveTerms). Ties break
+    * by doc_id: (score desc, doc_id) is a unique total order, so LIMIT
+    * is deterministic.
+    *
+    * 100 TB shape: the `isin(terms)` filter sits directly on the exploded
+    * token stream — BEFORE the (doc_id, token) aggregation, so only
+    * query-term occurrences ever shuffle (the corpus pass is the scan; a
+    * standing deployment replaces it with a prebuilt postings table, the
+    * same IndexCache build/query split the similarity operators use, and
+    * this plan from `matched` down IS the query side). df comes from the
+    * matched postings themselves (df(t) = rows per token), N is one
+    * broadcast scalar, and the conjunctive gate (n_terms == |terms|) is a
+    * HAVING on the doc-keyed aggregate. Top-k = TakeOrderedAndProject —
+    * per-partition heaps, no global sort.
+    */
+  def searchTopK(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.map(_.toLowerCase).distinct.size == terms.size,
+      "terms must be non-empty and distinct")
+    val scale = 1000000L
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val matched = tokens(docs)
+      .filter(col("token").isin(terms.map(_.toLowerCase): _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+    matched
+      .withColumn("df", count(lit(1)).over(wDf))
+      .crossJoin(broadcast(n))
+      .withColumn("idf",
+        expr(s"((n_docs - df + 1) * ${scale}L) div (df + 1)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf") * col("idf")).as("score"))
+      .filter(col("n_terms") === terms.size.toLong)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -318,4 +318,50 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
     assert(bloom === exact)
   }
+
+  test("containmentPairs: directional — the quote is found, the host is not") {
+    val corpus = Seq(
+      // doc 1 is a verbatim excerpt of doc 2's middle; doc 2 is much
+      // larger, so Jaccard is low but C(1→2) = 1.0
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "intro words here alpha beta gamma delta epsilon and then " +
+        "a very long tail of unrelated content goes on and on forever"),
+      (3L, "totally different document about other things")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, pct = 60)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) === Seq((1L, 2L)),
+      "only the excerpt direction crosses 60%")
+    assert(got.head._3 === 1.0, "verbatim excerpt: every shingle shared")
+    // the host direction exists but is far below threshold
+    val all = Dedup.containmentPairs(corpus, pct = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(all.contains((2L, 1L)) && all.contains((1L, 2L)))
+  }
+
+  test("containmentPairs: threshold boundary is integer-exact") {
+    // A has 5 shingles (7 words), 3 shared with B => 60% exactly — the
+    // >= boundary must admit it; at pct=61 it must not
+    val corpus = Seq(
+      (1L, "a b c d e f g"),               // shingles: abc bcd cde def efg
+      (2L, "a b c d e x y z")              // shares abc bcd cde (3 of 5)
+    ).toDF("doc_id", "text")
+    val at60 = Dedup.containmentPairs(corpus, pct = 60)
+      .select("doc_a", "doc_b", "shared", "n_a")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(at60.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 3L && r._4 == 5L))
+    val at61 = Dedup.containmentPairs(corpus, pct = 61)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(!at61.contains((1L, 2L)))
+  }
+
+  test("containmentPairs: df-capped run is a subset of the exact run") {
+    val exact = Dedup.containmentPairs(docs, pct = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.containmentPairs(docs, pct = 50, maxDf = 5L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus must contain partial copies")
+    assert(capped.subsetOf(exact))
+  }
 }

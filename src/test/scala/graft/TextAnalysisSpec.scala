@@ -173,4 +173,80 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 3L, 224L, true),
       (5L, 0L, 0L, false)))   // wordless doc: zero-feature fold
   }
+
+  test("lmScore: hand-computed integer bigram masses") {
+    // doc 3 tokenizes through the '...' separator: [a, b, a, c] ->
+    // grams "a b", "b a", "a c".
+    // corpus c2: "a b"=3 (docs 1,2,3), "b c"=1, "b a"=1, "a c"=1
+    // histories: c1(a) = 3+1 = 4; c1(b) = 1+1 = 2
+    // weights: w("a b") = 3e6 div 4 = 750000; w("b c") = 1e6 div 2 =
+    // 500000; w("b a") = 500000; w("a c") = 1e6 div 4 = 250000
+    val docs = Seq(
+      (1L, "a b"),            // 750000, n 1
+      (2L, "a b c"),          // 750000+500000, n 2 -> avg 625000
+      (3L, "a b ... a c"),    // 750000+500000+250000, n 3 -> avg 500000
+      (4L, "solo"),           // 1 word: zero bigrams
+      (5L, "")                // empty
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 750000L, 750000L),
+      (2L, 2L, 1250000L, 625000L),
+      (3L, 3L, 1500000L, 500000L),
+      (4L, 0L, 0L, 0L),
+      (5L, 0L, 0L, 0L)))
+  }
+
+  test("searchTopK: hand-computed conjunctive tf-idf ranking") {
+    // N = 4. df(x) = 3, df(y) = 2.
+    // idf(x) = ((4-3+1)*1e6) div 4 = 500000
+    // idf(y) = ((4-2+1)*1e6) div 3 = 1000000
+    val docs = Seq(
+      (1L, "x y"),        // 500000 + 1000000 = 1500000
+      (2L, "x x y"),      // 1000000 + 1000000 = 2000000
+      (3L, "x z"),        // missing y -> excluded
+      (4L, "w w w")       // missing both -> excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.searchTopK(docs, Seq("x", "y"), k = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 2000000L), (1L, 1500000L)))
+  }
+
+  test("searchTopK: conjunctive gate and deterministic cut on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("vector", "hash", "merge")
+    val got = TextAnalysis.searchTopK(docs, terms, k = 20)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got.size <= 20)
+    // scores non-increasing, doc_id ascending within equal scores
+    assert(got.sliding(2).forall {
+      case Seq((d1, s1), (d2, s2)) => s1 > s2 || (s1 == s2 && d1 < d2)
+      case _ => true
+    })
+    // every hit really contains every term
+    val hitIds = got.map(_._1).toSet
+    val texts = docs.filter(col("doc_id").isin(hitIds.toSeq: _*))
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(texts.forall { case (_, t) =>
+      val toks = t.toLowerCase.split("\\s+").toSet
+      terms.forall(toks.contains)
+    })
+  }
+
+  test("lmScore: total audit over the corpus, bounded averages") {
+    val docs = Tables.documents(spark, sf)
+    val got = TextAnalysis.lmScore(docs)
+    assert(got.count() === docs.count(), "every doc keeps a row")
+    val rows = got.as[(Long, Long, Long, Long)].collect()
+    // avg per transition is a scaled probability: 0 <= avg <= 1e6
+    assert(rows.forall { case (_, n, mass, avg) =>
+      avg >= 0L && avg <= 1000000L && (n > 0L || (mass == 0L && avg == 0L))
+    })
+    // identical docs score identically (model is content-derived)
+    val twin = TextAnalysis.lmScore(docs.repartition(7))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(twin.sorted.toSeq === rows.sorted.toSeq,
+      "score must not depend on partition layout")
+  }
 }
