@@ -202,6 +202,25 @@ object ScaleCheck {
     time("semantic dedup (SemDeDup, within-label)") {
       force(Dedup.semanticDedup(bigEmb))
     }
+    // bigram LM: model table is vocabulary-sized (constant under
+    // replication — replicas add mass, not vocabulary, bar the repN
+    // token), scoring join is vocab⋈per-doc-counts — expect ~linear
+    time("bigram LM score") { force(TextAnalysis.lmScore(big)) }
+    // containment postings join, EXACT semantics: ×mult replication is
+    // this operator's adversarial case twice over — every family yields
+    // mult² directional output pairs AND every gram's df multiplies by
+    // mult, so the postings-join floor Ω(Σ df²) grows ×mult². That floor
+    // is the measured quantity here. (The maxDf cap is the real-corpus
+    // guard — Zipf vocabularies put df=1 on most grams and the cap only
+    // sheds the stopword-shingle head; on THIS 30-word synthetic
+    // vocabulary every df is ~uniform×mult, so any useful cap would shed
+    // everything — capped-run completeness is spec-checked instead.)
+    time("containment pairs 60% (exact)") {
+      force(Dedup.containmentPairs(big, 60))
+    }
+    time("tf-idf search top-20 (3 terms)") {
+      force(TextAnalysis.searchTopK(big, Seq("vector", "hash", "merge"), 20))
+    }
 
     val ev = Tables.events(spark, "/root/testdata/sf0.1")
     time("sessionize 100k events") { force(Sessionize.batchSessions(ev)) }
