@@ -984,6 +984,11 @@ object SparkEntry {
       Curation.capPerSource(Tables.documents(s, dir), maxPerSource = 20)
         .orderBy(col("source"), col("rank_in_source"))),
 
+    // token-budget composition: per-source doc/token counts + cumulative
+    // largest-first share — the table every mixing decision starts from
+    "curation_token_budget" -> ((s, dir) =>
+      Curation.tokenBudget(Tables.documents(s, dir))),
+
     // ---- round 5 (cont.): quality / PII / span-dedup additions ----
 
     // Gopher-style quality rule set: per-rule flags + conjunction, all
@@ -2638,6 +2643,26 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rank_in_source <= 20
         |ORDER BY source, rank_in_source""".stripMargin,
+
+    // same tokenizer as the Spark side (wordArray = [a-z0-9] runs);
+    // cumulative window ordered (n_tokens desc, source) = unique order
+    "curation_token_budget" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(list_filter(
+        |             string_split_regex(lower(text), '[^a-z0-9]+'),
+        |             x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |       CAST(sum(n_tokens) OVER (
+        |           ORDER BY n_tokens DESC, source
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |       CAST(sum(n_tokens) OVER (
+        |           ORDER BY n_tokens DESC, source
+        |           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         / CAST(sum(n_tokens) OVER () AS DOUBLE) AS cum_share
+        |FROM per
+        |ORDER BY n_tokens DESC, source""".stripMargin,
 
     // same hashed-feature weights: first 4 md5 hex chars decoded via
     // strpos arithmetic (portable hex->int), (h % 997) - 498, integer sum

@@ -129,6 +129,40 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("rank_in_source"))
 
+  /** Token-budget composition table — the "what fills my training budget"
+    * report every mixing decision starts from: per source, document and
+    * token counts plus the cumulative token share when sources are taken
+    * largest-first. The cumulative column answers "how many sources cover
+    * 90% of the budget" directly; feeding `Assembly.temperatureMix` /
+    * `weightedMix` with rates derived from this table is the standard
+    * loop.
+    *
+    * 100 TB shape: ONE corpus scan into a source-keyed aggregate with
+    * map-side partial sums (tokens counted per row by a codegen'd size —
+    * no explode); everything after operates on the source-cardinality
+    * table (tens of rows in real mixes), where the global-order cumsum
+    * window's single-partition funnel is free. `cum_share` divides two
+    * exact longs — one correctly-rounded IEEE op, oracle-exact.
+    */
+  def tokenBudget(docs: DataFrame): DataFrame = {
+    val per = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.wordArray(col("text"))).cast("long"))
+          .as("n_tokens"))
+    val ord = Window.orderBy(col("n_tokens").desc, col("source"))
+    val wCum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy()
+    per
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+      .withColumn("cum_share",
+        col("cum_tokens").cast("double") /
+          sum(col("n_tokens")).over(wTot).cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("cum_tokens"), col("cum_share"))
+      .orderBy(col("n_tokens").desc, col("source"))
+  }
+
   /** Phase 1 of [[capPerSource]]: per-PARTITION top-`n` per source, as a
     * bounded-memory heap fold (worst kept row at the heap head, evicted
     * on a better arrival). State is `sources-per-partition × n` tuples —

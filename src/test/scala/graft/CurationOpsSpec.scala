@@ -274,4 +274,32 @@ class CurationOpsSpec extends SparkSpec {
     val expectSurvivors = comps.filter(col("doc_id") === col("component")).count()
     assert(survivors.size.toLong === expectSurvivors)
   }
+
+  test("tokenBudget: hand-computed composition curve") {
+    val docs = Seq(
+      (1L, "one two three four", "big"),   // 4 tokens
+      (2L, "five six", "big"),             // 2 -> big = 6
+      (3L, "a b c", "mid"),                // mid = 3
+      (4L, "z", "tiny")                    // tiny = 1
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.tokenBudget(docs)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("big", 2L, 6L, 6L, 0.6),
+      ("mid", 1L, 3L, 9L, 0.9),
+      ("tiny", 1L, 1L, 10L, 1.0)))
+  }
+
+  test("tokenBudget: corpus curve is monotone and ends at 1.0") {
+    val got = Curation.tokenBudget(Tables.documents(spark, sf))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.last._5 === 1.0)
+    assert(got.sliding(2).forall {
+      case Seq(a, b) => a._4 < b._4 && a._3 >= b._3
+      case _ => true
+    }, "cumulative strictly increases, per-source tokens non-increasing")
+    val totalDocs = Tables.documents(spark, sf).count()
+    assert(got.map(_._2).sum === totalDocs)
+  }
 }
