@@ -37,6 +37,36 @@ object SparkEntry {
     Route("user13", "events/+/13", table = "user13_raw"),
     Route("clicks_views", "events/click/#", table = "click_raw"))
 
+  /** Deterministically-MESSY URL for the url-dedup query (the corpus has
+    * no URL column): scheme/host case noise, a default port, a trailing
+    * slash, utm_* tracking params, and a fragment are each switched on by
+    * doc_id residues so every canonicalization rule fires on some rows and
+    * distinct raw URLs collapse to shared canonical keys. The oracle
+    * derives the identical string in SQL.
+    */
+  private def derivedUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
+      lit("://"),
+      when(id % 3 === 0,
+        concat(lit("WWW."), col("source"), lit(".Example.COM")))
+        .when(id % 3 === 1, concat(col("source"), lit(".example.com")))
+        .otherwise(concat(lit("www."), upper(col("source")),
+          lit(".EXAMPLE.com"))),
+      when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+      concat(lit("/docs/"), (id % 40).cast("string")),
+      when(id % 2 === 1, lit("/")).otherwise(lit("")),
+      when(id % 4 === 0,
+        concat(lit("?utm_source=feed&id="), (id % 7).cast("string")))
+        .when(id % 4 === 1,
+          concat(lit("?id="), (id % 7).cast("string"),
+            lit("&utm_campaign=x&ref=a")))
+        .otherwise(lit("")),
+      when(id % 5 === 0, concat(lit("#sec"), (id % 3).cast("string")))
+        .otherwise(lit("")))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * full route pipeline — envelope → first-match routing → canonical
     * passthrough capture of everything (A3 + A7).
@@ -988,6 +1018,33 @@ object SparkEntry {
     // largest-first share — the table every mixing decision starts from
     "curation_token_budget" -> ((s, dir) =>
       Curation.tokenBudget(Tables.documents(s, dir))),
+
+    // URL-level dedup: the corpus carries no URL column, so a
+    // deterministically-messy URL is derived from driver data (case noise,
+    // default port, trailing slash, utm_* params, fragment — each keyed on
+    // doc_id residues) and canonicalize+dedup is oracle-checked end to end
+    "curation_url_dedup" -> ((s, dir) =>
+      graft.operators.Urls.urlDedup(Tables.documents(s, dir), derivedUrl)),
+
+    // classifier threshold calibration: exact confusion counts + IEEE
+    // precision/recall/F1 per candidate cut, label = n_chars >= 300
+    "classifier_pr_curve" -> ((s, dir) =>
+      TextAnalysis.classifierPrCurve(Tables.documents(s, dir),
+        label = col("n_chars") >= 300L,
+        thresholds = Seq(-300L, -200L, -100L, -50L, 0L, 50L, 100L, 200L, 300L))),
+
+    // curriculum ordering: easiest-first (n_chars div 100 bands), shuffled
+    // within band via the md5 determinism contract; rank via the
+    // distributed zipWithIndex plan, oracle = sequential row_number
+    "assembly_curriculum" -> ((s, dir) =>
+      Assembly.curriculumOrder(Tables.documents(s, dir),
+        difficulty = expr("n_chars div 100"))),
+
+    // tokenizer-vocab coverage audit: per-doc OOV counts against the
+    // top-20 corpus vocabulary (31 distinct tokens in the synthetic
+    // corpus, so both covered and OOV tokens are exercised)
+    "text_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovAudit(Tables.documents(s, dir), vocabSize = 20)),
 
     // ---- round 5 (cont.): quality / PII / span-dedup additions ----
 
@@ -2663,6 +2720,122 @@ object SparkEntry {
         |         / CAST(sum(n_tokens) OVER () AS DOUBLE) AS cum_share
         |FROM per
         |ORDER BY n_tokens DESC, source""".stripMargin,
+
+    // identical messy-URL derivation, then the same canonical form.
+    // DuckDB NULL traps (vs Spark's ''-returning twins) are closed with
+    // coalesce: regexp_extract -> NULL on no-match, array_to_string ->
+    // NULL on empty list
+    "curation_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || source || '.Example.COM'
+        |             WHEN doc_id % 3 = 1 THEN source || '.example.com'
+        |             ELSE 'www.' || upper(source) || '.EXAMPLE.com' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |    || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+        |             WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x&ref=a'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END) AS url
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_chars, url,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(coalesce(regexp_extract(url, '^[^#?]*\?([^#]*)', 1), ''), '&'),
+        |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS qclean,
+        |    regexp_replace(coalesce(regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1), ''), '/+$', '') AS pclean
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id, n_chars,
+        |    lower(coalesce(regexp_extract(url, '^([^:/?#]+)://', 1), '')) || '://'
+        |    || regexp_replace(regexp_replace(
+        |         lower(coalesce(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1), '')),
+        |         '^www\.', ''), ':(443|80)$', '')
+        |    || (CASE WHEN pclean = '' THEN '/' ELSE pclean END)
+        |    || (CASE WHEN qclean = '' THEN '' ELSE '?' || qclean END) AS canonical_url
+        |  FROM q),
+        |g AS (
+        |  SELECT doc_id, canonical_url, n_chars,
+        |    CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_dups,
+        |    row_number() OVER (PARTITION BY canonical_url ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM c)
+        |SELECT doc_id, canonical_url, n_chars, n_dups FROM g WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // same hashed-feature logit as text_classifier_score, swept over the
+    // same threshold list; counts exact ints, ratios single IEEE ops
+    "classifier_pr_curve" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS ws,
+        |         n_chars >= 300 AS y
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, y,
+        |         COALESCE(CAST(list_sum(list_transform(ws, t ->
+        |           ((strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 4096
+        |            + (strpos('0123456789abcdef', substring(md5(t), 2, 1)) - 1) * 256
+        |            + (strpos('0123456789abcdef', substring(md5(t), 3, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substring(md5(t), 4, 1)) - 1))
+        |           % 997 - 498)) AS BIGINT), 0) AS logit
+        |  FROM w),
+        |t AS (SELECT CAST(unnest([-300, -200, -100, -50, 0, 50, 100, 200, 300]) AS BIGINT) AS threshold),
+        |cm AS (
+        |  SELECT threshold,
+        |    CAST(count(*) FILTER (logit >= threshold AND y) AS BIGINT) AS tp,
+        |    CAST(count(*) FILTER (logit >= threshold AND NOT y) AS BIGINT) AS fp,
+        |    CAST(count(*) FILTER (logit < threshold AND y) AS BIGINT) AS fn,
+        |    CAST(count(*) FILTER (logit < threshold AND NOT y) AS BIGINT) AS tn
+        |  FROM s, t GROUP BY threshold)
+        |SELECT threshold, tp, fp, fn, tn,
+        |  CAST(tp AS DOUBLE) / nullif(tp + fp, 0) AS "precision",
+        |  CAST(tp AS DOUBLE) / nullif(tp + fn, 0) AS recall,
+        |  2.0 * CAST(tp AS DOUBLE) / nullif(2 * tp + fp + fn, 0) AS f1
+        |FROM cm
+        |ORDER BY threshold""".stripMargin,
+
+    // the distributed zipWithIndex rank pinned to its sequential
+    // definition: row_number over (difficulty, md5 tie, doc_id)
+    "assembly_curriculum" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars // 100 AS difficulty,
+        |         md5('curriculum' || CAST(doc_id AS VARCHAR)) AS tie
+        |  FROM documents)
+        |SELECT doc_id, CAST(difficulty AS BIGINT) AS difficulty,
+        |       CAST(row_number() OVER (ORDER BY difficulty, tie, doc_id) AS BIGINT) AS "rank"
+        |FROM k
+        |ORDER BY "rank"""".stripMargin,
+
+    // same tokenizer, same (cnt desc, token) top-20 vocabulary cut
+    "text_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |pd AS (SELECT doc_id, token, count(*) AS k FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT token, CAST(sum(k) AS BIGINT) AS cnt FROM pd GROUP BY 1),
+        |voc AS (SELECT token FROM (
+        |  SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS r FROM tot)
+        |  WHERE r <= 20),
+        |inv AS (SELECT pd.doc_id, CAST(sum(pd.k) AS BIGINT) AS n_invocab
+        |        FROM pd JOIN voc USING (token) GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT b.doc_id, b.n_tokens,
+        |       COALESCE(i.n_invocab, 0) AS n_invocab,
+        |       b.n_tokens - COALESCE(i.n_invocab, 0) AS n_oov,
+        |       CASE WHEN b.n_tokens > 0
+        |            THEN CAST(b.n_tokens - COALESCE(i.n_invocab, 0) AS DOUBLE)
+        |                 / CAST(b.n_tokens AS DOUBLE)
+        |            ELSE 0.0 END AS oov_rate
+        |FROM base b LEFT JOIN inv i USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // same hashed-feature weights: first 4 md5 hex chars decoded via
     // strpos arithmetic (portable hex->int), (h % 997) - 498, integer sum

@@ -328,6 +328,41 @@ object Assembly {
     shardManifest(df, idCol, docsPerShard, sizeCol)
   }
 
+  /** Curriculum ordering: a dense global training order that presents
+    * documents easiest-first (difficulty ascending) while SHUFFLING within
+    * each difficulty level (md5 tiebreak — the determinism contract above),
+    * so the loader reads a curriculum, not a sorted-by-length artifact.
+    * `rank` is dense from 1 over the unique total order
+    * (difficulty, md5(doc_id·salt), doc_id).
+    *
+    * 100 TB shape: identical to [[globalShuffle]] — a range-partitioned
+    * sort on the (difficulty, tie) key plus the zipWithIndex offset pass;
+    * both passes linear and distributed, no single-partition window. The
+    * oracle recomputes the rank as a `row_number` over the same total
+    * order, pinning the distributed enumeration to the sequential
+    * definition.
+    */
+  def curriculumOrder(
+      docs: DataFrame,
+      difficulty: Column,
+      salt: String = "curriculum"): DataFrame = {
+    val spark = docs.sparkSession
+    val sorted = docs
+      .select(
+        col("doc_id"),
+        difficulty.cast("long").as("difficulty"),
+        md5(concat(lit(salt), col("doc_id").cast("string")).cast("binary"))
+          .as("tie"))
+      .orderBy(col("difficulty"), col("tie"), col("doc_id"))
+    val outSchema = StructType(sorted.schema.fields)
+      .add("rank", LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(indexed, outSchema)
+      .select(col("doc_id"), col("difficulty"), col("rank"))
+  }
+
   /** Greedy sequence packing: walk each source's docs in doc_id order and
     * append to the current training sequence until the token budget would
     * overflow, then start the next one — the standard "pack short docs

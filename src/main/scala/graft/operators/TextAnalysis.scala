@@ -580,4 +580,94 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Threshold-calibration sweep for a quality classifier — the
+    * precision/recall table a pipeline owner reads before picking the
+    * filter cut: for each candidate threshold, the confusion counts of
+    * `keep := logit >= threshold` against a reference label, plus
+    * precision / recall / F1. This is how the DataComp / fastText-filter
+    * loop tunes its operating point.
+    *
+    * Counts are EXACT integers; precision/recall/F1 are single-expression
+    * IEEE double arithmetic over those integers (identical operand order
+    * in the oracle → bit-identical), with 0-denominator cells NULL via
+    * `nullif` on both engines.
+    *
+    * 100 TB shape: one corpus scan (the classifier is [[classifierScore]]'s
+    * one-scan integer logit), then a |thresholds|-way fan-out of TWO-column
+    * (logit, label) tuples — the text never enters the fan-out — into a
+    * groupBy on |thresholds| keys with map-side partial sums. The shuffle
+    * carries |thresholds| partial rows per task, regardless of corpus size.
+    */
+  def classifierPrCurve(
+      docs: DataFrame,
+      label: Column,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.distinct.size == thresholds.size,
+      "thresholds must be non-empty and distinct")
+    val scored = classifierScore(docs)
+      .join(docs.select(col("doc_id"), label.as("y")), Seq("doc_id"))
+    val cnt = (p: Column) => sum(when(p, 1L).otherwise(0L))
+    val pred = col("logit") >= col("threshold")
+    scored
+      .select(col("logit"), col("y"),
+        explode(lit(thresholds.toArray)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        cnt(pred && col("y")).as("tp"),
+        cnt(pred && !col("y")).as("fp"),
+        cnt(!pred && col("y")).as("fn"),
+        cnt(!pred && !col("y")).as("tn"))
+      .withColumn("precision",
+        col("tp").cast("double") / nullif(col("tp") + col("fp"), lit(0L)))
+      .withColumn("recall",
+        col("tp").cast("double") / nullif(col("tp") + col("fn"), lit(0L)))
+      .withColumn("f1",
+        lit(2.0) * col("tp").cast("double") /
+          nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L)))
+      .orderBy(col("threshold"))
+  }
+
+  /** Tokenizer-vocabulary coverage audit: per document, how many of its
+    * tokens fall outside the top-`vocabSize` corpus vocabulary (by
+    * frequency, token tiebreak — a deterministic cut). The OOV rate is the
+    * metric that decides whether a tokenizer/vocab is adequate for a corpus
+    * before a single training step is paid for.
+    *
+    * 100 TB shape: one tokenization pass feeds BOTH sides — per-doc token
+    * counts (doc-keyed aggregate) and the corpus vocabulary (token-keyed
+    * aggregate over the already-reduced (doc, token, k) tuples, then
+    * top-V via orderBy+limit = TakeOrderedAndProject: per-partition heaps,
+    * no single-reducer sort). The vocabulary (V rows) broadcasts into the
+    * coverage join, so the only shuffles are the two keyed aggregations;
+    * text never crosses the network. Against a FIXED external vocab the
+    * plan is the same minus the vocabulary build.
+    */
+  def oovAudit(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
+    val perDoc = tokens(docs)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("k"))
+    val vocab = perDoc
+      .groupBy(col("token")).agg(sum(col("k")).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token"))
+    val inVocab = perDoc
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_invocab"))
+    docs
+      .select(col("doc_id"),
+        size(wordArray(col("text"))).cast("long").as("n_tokens"))
+      .join(inVocab, Seq("doc_id"), "left")
+      .withColumn("n_invocab", coalesce(col("n_invocab"), lit(0L)))
+      .withColumn("n_oov", col("n_tokens") - col("n_invocab"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0L,
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_tokens"), col("n_invocab"),
+        col("n_oov"), col("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
 }
