@@ -221,6 +221,26 @@ object ScaleCheck {
     time("tf-idf search top-20 (3 terms)") {
       force(TextAnalysis.searchTopK(big, Seq("vector", "hash", "merge"), 20))
     }
+    // url dedup: canonicalization is a narrow map; the only exchange is
+    // the canonical-key shuffle with re-crawl-sized groups — expect ~linear
+    time("url canonicalize + dedup") {
+      force(graft.operators.Urls.urlDedup(big, SparkEntry.derivedUrl))
+    }
+    // PR curve: one scan + |thresholds| partials per task — expect
+    // scan-bound ~linear, output constant (9 rows)
+    time("classifier PR curve (9 cuts)") {
+      force(TextAnalysis.classifierPrCurve(big, col("n_chars") >= 300L,
+        Seq(-300L, -200L, -100L, -50L, 0L, 50L, 100L, 200L, 300L)))
+    }
+    // curriculum: range-partitioned sort + zipWithIndex offset pass — the
+    // distributed global-rank plan; expect ~n log n in the sort
+    time("curriculum order (global rank)") {
+      force(Assembly.curriculumOrder(big, expr("n_chars div 100")))
+    }
+    // oov audit: two keyed aggregations + broadcast vocab join — ~linear
+    time("oov audit (top-20 vocab)") {
+      force(TextAnalysis.oovAudit(big, 20))
+    }
 
     val ev = Tables.events(spark, "/root/testdata/sf0.1")
     time("sessionize 100k events") { force(Sessionize.batchSessions(ev)) }

@@ -44,7 +44,7 @@ object SparkEntry {
     * distinct raw URLs collapse to shared canonical keys. The oracle
     * derives the identical string in SQL.
     */
-  private def derivedUrl: org.apache.spark.sql.Column = {
+  private[graft] def derivedUrl: org.apache.spark.sql.Column = {
     val id = col("doc_id")
     concat(
       when(id % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
