@@ -164,4 +164,48 @@ class UrlsOpsSpec extends SparkSpec {
     val none = TextAnalysis.oovAudit(docs, vocabSize = 0)
     assert(none.filter(col("n_invocab") =!= 0L).count() === 0L)
   }
+
+  // ---------------------------------------------------- plan receipts
+
+  test("plan: oovAudit broadcasts the vocab into the coverage join") {
+    val pl = TextAnalysis.oovAudit(Tables.documents(spark, sf), 20)
+      .queryExecution.executedPlan.toString
+    assert(pl.contains("BroadcastHashJoin"), s"expected broadcast vocab:\n$pl")
+    assert(pl.contains("TakeOrderedAndProject"),
+      s"expected heap-based top-V vocab cut, not a global sort:\n$pl")
+  }
+
+  test("plan: classifierPrCurve has no per-row window or single-partition funnel before the agg") {
+    val pl = TextAnalysis.classifierPrCurve(
+      Tables.documents(spark, sf), col("n_chars") >= 300L, Seq(0L, 100L))
+      .queryExecution.executedPlan.toString
+    assert(!pl.contains("Window"), s"unexpected window:\n$pl")
+  }
+
+  // ------------------------------------------- streaming URL dedup twin
+
+  test("streaming URL dedup: canonical-key dropDuplicatesWithinWatermark") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val deduped = in.toDF().toDF("doc_id", "url", "ts")
+      .withColumn("canonical_url", Urls.canonicalize(col("url")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("canonical_url")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("url_dedup_stream").start()
+    def t(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+    in.addData(
+      (1L, "https://www.a.com/x", t(0)),
+      (2L, "HTTPS://a.com:443/x/#f", t(1)),   // canonical dup of 1
+      (3L, "https://a.com/x?id=1", t(2)))     // distinct (query param)
+    q.processAllAvailable()
+    in.addData((4L, "https://a.com/x?utm_s=1", t(3))) // dup of 1 again
+    q.processAllAvailable()
+    val kept = spark.table("url_dedup_stream")
+      .select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(kept === Set(1L, 3L))
+  }
 }
