@@ -1046,6 +1046,11 @@ object SparkEntry {
     "text_oov_rate" -> ((s, dir) =>
       TextAnalysis.oovAudit(Tables.documents(s, dir), vocabSize = 20)),
 
+    // vocabulary-id encoding: every token -> its (freq desc, token) rank
+    // id (OOV -> 0), positions preserved — the loader-handoff sequence
+    "text_tokenize_ids" -> ((s, dir) =>
+      TextAnalysis.tokenizeToIds(Tables.documents(s, dir), vocabSize = 20)),
+
     // ---- round 5 (cont.): quality / PII / span-dedup additions ----
 
     // Gopher-style quality rule set: per-rule flags + conjunction, all
@@ -2809,6 +2814,28 @@ object SparkEntry {
         |       CAST(row_number() OVER (ORDER BY difficulty, tie, doc_id) AS BIGINT) AS "rank"
         |FROM k
         |ORDER BY "rank"""".stripMargin,
+
+    // zipped-unnest position recovery (DuckDB zips parallel unnests), same
+    // (cnt desc, token) rank ids; OOV coalesces to the 0 UNK id
+    "text_tokenize_ids" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, len(ws))) AS pos,
+        |         unnest(ws) AS token
+        |  FROM w),
+        |tot AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |voc AS (
+        |  SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS token_id
+        |  FROM tot ORDER BY cnt DESC, token LIMIT 20)
+        |SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, t.token,
+        |       COALESCE(v.token_id, 0) AS token_id
+        |FROM tok t LEFT JOIN voc v USING (token)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // same tokenizer, same (cnt desc, token) top-20 vocabulary cut
     "text_oov_rate" ->

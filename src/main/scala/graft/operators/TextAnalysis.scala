@@ -628,6 +628,40 @@ object TextAnalysis {
       .orderBy(col("threshold"))
   }
 
+  /** Vocabulary-id encoding — the loader-handoff step after [[oovAudit]]
+    * says the vocab is adequate: every token becomes its vocabulary id
+    * (1..V by (freq desc, token) rank — deterministic), OOV tokens become
+    * 0 (the UNK id), positions preserved. Downstream this column feeds
+    * [[Assembly.packSequences]] / [[Assembly.chunkWindows]] as the int
+    * sequence the trainer actually consumes.
+    *
+    * 100 TB shape: one tokenization pass (posexplode keeps positions), one
+    * token-keyed count agg for the vocab build, top-V via
+    * TakeOrderedAndProject; the id-assignment window runs on the V-row
+    * table (bounded, partition-free by construction), and the encode join
+    * broadcasts that table — so corpus-sized data crosses no exchange at
+    * all on the encode side. Against a FIXED external vocab the build
+    * stage drops out and this is scan + broadcast-join only.
+    */
+  def tokenizeToIds(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(wordArray(col("text"))).as(Seq("pos", "token")))
+    val vocab = tok
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(vocabSize)
+      .withColumn("token_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .select(col("token"), col("token_id"))
+    tok
+      .join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("token_id", coalesce(col("token_id"), lit(0L)))
+      .select(col("doc_id"), col("pos").cast("long"), col("token"),
+        col("token_id"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Tokenizer-vocabulary coverage audit: per document, how many of its
     * tokens fall outside the top-`vocabSize` corpus vocabulary (by
     * frequency, token tiebreak — a deterministic cut). The OOV rate is the

@@ -165,6 +165,34 @@ class UrlsOpsSpec extends SparkSpec {
     assert(none.filter(col("n_invocab") =!= 0L).count() === 0L)
   }
 
+  // ---------------------------------------------------- tokenizeToIds
+
+  test("tokenizeToIds: hand-computed ids, positions, and UNK mapping") {
+    // vocab(2) by (freq desc, token): "b"(4)->1, "a"(3)->2; "c","d"->0
+    val d = Seq((1L, "a b b"), (2L, "a b c"), (3L, "a b d c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenizeToIds(d, vocabSize = 2)
+      .select("doc_id", "pos", "token_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 2L), (1L, 1L, 1L), (1L, 2L, 1L),
+      (2L, 0L, 2L), (2L, 1L, 1L), (2L, 2L, 0L),
+      (3L, 0L, 2L), (3L, 1L, 1L), (3L, 2L, 0L), (3L, 3L, 0L)))
+  }
+
+  test("tokenizeToIds: id count consistent with oovAudit; encode join broadcasts") {
+    val docs = Tables.documents(spark, sf)
+    val enc = TextAnalysis.tokenizeToIds(docs, 20)
+    val oov = TextAnalysis.oovAudit(docs, 20)
+    val encOov = enc.filter(col("token_id") === 0L)
+      .groupBy("doc_id").count()
+      .join(oov, "doc_id")
+      .filter(col("count") =!= col("n_oov"))
+    assert(encOov.count() === 0)
+    val pl = enc.queryExecution.executedPlan.toString
+    assert(pl.contains("BroadcastHashJoin"), s"expected broadcast vocab:\n$pl")
+  }
+
   // ---------------------------------------------------- plan receipts
 
   test("plan: oovAudit broadcasts the vocab into the coverage join") {
