@@ -1051,6 +1051,12 @@ object SparkEntry {
     "text_tokenize_ids" -> ((s, dir) =>
       TextAnalysis.tokenizeToIds(Tables.documents(s, dir), vocabSize = 20)),
 
+    // split-leakage audit: near-dup pairs (t=0.6) crossing the
+    // train/val/test boundary — split labels computed as pure id hashes
+    // on the pair rows (no join), the eval-integrity gate
+    "audit_split_leakage" -> ((s, dir) =>
+      Curation.splitLeakage(Tables.documents(s, dir), threshold = 0.65)),
+
     // ---- round 5 (cont.): quality / PII / span-dedup additions ----
 
     // Gopher-style quality rule set: per-rule flags + conjunction, all
@@ -2814,6 +2820,40 @@ object SparkEntry {
         |       CAST(row_number() OVER (ORDER BY difficulty, tie, doc_id) AS BIGINT) AS "rank"
         |FROM k
         |ORDER BY "rank"""".stripMargin,
+
+    // brute-force pairs at t=0.65 + the hashSplit CASE recomputed on each
+    // pair side (same pure-hash assignment the Spark plan uses)
+    "audit_split_leakage" -> {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val caseA = Assembly.hashSplitOracleCase("doc_a", splits)
+      val caseB = Assembly.hashSplitOracleCase("doc_b", splits)
+      s"""WITH g AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN length(norm) >= 3
+        |      THEN [substring(norm, i, 3) for i in range(1, length(norm) - 1)]
+        |      ELSE [norm] END) AS grams
+        |  FROM (SELECT doc_id, lang,
+        |          regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g') AS norm
+        |        FROM documents) t),
+        |p AS (
+        |  SELECT doc_a, doc_b, jaccard FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
+        |           - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) AS jaccard
+        |    FROM g a JOIN g b
+        |      ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |     AND least(len(a.grams), len(b.grams)) + 1e-9
+        |         >= greatest(len(a.grams), len(b.grams)) * 0.65) q
+        |  WHERE jaccard >= 0.65)
+        |SELECT doc_a, doc_b,
+        |       $caseA AS split_a,
+        |       $caseB AS split_b,
+        |       jaccard
+        |FROM p
+        |WHERE $caseA <> $caseB
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     // zipped-unnest position recovery (DuckDB zips parallel unnests), same
     // (cnt desc, token) rank ids; OOV coalesces to the 0 UNK id

@@ -71,14 +71,25 @@ object Assembly {
       df: DataFrame,
       idCol: String,
       splits: Seq[(String, Double)],
-      salt: String = "graft"): DataFrame = {
+      salt: String = "graft"): DataFrame =
+    df.withColumn("split", splitExpr(col(idCol), splits, salt))
+
+  /** The split assignment as a pure COLUMN over any id expression — the
+    * form consumers use when the split must be recomputed where the id
+    * already is (e.g. on a pair table) instead of joined in: split
+    * membership is a hash function of the id, so carrying it through a
+    * join is never necessary.
+    */
+  def splitExpr(
+      id: Column,
+      splits: Seq[(String, Double)],
+      salt: String = "graft"): Column = {
     require(splits.nonEmpty)
     val bounds = splitBoundaries(splits.map(_._2))
-    val b = bucket(col(idCol), salt)
-    val assign = splits.zip(bounds).foldRight(lit(null).cast("string")) {
+    val b = bucket(id, salt)
+    splits.zip(bounds).foldRight(lit(null).cast("string")) {
       case (((name, _), bound), rest) => when(b < bound, name).otherwise(rest)
     }
-    df.withColumn("split", assign)
   }
 
   /** The DuckDB CASE expression equivalent of [[hashSplit]]'s assignment

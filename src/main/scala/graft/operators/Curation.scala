@@ -105,6 +105,34 @@ object Curation {
     docs.filter(!isBenchmark).join(clean, Seq("doc_id"))
   }
 
+  /** Split-leakage audit — the QA gate between assembly and training:
+    * near-duplicate pairs that CROSS the train/val/test boundary are
+    * evaluation leakage (the eval doc is "in" the training set up to
+    * near-duplication), and this lists every such pair with its splits
+    * and similarity. A clean corpus returns zero rows; every returned row
+    * is a doc to move or drop before the eval numbers mean anything.
+    *
+    * 100 TB shape: pair generation is [[Dedup.ngramJaccardPairs]]'s
+    * banded+salted exact join (the audited Ω(pairs) floor); the split
+    * labels are NOT joined in — split membership is a pure hash function
+    * of the id ([[Assembly.splitExpr]]), so both labels are computed
+    * directly on the pair rows. Net cost over the pair scan: two md5s per
+    * pair, zero extra shuffles.
+    */
+  def splitLeakage(
+      docs: DataFrame,
+      threshold: Double = 0.6,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt: String = "graft"): DataFrame =
+    Dedup.ngramJaccardPairs(docs, threshold)
+      .withColumn("split_a", Assembly.splitExpr(col("doc_a"), splits, salt))
+      .withColumn("split_b", Assembly.splitExpr(col("doc_b"), splits, salt))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Per-source (per-domain) document cap: keep the `maxPerSource`
     * largest docs per source (n_chars desc, doc_id tiebreak — a total
     * order, so the cut is deterministic). The anti-over-representation

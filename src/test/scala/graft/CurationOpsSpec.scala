@@ -302,4 +302,39 @@ class CurationOpsSpec extends SparkSpec {
     val totalDocs = Tables.documents(spark, sf).count()
     assert(got.map(_._2).sum === totalDocs)
   }
+
+  // ---------------------------------------------------- split leakage
+
+  test("splitLeakage: equals cross-split subset of ngram pairs") {
+    val d = Tables.documents(spark, sf)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // reference computation: label every pair via the hashSplit DataFrame
+    // form (already oracle-verified) and keep the cross-split ones
+    val labels = Assembly.hashSplit(d.select(col("doc_id")), "doc_id", splits)
+    val expect = Dedup.ngramJaccardPairs(d, 0.65)
+      .join(labels.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), Seq("doc_a"))
+      .join(labels.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+      .collect().toSet
+    val got = Curation.splitLeakage(d, 0.65, splits).collect().toSet
+    assert(got === expect)
+  }
+
+  test("splitLeakage: same-split near-dups are NOT flagged") {
+    // two exact-duplicate texts whose ids land in the same split
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val base = docs((1L, "the quick brown fox jumps over the lazy dog", "s"),
+      (2L, "the quick brown fox jumps over the lazy dog", "s"))
+    val lab = Assembly.hashSplit(base.select(col("doc_id")), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Curation.splitLeakage(base, 0.65, splits).collect()
+    if (lab(1L) == lab(2L)) assert(out.isEmpty)
+    else {
+      assert(out.length === 1)
+      assert(out.head.getAs[Double]("jaccard") === 1.0)
+    }
+  }
 }
