@@ -1057,6 +1057,31 @@ object SparkEntry {
     "audit_split_leakage" -> ((s, dir) =>
       Curation.splitLeakage(Tables.documents(s, dir), threshold = 0.65)),
 
+    // ---- round 6 (cont.): tokenizer training + importance selection ----
+
+    // BPE merge training: 8 most-frequent-pair fusions learned from the
+    // corpus word-frequency table — exact counts, (cnt desc, lhs, rhs)
+    // tie-break, so the whole trajectory is deterministic
+    "tokenizer_bpe_merges" -> ((s, dir) =>
+      graft.operators.Tokenizer.bpeMerges(Tables.documents(s, dir),
+        steps = 8)),
+
+    // encode side: the 8 learned merges folded into one narrow literal-
+    // replace chain; per-doc subword counts + encoding fingerprint
+    "tokenizer_bpe_encode" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val merges = graft.operators.Tokenizer.bpeMerges(d, steps = 8)
+        .select(col("lhs"), col("rhs")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.operators.Tokenizer.bpeEncode(d, merges)
+    }),
+
+    // DSIR importance selection: hashed-bigram likelihood-ratio lattice
+    // against the English slice as target; top-100 cut, full scored audit
+    "curation_dsir" -> ((s, dir) =>
+      Curation.dsirSelect(Tables.documents(s, dir),
+        isTarget = col("lang") === "en", buckets = 1024, k = 100)),
+
     // ---- round 5 (cont.): quality / PII / span-dedup additions ----
 
     // Gopher-style quality rule set: per-rule flags + conjunction, all
@@ -2854,6 +2879,154 @@ object SparkEntry {
         |WHERE $caseA <> $caseB
         |ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    // BPE training replayed as an unrolled CTE chain (the pagerank
+    // pattern): per step, pair counts from the current symbol table, the
+    // (cnt desc, l, r) argmax, and the literal-replace merge application.
+    // LEFT JOIN ON TRUE keeps the chain alive if a step exhausts (the
+    // empty m{i} then contributes no UNION row — matching early stop).
+    "tokenizer_bpe_merges" -> {
+      val steps = (1 to 8).map { i =>
+        s"""p$i AS (
+           |  SELECT split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r,
+           |         CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, unnest(list_transform(range(1, len(ws)),
+           |                j -> ws[j] || ' ' || ws[j + 1])) AS pair
+           |        FROM (SELECT freq, string_split(trim(seq), ' ') AS ws
+           |              FROM c${i - 1}))
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |c$i AS (
+           |  SELECT c.word, c.freq,
+           |         CASE WHEN m.l IS NULL THEN c.seq
+           |              ELSE replace(c.seq, ' ' || m.l || ' ' || m.r || ' ',
+           |                           ' ' || m.l || m.r || ' ') END AS seq
+           |  FROM c${i - 1} c LEFT JOIN m$i m ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 8).map { i =>
+        s"SELECT CAST($i AS INT) AS step, l AS lhs, r AS rhs, " +
+          s"l || r AS merged, cnt AS pair_count FROM m$i"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                x -> x <> '')) AS w
+         |  FROM documents),
+         |words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+         |          FROM toks GROUP BY 1),
+         |c0 AS (SELECT word, freq,
+         |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+         |       FROM words),
+         |$steps
+         |SELECT step, lhs, rhs, merged, pair_count FROM (
+         |  $union)
+         |ORDER BY step""".stripMargin
+    },
+
+    // same trained chain, then each document's per-word symbol string (with
+    // '|' word boundaries) run through the same 8 literal replaces
+    "tokenizer_bpe_encode" -> {
+      val steps = (1 to 8).map { i =>
+        s"""p$i AS (
+           |  SELECT split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r,
+           |         CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, unnest(list_transform(range(1, len(ws)),
+           |                j -> ws[j] || ' ' || ws[j + 1])) AS pair
+           |        FROM (SELECT freq, string_split(trim(seq), ' ') AS ws
+           |              FROM c${i - 1}))
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+           |c$i AS (
+           |  SELECT c.word, c.freq,
+           |         CASE WHEN m.l IS NULL THEN c.seq
+           |              ELSE replace(c.seq, ' ' || m.l || ' ' || m.r || ' ',
+           |                           ' ' || m.l || m.r || ' ') END AS seq
+           |  FROM c${i - 1} c LEFT JOIN m$i m ON TRUE),
+           |e$i AS (
+           |  SELECT e.doc_id, e.n_words,
+           |         CASE WHEN m.l IS NULL THEN e.seq
+           |              ELSE replace(e.seq, ' ' || m.l || ' ' || m.r || ' ',
+           |                           ' ' || m.l || m.r || ' ') END AS seq
+           |  FROM e${i - 1} e LEFT JOIN m$i m ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                x -> x <> '')) AS w
+         |  FROM documents),
+         |words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+         |          FROM toks GROUP BY 1),
+         |c0 AS (SELECT word, freq,
+         |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+         |       FROM words),
+         |docw AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                     x -> x <> '') AS ws
+         |  FROM documents),
+         |e0 AS (
+         |  SELECT doc_id, len(ws) AS n_words,
+         |         ' ' || array_to_string(list_transform(ws,
+         |             w -> trim(regexp_replace(w, '(.)', '\\1 ', 'g'))),
+         |           ' | ') || ' ' AS seq
+         |  FROM docw),
+         |$steps
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |       CAST(len(syms) AS BIGINT) AS n_subwords,
+         |       CAST(len(list_filter(syms, s -> length(s) >= 2)) AS BIGINT) AS n_fused,
+         |       md5(array_to_string(syms, ' ')) AS encoding_md5
+         |FROM (SELECT doc_id, n_words,
+         |        list_filter(string_split(trim(seq), ' '),
+         |                    s -> s <> '|' AND s <> '') AS syms
+         |      FROM e8)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // same md5-bucket hash (strpos hex decode), centered integer ratio
+    // weights, global top-100 membership via row_number
+    "curation_dsir" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ws)),
+        |                               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+        |  FROM w),
+        |fb AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substring(md5(gram), 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substring(md5(gram), 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substring(md5(gram), 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substring(md5(gram), 4, 1)) - 1))
+        |    % 1024 AS bucket
+        |  FROM bg),
+        |tgt AS (SELECT doc_id, (lang = 'en') AS is_target FROM documents),
+        |dbc AS (
+        |  SELECT f.doc_id, t.is_target, f.bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM fb f JOIN tgt t USING (doc_id) GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS cr_total,
+        |         CAST(sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT) AS ct_total
+        |  FROM dbc),
+        |wt AS (
+        |  SELECT bucket,
+        |         ((CAST(sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT) + 1)
+        |            * 1000000) // (CAST(sum(cnt) AS BIGINT) + 1)
+        |         - ((t.ct_total + 1) * 1000000) // (t.cr_total + 1) AS wgt
+        |  FROM dbc CROSS JOIN tot t
+        |  GROUP BY bucket, t.ct_total, t.cr_total),
+        |agg AS (
+        |  SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_feats,
+        |         CAST(sum(d.cnt * w.wgt) AS BIGINT) AS dsir_score
+        |  FROM dbc d JOIN wt w USING (bucket) GROUP BY 1),
+        |alld AS (
+        |  SELECT d.doc_id, COALESCE(a.n_feats, 0) AS n_feats,
+        |         COALESCE(a.dsir_score, 0) AS dsir_score
+        |  FROM documents d LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id, n_feats, dsir_score,
+        |       (row_number() OVER (ORDER BY dsir_score DESC, doc_id)) <= 100 AS selected
+        |FROM alld ORDER BY doc_id""".stripMargin,
 
     // zipped-unnest position recovery (DuckDB zips parallel unnests), same
     // (cnt desc, token) rank ids; OOV coalesces to the 0 UNK id

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -225,5 +225,92 @@ object Curation {
         }
       }
       .toDF("doc_id", "source", "n_chars")
+  }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by how much its hashed-bigram feature profile resembles a TARGET slice
+    * of the corpus, and keep the top k. This is the standard recipe for
+    * "give me the k web pages that look most like Wikipedia" — the
+    * domain-targeting complement of the model-based [[TextAnalysis.classifierScore]].
+    *
+    * Features are bigrams hashed into `buckets` buckets (md5-derived, the
+    * portable hash the oracle reproduces). Per-bucket importance weight is
+    * the add-one-smoothed target/raw frequency ratio on an integer
+    * lattice, CENTERED at the corpus-wide target rate:
+    *
+    *   w(b) = ((ct(b) + 1) · scale) div (cr(b) + 1)
+    *        − ((CT + 1) · scale) div (CR + 1)
+    *
+    * with ct = target-slice occurrences of bucket b, cr = whole-pool
+    * occurrences, CT/CR the corpus totals. The centering is what makes the
+    * weight behave like the paper's log-likelihood ratio: a bucket that is
+    * target-typical scores positive, one the target avoids scores NEGATIVE
+    * — so an off-target document gets monotonically WORSE with length
+    * instead of accumulating spurious positive mass (the failure mode of
+    * an uncentered ratio sum). A doc's score is Σ w(bucket) over its
+    * bigram occurrences — the integer proxy for the log-ratio sum (same
+    * determinism trade as searchTopK's idf lattice: score bit-reproducible
+    * cross-engine; the paper's Gumbel resampling step is replaced by the
+    * deterministic top-k cut, its zero-temperature limit).
+    *
+    * 100 TB shape: ONE corpus tokenization pass produces the
+    * (doc, bucket, count) partials; BOTH count tables derive from it (the
+    * target slice is a conditional sum, never a second scan). The weight
+    * table is bucket-sized — broadcast — so scoring is a narrow join plus
+    * one doc-keyed sum. Global top-k membership WITHOUT a global sort: the
+    * k-th order key comes from TakeOrderedAndProject (per-partition heaps)
+    * and is broadcast as one row; `selected` is then a narrow comparison.
+    * Output keeps every doc (scored audit), so downstream can re-cut at a
+    * different k without re-scoring.
+    */
+  def dsirSelect(
+      docs: DataFrame,
+      isTarget: Column,
+      buckets: Int = 1024,
+      k: Int = 100,
+      scale: Long = 1000000L): DataFrame = {
+    val ws = TextAnalysis.wordArray(col("text"))
+    val grams = docs.select(
+      col("doc_id"), isTarget.as("is_target"),
+      explode(TextAnalysis.wordGrams(ws, 2)).as("gram"))
+    val bucket =
+      (conv(substring(md5(col("gram")), 1, 4), 16, 10).cast("long")
+        % buckets).as("bucket")
+    val dbc = grams.select(col("doc_id"), col("is_target"), bucket)
+      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = dbc.agg(
+      sum(col("cnt")).as("cr_total"),
+      sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("ct_total"))
+    val weights = dbc.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("cr"),
+        sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr(s"((ct + 1) * ${scale}L) div (cr + 1)" +
+          s" - ((ct_total + 1) * ${scale}L) div (cr_total + 1)").as("w"))
+    val scored = dbc.join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("w")).as("dsir_score"))
+    val all = docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("dsir_score"), lit(0L)).as("dsir_score"))
+    // k-th order key under (score desc, doc_id asc) == max of the
+    // ascending key struct(-score, doc_id) over the top-k rows
+    val kth = all
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(k)
+      .agg(max(struct((-col("dsir_score")).as("ns"),
+        col("doc_id").as("d"))).as("kth"))
+    all.crossJoin(broadcast(kth))
+      .withColumn("selected",
+        struct((-col("dsir_score")).as("ns"), col("doc_id").as("d"))
+          <= col("kth"))
+      .drop("kth")
+      .orderBy(col("doc_id"))
   }
 }

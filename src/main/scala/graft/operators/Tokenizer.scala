@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed BPE merge training — the tokenizer-construction step of a
+  * training-data pipeline (Sennrich et al. 2016, the algorithm behind the
+  * GPT-2/LLaMA vocabularies): repeatedly find the most frequent adjacent
+  * symbol pair in the corpus and fuse it into a new symbol.
+  *
+  * The classic trainer's scale trick IS the Spark plan here: BPE statistics
+  * depend only on the word-frequency table, never on the corpus layout, so
+  * the corpus is touched EXACTLY ONCE (one tokenize → one (word, freq)
+  * aggregate) and all subsequent iterations run on the vocabulary table —
+  * millions of rows at web scale where the corpus is billions. Each
+  * iteration is then:
+  *
+  *   1. adjacent-pair counts: a higher-order-function transform over each
+  *      word's symbol sequence (narrow), weighted by word freq, aggregated
+  *      by pair — a vocabulary-sized shuffle;
+  *   2. argmax by (count desc, lhs, rhs) via TakeOrderedAndProject — a
+  *      per-partition heap, no global sort;
+  *   3. merge application: a literal `replace` over the symbol string —
+  *      narrow, codegen'd, no shuffle.
+  *
+  * The ONLY driver-side transfer is step 2's single argmax row per
+  * iteration — the merge decision is inherently sequential (merge i+1's
+  * counts depend on merge i having been applied), exactly like the
+  * per-iteration convergence check in [[Graph.pageRankInt]]. Everything
+  * sized by the data stays distributed.
+  *
+  * Symbol sequences are space-delimited strings with sentinel spaces
+  * (" h e l l o "), so applying a merge (l, r) is
+  * `replace(seq, " l r ", " lr ")` — left-to-right, non-overlapping, the
+  * identical semantics in Spark's `StringReplace` and the DuckDB oracle's
+  * `replace`, which is what makes the whole training trajectory (argmax
+  * choices included) bit-reproducible cross-engine. Ties on count break by
+  * (lhs, rhs) — a total order, so the learned merge table is deterministic.
+  *
+  * Counts are exact corpus pair frequencies (BIGINT) — no floats anywhere.
+  *
+  * Reference scope: the reference engine tokenizes only for transport
+  * (JSON), not subwords; this operator is part of the LLM-pipeline surface
+  * (SURVEY.md north star), not reference parity.
+  */
+object Tokenizer {
+
+  /** Learned merge table: (step, lhs, rhs, merged, pair_count), one row per
+    * iteration, ordered by step. Stops early if no adjacent pair remains.
+    */
+  def bpeMerges(docs: DataFrame, steps: Int = 8): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val spark = docs.sparkSession
+
+    // one corpus pass: (word, freq) + initial symbol sequence " c1 c2 ... "
+    val words = docs
+      .select(explode(TextAnalysis.wordArray(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("seq",
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+      .cache()
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var state = words
+    var exhausted = false
+    var step = 1
+    while (step <= steps && !exhausted) {
+      val syms = split(trim(col("seq")), " ")
+      val top = state
+        .select(col("freq"),
+          explode(TextAnalysis.wordGrams(syms, 2)).as("pair"))
+        .groupBy(substring_index(col("pair"), " ", 1).as("l"),
+          substring_index(col("pair"), " ", -1).as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect() // ONE row: the merge decision (inherently sequential)
+      if (top.isEmpty) {
+        exhausted = true
+      } else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        val cnt = top(0).getLong(2)
+        merges += Row(step, l, r, l + r, cnt)
+        state = state.withColumn("seq",
+          replace(col("seq"), lit(s" $l $r "), lit(s" $l$r ")))
+        step += 1
+      }
+    }
+
+    val schema = StructType(Seq(
+      StructField("step", IntegerType, nullable = false),
+      StructField("lhs", StringType, nullable = false),
+      StructField("rhs", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1), schema)
+      .orderBy(col("step"))
+  }
+
+  /** Apply a learned merge table to the corpus: encode every document as
+    * its BPE symbol sequence and report per-doc subword statistics. This is
+    * the ENCODE side of [[bpeMerges]] — the loader-handoff measurement
+    * ("how many tokens is my corpus under this vocabulary?") that prices
+    * every context-window/packing decision downstream.
+    *
+    * 100 TB shape: the merge table is tiny (k rows, driver-held) — each
+    * merge is folded into the per-row expression chain as a literal
+    * `replace`, so the whole encode is ONE narrow codegen'd projection over
+    * the corpus: no join, no shuffle, no per-row interpretation. Per-doc
+    * outputs only (subword count, fused-symbol count, encoded fingerprint) —
+    * the full symbol sequence never needs to leave the expression unless the
+    * caller keeps it.
+    *
+    * Encoding semantics: merges apply in learned order ACROSS THE WHOLE
+    * document's word sequence (each word encoded independently — word
+    * boundaries are hard, as in [[bpeMerges]]'s training representation).
+    */
+  def bpeEncode(docs: DataFrame, mergeTable: Seq[(String, String)]): DataFrame = {
+    // " w1c1 w1c2 ... | w2c1 ... " — per-word sentinel form, '|' marks word
+    // boundaries so no merge can cross words ('|' is outside [a-z0-9]).
+    val base = concat(lit(" "),
+      concat_ws(" | ",
+        transform(TextAnalysis.wordArray(col("text")),
+          w => trim(regexp_replace(w, "(.)", "$1 ")))),
+      lit(" "))
+    val encoded = mergeTable.foldLeft(base) { case (acc, (l, r)) =>
+      replace(acc, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    val syms = filter(split(trim(encoded), " "),
+      s => s =!= "|" && s =!= "")
+    docs.select(
+      col("doc_id"),
+      size(TextAnalysis.wordArray(col("text"))).cast("long").as("n_words"),
+      size(syms).cast("long").as("n_subwords"),
+      size(filter(syms, s => length(s) >= 2)).cast("long").as("n_fused"),
+      md5(concat_ws(" ", syms)).as("encoding_md5"))
+      .orderBy(col("doc_id"))
+  }
+}

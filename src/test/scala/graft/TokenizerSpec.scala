@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Tokenizer
+import org.apache.spark.sql.functions._
+
+class TokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("bpeMerges learns the hand-computed trajectory") {
+    // vocab: ab (freq 3), abc (freq 1)
+    val docs = docsOf("ab ab ab", "abc")
+    val m = Tokenizer.bpeMerges(docs, steps = 5)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // step 1: (a,b) count 4; step 2: (ab,c) count 1; then exhausted
+    assert(m === Seq(
+      (1, "a", "b", "ab", 4L),
+      (2, "ab", "c", "abc", 1L)))
+  }
+
+  test("bpeMerges merge application is left-to-right non-overlapping") {
+    // "aaaa" -> " a a a a ": (a,a) has 3 occurrences counted, but literal
+    // replace fuses only positions 1-2 (the 2-3 pair shares a space with
+    // the first match): " aa a a ". Next round ties (a,a)=1 vs (aa,a)=1
+    // break by lhs: (a,a) wins -> " aa aa ". Then (aa,aa) -> " aaaa ".
+    val docs = docsOf("aaaa")
+    val m = Tokenizer.bpeMerges(docs, steps = 4)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m === Seq(
+      (1, "a", "a", "aa", 3L),
+      (2, "a", "a", "aa", 1L),
+      (3, "aa", "aa", "aaaa", 1L)))
+  }
+
+  test("bpeMerges ties break by (lhs, rhs) after count") {
+    // "xy" and "zw" each freq 1: (x,y) and (z,w) tie at 1 -> (x,y) first
+    val docs = docsOf("xy zw")
+    val m = Tokenizer.bpeMerges(docs, steps = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m.head === ((1, "x", "y", "xy", 1L)))
+    assert(m(1) === ((2, "z", "w", "zw", 1L)))
+  }
+
+  test("bpeMerges is weighted by corpus frequency, not vocab presence") {
+    // (c,d) appears in one word but that word occurs 5 times -> beats
+    // (a,b) which appears in two distinct words (freq 1 each)
+    val docs = docsOf("cd cd cd cd cd", "ab", "abe")
+    val m = Tokenizer.bpeMerges(docs, steps = 1)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m.head === ((1, "c", "d", "cd", 5L)))
+  }
+
+  test("bpeEncode applies merges in order and respects word boundaries") {
+    val docs = docsOf("ab ab cab", "b a")
+    // merges: (a,b)->ab, (c,ab)->cab
+    val enc = Tokenizer.bpeEncode(docs, Seq("a" -> "b", "c" -> "ab"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 0: words ab, ab, cab -> subwords [ab, ab, cab]: 3 subwords, 3 fused
+    // doc 1: words b, a -> no merge crosses the word boundary: 2 subwords
+    assert(enc(0) === ((0L, 3L, 3L, 3L)))
+    assert(enc(1) === ((1L, 2L, 2L, 0L)))
+  }
+
+  test("bpeEncode fingerprint equals the manual symbol join") {
+    val docs = docsOf("abc abc")
+    val enc = Tokenizer.bpeEncode(docs, Seq("a" -> "b"))
+    val got = enc.select("encoding_md5").as[String].head()
+    val expect = docs.sparkSession.sql(
+      "SELECT md5('ab c ab c') AS m").as[String].head()
+    assert(got === expect)
+  }
+
+  test("bpeEncode handles docs with no words") {
+    val docs = docsOf("", "...", "ab")
+    val enc = Tokenizer.bpeEncode(docs, Seq("a" -> "b"))
+      .select("doc_id", "n_subwords").as[(Long, Long)].collect().toSeq
+    assert(enc === Seq((0L, 0L), (1L, 0L), (2L, 1L)))
+  }
+
+  test("trainer is deterministic under repartition") {
+    val docs = docsOf("ab ab ab", "abc", "xyz xyz").repartition(7)
+    val a = Tokenizer.bpeMerges(docs, steps = 4).collect().toSeq
+    val b = Tokenizer.bpeMerges(docs.repartition(3), steps = 4).collect().toSeq
+    assert(a === b)
+  }
+}
