@@ -241,6 +241,29 @@ object ScaleCheck {
     time("oov audit (top-20 vocab)") {
       force(TextAnalysis.oovAudit(big, 20))
     }
+    // BPE training: ONE corpus tokenize into (word, freq), then 8
+    // iterations over the VOCABULARY table only — corpus cost is the
+    // scan, iteration cost is vocab-sized (constant here as replicas
+    // only add rep1..repN tokens) — expect scan-bound ~linear
+    time("bpe train 8 merges") {
+      val m = graft.operators.Tokenizer.bpeMerges(big, 8)
+      m.queryExecution.toRdd.count()
+    }
+    // BPE encode: merge table folded into one narrow literal-replace
+    // projection — no join, no shuffle; expect scan-bound ~linear
+    time("bpe encode (8 merges)") {
+      val merges = graft.operators.Tokenizer.bpeMerges(big, 8)
+        .select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      force(graft.operators.Tokenizer.bpeEncode(big, merges))
+    }
+    // DSIR: one tokenize pass -> (doc, bucket) partials; weight table is
+    // bucket-sized (broadcast); top-k key via per-partition heaps — the
+    // only corpus-keyed exchange is the doc_id scoring sum — ~linear
+    time("dsir select (1024 buckets)") {
+      force(Curation.dsirSelect(big, col("lang") === "en",
+        buckets = 1024, k = 1000))
+    }
 
     val ev = Tables.events(spark, "/root/testdata/sf0.1")
     time("sessionize 100k events") { force(Sessionize.batchSessions(ev)) }

@@ -270,35 +270,47 @@ object Curation {
       buckets: Int = 1024,
       k: Int = 100,
       scale: Long = 1000000L): DataFrame = {
+    // corpus totals need no gram materialization at all: per-doc bigram
+    // count = max(words − 1, 0), a narrow column scan
     val ws = TextAnalysis.wordArray(col("text"))
-    val grams = docs.select(
+    val nb = greatest(size(ws) - 1, lit(0)).cast("long")
+    val totals = docs.agg(
+      sum(nb).as("cr_total"),
+      sum(when(isTarget, nb).otherwise(0L)).as("ct_total"))
+    // codegen'd bucket ids (GramBucketsExpr): same md5-derived bucket the
+    // oracle recomputes, ~10× the interpreted HOF string-gram pipeline.
+    // ONE corpus subtree end to end: (doc, bucket) partials, then cr/ct as
+    // bucket-partition window sums (no self-join back onto a second
+    // evaluation of the same subtree — the plan-duplication trap), then
+    // the doc-keyed scoring sum.
+    val dbc = docs.select(
       col("doc_id"), isTarget.as("is_target"),
-      explode(TextAnalysis.wordGrams(ws, 2)).as("gram"))
-    val bucket =
-      (conv(substring(md5(col("gram")), 1, 4), 16, 10).cast("long")
-        % buckets).as("bucket")
-    val dbc = grams.select(col("doc_id"), col("is_target"), bucket)
+      explode(graft.functions.GramBuckets.gram_buckets(
+        TextAnalysis.normWords(col("text")), 2, buckets)).as("bucket"))
       .groupBy(col("doc_id"), col("is_target"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val totals = dbc.agg(
-      sum(col("cnt")).as("cr_total"),
-      sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("ct_total"))
-    val weights = dbc.groupBy(col("bucket"))
-      .agg(sum(col("cnt")).as("cr"),
-        sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("ct"))
+    val wBucket = Window.partitionBy(col("bucket"))
+    val scored = dbc
+      .withColumn("cr", sum(col("cnt")).over(wBucket))
+      .withColumn("ct",
+        sum(when(col("is_target"), col("cnt")).otherwise(0L)).over(wBucket))
       .crossJoin(broadcast(totals))
-      .select(col("bucket"),
+      .withColumn("w",
         expr(s"((ct + 1) * ${scale}L) div (cr + 1)" +
-          s" - ((ct_total + 1) * ${scale}L) div (cr_total + 1)").as("w"))
-    val scored = dbc.join(broadcast(weights), "bucket")
+          s" - ((ct_total + 1) * ${scale}L) div (cr_total + 1)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_feats"),
         sum(col("cnt") * col("w")).as("dsir_score"))
+    // the scored audit is consumed TWICE (k-th key + final output); a lazy
+    // localCheckpoint materializes the narrow (doc_id, 2×long) table once
+    // instead of re-running the corpus subtree — the "persist the audit
+    // table" shape a 100 TB run would use
     val all = docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("dsir_score"), lit(0L)).as("dsir_score"))
+      .localCheckpoint(eager = false)
     // k-th order key under (score desc, doc_id asc) == max of the
     // ascending key struct(-score, doc_id) over the top-k rows
     val kth = all

@@ -56,6 +56,19 @@ class DsirSpec extends SparkSpec {
     assert(out.filter(_._3).map(_._1).toSet === expect)
   }
 
+  test("GramBucketsExpr equals the composable md5-conv pipeline") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val ws = graft.operators.TextAnalysis.wordArray(col("text"))
+    val composable = flatten(array(transform(
+      graft.operators.TextAnalysis.wordGrams(ws, 2),
+      g => (conv(substring(md5(g), 1, 4), 16, 10).cast("long") % 64))))
+    val native = graft.functions.GramBuckets.gram_buckets(
+      graft.operators.TextAnalysis.normWords(col("text")), 2, 64)
+    val diff = docs.select(col("doc_id"), composable.as("a"), native.as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(diff === 0L)
+  }
+
   test("deterministic under repartition") {
     val a = Curation.dsirSelect(corpus().repartition(5), col("doc_id") <= 1,
       buckets = 64, k = 4).collect().toSeq
