@@ -16,18 +16,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-    * truncate to microseconds — integer division floors (all epochs here are
-    * positive), which matches DuckDB's ns→us truncation exactly, so oracle
-    * comparisons agree to the microsecond.
+  /** `events.parquet` has shipped with two physical types for `ts` across
+    * corpus generations, so the loader adapts to the file's schema:
+    *   - TIMESTAMP(NANOS): Spark's parquet reader rejects it outright
+    *     ([PARQUET_TYPE_ILLEGAL]); read nanos as long and truncate to
+    *     microseconds — integer division floors (all epochs here are
+    *     positive), which matches DuckDB's ns→us truncation exactly;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+    *     TIMESTAMP_NTZ; cast to TimestampType so every downstream consumer
+    *     (watermarks, epoch arithmetic, parquet dumps the oracle compares)
+    *     sees the same type the nanos path produced. The JVM/session zone
+    *     is UTC here, so the cast is instant-preserving and agrees with
+    *     DuckDB's naive reading of the same file to the microsecond.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      // integer `div`, not `/` — the latter is double division and loses
-      // microsecond precision at 2024-epoch nanosecond magnitudes (~1.7e18)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/` — the latter is double division and loses
+        // microsecond precision at 2024-epoch nanosecond magnitudes (~1.7e18)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
