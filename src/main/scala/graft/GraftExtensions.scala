@@ -13,7 +13,7 @@ import graft.functions._
   *
   *   SELECT rolling_hash(text), ngram_hashes(text, 3),
   *          jaccard_sorted(a, b), vec_dot(a, b), vec_unit(e),
-  *          topic_matches('sensors/+', topic) ...
+  *          vec_l2sq_long(a, b), topic_matches('sensors/+', topic) ...
   *
   * Install at session build time via
   * `SparkSession.builder().withExtensions(new GraftExtensions)` /
@@ -77,6 +77,16 @@ object GraftFunctions {
     (FunctionIdentifier("vec_unit"),
       info("vec_unit", "vec_unit(v) - L2-normalize array<float|double> to array<double>"),
       (args: Seq[Expression]) => UnitizeExpr(args.head)),
+
+    (FunctionIdentifier("vec_l2sq_long"),
+      info("vec_l2sq_long",
+        "vec_l2sq_long(a, b) - exact squared L2 distance of array<bigint>"),
+      (args: Seq[Expression]) => SqDistLongExpr(args(0), args(1))),
+
+    (FunctionIdentifier("vec_dot_long"),
+      info("vec_dot_long",
+        "vec_dot_long(a, b) - exact integer dot product of array<bigint>"),
+      (args: Seq[Expression]) => DotLongExpr(args(0), args(1))),
 
     // MQTT filter match (operator A2): the filter must be a literal — it is
     // compiled to an anchored regex ONCE at plan time and evaluates as a

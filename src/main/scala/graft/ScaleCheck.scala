@@ -122,6 +122,21 @@ object ScaleCheck {
     time("int8 quantization (narrow)") {
       force(Similarity.quantizeInt8(bigEmb))
     }
+    // integer Lloyd's: iters × (codegen'd assignment scan + k-row partial
+    // agg); no pair generation, no corpus-keyed exchange — the shuffle
+    // carries ≤ partitions × k rows of (cluster, 64 sums, count). Expect
+    // scan-bound ~linear in corpus size, flat in k beyond the argmin loop
+    time("kmeans integer lloyd (k=8, 3it)") {
+      force(graft.operators.Clustering.kmeansSummary(spark, bigEmb))
+    }
+    // integer-exact SemDeDup = lloyd cells + within-cell pairs + CC; the
+    // pair stage is within-cell all-pairs (the SemDeDup recipe) so cost
+    // tracks Σ|cell|² — k partitions the corpus, so ×2 corpus → ×4 pair
+    // work at fixed k; real deployments scale k with corpus size to hold
+    // |cell| constant
+    time("semantic dedup exact (kmeans cells)") {
+      force(graft.operators.Dedup.semanticDedupExact(bigEmb))
+    }
 
     time("assembly: hash split (narrow)") {
       Assembly.hashSplit(big, "doc_id",

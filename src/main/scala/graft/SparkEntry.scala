@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Envelope
-import graft.operators.{Analytics, Assembly, Curation, Dedup, Multimodal,
-  Route, Router, Sessionize, Similarity, Transforms, TextAnalysis}
+import graft.operators.{Analytics, Assembly, Clustering, Curation, Dedup,
+  Multimodal, Route, Router, Sessionize, Similarity, Transforms, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -571,6 +571,13 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(Tables.embeddings(s, dir), threshold = 0.35)),
 
+    // integer-exact SemDeDup: oracle-replayable k-means cells + quantized-
+    // cosine near-dup pairs (long-only predicate, no float boundary) + CC
+    // + survivor mask — the ENTIRE semantic-dedup composition hash-checked
+    // end to end, closing the float-twin's property-spec-only caveat
+    "dedup_semdedup_kmeans" -> ((s, dir) =>
+      Dedup.semanticDedupExact(Tables.embeddings(s, dir))),
+
     // pairs -> CLUSTERS: connected components of the ngram near-dup graph
     // (large-star/small-star), every doc labeled with its component's min
     // doc_id — the survivor-selection step of a real corpus dedup.
@@ -820,6 +827,15 @@ object SparkEntry {
         .select(col("vec_id"), col("scale"),
           to_json(col("qvec")).as("qvec_json"))
         .orderBy(col("vec_id"))),
+
+    // oracle-replayable distributed k-means: integer-quantized Lloyd's
+    // (md5-pinned seeds, exact long arithmetic, ties → lowest cluster),
+    // per-cluster n/inertia/centroid-checksum hash-matched against a
+    // DuckDB replay of the identical 3 iterations. One scan per
+    // iteration, k×64-long driver state — the Spark-ML-KMeans structure
+    // with an audit-grade deterministic twist
+    "embedding_kmeans" -> ((s, dir) =>
+      Clustering.kmeansSummary(s, Tables.embeddings(s, dir))),
 
     // OHLC candlestick downsampling (TimescaleDB first/last parity):
     // one agg pass, struct-argmin open / struct-argmax close
@@ -1198,6 +1214,29 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** One Lloyd assign+update round as DuckDB CTEs (`d/a/c{t}` from
+    * `c{t-1}`), shared by the `embedding_kmeans` and
+    * `dedup_semdedup_kmeans` oracle replays. `//` on the non-negative
+    * sums equals the Spark side's floorDiv.
+    */
+  private def lloydRoundSql(t: Int): String =
+    s"""d$t AS (
+       |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+       |  FROM p JOIN c${t - 1} c USING (d) GROUP BY 1, 2),
+       |a$t AS (
+       |  SELECT vec_id, j AS cluster FROM (
+       |    SELECT vec_id, j,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY dist, j) AS rn
+       |    FROM d$t) WHERE rn = 1),
+       |c$t AS (
+       |  SELECT o.j, o.d, COALESCE(CAST(u.s // u.n AS BIGINT), o.c) AS c
+       |  FROM c${t - 1} o LEFT JOIN (
+       |    SELECT a.cluster AS j, p.d, CAST(sum(p.v) AS BIGINT) AS s,
+       |           count(*) AS n
+       |    FROM p JOIN a$t a USING (vec_id) GROUP BY 1, 2) u
+       |    ON o.j = u.j AND o.d = u.d)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "passthrough_raw" ->
       """SELECT epoch_us(ts) AS time_us,
@@ -1945,6 +1984,115 @@ object SparkEntry {
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // integer Lloyd's replay: 3 unrolled assign+update rounds in exact
+    // BIGINT arithmetic from md5-pinned seeds. Long-format (vec_id, d, v)
+    // joins stand in for Spark's codegen'd array loops; '//' on the
+    // non-negative sums equals Spark's floorDiv
+    "embedding_kmeans" -> {
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+         |p AS (SELECT vec_id, d, q[d] AS v FROM q CROSS JOIN dims),
+         |seeds AS (
+         |  SELECT q, row_number() OVER (
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+         |  FROM q),
+         |c0 AS (
+         |  SELECT s.j, dims.d, s.q[dims.d] AS c
+         |  FROM seeds s CROSS JOIN dims WHERE s.j < 8),
+         |${lloydRoundSql(1)},
+         |${lloydRoundSql(2)},
+         |${lloydRoundSql(3)},
+         |fd AS (
+         |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+         |  FROM p JOIN c3 c USING (d) GROUP BY 1, 2),
+         |fa AS (
+         |  SELECT vec_id, cluster, dist FROM (
+         |    SELECT vec_id, j AS cluster, dist,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY dist, j) AS rn
+         |    FROM fd) WHERE rn = 1),
+         |stats AS (
+         |  SELECT cluster, count(*) AS n, CAST(sum(dist) AS BIGINT) AS inertia
+         |  FROM fa GROUP BY 1),
+         |chk AS (
+         |  SELECT j AS cluster, CAST(sum(d * c) AS BIGINT) AS centroid_checksum
+         |  FROM c3 GROUP BY 1)
+         |SELECT CAST(chk.cluster AS INT) AS cluster, COALESCE(stats.n, 0) AS n,
+         |       COALESCE(stats.inertia, 0) AS inertia, chk.centroid_checksum
+         |FROM chk LEFT JOIN stats USING (cluster)
+         |ORDER BY cluster""".stripMargin
+    },
+
+    // full integer-exact SemDeDup replay: the kmeans rounds above, the
+    // final assignment, centered-512 quantized-cosine pairs (long-only
+    // threshold: den²·dot² vs num²·|a|²·|b|²), recursive-CTE components,
+    // min-id survivors
+    "dedup_semdedup_kmeans" -> {
+      s"""WITH RECURSIVE q AS (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        x -> CAST(round(x * 512) AS BIGINT)) AS qc
+         |  FROM embeddings),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+         |p AS (SELECT vec_id, d, q[d] AS v FROM q CROSS JOIN dims),
+         |seeds AS (
+         |  SELECT q, row_number() OVER (
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+         |  FROM q),
+         |c0 AS (
+         |  SELECT s.j, dims.d, s.q[dims.d] AS c
+         |  FROM seeds s CROSS JOIN dims WHERE s.j < 8),
+         |${lloydRoundSql(1)},
+         |${lloydRoundSql(2)},
+         |${lloydRoundSql(3)},
+         |fd AS (
+         |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+         |  FROM p JOIN c3 c USING (d) GROUP BY 1, 2),
+         |fa AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, j AS cluster,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY dist, j) AS rn
+         |    FROM fd) WHERE rn = 1),
+         |pc AS (SELECT vec_id, d, qc[d] AS v FROM q CROSS JOIN dims),
+         |nrm AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS nrm
+         |        FROM pc GROUP BY 1),
+         |dots AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         CAST(sum(pa.v * pb.v) AS BIGINT) AS dot
+         |  FROM fa a JOIN fa b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN pc pa ON pa.vec_id = a.vec_id
+         |  JOIN pc pb ON pb.vec_id = b.vec_id AND pb.d = pa.d
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT s.vec_a, s.vec_b
+         |  FROM dots s
+         |  JOIN nrm na ON na.vec_id = s.vec_a
+         |  JOIN nrm nb ON nb.vec_id = s.vec_b
+         |  WHERE s.dot > 0 AND na.nrm > 0 AND nb.nrm > 0
+         |    AND s.dot * s.dot * 10000 >= na.nrm * nb.nrm * 1225),
+         |edges AS (
+         |  SELECT vec_a AS u, vec_b AS v FROM pairs
+         |  UNION SELECT vec_b, vec_a FROM pairs),
+         |reach AS (
+         |  SELECT u AS node, u AS comp FROM edges
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+         |cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
+         |SELECT fa.vec_id, CAST(fa.cluster AS INT) AS cell,
+         |       COALESCE(cc.component, fa.vec_id) AS component,
+         |       (COALESCE(cc.component, fa.vec_id) = fa.vec_id) AS kept
+         |FROM fa LEFT JOIN cc ON cc.node = fa.vec_id
+         |ORDER BY fa.vec_id""".stripMargin
+    },
 
     "embedding_quantize" ->
       """WITH m AS (

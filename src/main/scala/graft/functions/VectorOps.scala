@@ -35,6 +35,52 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact squared L2 distance between two array<long> vectors (→ long).
+  *
+  * Integer-quantized geometry (clustering, IVF training) needs distances
+  * that hash-match a SQL oracle exactly; doubles can't promise that across
+  * engines, longs can. Same codegen'd-loop rationale as [[DotProductExpr]] —
+  * this sits inside the per-iteration assignment scan of Lloyd's k-means,
+  * k× per row, so interpreted HOF dispatch would dominate.
+  */
+case class SqDistLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_l2sq_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sqDistLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.sqDistLong($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistLongExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer dot product between two array<long> vectors (→ long).
+  * Companion to [[SqDistLongExpr]]: the quantized-cosine predicate of the
+  * integer-exact SemDeDup pass compares `den²·dot²` against `num²·|a|²·|b|²`
+  * entirely in longs, so the near-dup decision is bit-identical in any
+  * engine (no float threshold boundary).
+  */
+case class DotLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotLong($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLongExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2-normalize an array<float> or array<double> into a unit array<double>. */
 case class UnitizeExpr(child: Expression) extends UnaryExpression {
   private def isFloat: Boolean = child.dataType match {
@@ -72,6 +118,32 @@ object VectorOps {
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot_long dimension mismatch: $n vs ${b.numElements()}")
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  def sqDistLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vec_l2sq_long dimension mismatch: $n vs ${b.numElements()}")
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
     s
   }
 
@@ -113,4 +185,12 @@ object VectorOps {
 
   def vec_unit(a: Column): Column =
     GraftShims.column(UnitizeExpr(GraftShims.expression(a)))
+
+  def vec_l2sq_long(a: Column, b: Column): Column =
+    GraftShims.column(SqDistLongExpr(
+      GraftShims.expression(a), GraftShims.expression(b)))
+
+  def vec_dot_long(a: Column, b: Column): Column =
+    GraftShims.column(DotLongExpr(
+      GraftShims.expression(a), GraftShims.expression(b)))
 }

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-replayable distributed k-means (integer-quantized Lloyd's).
+  *
+  * The IVF/SemDeDup surface ([[graft.operators.Similarity.buildIvfIndex]])
+  * trains float k-means via Spark ML, whose centroids are NOT
+  * SQL-replayable — float reduction order differs run to run, so those
+  * operators carry property specs instead of hash oracles. This operator
+  * closes that gap for the cases where a pinned, cross-engine-reproducible
+  * clustering is worth a quantization step (corpus bucketing for SemDeDup,
+  * deterministic shard assignment, audit-grade cluster stats):
+  *
+  *   - embeddings are quantized to non-negative longs
+  *     (`round((x + 1.0) * 4096)` — the +1.0 shift keeps every component
+  *     positive so truncating integer division below equals floor division
+  *     in BOTH engines; 4096 is a power of two, so the scale multiply is
+  *     exact in IEEE double and the rounding boundary is computed
+  *     identically by Spark and DuckDB);
+  *   - seeds = the k vectors with smallest `(md5(vec_id), vec_id)` — the
+  *     repo-standard engine-portable "random but pinned" order
+  *     ([[graft.operators.Assembly]] splits use the same md5 idiom);
+  *   - Lloyd iterations run entirely in integer arithmetic: assignment by
+  *     exact squared L2 ([[graft.functions.VectorOps.vec_l2sq_long]],
+  *     ties → lowest cluster id), update by per-dimension `sum div n`
+  *     (exact — no float accumulation order anywhere);
+  *   - empty clusters keep their previous centroid (deterministic, no
+  *     re-seeding).
+  *
+  * Scale shape (the 100 TB story): each iteration is ONE scan of the
+  * corpus — a narrow codegen'd argmin map (k distance loops per row, no
+  * join, centroids are literals in the plan) followed by a groupBy(cluster)
+  * with map-side partial aggregation, shuffling at most
+  * `shufflePartitions × k` rows of (cluster, 64 sums, count). Driver state
+  * is k×dim longs per iteration — the same collect-and-rebroadcast
+  * structure Spark ML's own KMeans uses. No crossJoin, no all-pairs stage;
+  * cost is O(iters × scan).
+  *
+  * Reference parity: the reference engine has no clustering surface — this
+  * is part of the north-star training-data-pipeline extension
+  * (SemDeDup-style corpus bucketing needs a clusterer whose output an
+  * auditor can replay).
+  */
+object Clustering {
+
+  /** Quantization scale: power of two so `(x + shift) * scale` is exact in
+    * double arithmetic (only the exponent changes), making the HALF_UP
+    * rounding boundary identical across engines.
+    */
+  val Scale = 4096.0
+
+  /** Component shift applied before scaling. Corpus components are unit-ish
+    * (|x| < 1 by construction of the synthetic embeddings; asserted in the
+    * spec), so +1.0 makes every quantized value strictly positive and
+    * truncating division == floor division engine-independently.
+    */
+  val Shift = 1.0
+
+  /** `(vec_id, q: array<long>)` — the quantized corpus. */
+  def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      transform(
+        col("embedding"),
+        x => round((x.cast("double") + lit(Shift)) * lit(Scale)).cast("long")
+      ).as("q"))
+
+  /** Deterministic seeds: quantized vectors of the k smallest
+    * `(md5(vec_id), vec_id)` — TakeOrdered over the corpus, k×dim longs to
+    * the driver.
+    */
+  def initCentroids(quant: DataFrame, k: Int): Array[Array[Long]] =
+    quant
+      .select(
+        col("q"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"),
+        col("vec_id"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+
+  /** `struct(dist, cluster)` of the nearest centroid — array_min over
+    * per-centroid structs compares (dist, id) lexicographically, so ties
+    * break to the lowest cluster id, matching the oracle's
+    * `ORDER BY dist, j` row_number.
+    */
+  private def nearest(centroids: Array[Array[Long]]) = {
+    val cands = centroids.zipWithIndex.map { case (c, j) =>
+      struct(
+        graft.functions.VectorOps
+          .vec_l2sq_long(col("q"), typedLit(c.toSeq)).as("dist"),
+        lit(j).as("cluster"))
+    }
+    array_min(array(cands.toIndexedSeq: _*))
+  }
+
+  /** Run `iters` Lloyd iterations from the md5 seeds; returns the final
+    * centroids. Each iteration: one scan (assign + 64 partial sums + count),
+    * k rows collected, empty clusters carry the previous centroid.
+    */
+  def lloyd(
+      quant: DataFrame,
+      k: Int,
+      iters: Int): Array[Array[Long]] = {
+    var cents = initCentroids(quant, k)
+    val dim = cents.head.length
+    for (_ <- 1 to iters) {
+      val assigned = quant
+        .withColumn("cluster", nearest(cents).getField("cluster"))
+      val sums = (0 until dim).map(d => sum(col("q")(d)).as(s"s$d"))
+      val rows = assigned
+        .groupBy("cluster")
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        val j = r.getInt(0)
+        val n = r.getLong(dim + 1)
+        var d = 0
+        while (d < dim) {
+          // non-negative operands: truncating 'div' == floor — identical to
+          // DuckDB's '//' on the same sums
+          next(j)(d) = java.lang.Math.floorDiv(r.getLong(d + 1), n)
+          d += 1
+        }
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Per-cluster audit summary under the final centroids:
+    * `(cluster, n, inertia, centroid_checksum)` — every value an exact
+    * integer, hash-matched by the DuckDB oracle replaying the identical
+    * iterations. Clusters that end empty still appear (n = 0), so the row
+    * set is always exactly k.
+    */
+  def kmeansSummary(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val quant = quantized(embeddings)
+    val cents = lloyd(quant, k, iters)
+    val near = nearest(cents)
+    val stats = quant
+      .select(
+        near.getField("cluster").as("cluster"),
+        near.getField("dist").as("dist"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("dist").as("inertia"))
+    // checksum Σ_d (d+1-based) * c_jd is driver-side exact arithmetic on the
+    // collected centroids — k rows, broadcast into the left join below
+    val checks = cents.zipWithIndex.map { case (c, j) =>
+      (j, c.zipWithIndex.map { case (v, d) => (d + 1L) * v }.sum)
+    }.toSeq.toDF("cluster", "centroid_checksum")
+    checks
+      .join(stats, Seq("cluster"), "left")
+      .select(
+        col("cluster"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"),
+        col("centroid_checksum"))
+      .orderBy("cluster")
+  }
+
+  /** Final cluster assignment `(vec_id, cluster)` — the piece SemDeDup-style
+    * pipelines consume as their pre-clustering.
+    */
+  def kmeansAssign(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val quant = quantized(embeddings)
+    val cents = lloyd(quant, k, iters)
+    quant.select(
+      col("vec_id"),
+      nearest(cents).getField("cluster").as("cluster"))
+  }
+
+  /** The corpus with its cluster id attached and the embedding column kept
+    * — `(vec_id, embedding, cluster)` via a NARROW final-assignment map
+    * (no self-join back onto the corpus). This is the cell-assignment
+    * input shape [[graft.operators.Dedup.semanticDedupExact]] consumes.
+    */
+  def assignedCorpus(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val full = embeddings.select(
+      col("vec_id"), col("embedding"),
+      transform(
+        col("embedding"),
+        x => round((x.cast("double") + lit(Shift)) * lit(Scale)).cast("long")
+      ).as("q"))
+    val cents = lloyd(full.select("vec_id", "q"), k, iters)
+    full.select(
+      col("vec_id"), col("embedding"),
+      nearest(cents).getField("cluster").as("cluster"))
+  }
+}

@@ -618,7 +618,10 @@ object Dedup {
     * k-means the embeddings, dedup within clusters); with `label`-style
     * cells already present, use [[semanticDedup]] directly.
     *
-    * Not oracle-registered: k-means centroids are not SQL-replayable.
+    * Not oracle-registered: Spark-ML float k-means centroids are not
+    * SQL-replayable (float reduction order). When a replayable clustering
+    * is required, [[Clustering.kmeansAssign]] (integer-quantized Lloyd's,
+    * hash-matched end-to-end as `embedding_kmeans`) provides the cells.
     * The spec asserts the operator's contract instead — every vector
     * labeled, kept = component minimum, and NO two kept vectors in the
     * same cell are cosine-near-dups (the property the oracle-checked
@@ -633,6 +636,67 @@ object Dedup {
       col("unit").as("embedding"), col("cell").as("label"))
     semanticDedup(relabeled, threshold)
       .withColumnRenamed("label", "cell")
+  }
+
+  /** Integer-exact SemDeDup: the full semantic-dedup pipeline — cell
+    * assignment, within-cell near-dup pairs, connected components,
+    * survivor mask — with EVERY stage in exact integer arithmetic, so the
+    * whole composition hash-matches a cross-engine SQL replay end to end
+    * (registered as `dedup_semdedup_kmeans`). The float variants above
+    * carry property specs because float k-means centroids and float
+    * cosine thresholds are not bit-replayable; this twin trades a
+    * quantization step for audit-grade reproducibility:
+    *
+    *   - cells: [[Clustering.assignedCorpus]] — integer Lloyd's, oracle-
+    *     replayable (md5 seeds, long arithmetic, floor-div updates);
+    *   - near-dup predicate: cosine ≥ num/den evaluated on CENTERED
+    *     quantized vectors `round(x · 512)` without ever forming a float:
+    *     `dot > 0 AND den²·dot² ≥ num²·|a|²·|b|²` (longs throughout —
+    *     with |x| < 1 and dim 64, |dot| ≤ 64·512² so den²·dot² ≤ 2.9e18
+    *     and num²·|a|²·|b|² ≤ 3.5e17, both inside Long range; the spec
+    *     pins the |x| < 1 precondition). Zero-norm vectors (all |x| <
+    *     1/1024) have no direction and never pair;
+    *   - components: the same large-star/small-star contraction as every
+    *     other dedup family ([[Graph.componentsFor]]);
+    *   - survivor: minimum vec_id per component.
+    *
+    * 100 TB shape: identical to [[semanticDedup]] — pair generation is
+    * bounded by within-cell all-pairs (cells sized by k), the quantized
+    * vectors add one narrow map, and the predicate is a codegen'd long
+    * comparison ([[graft.functions.VectorOps.vec_dot_long]]), cheaper per
+    * pair than the float dot it replaces.
+    */
+  def semanticDedupExact(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 3,
+      thresholdNum: Long = 35,
+      thresholdDen: Long = 100): DataFrame = {
+    val scaleCos = 512.0
+    val celled = Clustering.assignedCorpus(embeddings, k, iters)
+      .select(col("vec_id"), col("cluster").as("cell"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * scaleCos).cast("long")).as("qc"))
+      .withColumn("nrm",
+        graft.functions.VectorOps.vec_dot_long(col("qc"), col("qc")))
+    val a = celled.select(col("cell"), col("vec_id").as("vec_a"),
+      col("qc").as("q_a"), col("nrm").as("n_a"))
+    val b = celled.select(col("cell"), col("vec_id").as("vec_b"),
+      col("qc").as("q_b"), col("nrm").as("n_b"))
+    val dot = graft.functions.VectorOps.vec_dot_long(col("q_a"), col("q_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", dot)
+      .filter(col("dot") > 0 && col("n_a") > 0 && col("n_b") > 0 &&
+        col("dot") * col("dot") * lit(thresholdDen * thresholdDen) >=
+          col("n_a") * col("n_b") * lit(thresholdNum * thresholdNum))
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val comps = Graph.componentsFor(celled, "vec_id", pairs)
+    celled.select(col("vec_id"), col("cell"))
+      .join(comps, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("component"),
+        (col("vec_id") === col("component")).as("kept"))
+      .orderBy(col("vec_id"))
   }
 
   // ------------------------------------------------- sub-document spans

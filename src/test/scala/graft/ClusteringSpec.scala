@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf)
+
+  test("quantization precondition: components inside the +1.0 shift range") {
+    // the engine-portable floor-division argument needs every quantized
+    // value strictly positive — i.e. every raw component > -1.0 (and < 1.0
+    // so the long arithmetic headroom analysis holds)
+    val bad = emb
+      .select(explode(col("embedding")).as("x"))
+      .filter(col("x") <= -1.0f || col("x") >= 1.0f)
+      .count()
+    assert(bad === 0)
+    val qMin = Clustering.quantized(emb)
+      .select(min(array_min(col("q")))).as[Long].head()
+    assert(qMin > 0L)
+  }
+
+  test("seeds are the k smallest (md5, vec_id) and deterministic") {
+    val quant = Clustering.quantized(emb)
+    val a = Clustering.initCentroids(quant, 4)
+    val b = Clustering.initCentroids(quant, 4)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.length === 4)
+    assert(a.forall(_.length === 64))
+  }
+
+  test("kmeansAssign partitions the corpus; ids within [0, k)") {
+    val n = emb.count()
+    val assigned = Clustering.kmeansAssign(emb, k = 4, iters = 2)
+    assert(assigned.count() === n)
+    assert(assigned.select(countDistinct("vec_id")).as[Long].head() === n)
+    val ids = assigned.select("cluster").distinct().as[Int].collect()
+    assert(ids.forall(j => j >= 0 && j < 4))
+  }
+
+  test("summary: rows = k exactly, sizes sum to corpus, run-over-run equal") {
+    val s1 = Clustering.kmeansSummary(spark, emb, k = 4, iters = 2).collect()
+    val s2 = Clustering.kmeansSummary(spark, emb, k = 4, iters = 2).collect()
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.length === 4)
+    assert(s1.map(_.getLong(1)).sum === emb.count())
+  }
+
+  test("Lloyd monotonicity: inertia non-increasing as iterations grow") {
+    // classical Lloyd's descent survives the integer quantization here:
+    // each measured config is a strict refinement (same seeds, same exact
+    // arithmetic, more rounds). Floored centroid components can in theory
+    // break monotonicity by a hair; on this corpus they don't — and a
+    // regression in assignment or update logic shows up as a large jump.
+    def inertia(iters: Int): Long =
+      Clustering.kmeansSummary(spark, emb, k = 4, iters = iters)
+        .agg(sum("inertia")).as[Long].head()
+    val i1 = inertia(1)
+    val i2 = inertia(2)
+    val i3 = inertia(3)
+    assert(i2 <= i1)
+    assert(i3 <= i2)
+  }
+
+  test("assignment agrees with a brute-force scala replay (exact integers)") {
+    val quant = Clustering.quantized(emb)
+    val cents = Clustering.lloyd(quant, 4, 2)
+    val rows = quant.select("vec_id", "q").as[(Long, Seq[Long])].collect()
+    val expected = rows.map { case (id, q) =>
+      val dists = cents.map(c =>
+        q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      id -> dists.zipWithIndex.min._2
+    }.toMap
+    val got = Clustering.kmeansAssign(emb, k = 4, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got === expected)
+  }
+}

@@ -303,6 +303,50 @@ class DedupSpec extends SparkSpec {
     assert(survivors.count() === 0L)
   }
 
+  test("semanticDedupExact: contract + brute-force integer replay") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val got = Dedup.semanticDedupExact(emb, k = 4, iters = 2)
+    val rows = got.as[(Long, Int, Long, Boolean)].collect()
+    assert(rows.length.toLong === n, "every vector labeled")
+    assert(rows.forall { case (v, _, c, k) => k === (v == c) })
+    // component id is the minimum member of its component
+    val byComp = rows.groupBy(_._3)
+    assert(byComp.forall { case (c, ms) => ms.map(_._1).min === c })
+    // deterministic run-over-run
+    val again = Dedup.semanticDedupExact(emb, k = 4, iters = 2)
+      .as[(Long, Int, Long, Boolean)].collect()
+    assert(rows.toSeq === again.toSeq)
+
+    // brute-force scala replay of the integer predicate within cells:
+    // same pairs => same components => same survivors
+    val cells = rows.map(r => r._1 -> r._2).toMap
+    val qc = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 512.0).cast("long")).as("qc"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def nrm(v: Seq[Long]): Long = v.map(x => x * x).sum
+    val ids = rows.map(_._1).sorted
+    val expectedPairs = for {
+      a <- ids; b <- ids
+      if a < b && cells(a) == cells(b)
+      dot = qc(a).zip(qc(b)).map { case (x, y) => x * y }.sum
+      if dot > 0 && nrm(qc(a)) > 0 && nrm(qc(b)) > 0 &&
+        dot * dot * 10000L >= nrm(qc(a)) * nrm(qc(b)) * 1225L
+    } yield (a, b)
+    // union-find over expected pairs
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    expectedPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expComp = ids.map(i => i -> find(i)).toMap
+    assert(rows.forall { case (v, _, c, _) => expComp(v) === c })
+  }
+
   test("crossCorpusNewBloom ≡ crossCorpusNew (no-false-negative theorem)") {
     val batch = docs.filter(length(col("source")) > 4)
     val reference = docs.filter(length(col("source")) <= 4)

@@ -27,6 +27,8 @@ class ExtensionsSpec extends AnyFunSuite {
         |       jaccard_sorted_ge(ngram_hashes('abcd', 3), ngram_hashes('abce', 3), 0.5d) AS jlt,
         |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
         |       vec_unit(array(3.0d, 4.0d))[0] AS u0,
+        |       vec_l2sq_long(array(1L, 5L), array(4L, 1L)) AS l2,
+        |       vec_dot_long(array(1L, 5L), array(4L, 1L)) AS dl,
         |       topic_matches('sensors/+', 'sensors/t1') AS tm,
         |       topic_matches('sensors/+', 'other/t1') AS tm2
         |""".stripMargin).collect()(0)
@@ -37,8 +39,10 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getBoolean(4) === false) // 1/3 <  0.5
     assert(row.getDouble(5) === 11.0)
     assert(math.abs(row.getDouble(6) - 0.6) < 1e-12)
-    assert(row.getBoolean(7) === true)
-    assert(row.getBoolean(8) === false)
+    assert(row.getLong(7) === 25L) // 3² + 4²
+    assert(row.getLong(8) === 9L) // 1·4 + 5·1
+    assert(row.getBoolean(9) === true)
+    assert(row.getBoolean(10) === false)
   }
 
   test("vec_unit throws loudly on a zero vector (no silent NaN poisoning)") {
