@@ -946,6 +946,12 @@ object SparkEntry {
       Assembly.packSequences(Tables.documents(s, dir), tokenBudget = 256)
         .orderBy(col("source"), col("doc_id"))),
 
+    // packing-efficiency audit: per-bin doc count / tokens used / budget
+    // slack — the loader-utilization report; integer-exact vs the
+    // oracle's replay of the same greedy fold
+    "assembly_pack_efficiency" -> ((s, dir) =>
+      Assembly.packEfficiency(Tables.documents(s, dir), tokenBudget = 256)),
+
     // context-window chunking: 50-word windows advancing by 40 (10-word
     // overlap); narrow tokenize+slice pipeline, chunk bodies stay in-row
     // (md5 fingerprint out)
@@ -2620,6 +2626,32 @@ object SparkEntry {
         |  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
         |SELECT doc_id, source, n_tokens, seq_id
         |FROM pack ORDER BY source, doc_id""".stripMargin,
+
+    // same recursive greedy fold as assembly_pack_sequences, then the
+    // per-bin rollup
+    "assembly_pack_efficiency" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT doc_id, source, n_tokens, rn,
+        |         CAST(1 AS BIGINT) AS seq_id, n_tokens AS acc
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.doc_id, d.source, d.n_tokens, d.rn,
+        |         CASE WHEN p.acc + d.n_tokens > 256
+        |              THEN p.seq_id + 1 ELSE p.seq_id END,
+        |         CASE WHEN p.acc + d.n_tokens > 256
+        |              THEN d.n_tokens ELSE p.acc + d.n_tokens END
+        |  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, seq_id, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens_used,
+        |       CAST(256 AS BIGINT) AS budget,
+        |       sum(n_tokens) > 256 AS overflow
+        |FROM pack GROUP BY source, seq_id
+        |ORDER BY source, seq_id""".stripMargin,
 
     // identical word split + start positions 0, 40, 80, … (DuckDB slice
     // is 1-based inclusive, so window [start+1 : start+50] = Spark

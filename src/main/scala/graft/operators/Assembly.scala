@@ -417,6 +417,27 @@ object Assembly {
       .toDF("doc_id", "source", "n_tokens", "seq_id")
   }
 
+  /** Packing-efficiency audit over [[packSequences]]: one row per packed
+    * bin — `(source, seq_id, n_docs, tokens_used, budget, overflow)` —
+    * the loader-utilization report a training run logs before committing
+    * to a packing (wasted budget = padding FLOPs; `overflow` marks bins
+    * holding a single over-budget doc that downstream truncation will
+    * cut). All integers/booleans, so the audit hash-matches the oracle's
+    * replay of the same greedy fold.
+    *
+    * 100 TB shape: the packer's own (source-keyed) exchange plus one
+    * partial-aggregated groupBy on (source, seq_id) — bin count rows, not
+    * doc rows, reach the reducers.
+    */
+  def packEfficiency(docs: DataFrame, tokenBudget: Int = 256): DataFrame =
+    packSequences(docs, tokenBudget)
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_used"))
+      .select(col("source"), col("seq_id"), col("n_docs"),
+        col("tokens_used"), lit(tokenBudget.toLong).as("budget"),
+        (col("tokens_used") > tokenBudget.toLong).as("overflow"))
+      .orderBy(col("source"), col("seq_id"))
+
   /** Context-window chunking: cut each document's word stream into
     * fixed-size windows of `window` words advancing by `stride` words
     * (overlap = window - stride) — the standard prep step between

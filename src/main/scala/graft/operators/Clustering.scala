@@ -106,6 +106,7 @@ object Clustering {
       k: Int,
       iters: Int): Array[Array[Long]] = {
     var cents = initCentroids(quant, k)
+    if (cents.isEmpty) return cents // empty corpus: nothing to iterate
     val dim = cents.head.length
     for (_ <- 1 to iters) {
       val assigned = quant
@@ -146,6 +147,11 @@ object Clustering {
     import spark.implicits._
     val quant = quantized(embeddings)
     val cents = lloyd(quant, k, iters)
+    if (cents.isEmpty)
+      // empty corpus: no seeds, no clusters — an empty summary with the
+      // contract schema, not a crash in the argmin builder
+      return Seq.empty[(Int, Long, Long, Long)]
+        .toDF("cluster", "n", "inertia", "centroid_checksum")
     val near = nearest(cents)
     val stats = quant
       .select(
@@ -177,6 +183,8 @@ object Clustering {
       iters: Int = 3): DataFrame = {
     val quant = quantized(embeddings)
     val cents = lloyd(quant, k, iters)
+    if (cents.isEmpty)
+      return quant.select(col("vec_id"), lit(-1).as("cluster")).limit(0)
     quant.select(
       col("vec_id"),
       nearest(cents).getField("cluster").as("cluster"))
@@ -198,6 +206,10 @@ object Clustering {
         x => round((x.cast("double") + lit(Shift)) * lit(Scale)).cast("long")
       ).as("q"))
     val cents = lloyd(full.select("vec_id", "q"), k, iters)
+    if (cents.isEmpty)
+      return full
+        .select(col("vec_id"), col("embedding"), lit(-1).as("cluster"))
+        .limit(0)
     full.select(
       col("vec_id"), col("embedding"),
       nearest(cents).getField("cluster").as("cluster"))

@@ -27,6 +27,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("packEfficiency: bins reconcile with packSequences, overflow ⇒ lone doc") {
+    val corpus = Tables.documents(spark, sf)
+    val packed = Assembly.packSequences(corpus, tokenBudget = 256)
+    val eff = Assembly.packEfficiency(corpus, tokenBudget = 256)
+    val rows = eff.as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.map(_._3).sum === corpus.count(), "every doc in some bin")
+    assert(rows.forall(_._5 === 256L))
+    // budget violated only by a bin holding a single over-budget doc
+    assert(rows.forall { case (_, _, nDocs, used, budget, over) =>
+      over === (used > budget) && (!over || nDocs === 1L)
+    })
+    // bin keys = exactly packSequences' (source, seq_id) groups
+    val fromPacked = packed.groupBy("source", "seq_id").count()
+      .as[(String, Long, Long)].collect()
+      .map { case (s, q, n) => (s, q) -> n }.toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap === fromPacked)
+  }
+
   test("packSequences: seq ids dense from 1 per source") {
     val packed = Assembly.packSequences(
       Tables.documents(spark, sf), tokenBudget = 256)

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.sum
 
 import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
 
@@ -27,6 +28,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.minhashLshPairs(emptyDocs).count() === 0)
     assert(Dedup.ngramJaccardPairs(emptyDocs).count() === 0)
     assert(Dedup.simhashPairs(emptyDocs).count() === 0)
+  }
+
+  test("clustering on empty / tiny corpora: no exceptions, sane shapes") {
+    import graft.operators.Clustering
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], embSchema)
+    assert(Clustering.kmeansSummary(spark, emptyEmb).count() === 0)
+    assert(Clustering.kmeansAssign(emptyEmb).count() === 0)
+    assert(Dedup.semanticDedupExact(emptyEmb).count() === 0)
+    // corpus smaller than k: every vector seeds its own cluster; summary
+    // has one row per SEED (k clamps to n), all vectors assigned
+    val tiny = Seq(
+      (1L, Array(0.5f, 0.5f)), (2L, Array(-0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val s = Clustering.kmeansSummary(spark, tiny, k = 8, iters = 2)
+    assert(s.count() === 2)
+    assert(s.agg(sum("n")).as[Long].head() === 2L)
+    assert(Clustering.kmeansAssign(tiny, k = 8, iters = 2).count() === 2)
   }
 
   test("single-document corpus yields no pairs") {
