@@ -697,6 +697,21 @@ object SparkEntry {
         k = 10, floor = 0.6)
     }),
 
+    // deterministic-build IVF twin: coarse quantizer = oracle-replayable
+    // integer Lloyd's (identical corpus => identical index bytes), float
+    // probe+rerank unchanged; same in-plan recall-floor audit as the
+    // float-trained build
+    "similarity_ann_ivf_exact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      Similarity.annRecallAudit(
+        Similarity.ivfQuery(
+          Similarity.IndexCache.ivfExact(emb, nlist = 16), qids, k = 10,
+          nprobe = 12),
+        Similarity.bruteForceTopK(emb, qids, k = 10),
+        k = 10, floor = 0.6)
+    }),
+
     // ---- north-star: multimodal columns ----
     "multimodal_metadata" -> ((s, dir) =>
       Multimodal.metadata(Multimodal.asMedia(Tables.documents(s, dir)))
@@ -827,6 +842,12 @@ object SparkEntry {
         .select(col("vec_id"), col("scale"),
           to_json(col("qvec")).as("qvec_json"))
         .orderBy(col("vec_id"))),
+
+    // cluster-vs-label agreement audit: contingency of learned cells
+    // against the label column (+ per-cell majority flag) — the "do my
+    // learned cells mean anything" encoder check, all integer-exact
+    "embedding_cluster_purity" -> ((s, dir) =>
+      Clustering.clusterLabelProfile(Tables.embeddings(s, dir))),
 
     // oracle-replayable distributed k-means: integer-quantized Lloyd's
     // (md5-pinned seeds, exact long arithmetic, ties → lowest cluster),
@@ -2034,6 +2055,46 @@ object SparkEntry {
          |ORDER BY cluster""".stripMargin
     },
 
+    // same Lloyd replay + label join + windowed majority flag
+    "embedding_cluster_purity" -> {
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+         |p AS (SELECT vec_id, d, q[d] AS v FROM q CROSS JOIN dims),
+         |seeds AS (
+         |  SELECT q, row_number() OVER (
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+         |  FROM q),
+         |c0 AS (
+         |  SELECT s.j, dims.d, s.q[dims.d] AS c
+         |  FROM seeds s CROSS JOIN dims WHERE s.j < 8),
+         |${lloydRoundSql(1)},
+         |${lloydRoundSql(2)},
+         |${lloydRoundSql(3)},
+         |fd AS (
+         |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+         |  FROM p JOIN c3 c USING (d) GROUP BY 1, 2),
+         |fa AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, j AS cluster,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY dist, j) AS rn
+         |    FROM fd) WHERE rn = 1),
+         |counts AS (
+         |  SELECT fa.cluster, e.label, count(*) AS n
+         |  FROM fa JOIN embeddings e USING (vec_id)
+         |  GROUP BY 1, 2)
+         |SELECT CAST(cluster AS INT) AS cluster, label, n,
+         |       CAST(sum(n) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_n,
+         |       row_number() OVER (PARTITION BY cluster
+         |                          ORDER BY n DESC, label) = 1 AS is_majority
+         |FROM counts
+         |ORDER BY cluster, label""".stripMargin
+    },
+
     // full integer-exact SemDeDup replay: the kmeans rounds above, the
     // final assignment, centered-512 quantized-cosine pairs (long-only
     // threshold: den²·dot² vs num²·|a|²·|b|²), recursive-CTE components,
@@ -2381,6 +2442,12 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
 
     "similarity_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ge_floor
+        |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        |ORDER BY query_id""".stripMargin,
+
+    "similarity_ann_ivf_exact" ->
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
         |       TRUE AS recall_ge_floor
         |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)

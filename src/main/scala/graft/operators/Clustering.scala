@@ -198,7 +198,66 @@ object Clustering {
   def assignedCorpus(
       embeddings: DataFrame,
       k: Int = 8,
+      iters: Int = 3): DataFrame = fit(embeddings, k, iters)._2
+
+  /** Cluster-vs-label agreement audit: the contingency table between the
+    * learned cells and a pre-existing `label` column —
+    * `(cluster, label, n, cluster_n, is_majority)`, one row per observed
+    * (cell, label) pair with the cell's total and a majority-label flag
+    * (ties → lowest label). All integers/booleans, hash-matched by the
+    * oracle replaying the same Lloyd rounds.
+    *
+    * This is the "do my learned cells mean anything" report: high
+    * per-cell majority mass ⇒ the clustering recovers the labeling (or
+    * the labels leak into the embedding space); a uniform table on a
+    * supposedly-clustered corpus flags an encoder or pipeline regression.
+    *
+    * 100 TB shape: the assignment scan (label rides along — no join back
+    * to the corpus) + one (cluster, label) partial-agg shuffle of count
+    * tuples + a k×|labels|-row window. Nothing corpus-sized leaves the
+    * scan stage.
+    */
+  def clusterLabelProfile(
+      embeddings: DataFrame,
+      k: Int = 8,
       iters: Int = 3): DataFrame = {
+    val quant = quantized(embeddings)
+    val cents = lloyd(quant, k, iters)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    if (cents.isEmpty)
+      return Seq.empty[(Int, Int, Long, Long, Boolean)]
+        .toDF("cluster", "label", "n", "cluster_n", "is_majority")
+    val counts = embeddings
+      .select(
+        col("label"),
+        transform(
+          col("embedding"),
+          x => round((x.cast("double") + lit(Shift)) * lit(Scale)).cast("long")
+        ).as("q"))
+      .select(nearest(cents).getField("cluster").as("cluster"), col("label"))
+      .groupBy("cluster", "label")
+      .agg(count(lit(1)).as("n"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("n").desc, col("label"))
+    counts
+      .withColumn("cluster_n", sum(col("n")).over(byCluster))
+      .withColumn("is_majority", row_number().over(rank) === 1)
+      .orderBy(col("cluster"), col("label"))
+  }
+
+  /** Train + assign in one call, returning both the final quantized
+    * centroids (for consumers that need the model itself — e.g. the
+    * deterministic IVF build, or a streaming assignment against pinned
+    * centroids) and the assigned corpus `(vec_id, embedding, cluster)`.
+    */
+  def fit(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 3): (Array[Array[Long]], DataFrame) = {
     val full = embeddings.select(
       col("vec_id"), col("embedding"),
       transform(
@@ -207,11 +266,11 @@ object Clustering {
       ).as("q"))
     val cents = lloyd(full.select("vec_id", "q"), k, iters)
     if (cents.isEmpty)
-      return full
+      return (cents, full
         .select(col("vec_id"), col("embedding"), lit(-1).as("cluster"))
-        .limit(0)
-    full.select(
+        .limit(0))
+    (cents, full.select(
       col("vec_id"), col("embedding"),
-      nearest(cents).getField("cluster").as("cluster"))
+      nearest(cents).getField("cluster").as("cluster")))
   }
 }

@@ -142,6 +142,42 @@ object Similarity {
     IvfIndex(centroids, celled)
   }
 
+  /** Deterministic IVF build: the coarse quantizer is
+    * [[Clustering]]'s integer Lloyd's — md5-pinned seeds, exact long
+    * arithmetic — so the INDEX ITSELF is reproducible byte-for-byte
+    * across builds, machines, and engines (the float path's Spark-ML
+    * training is run-stable but not cross-engine replayable). Cell
+    * assignment runs in the same integer geometry (codegen'd argmin over
+    * quantized vectors); only the query-side probe ordering and rerank
+    * use float cosine, exactly like every other index here.
+    *
+    * Operationally this is the index you can rebuild from a corpus
+    * snapshot and diff against yesterday's build as an audit artifact —
+    * identical corpus ⇒ identical cells, no "same data, different index"
+    * drift. Build cost: iters + 1 corpus scans (no sampling stage); at
+    * 100 TB you'd feed a hash-selected sample to [[Clustering.lloyd]] and
+    * keep the one assignment scan, same as the float build.
+    */
+  def buildIvfIndexExact(
+      embeddings: DataFrame,
+      nlist: Int = 16,
+      iters: Int = 3): IvfIndex = {
+    val (qcents, assigned) = Clustering.fit(embeddings, nlist, iters)
+    // dequantize for the float probe stage: undo shift+scale, then
+    // unit-normalize so probe affinity is plain cosine like the float path
+    val centroids = qcents.map { c =>
+      val a = c.map(v => v / Clustering.Scale - Clustering.Shift)
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0.0) a else a.map(_ / n)
+    }
+    val celled = assigned
+      .select(col("vec_id"), normalized(col("embedding")).as("unit"),
+        col("cluster").as("cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    celled.count()
+    IvfIndex(centroids, celled)
+  }
+
   private def centroidDots(centroids: Array[Array[Double]], v: Column): Seq[Column] =
     centroids.toSeq.map(c => dot(v, typedLit(c.toSeq)))
 
@@ -593,6 +629,8 @@ object Similarity {
   object IndexCache {
     private val ivfCache =
       scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, String), IvfIndex]
+    private val ivfExactCache =
+      scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, Int), IvfIndex]
     private val lshCache =
       scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, Int, String), LshIndex]
     // sessions that already carry the evict-on-stop listener
@@ -659,6 +697,10 @@ object Similarity {
         .filter(k => k._1 == sid && k._2 == plan && k._3 != fileState)
         .foreach(k => ivfCache.remove(k).foreach(i =>
           try i.unpersist() catch { case _: Exception => () }))
+      ivfExactCache.keys
+        .filter(k => k._1 == sid && k._2 == plan && k._3 != fileState)
+        .foreach(k => ivfExactCache.remove(k).foreach(i =>
+          try i.unpersist() catch { case _: Exception => () }))
       lshCache.keys
         .filter(k => k._1 == sid && k._2 == plan && k._3 != fileState)
         .foreach(k => lshCache.remove(k).foreach(i =>
@@ -672,6 +714,10 @@ object Similarity {
     def clearSession(sid: Int): Unit = {
       ivfCache.keys.filter(_._1 == sid).foreach { k =>
         ivfCache.remove(k).foreach(i =>
+          try i.unpersist() catch { case _: Exception => () })
+      }
+      ivfExactCache.keys.filter(_._1 == sid).foreach { k =>
+        ivfExactCache.remove(k).foreach(i =>
           try i.unpersist() catch { case _: Exception => () })
       }
       lshCache.keys.filter(_._1 == sid).foreach { k =>
@@ -689,6 +735,8 @@ object Similarity {
     def clear(): Unit = {
       ivfCache.keys.foreach(k => ivfCache.remove(k).foreach(i =>
         try i.unpersist() catch { case _: Exception => () }))
+      ivfExactCache.keys.foreach(k => ivfExactCache.remove(k).foreach(i =>
+        try i.unpersist() catch { case _: Exception => () }))
       lshCache.keys.foreach(k => lshCache.remove(k).foreach(i =>
         try i.unpersist() catch { case _: Exception => () }))
       // hookedSessions intentionally NOT cleared: the sessions are still
@@ -703,6 +751,14 @@ object Similarity {
       evictStale(s, p, f)
       ivfCache.getOrElseUpdate((s, p, f, nlist, carryCols.mkString(",")),
         buildIvfIndex(embeddings, nlist, carryCols = carryCols))
+    }
+
+    def ivfExact(embeddings: DataFrame, nlist: Int,
+        iters: Int = 3): IvfIndex = {
+      val (s, p, f) = corpusKey(embeddings)
+      evictStale(s, p, f)
+      ivfExactCache.getOrElseUpdate((s, p, f, nlist, iters),
+        buildIvfIndexExact(embeddings, nlist, iters))
     }
 
     def lsh(embeddings: DataFrame, nBits: Int = 64, bands: Int = 16,

@@ -65,6 +65,25 @@ class ClusteringSpec extends SparkSpec {
     assert(i3 <= i2)
   }
 
+  test("clusterLabelProfile: partition of corpus, one majority per cell") {
+    val prof = Clustering.clusterLabelProfile(emb, k = 4, iters = 2)
+      .as[(Int, Int, Long, Long, Boolean)].collect()
+    assert(prof.map(_._3).sum === emb.count(), "counts partition the corpus")
+    val byCluster = prof.groupBy(_._1)
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.count(_._5) === 1, s"exactly one majority row in cell $c")
+      assert(rows.forall(_._4 === rows.map(_._3).sum),
+        s"cluster_n consistent in cell $c")
+      val maj = rows.find(_._5).get
+      // majority = max n, ties to the lowest label
+      assert(rows.forall(r => r._3 < maj._3 ||
+        (r._3 === maj._3 && r._2 >= maj._2)))
+    }
+    // labels come straight from the corpus domain
+    val labels = emb.select("label").distinct().as[Int].collect().toSet
+    assert(prof.map(_._2).toSet.subsetOf(labels))
+  }
+
   test("assignment agrees with a brute-force scala replay (exact integers)") {
     val quant = Clustering.quantized(emb)
     val cents = Clustering.lloyd(quant, 4, 2)

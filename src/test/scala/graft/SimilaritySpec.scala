@@ -68,6 +68,25 @@ class SimilaritySpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("buildIvfIndexExact: byte-identical rebuilds, recall >= 0.85") {
+    val brute = Similarity.bruteForceTopK(emb, queryIds, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val i1 = Similarity.buildIvfIndexExact(emb, nlist = 16)
+    val i2 = Similarity.buildIvfIndexExact(emb, nlist = 16)
+    // determinism is the build's whole point: identical corpus =>
+    // identical centroids AND identical cell assignment, build over build
+    assert(i1.centroids.map(_.toSeq).toSeq === i2.centroids.map(_.toSeq).toSeq)
+    val c1 = i1.celled.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val c2 = i2.celled.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(c1 === c2)
+    val ivf = Similarity.ivfQuery(i1, queryIds, k = 10, nprobe = 12)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(s"exact-build IVF recall@10 = $recall (nlist=16, nprobe=12)")
+    assert(recall >= 0.85)
+    i1.unpersist(); i2.unpersist()
+  }
+
   test("ivfQuery on a CLUSTERED corpus: recall >= 0.95 at nprobe=4/16") {
     // IVF's value shows when the data has cluster structure: 16 synthetic
     // centers, members = center + small noise. Deterministic seed.
