@@ -137,6 +137,18 @@ object ScaleCheck {
     time("semantic dedup exact (kmeans cells)") {
       force(graft.operators.Dedup.semanticDedupExact(bigEmb))
     }
+    // deterministic IVF build: lloyd training scans + one assignment scan
+    // + persist — same shape as the float build minus the sampling stage
+    time("IVF exact build (offline stage)") {
+      val idx = Similarity.buildIvfIndexExact(bigEmb, nlist = 64)
+      val n = idx.celled.count()
+      idx.unpersist()
+      n
+    }
+    // purity audit: assignment scan + count-tuple shuffle + tiny window
+    time("cluster-label purity (k=8)") {
+      force(graft.operators.Clustering.clusterLabelProfile(bigEmb))
+    }
 
     time("assembly: hash split (narrow)") {
       Assembly.hashSplit(big, "doc_id",
