@@ -149,6 +149,11 @@ object ScaleCheck {
     time("cluster-label purity (k=8)") {
       force(graft.operators.Clustering.clusterLabelProfile(bigEmb))
     }
+    // drift audit: lloyd on the train half + ONE all-corpus assignment
+    // scan + k-row agg — kmeans cost plus half a scan
+    time("occupancy drift (half-split)") {
+      force(graft.operators.Clustering.occupancyDrift(bigEmb))
+    }
 
     time("assembly: hash split (narrow)") {
       Assembly.hashSplit(big, "doc_id",

@@ -843,6 +843,13 @@ object SparkEntry {
           to_json(col("qvec")).as("qvec_json"))
         .orderBy(col("vec_id"))),
 
+    // batch occupancy-drift audit (training-serving skew): cells trained
+    // on the md5 train half only, both halves assigned in one scan,
+    // per-cell occupancy side by side — integer-exact, the oracle twin
+    // of the streaming drift monitor
+    "embedding_occupancy_drift" -> ((s, dir) =>
+      Clustering.occupancyDrift(Tables.embeddings(s, dir))),
+
     // cluster-vs-label agreement audit: contingency of learned cells
     // against the label column (+ per-cell majority flag) — the "do my
     // learned cells mean anything" encoder check, all integer-exact
@@ -2052,6 +2059,57 @@ object SparkEntry {
          |SELECT CAST(chk.cluster AS INT) AS cluster, COALESCE(stats.n, 0) AS n,
          |       COALESCE(stats.inertia, 0) AS inertia, chk.centroid_checksum
          |FROM chk LEFT JOIN stats USING (cluster)
+         |ORDER BY cluster""".stripMargin
+    },
+
+    // Lloyd replay trained on the md5 train half (p = train-only long
+    // format feeds the shared round CTEs; pall = everyone, assigned under
+    // the final centroids); the split CASE is generated by the same
+    // driver-side boundary helper the Spark plan uses
+    "embedding_occupancy_drift" -> {
+      val splitCase = Assembly.hashSplitOracleCase(
+        "vec_id", Seq("train" -> 0.5, "live" -> 0.5), "drift")
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q,
+         |         $splitCase AS split
+         |  FROM embeddings),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+         |p AS (SELECT vec_id, d, q[d] AS v
+         |      FROM q CROSS JOIN dims WHERE q.split = 'train'),
+         |pall AS (SELECT vec_id, d, q[d] AS v FROM q CROSS JOIN dims),
+         |seeds AS (
+         |  SELECT q, row_number() OVER (
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+         |  FROM q WHERE split = 'train'),
+         |c0 AS (
+         |  SELECT s.j, dims.d, s.q[dims.d] AS c
+         |  FROM seeds s CROSS JOIN dims WHERE s.j < 8),
+         |${lloydRoundSql(1)},
+         |${lloydRoundSql(2)},
+         |${lloydRoundSql(3)},
+         |fd AS (
+         |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+         |  FROM pall p JOIN c3 c USING (d) GROUP BY 1, 2),
+         |fa AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, j AS cluster,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY dist, j) AS rn
+         |    FROM fd) WHERE rn = 1),
+         |counts AS (
+         |  SELECT fa.cluster,
+         |         CAST(sum(CASE WHEN q.split = 'train' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_train,
+         |         CAST(sum(CASE WHEN q.split = 'live' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_live
+         |  FROM fa JOIN q USING (vec_id) GROUP BY 1),
+         |cl AS (SELECT DISTINCT j AS cluster FROM c0)
+         |SELECT CAST(cl.cluster AS INT) AS cluster,
+         |       COALESCE(counts.n_train, 0) AS n_train,
+         |       COALESCE(counts.n_live, 0) AS n_live
+         |FROM cl LEFT JOIN counts USING (cluster)
          |ORDER BY cluster""".stripMargin
     },
 

@@ -249,6 +249,58 @@ object Clustering {
       .orderBy(col("cluster"), col("label"))
   }
 
+  /** Batch occupancy-drift audit — the oracle-checkable twin of
+    * [[graft.streaming.StreamKmeans.windowedCellCounts]]: hash-split the
+    * corpus (engine-portable md5 boundaries, [[Assembly.splitExpr]]),
+    * train the replayable Lloyd cells on the `train` half ONLY, assign
+    * BOTH halves in one scan, and report per-cell occupancy side by side
+    * — `(cluster, n_train, n_live)`. A live profile that diverges from
+    * the training profile is training-serving skew (new content domain,
+    * encoder change, ingestion bug); here the halves come from one
+    * corpus, so the audit doubles as a split-balance sanity check. All
+    * integers, hash-matched end to end (`embedding_occupancy_drift`).
+    *
+    * 100 TB shape: training touches only the train half (iters scans);
+    * the report is ONE assignment scan over everything + a k-row
+    * (cluster) partial-agg shuffle. Empty cells still report (0, 0).
+    */
+  def occupancyDrift(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 3,
+      salt: String = "drift"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val halves = Seq("train" -> 0.5, "live" -> 0.5)
+    val withSplit = embeddings
+      .withColumn("split", Assembly.splitExpr(col("vec_id"), halves, salt))
+    val cents = lloyd(
+      quantized(withSplit.filter(col("split") === "train")), k, iters)
+    if (cents.isEmpty)
+      return Seq.empty[(Int, Long, Long)]
+        .toDF("cluster", "n_train", "n_live")
+    val counts = withSplit
+      .select(
+        col("split"),
+        transform(
+          col("embedding"),
+          x => round((x.cast("double") + lit(Shift)) * lit(Scale)).cast("long")
+        ).as("q"))
+      .select(nearest(cents).getField("cluster").as("cluster"), col("split"))
+      .groupBy("cluster")
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "live", 1L).otherwise(0L)).as("n_live"))
+    val clusters = cents.indices.toDF("cluster")
+    clusters
+      .join(counts, Seq("cluster"), "left")
+      .select(
+        col("cluster"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"))
+      .orderBy("cluster")
+  }
+
   /** Train + assign in one call, returning both the final quantized
     * centroids (for consumers that need the model itself — e.g. the
     * deterministic IVF build, or a streaming assignment against pinned

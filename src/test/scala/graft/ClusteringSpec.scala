@@ -84,6 +84,25 @@ class ClusteringSpec extends SparkSpec {
     assert(prof.map(_._2).toSet.subsetOf(labels))
   }
 
+  test("occupancyDrift: halves reconcile with the hash split, k rows, stable") {
+    import graft.operators.Assembly
+    val drift = Clustering.occupancyDrift(emb, k = 4, iters = 2)
+      .as[(Int, Long, Long)].collect()
+    assert(drift.length === 4)
+    assert(drift.map(r => r._2 + r._3).sum === emb.count(),
+      "every vector lands in exactly one (cell, half)")
+    // per-half totals equal the split's own sizes — occupancy is a
+    // partition of each half, whatever the cells look like
+    val sizes = Assembly
+      .hashSplit(emb, "vec_id", Seq("train" -> 0.5, "live" -> 0.5), "drift")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(drift.map(_._2).sum === sizes("train"))
+    assert(drift.map(_._3).sum === sizes("live"))
+    val again = Clustering.occupancyDrift(emb, k = 4, iters = 2)
+      .as[(Int, Long, Long)].collect()
+    assert(drift.toSeq === again.toSeq)
+  }
+
   test("assignment agrees with a brute-force scala replay (exact integers)") {
     val quant = Clustering.quantized(emb)
     val cents = Clustering.lloyd(quant, 4, 2)
