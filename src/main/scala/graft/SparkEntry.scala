@@ -412,7 +412,8 @@ object SparkEntry {
         .orderBy(col("rec_table"), col("time_us"), col("sensor_id"))
     }),
 
-    // B6 — HMAC-SHA256 payload signing (no DuckDB equivalent → rows-only)
+    // B6 — HMAC-SHA256 payload signing; oracled via the RFC 2104
+    // decomposition for the fixed key (see [[hmacOracleSql]])
     "codec_hmac" -> ((s, dir) => {
       import graft.functions.Codecs
       Tables.documents(s, dir)
@@ -1271,7 +1272,93 @@ object SparkEntry {
        |    FROM p JOIN a$t a USING (vec_id) GROUP BY 1, 2) u
        |    ON o.j = u.j AND o.d = u.d)""".stripMargin
 
+  /** DuckDB oracle for HMAC-SHA256 with the fixed key `"graft-key"`, via the
+    * RFC 2104 decomposition: `hmac = H((K ^ opad) || H((K ^ ipad) || msg))`.
+    *
+    * DuckDB 1.0's `sha256` only accepts VARCHAR, which blocks the naive
+    * blob decomposition — but for THIS key both pad blocks are pure ASCII,
+    * so the inner hash is natively `sha256(ipad_ascii || msg)`. The outer
+    * hash input is `opad_block (64 constant bytes) || inner_digest (32 raw
+    * bytes)`: SHA-256 is block-iterative, so the state after the constant
+    * opad block is a constant midstate (precomputed below), leaving exactly
+    * ONE compression over a fully determined second block whose message
+    * words are the 8 inner-digest words plus fixed padding (0x80, zeros,
+    * bit-length 768). That single compression is replayed here as a
+    * 64-step recursive CTE in 32-bit integer arithmetic (BIGINT + masks).
+    * Constants are the public FIPS 180-4 round constants; the midstate is
+    * SHA-256(IV, opad_block) for key "graft-key" (validated against
+    * javax.crypto in CodecsSpec).
+    */
+  private lazy val hmacOracleSql: String = {
+    // FIPS 180-4 SHA-256 round constants (public).
+    val K = Seq(
+      0x428a2f98L, 0x71374491L, 0xb5c0fbcfL, 0xe9b5dba5L, 0x3956c25bL,
+      0x59f111f1L, 0x923f82a4L, 0xab1c5ed5L, 0xd807aa98L, 0x12835b01L,
+      0x243185beL, 0x550c7dc3L, 0x72be5d74L, 0x80deb1feL, 0x9bdc06a7L,
+      0xc19bf174L, 0xe49b69c1L, 0xefbe4786L, 0x0fc19dc6L, 0x240ca1ccL,
+      0x2de92c6fL, 0x4a7484aaL, 0x5cb0a9dcL, 0x76f988daL, 0x983e5152L,
+      0xa831c66dL, 0xb00327c8L, 0xbf597fc7L, 0xc6e00bf3L, 0xd5a79147L,
+      0x06ca6351L, 0x14292967L, 0x27b70a85L, 0x2e1b2138L, 0x4d2c6dfcL,
+      0x53380d13L, 0x650a7354L, 0x766a0abbL, 0x81c2c92eL, 0x92722c85L,
+      0xa2bfe8a1L, 0xa81a664bL, 0xc24b8b70L, 0xc76c51a3L, 0xd192e819L,
+      0xd6990624L, 0xf40e3585L, 0x106aa070L, 0x19a4c116L, 0x1e376c08L,
+      0x2748774cL, 0x34b0bcb5L, 0x391c0cb3L, 0x4ed8aa4aL, 0x5b9cca4fL,
+      0x682e6ff3L, 0x748f82eeL, 0x78a5636fL, 0x84c87814L, 0x8cc70208L,
+      0x90befffaL, 0xa4506cebL, 0xbef9a3f7L, 0xc67178f2L)
+    // SHA-256 state after compressing the constant opad block of "graft-key".
+    val mid = Seq(779409365L, 3327313458L, 2516504936L, 2853558226L,
+      679719076L, 3166517011L, 632591039L, 4059150801L)
+    val kl    = K.mkString("[", ",", "]")
+    val words = (0 until 8)
+      .map(i => s"cast('0x'||substr(ih,${1 + 8 * i},8) as bigint)")
+      .mkString(",")
+    val m = "4294967295" // 2^32 - 1: 32-bit mask; also ~x = (m - x) on [0, m]
+    def ror(x: String, n: Int) = s"(($x>>$n)|($x<<${32 - n})) & $m"
+    // big-sigma1(e) + ch(e,f,g) + h + K[t] + W[t] — the T1 term of round t
+    val t1 =
+      s"""h + xor(xor(${ror("e", 6)}, ${ror("e", 11)}), ${ror("e", 25)})
+         |            + xor(e & f, ($m - e) & g) + ($kl)[t+1] + ws[1]""".stripMargin
+    s"""WITH RECURSIVE inner_h AS (
+       |  SELECT doc_id,
+       |         sha256('QDWPB' || chr(27) || ']SO' || repeat('6',55) ||
+       |                substr(text,1,64)) AS ih
+       |  FROM documents
+       |), init AS (
+       |  SELECT doc_id, [$words,2147483648,0,0,0,0,0,0,768] AS ws
+       |  FROM inner_h
+       |), r AS (
+       |  SELECT doc_id, 0 AS t, ws,
+       |         ${mid(0)}::BIGINT AS a, ${mid(1)}::BIGINT AS b,
+       |         ${mid(2)}::BIGINT AS c, ${mid(3)}::BIGINT AS d,
+       |         ${mid(4)}::BIGINT AS e, ${mid(5)}::BIGINT AS f,
+       |         ${mid(6)}::BIGINT AS g, ${mid(7)}::BIGINT AS h
+       |  FROM init
+       |  UNION ALL
+       |  SELECT doc_id, t+1,
+       |         ws[2:16] || [(ws[1]
+       |            + xor(xor(${ror("ws[2]", 7)}, ${ror("ws[2]", 18)}), ws[2]>>3)
+       |            + ws[10]
+       |            + xor(xor(${ror("ws[15]", 17)}, ${ror("ws[15]", 19)}), ws[15]>>10)
+       |           ) & $m],
+       |         ($t1
+       |          + xor(xor(${ror("a", 2)}, ${ror("a", 13)}), ${ror("a", 22)})
+       |          + (xor(xor(a & b, a & c), b & c))) & $m AS a,
+       |         a AS b, b AS c, c AS d,
+       |         (d + $t1) & $m AS e,
+       |         e AS f, f AS g, g AS h
+       |  FROM r WHERE t < 64
+       |)
+       |SELECT doc_id,
+       |       printf('%08x%08x%08x%08x%08x%08x%08x%08x',
+       |         ${mid.zip(Seq("a", "b", "c", "d", "e", "f", "g", "h"))
+                    .map { case (mv, v) => s"($v+$mv) & $m" }.mkString(", ")}) AS sig
+       |FROM r WHERE t = 64
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "codec_hmac" -> hmacOracleSql,
+
     "passthrough_raw" ->
       """SELECT epoch_us(ts) AS time_us,
         |       'events/' || event_type || '/' || user_id AS topic,
