@@ -25,11 +25,14 @@ object Tables {
     *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
     *     TIMESTAMP_NTZ; cast to TimestampType so every downstream consumer
     *     (watermarks, epoch arithmetic, parquet dumps the oracle compares)
-    *     sees the same type the nanos path produced. The JVM/session zone
-    *     is UTC here, so the cast is instant-preserving and agrees with
-    *     DuckDB's naive reading of the same file to the microsecond.
+    *     sees the same type the nanos path produced. The NTZ→Timestamp
+    *     cast interprets the naive value in the SESSION zone, so that zone
+    *     is pinned to UTC here (not left to the builder) — the file's
+    *     naive micros are UTC by the corpus contract, and an unpinned
+    *     non-UTC session would silently shift every event timestamp.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {

@@ -136,8 +136,10 @@ object Clustering {
   /** Per-cluster audit summary under the final centroids:
     * `(cluster, n, inertia, centroid_checksum)` — every value an exact
     * integer, hash-matched by the DuckDB oracle replaying the identical
-    * iterations. Clusters that end empty still appear (n = 0), so the row
-    * set is always exactly k.
+    * iterations. Clusters that end empty still appear (n = 0), so there is
+    * exactly one row per seed — min(k, corpus size) rows (initCentroids
+    * clamps the seed count to the corpus size when n < k; EdgeCaseSpec
+    * pins 2 rows for k=8 on a 2-vector corpus).
     */
   def kmeansSummary(
       spark: SparkSession,

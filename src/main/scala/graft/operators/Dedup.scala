@@ -672,6 +672,15 @@ object Dedup {
       iters: Int = 3,
       thresholdNum: Long = 35,
       thresholdDen: Long = 100): DataFrame = {
+    // Overflow guard for the long predicate den²·dot² ≥ num²·|a|²·|b|²:
+    // under the documented preconditions (dim ≤ 64, |x| < 1, scale 512)
+    // each side is bounded by den²·(64·512²)² = den²·2^48, inside Long
+    // iff den ≤ 181. A larger den (or unnormalized input) would silently
+    // wrap and flip near-dup decisions — refuse instead.
+    require(thresholdNum >= 0 && thresholdNum <= thresholdDen &&
+      thresholdDen <= 181,
+      s"need 0 <= thresholdNum <= thresholdDen <= 181 (den²·2^48 must stay " +
+        s"inside Long range); got $thresholdNum/$thresholdDen")
     val scaleCos = 512.0
     val celled = Clustering.assignedCorpus(embeddings, k, iters)
       .select(col("vec_id"), col("cluster").as("cell"),

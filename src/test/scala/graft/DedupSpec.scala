@@ -303,6 +303,20 @@ class DedupSpec extends SparkSpec {
     assert(survivors.count() === 0L)
   }
 
+  test("semanticDedupExact refuses thresholds outside the Long-safe range") {
+    val emb = Tables.embeddings(spark, sf)
+    // den > 181 ⇒ den²·2^48 exceeds Long; the predicate would wrap
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedupExact(emb, thresholdNum = 70, thresholdDen = 200)
+    }
+    intercept[IllegalArgumentException] { // num > den is not a cosine bound
+      Dedup.semanticDedupExact(emb, thresholdNum = 120, thresholdDen = 100)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedupExact(emb, thresholdNum = -1, thresholdDen = 100)
+    }
+  }
+
   test("semanticDedupExact: contract + brute-force integer replay") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
