@@ -281,6 +281,18 @@ object ScaleCheck {
       val m = graft.operators.Tokenizer.bpeMerges(big, 8)
       m.queryExecution.toRdd.count()
     }
+    // driver-local merge loop: one corpus pass + one vocab collect, then
+    // ALL iterations driver-side — wall-time ~flat in steps (the Spark
+    // loop above pays one job per step; at 8x the steps the local loop
+    // should cost ~the same scan + epsilon)
+    time("bpe train 8 merges (local loop)") {
+      val m = graft.operators.Tokenizer.bpeMergesLocal(big, 8)
+      m.queryExecution.toRdd.count()
+    }
+    time("bpe train 64 merges (local loop)") {
+      val m = graft.operators.Tokenizer.bpeMergesLocal(big, 64)
+      m.queryExecution.toRdd.count()
+    }
     // BPE encode: merge table folded into one narrow literal-replace
     // projection — no join, no shuffle; expect scan-bound ~linear
     time("bpe encode (8 merges)") {

@@ -1112,16 +1112,19 @@ object SparkEntry {
 
     // BPE merge training: 8 most-frequent-pair fusions learned from the
     // corpus word-frequency table — exact counts, (cnt desc, lhs, rhs)
-    // tie-break, so the whole trajectory is deterministic
+    // tie-break, so the whole trajectory is deterministic. Registered on
+    // the driver-local merge loop (one corpus pass, bit-identical to the
+    // per-step Spark loop — TokenizerSpec asserts equality; the oracle
+    // replays the same recurrence).
     "tokenizer_bpe_merges" -> ((s, dir) =>
-      graft.operators.Tokenizer.bpeMerges(Tables.documents(s, dir),
+      graft.operators.Tokenizer.bpeMergesLocal(Tables.documents(s, dir),
         steps = 8)),
 
     // encode side: the 8 learned merges folded into one narrow literal-
     // replace chain; per-doc subword counts + encoding fingerprint
     "tokenizer_bpe_encode" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val merges = graft.operators.Tokenizer.bpeMerges(d, steps = 8)
+      val merges = graft.operators.Tokenizer.bpeMergesLocal(d, steps = 8)
         .select(col("lhs"), col("rhs")).collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
       graft.operators.Tokenizer.bpeEncode(d, merges)

@@ -100,6 +100,91 @@ object Tokenizer {
       .orderBy(col("step"))
   }
 
+  /** Large-`steps` twin of [[bpeMerges]]: identical merge table, one Spark
+    * job TOTAL instead of one per merge step.
+    *
+    * [[bpeMerges]]'s per-iteration cost is genuinely vocabulary-sized, but
+    * each iteration is a driver-coordinated Spark job over a
+    * lineage-growing cached frame — fine at steps=8, pathological at a
+    * real tokenizer's ~32k merges. The classic trainer shape (every
+    * production BPE implementation does this): after the ONE corpus pass,
+    * the (word, freq) table is bounded by vocabulary size, not corpus
+    * size — collect it once and run the merge loop driver-local. The
+    * corpus is still touched exactly once and in parallel; only the
+    * vocab (≪ corpus; low millions of short rows at web scale, the same
+    * thing single-node trainers hold in RAM) crosses to the driver.
+    *
+    * Bit-identical to [[bpeMerges]] by construction (TokenizerSpec asserts
+    * equality on real and adversarial corpora):
+    *
+    *   - pair counts: overlapping adjacent pairs weighted by freq —
+    *     `explode(wordGrams(syms, 2))`'s exact semantics;
+    *   - argmax: (cnt desc, lhs asc, rhs asc); symbols are ASCII-only
+    *     ([[TextAnalysis.wordArray]] emits `[a-z0-9]+`), where Java String
+    *     order == Spark UTF8String byte order, so the tie-break agrees;
+    *   - fuse: replays `replace(seq, " l r ", " lr ")` — left-to-right
+    *     NON-OVERLAPPING occurrences of the ORIGINAL string, and because
+    *     the 5-char pattern consumes the boundary space after `r`, the
+    *     symbol right after a fused pair cannot START the next match:
+    *     "aaaa" under (a,a) fuses to [aa, a, a] (not [aa, aa]), and
+    *     "aaaaa" to [aa, a, aa]. The scan below shields that symbol.
+    */
+  def bpeMergesLocal(docs: DataFrame, steps: Int = 8): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val spark = docs.sparkSession
+
+    // the same single corpus pass as bpeMerges — then ONE vocab collect
+    var vocab: Array[(Array[String], Long)] = docs
+      .select(explode(TextAnalysis.wordArray(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, freq) <- vocab; j <- 0 until syms.length - 1) {
+        val k = (syms(j), syms(j + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + freq)
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += Row(step, l, r, l + r, cnt)
+        vocab = vocab.map { case (syms, freq) =>
+          if (syms.length < 2) (syms, freq)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += l + r
+                // StringReplace consumed the boundary space after `r`, so
+                // the next symbol cannot start a match — emit it shielded.
+                if (i + 2 < syms.length) out += syms(i + 2)
+                i += 3
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, freq)
+          }
+        }
+        step += 1
+      }
+    }
+
+    val schema = StructType(Seq(
+      StructField("step", IntegerType, nullable = false),
+      StructField("lhs", StringType, nullable = false),
+      StructField("rhs", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1), schema)
+      .orderBy(col("step"))
+  }
+
   /** Apply a learned merge table to the corpus: encode every document as
     * its BPE symbol sequence and report per-doc subword statistics. This is
     * the ENCODE side of [[bpeMerges]] — the loader-handoff measurement

@@ -80,6 +80,30 @@ class TokenizerSpec extends SparkSpec {
     assert(enc === Seq((0L, 0L), (1L, 0L), (2L, 1L)))
   }
 
+  test("bpeMergesLocal is bit-identical to the Spark loop") {
+    // adversarial overlap shapes: "aaaa"/"aaaaa" pin the shielded-symbol
+    // fuse semantics; mixed corpus pins tie-breaks and weighting
+    val adversarial = docsOf("aaaa", "aaaaa", "aaa a", "ab ab ab", "abc",
+      "cd cd cd cd cd", "xy zw", "b a", "x0x0x0")
+    for (steps <- Seq(1, 3, 8)) {
+      val spark_ = Tokenizer.bpeMerges(adversarial, steps).collect().toSeq
+      val local  = Tokenizer.bpeMergesLocal(adversarial, steps).collect().toSeq
+      assert(local === spark_, s"steps=$steps")
+    }
+    // real corpus slice, the registered steps
+    val docs = Tables.documents(spark, sf)
+    val a = Tokenizer.bpeMerges(docs, steps = 8).collect().toSeq
+    val b = Tokenizer.bpeMergesLocal(docs, steps = 8).collect().toSeq
+    assert(a === b)
+  }
+
+  test("bpeMergesLocal sustains large steps (the 32k-merge shape)") {
+    val docs = Tables.documents(spark, sf)
+    val m = Tokenizer.bpeMergesLocal(docs, steps = 64)
+      .select("step").as[Int].collect().toSeq
+    assert(m === (1 to 64), "64 consecutive merge steps learned")
+  }
+
   test("trainer is deterministic under repartition") {
     val docs = docsOf("ab ab ab", "abc", "xyz xyz").repartition(7)
     val a = Tokenizer.bpeMerges(docs, steps = 4).collect().toSeq
