@@ -495,9 +495,13 @@ object TextAnalysis {
     * 100 TB shape: ONE corpus tokenization pass (explode is narrow) into
     * a (doc_id, gram) partial-count aggregate; the model table (bigram
     * vocabulary) derives from that table, never from a second scan — c1
-    * is a window over the history-word partition of the c2 table
-    * (vocabulary-sized, not corpus-sized; the aggregate-then-self-join
-    * form loses ReuseExchange and re-scans, see distinctiveTerms). The
+    * is `groupBy(head).agg(sum)` over the c2 table joined back by head
+    * word (map-side partials, no per-key sort: the window form would
+    * hash-partition every gram TYPE of a stop-word head onto one
+    * reducer for a WindowExec sort — a needless skew cliff at web
+    * scale; a measured localCheckpoint of c2 to share the tokenize
+    * across the two consumers LOST ~2.3 s at sf0.1 — the re-expanded
+    * scan pipelines better than a serial materialization barrier). The
     * scoring join is gram-keyed vocabulary⋈per-doc-counts; hot grams
     * ("of the") skew the probe side, but the build side is one row per
     * gram so AQE's skew-join split handles it (the build row replicates
@@ -512,10 +516,9 @@ object TextAnalysis {
     val dgc = bigrams.groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("k"))
     val c2 = dgc.groupBy(col("gram")).agg(sum(col("k")).as("c2"))
-    val wHist = org.apache.spark.sql.expressions.Window
-      .partitionBy(substring_index(col("gram"), " ", 1))
-    val weights = c2
-      .withColumn("c1", sum(col("c2")).over(wHist))
+      .withColumn("h", substring_index(col("gram"), " ", 1))
+    val c1 = c2.groupBy(col("h")).agg(sum(col("c2")).as("c1"))
+    val weights = c2.join(c1, "h")
       .select(col("gram"),
         expr(s"(c2 * ${scale}L) div c1").as("w"))
     val scored = dgc.join(weights, "gram")

@@ -234,6 +234,20 @@ class TextAnalysisSpec extends SparkSpec {
     })
   }
 
+  test("lmScore: degenerate all-one-head corpus takes no per-key sort") {
+    // every bigram shares head word "the": the former window form would
+    // funnel ALL gram types onto one reducer for a WindowExec sort; the
+    // groupBy+join form has no Window/per-key sort anywhere in the plan
+    val docs = (1 to 200).map(i => (i.toLong, s"the w$i")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no WindowExec expected:\n$plan")
+    // correctness on the degenerate shape: every bigram unique under one
+    // head -> c2 = 1, c1 = 200 -> weight = 1e6 div 200 = 5000 each
+    val rows = got.as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows === (1 to 200).map(i => (i.toLong, 1L, 5000L, 5000L)))
+  }
+
   test("lmScore: total audit over the corpus, bounded averages") {
     val docs = Tables.documents(spark, sf)
     val got = TextAnalysis.lmScore(docs)
