@@ -609,6 +609,22 @@ object SparkEntry {
       graft.operators.Graph.pageRankInt(edges, iterations = 10)
     }),
 
+    // dangling-mass PageRank on the DIRECTED customer→supplier graph:
+    // every supplier is a sink, so standard PageRank's uniform
+    // redistribution of dangling mass is exercised for real — D crosses
+    // the driver as one long per round; the oracle replays the identical
+    // integer recurrence (dangling scalar per unrolled step)
+    "graph_pagerank_dangling" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        .distinct()
+      graft.operators.Graph.pageRankInt(edges, iterations = 10,
+        redistributeDangling = true)
+    }),
+
     // stateful-shape analytics: gap-based sessionization (batch twin of
     // the flatMapGroupsWithState streaming operator)
     "q_sessionize" -> ((s, dir) =>
@@ -2525,6 +2541,48 @@ object SparkEntry {
         s"""pr$i AS (
            |  SELECT n.node,
            |         CAST(150000 + coalesce(
+           |           sum((p.mass * 85) // (100 * o.outdeg)), 0) AS BIGINT) AS mass
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.dst = n.node
+           |  LEFT JOIN pr${i - 1} p ON p.node = e.src
+           |  LEFT JOIN outdeg o ON o.src = e.src
+           |  GROUP BY n.node)""".stripMargin
+      }.mkString(",\n")
+      header + ",\n" + steps + "\nSELECT node, mass FROM pr10 ORDER BY node"
+    },
+
+    // directed graph, dangling (supplier) mass redistributed uniformly:
+    // per unrolled step a scalar CTE computes the previous round's
+    // dangling sum D and each node receives (D*85) // (100*N) on top of
+    // base + in-edge contributions — Spark's (d*num)/(den*N) Long
+    // truncation equals DuckDB's // floor because d >= 0. Unrolled to
+    // the CAP (10): a fixed point persists under the map, so this equals
+    // the converged Spark result whichever round convergence happened.
+    // MATERIALIZED is load-bearing: each pr_{i-1} is referenced by BOTH
+    // d_i and pr_i, and DuckDB 1.0 inlines plain CTEs — the un-hinted
+    // query re-expands the whole chain per reference (2^steps blowup).
+    "graph_pagerank_dangling" -> {
+      val header =
+        """WITH edges AS MATERIALIZED (
+          |  SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+          |                  CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+          |outdeg AS MATERIALIZED (
+          |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+          |nodes AS MATERIALIZED (
+          |  SELECT DISTINCT src AS node FROM edges
+          |  UNION SELECT DISTINCT dst AS node FROM edges),
+          |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+          |pr0 AS MATERIALIZED (
+          |  SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes)""".stripMargin
+      val steps = (1 to 10).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT (coalesce(sum(mass), 0) * 85) // (100 * (SELECT n FROM nn)) AS s
+           |  FROM pr${i - 1}
+           |  WHERE node NOT IN (SELECT src FROM outdeg)),
+           |pr$i AS MATERIALIZED (
+           |  SELECT n.node,
+           |         CAST(150000 + (SELECT s FROM d$i) + coalesce(
            |           sum((p.mass * 85) // (100 * o.outdeg)), 0) AS BIGINT) AS mass
            |  FROM nodes n
            |  LEFT JOIN edges e ON e.dst = n.node

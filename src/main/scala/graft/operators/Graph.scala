@@ -179,24 +179,59 @@ object Graph {
     * order, and a SQL engine re-running the same recurrence reproduces it
     * EXACTLY. Floor truncation leaks a bounded sub-unit of mass per edge
     * per round (documented, deliberate); ranks and orderings are
-    * unaffected at scale = 10^6. Dangling nodes (no out-edges) simply do
-    * not forward mass — with symmetric edge sets (the common corpus use)
-    * none exist.
+    * unaffected at scale = 10^6.
+    *
+    * Dangling nodes (no out-edges): by default they simply do not forward
+    * mass — with symmetric edge sets (the common corpus use) none exist,
+    * and on asymmetric graphs total mass shrinks each round (documented
+    * divergence from standard PageRank). With
+    * `redistributeDangling = true` the dangling mass is redistributed
+    * uniformly, integer-exactly: each round every node additionally
+    * receives `(D · num) div (den · N)` where `D = Σ mass(dangling)` and
+    * `N` = node count — standard PageRank's dangling handling on the
+    * integer lattice. D crosses to the driver as ONE long per round
+    * (the same bounded sequential transfer as the convergence check and
+    * [[Tokenizer.bpeMerges]]'s argmax). Precondition for no overflow:
+    * total mass ≈ N·scale, so N·scale·num must stay inside Long — at
+    * scale 10^6, num ≤ 100 that holds to N ~ 9·10^10 nodes.
+    *
+    * CONVERGENCE stop (`connectedComponentsWithRounds` contract): the
+    * recurrence is a deterministic map on integer vectors, so it is
+    * stopped at the first exact fixed point (mass delta == 0 — exactly
+    * computable, the whole point of integer mass), capped at
+    * `iterations`. A fixed point persists under the map, so an oracle
+    * that unrolls the recurrence to the CAP reproduces the converged
+    * result bit-for-bit regardless of which round the fixed point was
+    * reached — early stop changes wall-time, never the answer.
     *
     * 100 TB shape: per iteration one join of the (src, dst, outdeg) edge
     * list against the (node, mass) rank table on src — both keyed the
     * same, so co-partitioning survives across iterations — plus one
     * groupBy(dst) sum with map-side partial aggregation; only
-    * (node, long) pairs shuffle. Lineage is truncated per round via
-    * localCheckpoint (cluster twin: `.checkpoint()`), same contract as
-    * [[connectedComponents]].
+    * (node, long) pairs shuffle. The convergence probe is a node-sized
+    * join of two checkpointed rank tables short-circuited by `isEmpty`.
+    * Lineage is truncated per round via localCheckpoint (cluster twin:
+    * `.checkpoint()`), same contract as [[connectedComponents]].
     */
   def pageRankInt(
       edges: DataFrame,
       iterations: Int = 10,
       alphaNum: Long = 85,
       alphaDen: Long = 100,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      redistributeDangling: Boolean = false): DataFrame =
+    pageRankIntWithRounds(edges, iterations, alphaNum, alphaDen, scale,
+      redistributeDangling)._1
+
+  /** [[pageRankInt]] plus the number of iterations actually executed
+    * (== `iterations` when the cap hit before the fixed point). */
+  def pageRankIntWithRounds(
+      edges: DataFrame,
+      iterations: Int = 10,
+      alphaNum: Long = 85,
+      alphaDen: Long = 100,
+      scale: Long = 1000000L,
+      redistributeDangling: Boolean = false): (DataFrame, Int) = {
     require(iterations >= 0 && alphaDen > 0 && alphaNum >= 0 &&
       alphaNum <= alphaDen && scale > 0)
     val e = edges
@@ -210,19 +245,43 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
+    // dangling = nodes with no out-edge; node-sized, fixed across rounds
+    lazy val dangling = nodes
+      .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    lazy val nNodes = nodes.count()
     val base = scale * (alphaDen - alphaNum) / alphaDen
     var ranks = nodes.withColumn("mass", lit(scale))
-    for (_ <- 1 to iterations) {
+    var rounds = 0
+    var converged = false
+    while (rounds < iterations && !converged) {
+      val dShare =
+        if (!redistributeDangling || nNodes == 0L) 0L
+        else {
+          val d = dangling.join(ranks, "node")
+            .agg(coalesce(sum(col("mass")), lit(0L)))
+            .collect()(0).getLong(0) // ONE long per round
+          (d * alphaNum) / (alphaDen * nNodes)
+        }
       val contribs = ed
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr(s"(mass * $alphaNum) div ($alphaDen * outdeg)").as("c"))
         .groupBy("node").agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      // prev mass rides along in the SAME pre-checkpoint plan (one more
+      // node-keyed join folded into the existing node-hash stage), so the
+      // convergence probe is a filter over the checkpointed partitions —
+      // no extra shuffle, no recompute
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .join(ranks.withColumnRenamed("mass", "prev"), "node")
         .select(col("node"),
-          (lit(base) + coalesce(col("contrib"), lit(0L))).as("mass"))
+          (lit(base + dShare) + coalesce(col("contrib"), lit(0L))).as("mass"),
+          col("prev"))
         .localCheckpoint(true)
+      converged = next.filter(col("mass") =!= col("prev")).isEmpty
+      ranks = next.select(col("node"), col("mass"))
+      rounds += 1
     }
-    ranks.orderBy(col("node"))
+    (ranks.orderBy(col("node")), rounds)
   }
 }

@@ -106,6 +106,39 @@ class GraphSpec extends SparkSpec {
     assert(masses(2) === Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
   }
 
+  test("pageRankIntWithRounds: exact-fixed-point early stop, same answer") {
+    // symmetric 2-cycle: round 1 reproduces the initial masses exactly
+    // (150000 + (1000000*85) div 100 = 1000000) -> fixed point at round 1
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (ranks, rounds) = Graph.pageRankIntWithRounds(cyc, iterations = 10)
+    assert(rounds === 1, "stops at the first exact fixed point, not the cap")
+    assert(ranks.as[(Long, Long)].collect().toMap
+      === Map(1L -> 1000000L, 2L -> 1000000L))
+    // early stop never changes the answer: cap-10 converged == fixed 10
+    val star = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val (capped, r2) = Graph.pageRankIntWithRounds(star, iterations = 10)
+    assert(r2 <= 10)
+    assert(capped.as[(Long, Long)].collect().toMap
+      === Graph.pageRankInt(star, 10).as[(Long, Long)].collect().toMap)
+  }
+
+  test("pageRankInt redistributeDangling: hand-computed sink redistribution") {
+    // directed 1 -> 2: node 2 is a sink. N = 2, base = 150000.
+    // r1: D=1e6, share=(1e6*85) div 200=425000; contrib(2)=850000
+    //     -> m(1)=575000, m(2)=1425000
+    // r2: D=1425000, share=605625; contrib(2)=(575000*85) div 100=488750
+    //     -> m(1)=755625, m(2)=1244375
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    def m(iters: Int): Map[Long, Long] =
+      Graph.pageRankInt(e, iterations = iters, redistributeDangling = true)
+        .as[(Long, Long)].collect().toMap
+    assert(m(1) === Map(1L -> 575000L, 2L -> 1425000L))
+    assert(m(2) === Map(1L -> 755625L, 2L -> 1244375L))
+    // without redistribution the sink's mass is simply lost from node 1
+    assert(Graph.pageRankInt(e, 1).as[(Long, Long)].collect().toMap
+      === Map(1L -> 150000L, 2L -> 1000000L))
+  }
+
   test("pageRankInt: determinism under repartitioning, mass bound, hub rank") {
     // two components: a 4-leaf star (hub 10) and a 2-cycle (20, 21)
     val base = Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L),
