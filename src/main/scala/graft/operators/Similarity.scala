@@ -228,6 +228,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[ivfQuery]] against a PARTITIONED on-disk index
+    * ([[graft.sinks.Sink.writeIvfIndex]]): the union of probe cells
+    * (≤ queries × nprobe ints — tiny) is computed driver-side first and
+    * pushed as a STATIC `cell IN (...)` predicate, so the candidate scan
+    * carries a PartitionFilter and provably reads only the probed cell
+    * directories — no reliance on runtime DPP firing. Candidate sets are
+    * identical to [[ivfQuery]]'s (the per-(query, cell) join already
+    * restricts to each query's own probe list; the static filter is the
+    * union and prunes I/O, not candidates), so results are bit-equal.
+    *
+    * The query-vector lookup itself still scans the table once (fetch by
+    * vec_id); in production the query vectors arrive with the request —
+    * pass them through `queries` when in hand.
+    */
+  def ivfQueryPruned(
+      index: IvfIndex,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val queries = index.celled
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
+      .withColumn("probe_cells",
+        probeCells(index.centroids, col("q_unit"), nprobe))
+      .select(col("query_id"), col("q_unit"),
+        explode(col("probe_cells")).as("cell"))
+    val probed: Seq[Int] = queries.select(col("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    index.celled
+      .filter(col("cell").isin(probed: _*)) // static partition pruning
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("unit"), col("q_unit")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Build-then-query convenience (kept for spec/one-shot use; the
     * registered query path goes through [[IndexCache]] so the build runs
     * once per corpus, not once per call).

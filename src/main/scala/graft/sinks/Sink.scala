@@ -161,6 +161,47 @@ object Sink {
       .format("parquet")
       .saveAsTable(table)
 
+  /** C6+ / similarity — persist an IVF index in its 100 TB layout: the
+    * celled corpus written PARTITIONED BY cell id (so a query probing
+    * nprobe cells touches nprobe partition directories, never the whole
+    * corpus — the on-disk twin of `Similarity`'s "celled table
+    * partitioned by cell" design note) plus the tiny centroid table
+    * (nlist rows). This is the offline-build output a cluster job would
+    * ship; [[readIvfIndex]] + `Similarity.ivfQueryPruned` are the
+    * consuming query path (SimilarityIndexPersistSpec round-trips it and
+    * asserts the partition pruning).
+    */
+  def writeIvfIndex(
+      index: graft.operators.Similarity.IvfIndex,
+      path: String,
+      mode: String = "overwrite"): Unit = {
+    val spark = index.celled.sparkSession
+    import spark.implicits._
+    index.celled
+      // one output file per cell directory, not one per (cell × task)
+      .repartition(col("cell"))
+      .write.mode(mode).partitionBy("cell").parquet(s"$path/celled")
+    index.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode(mode).parquet(s"$path/centroids")
+  }
+
+  /** Reload a persisted IVF index: centroids collected (nlist × dim — the
+    * same literals the in-memory build broadcasts) and the celled corpus
+    * as a partition-pruned parquet table (NOT cached — the point of the
+    * on-disk layout is that probes read nprobe directories).
+    */
+  def readIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.operators.Similarity.IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    graft.operators.Similarity.IvfIndex(
+      centroids, spark.read.parquet(s"$path/celled"))
+  }
+
   /** C6+ physical design — small-file COMPACTION: rewrite a parquet
     * directory into ~`targetBytes` files. Streaming ingestion (A9's
     * foreachBatch fan-out) produces one file per partition per

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sinks.Sink
+
+/** Round-trip of the on-disk IVF index layout: build → writeIvfIndex
+  * (celled corpus partitioned by cell) → readIvfIndex → query, asserting
+  * (a) bit-equal results vs the in-memory index and (b) REAL partition
+  * pruning — the probe scan's PartitionFilters restrict to the probed
+  * cells, the property that makes the layout the 100 TB design.
+  */
+class SimilarityIndexPersistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val qids = Seq(0L, 1L, 2L, 3L, 4L)
+
+  test("IVF index parquet round-trip: reloaded queries are bit-equal") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      Sink.writeIvfIndex(idx, dir)
+      val loaded = Sink.readIvfIndex(spark, dir)
+      assert(loaded.centroids.map(_.toSeq).toSeq
+        === idx.centroids.map(_.toSeq).toSeq, "centroids survive verbatim")
+      assert(loaded.celled.count() === idx.celled.count())
+      // on-disk layout: one directory per cell that actually has vectors
+      val cellDirs = new java.io.File(s"$dir/celled")
+        .listFiles().filter(_.getName.startsWith("cell=")).map(_.getName)
+      assert(cellDirs.nonEmpty && cellDirs.length <= 8)
+      val mem = Similarity.ivfQuery(idx, qids, k = 10, nprobe = 4)
+        .collect().toSeq
+      val disk = Similarity.ivfQuery(loaded, qids, k = 10, nprobe = 4)
+        .collect().toSeq
+      assert(disk === mem, "reloaded index must reproduce the ranking")
+      val pruned = Similarity.ivfQueryPruned(loaded, qids, k = 10, nprobe = 4)
+        .collect().toSeq
+      assert(pruned === mem, "static-pruned path must reproduce the ranking")
+    } finally {
+      idx.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("pruned probe scan reads only the probed cell partitions") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx2").toString
+    try {
+      Sink.writeIvfIndex(idx, dir)
+      val loaded = Sink.readIvfIndex(spark, dir)
+      // ONE query, nprobe=2: at most 2 of the nlist cells may be scanned
+      val df = Similarity.ivfQueryPruned(loaded, Seq(0L), k = 10, nprobe = 2)
+      val planStr = df.queryExecution.executedPlan.toString
+      // the candidate scan must carry the static cell predicate as a
+      // PARTITION filter (directory pruning), not a data filter
+      assert(planStr.contains("PartitionFilters: [cell"),
+        s"expected a partition filter on cell in:\n$planStr")
+      val inList = "PartitionFilters: \\[cell#\\d+ IN \\(([^)]+)\\)".r
+        .findFirstMatchIn(planStr)
+      assert(inList.isDefined, s"expected cell IN (...) filter in:\n$planStr")
+      val probedCount = inList.get.group(1).split(",").length
+      assert(probedCount <= 2, s"probe must touch <= nprobe cells, saw $probedCount")
+      val allCells = new java.io.File(s"$dir/celled")
+        .listFiles().count(_.getName.startsWith("cell="))
+      assert(allCells > probedCount,
+        s"pruning must skip cells ($probedCount probed of $allCells on disk)")
+    } finally {
+      idx.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
