@@ -45,7 +45,10 @@ final case class Route(
     transform: Option[DataFrame => DataFrame] = None,
     emits: Seq[(String, DataFrame => DataFrame)] = Nil)
 
-final class Router(val routes: Seq[Route], catalog: SchemaCatalog = SchemaCatalog(Map.empty)) {
+final class Router(
+    val routes: Seq[Route],
+    catalog: SchemaCatalog = SchemaCatalog(Map.empty),
+    strictTypes: Boolean = false) {
   require(routes.map(_.name).distinct.length == routes.length,
     "route names must be unique")
 
@@ -123,7 +126,13 @@ final class Router(val routes: Seq[Route], catalog: SchemaCatalog = SchemaCatalo
         table -> dfs.map(_._2).reduce(_ unionByName _)
       }
     byTable.foreach { case (table, df) =>
-      catalog.validate(table, df.columns) match {
+      // strictTypes additionally checks declared SQL type vs emitted Spark
+      // type (Catalog.typeCompatible) — still a plan-build check, zero
+      // runtime cost; presence-only is the reference-parity default
+      val checked =
+        if (strictTypes) catalog.validateTyped(table, df.schema)
+        else catalog.validate(table, df.columns)
+      checked match {
         case Left(err) => throw new IllegalArgumentException(
           s"schema validation failed for table $table: $err")
         case Right(()) =>

@@ -37,6 +37,34 @@ object Catalog {
     case _                                  => StringType
   }
 
+  /** STRICT-mode type affinity (beyond the reference — schema.go never
+    * checks types): may a column emitted with Spark type `emitted` land in
+    * a sink column declared as SQL type `declared`?
+    *
+    *   - exact Spark-type match after [[sqlTypeToSpark]] mapping;
+    *   - lossless widenings: int → bigint, int/float → double precision;
+    *   - timestamptz accepts TIMESTAMP_NTZ (the sink casts in the pinned
+    *     UTC session zone — the [[graft.Tables.events]] contract);
+    *   - jsonb/json accept string AND map/array/struct (the engine
+    *     JSON-marshals nested values at the sink, storage.go:118-128);
+    *   - unknown declared types map to text (permissive superset, same as
+    *     [[sqlTypeToSpark]]) and therefore accept only strings.
+    */
+  def typeCompatible(declared: String, emitted: DataType): Boolean =
+    declared.trim.toLowerCase match {
+      case "jsonb" | "json" => emitted match {
+        case StringType | _: MapType | _: ArrayType | _: StructType => true
+        case _                                                      => false
+      }
+      case d => (sqlTypeToSpark(d), emitted) match {
+        case (t, e) if t == e                       => true
+        case (LongType, IntegerType)                => true
+        case (DoubleType, FloatType | IntegerType)  => true
+        case (TimestampType, TimestampNTZType)      => true
+        case _                                      => false
+      }
+    }
+
   def sparkTypeToSql(t: DataType): String = t match {
     case TimestampType       => "timestamptz"
     case StringType          => "text"
@@ -66,6 +94,23 @@ final case class TableSchema(name: String, columns: Map[String, String]) {
       case None      => Right(())
     }
   }
+
+  /** Opt-in STRICT validation — presence (reference parity) first, then
+    * declared-SQL-type vs emitted-Spark-type per column
+    * ([[Catalog.typeCompatible]]). Runs at plan-build like
+    * [[validateRecord]], so the stronger check costs nothing at runtime;
+    * it is strictly better than the reference, which never checks types
+    * (schema.go:200-207 checks key presence only).
+    */
+  def validateRecordTyped(emitted: Seq[StructField]): Either[String, Unit] =
+    validateRecord(emitted.map(_.name)).flatMap { _ =>
+      emitted.find(f => !Catalog.typeCompatible(columns(f.name), f.dataType)) match {
+        case Some(bad) => Left(
+          s"column ${bad.name} of table $name declared '${columns(bad.name)}' " +
+            s"but emitted ${bad.dataType.simpleString}")
+        case None => Right(())
+      }
+    }
 
   /** Deterministic `CREATE TABLE IF NOT EXISTS` with sorted columns
     * (schema.go:137-161; golden expectations schema_test.go:103-171).
@@ -103,6 +148,14 @@ final case class Catalog(tables: Map[String, TableSchema]) {
   /** No schema declared for a table ⇒ no validation (schema.go:38-41). */
   def validate(table: String, emitted: Iterable[String]): Either[String, Unit] =
     tables.get(table).map(_.validateRecord(emitted)).getOrElse(Right(()))
+
+  /** Strict twin of [[validate]]: presence + type affinity against the
+    * emitted StructType (see [[TableSchema.validateRecordTyped]]);
+    * undeclared tables still skip validation (reference parity).
+    */
+  def validateTyped(table: String, emitted: StructType): Either[String, Unit] =
+    tables.get(table).map(_.validateRecordTyped(emitted.fields.toSeq))
+      .getOrElse(Right(()))
 
   /** Sorted, deterministic DDL for every table (schema.go:113-134). */
   def generateSql: String =

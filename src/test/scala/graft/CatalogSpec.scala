@@ -58,6 +58,44 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog(Map.empty).validate("whatever", Seq("x", "y")).isRight)
   }
 
+  test("strict mode: declared SQL type vs emitted Spark type at plan-build") {
+    import org.apache.spark.sql.types._
+    val t = TableSchema("m", Map(
+      "time" -> "timestamptz", "device" -> "text", "value" -> "double precision",
+      "n" -> "bigint", "flags" -> "jsonb", "ok" -> "boolean"))
+    def f(n: String, dt: DataType) = StructField(n, dt)
+    // exact matches accept
+    assert(t.validateRecordTyped(Seq(
+      f("time", TimestampType), f("device", StringType),
+      f("value", DoubleType), f("n", LongType), f("ok", BooleanType))).isRight)
+    // lossless widenings + NTZ + nested-into-jsonb accept
+    assert(t.validateRecordTyped(Seq(
+      f("time", TimestampNTZType),                 // sink casts in UTC
+      f("n", IntegerType),                         // int -> bigint
+      f("value", IntegerType),                     // int -> double
+      f("flags", MapType(StringType, StringType)), // marshaled to jsonb
+      f("flags", StringType))).isRight)            // pre-marshaled json
+    // type mismatches reject, with the declared/emitted pair in the error
+    val bad = t.validateRecordTyped(Seq(f("n", StringType)))
+    assert(bad.isLeft && bad.swap.exists(e =>
+      e.contains("bigint") && e.contains("string")))
+    assert(t.validateRecordTyped(Seq(f("n", DoubleType))).isLeft)   // narrowing
+    assert(t.validateRecordTyped(Seq(f("value", LongType))).isLeft) // lossy
+    assert(t.validateRecordTyped(Seq(
+      f("device", new StructType().add("x", StringType)))).isLeft)
+    // presence violation still reported first (reference-parity message)
+    assert(t.validateRecordTyped(Seq(f("bogus", StringType))).swap
+      .exists(_.contains("not defined")))
+    // catalog plumbing: undeclared table still skips validation
+    val cat = CatalogBuilder(t)
+    assert(cat.validateTyped("m",
+      StructType(Seq(f("n", LongType)))).isRight)
+    assert(cat.validateTyped("m",
+      StructType(Seq(f("n", StringType)))).isLeft)
+    assert(cat.validateTyped("undeclared",
+      StructType(Seq(f("anything", BinaryType)))).isRight)
+  }
+
   test("identifier regex (router.go:77, storage_test.go:7-126)") {
     assert(Catalog.validIdentifier("sensor_data_2"))
     assert(!Catalog.validIdentifier("bad-name"))

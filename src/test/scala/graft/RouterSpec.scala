@@ -81,6 +81,25 @@ class RouterSpec extends SparkSpec {
     assert(ex.getMessage.contains("not defined in schema"))
   }
 
+  test("strict type validation rejects a declared/emitted type mismatch (A8+)") {
+    // passthrough emits qos as int; declaring it text is accepted by the
+    // reference-parity presence check but rejected under strictTypes
+    val cols = Map("time" -> "timestamptz", "topic" -> "text",
+      "qos" -> "text", "retain" -> "boolean", "raw" -> "text", "json" -> "jsonb")
+    val cat = CatalogBuilder(TableSchema("cap", cols))
+    val lax = new Router(Seq(Route("s", "sensors/#", table = "cap")), cat)
+    assert(lax.fanOut(messages).keySet.contains("cap")) // presence-only: fine
+    val strict = new Router(Seq(Route("s", "sensors/#", table = "cap")), cat,
+      strictTypes = true)
+    val ex = intercept[IllegalArgumentException] { strict.fanOut(messages) }
+    assert(ex.getMessage.contains("qos") && ex.getMessage.contains("text"))
+    // with the true type declared, strict mode accepts the same plan
+    val fixed = CatalogBuilder(TableSchema("cap", cols + ("qos" -> "int")))
+    val ok = new Router(Seq(Route("s", "sensors/#", table = "cap")), fixed,
+      strictTypes = true)
+    assert(ok.fanOut(messages).keySet.contains("cap"))
+  }
+
   test("transform routes apply their transform (multi_table.lua integration shape)") {
     val r = new Router(Seq(
       Route("m", "sensors/#", table = "sensor_readings",
