@@ -3,6 +3,7 @@ package graft.config
 import org.apache.spark.sql.DataFrame
 
 import graft.operators.{Route, Router}
+import graft.schema.{Catalog => SchemaCatalog}
 
 /** Config-driven plan construction (operator A13,
   * `/root/reference/internal/config/config.go`,
@@ -41,6 +42,14 @@ final case class DatabaseConfig(
 
 final case class PipelineConfig(luaScript: String = "", tableName: String = "")
 
+/** `[validation]` section: `strict_types = true` opts the config-built
+  * Router into declared-vs-emitted type checking
+  * ([[graft.schema.Catalog.typeCompatible]]) on top of the reference-parity
+  * presence check — schema strictness becomes a config deployment, like
+  * the transforms themselves.
+  */
+final case class ValidationConfig(strictTypes: Boolean = false)
+
 /** One record group of a config-deployed multi-record route
   * (`[[routes.records]]`): the TOML spelling of the Lua contract's "one
   * message emits N records to different tables"
@@ -78,7 +87,8 @@ final case class EngineConfig(
     mqtt: MqttConfig = MqttConfig(),
     database: DatabaseConfig = DatabaseConfig(),
     pipeline: PipelineConfig = PipelineConfig(),
-    routes: Seq[RouteConfig] = Nil) {
+    routes: Seq[RouteConfig] = Nil,
+    validation: ValidationConfig = ValidationConfig()) {
 
   /** main.go:163-199 — explicit routes win; else wrap the legacy pipeline
     * as one route (filter = the sole topic, or `#`); else no routes (all
@@ -111,7 +121,9 @@ final case class EngineConfig(
     * so a regex `\b` must be written `\\\\b` in the TOML text
     * (demonstrated end-to-end in StreamPiiRouteSpec).
     */
-  def buildRouter(transforms: Map[String, DataFrame => DataFrame]): Router = {
+  def buildRouter(
+      transforms: Map[String, DataFrame => DataFrame],
+      catalog: SchemaCatalog = SchemaCatalog(Map.empty)): Router = {
     import org.apache.spark.sql.functions.expr
     val rs = buildRouteConfigs.zipWithIndex.map { case (rc, i) =>
       require(rc.script.isEmpty || rc.select.isEmpty,
@@ -161,7 +173,7 @@ final case class EngineConfig(
       Route(s"route_$i", rc.filter, rc.table, t)
       }
     }
-    new Router(rs)
+    new Router(rs, catalog, validation.strictTypes)
   }
 }
 
@@ -360,6 +372,9 @@ object EngineConfig {
       pipeline = PipelineConfig(
         luaScript = str(pipe, "lua_script"),
         tableName = str(pipe, "table_name")),
-      routes = routes)
+      routes = routes,
+      validation = ValidationConfig(
+        strictTypes = section("validation").get("strict_types")
+          .exists(_.toString.toBoolean)))
   }
 }

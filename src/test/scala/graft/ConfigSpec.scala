@@ -113,6 +113,16 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.mqtt.topics === Seq("a,b/c", "d/#"))
   }
 
+  test("[validation] strict_types parses; default stays presence-only") {
+    val cfg = EngineConfig.fromToml(
+      """[validation]
+        |strict_types = true
+        |""".stripMargin)
+    assert(cfg.validation.strictTypes)
+    assert(!EngineConfig.fromToml("[mqtt]\nqos = 1\n").validation.strictTypes,
+      "default stays reference-parity presence-only")
+  }
+
   test("malformed TOML line rejected (config_test.go bad-syntax case)") {
     intercept[IllegalArgumentException] {
       EngineConfig.fromToml("not a toml line\n")

@@ -100,6 +100,25 @@ class RouterSpec extends SparkSpec {
     assert(ok.fanOut(messages).keySet.contains("cap"))
   }
 
+  test("TOML [validation] strict_types flows through the config-built Router") {
+    val cfg = graft.config.EngineConfig.fromToml(
+      """[validation]
+        |strict_types = true
+        |
+        |[[routes]]
+        |filter = "sensors/#"
+        |table = "cap"
+        |""".stripMargin)
+    val cols = Map("time" -> "timestamptz", "topic" -> "text",
+      "qos" -> "text", "retain" -> "boolean", "raw" -> "text", "json" -> "jsonb")
+    val bad = cfg.buildRouter(Map.empty, CatalogBuilder(TableSchema("cap", cols)))
+    val ex = intercept[IllegalArgumentException] { bad.fanOut(messages) }
+    assert(ex.getMessage.contains("qos"))
+    val ok = cfg.buildRouter(Map.empty,
+      CatalogBuilder(TableSchema("cap", cols + ("qos" -> "int"))))
+    assert(ok.fanOut(messages).keySet.contains("cap"))
+  }
+
   test("transform routes apply their transform (multi_table.lua integration shape)") {
     val r = new Router(Seq(
       Route("m", "sensors/#", table = "sensor_readings",

@@ -44,6 +44,24 @@ class SimilarityIndexPersistSpec extends SparkSpec {
     }
   }
 
+  test("unknown query ids yield empty results on both query paths") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvfIndexExact(emb, nlist = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx3").toString
+    try {
+      Sink.writeIvfIndex(idx, dir)
+      val loaded = Sink.readIvfIndex(spark, dir)
+      val ghosts = Seq(-1L, 999999999L)
+      assert(Similarity.ivfQuery(loaded, ghosts, k = 5).count() === 0L)
+      // pruned path: empty probe union -> isin() over nothing -> empty,
+      // no degenerate scan or exception
+      assert(Similarity.ivfQueryPruned(loaded, ghosts, k = 5).count() === 0L)
+    } finally {
+      idx.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("pruned probe scan reads only the probed cell partitions") {
     val emb = Tables.embeddings(spark, sf)
     val idx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
