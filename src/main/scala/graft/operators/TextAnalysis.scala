@@ -499,9 +499,13 @@ object TextAnalysis {
     * word (map-side partials, no per-key sort: the window form would
     * hash-partition every gram TYPE of a stop-word head onto one
     * reducer for a WindowExec sort — a needless skew cliff at web
-    * scale; a measured localCheckpoint of c2 to share the tokenize
-    * across the two consumers LOST ~2.3 s at sf0.1 — the re-expanded
-    * scan pipelines better than a serial materialization barrier). The
+    * scale). The (doc_id, gram) count table is lazily localCheckpointed:
+    * it feeds THREE consumers (c2, c1 through it, and the scoring join),
+    * and materializing it once replaces two full re-tokenizations of the
+    * corpus (measured: ScaleCheck ×10 11.0 → 8.2 s, BenchOne sf0.1
+    * ~4.3 s; checkpointing the later, thinner c2 instead LOST ~2.3 s —
+    * it only deduplicates one consumer and adds a barrier). Cluster
+    * twin: write the per-doc gram counts to a temp table. The
     * scoring join is gram-keyed vocabulary⋈per-doc-counts; hot grams
     * ("of the") skew the probe side, but the build side is one row per
     * gram so AQE's skew-join split handles it (the build row replicates
@@ -515,6 +519,7 @@ object TextAnalysis {
         explode(wordGrams(wordArray(col("text")), 2)).as("gram"))
     val dgc = bigrams.groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("k"))
+      .localCheckpoint(false)
     val c2 = dgc.groupBy(col("gram")).agg(sum(col("k")).as("c2"))
       .withColumn("h", substring_index(col("gram"), " ", 1))
     val c1 = c2.groupBy(col("h")).agg(sum(col("c2")).as("c1"))
