@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Envelope
-import graft.operators.{Analytics, Assembly, Clustering, Curation, Dedup,
-  Multimodal, Route, Router, Sessionize, Similarity, Transforms, TextAnalysis}
+import graft.operators.{Analytics, Assembly, Behavior, Clustering, Curation,
+  Dedup, Multimodal, Route, Router, Sessionize, Similarity, Transforms,
+  TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -900,6 +901,22 @@ object SparkEntry {
     // over a broadcast equi-join
     "q_brand_revenue" -> ((s, dir) =>
       Analytics.brandRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+
+    // ordered first-touch funnel: per stage a filtered scan + user-keyed
+    // agg + shrinking user-frontier join (no per-user event sorting)
+    "q_funnel" -> ((s, dir) =>
+      Behavior.funnel(Tables.events(s, dir))),
+
+    // cohort retention triangle on the integer day lattice — one distinct
+    // (user, day) set reused for cohort assignment and activity cells
+    "q_cohort_retention" -> ((s, dir) =>
+      Behavior.cohortRetention(Tables.events(s, dir))),
+
+    // robust anomaly audit: lower-median + MAD per event_type on the exact
+    // cents lattice (histogram-walk medians — value-lattice windows, never
+    // a corpus sort), outliers at |v − med| > 3·MAD
+    "q_anomaly_mad" -> ((s, dir) =>
+      Behavior.madOutliers(Tables.events(s, dir))),
 
     // ntile + percent_rank window pass, partitioned by nation (a global
     // ntile would single-task; partitioned quantiles scale)
@@ -2004,6 +2021,81 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // first-touch funnel: each stage anchors at the earliest qualifying
+    // event; integer permillage conversion vs stage 1
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        |  GROUP BY 1),
+        |st AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage,
+        |         (SELECT count(*) FROM s1) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT stage_idx, stage, users,
+        |       CASE WHEN (SELECT users FROM st WHERE stage_idx = 1) = 0
+        |            THEN 0
+        |            ELSE (users * 1000)
+        |                 // (SELECT users FROM st WHERE stage_idx = 1)
+        |       END AS conv_milli
+        |FROM st ORDER BY stage_idx""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us
+        |  FROM events),
+        |c AS (SELECT user_id, min(day_us) AS cohort_us FROM ud GROUP BY 1)
+        |SELECT c.cohort_us,
+        |       (ud.day_us - c.cohort_us) // 86400000000 AS offset_days,
+        |       count(*) AS active_users
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_us, offset_days""".stripMargin,
+
+    // lower-median + MAD on the exact cents lattice via the same
+    // histogram-walk definition (smallest value whose cumulative count
+    // reaches ceil(n/2)); outliers at d > 3·MAD
+    "q_anomaly_mad" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |h1 AS (
+        |  SELECT event_type, cents, count(*) AS cnt
+        |  FROM base GROUP BY 1, 2),
+        |m1 AS (
+        |  SELECT event_type, min(cents) AS med_cents FROM (
+        |    SELECT event_type, cents,
+        |           sum(cnt) OVER (PARTITION BY event_type
+        |                          ORDER BY cents) AS cum,
+        |           sum(cnt) OVER (PARTITION BY event_type) AS n
+        |    FROM h1) WHERE cum * 2 >= n GROUP BY 1),
+        |dev AS (
+        |  SELECT base.event_type, abs(cents - med_cents) AS d
+        |  FROM base JOIN m1 USING (event_type)),
+        |h2 AS (SELECT event_type, d, count(*) AS cnt FROM dev GROUP BY 1, 2),
+        |m2 AS (
+        |  SELECT event_type, min(d) AS mad_cents FROM (
+        |    SELECT event_type, d,
+        |           sum(cnt) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+        |           sum(cnt) OVER (PARTITION BY event_type) AS n
+        |    FROM h2) WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT dev.event_type, count(*) AS n, m1.med_cents, m2.mad_cents,
+        |       CAST(sum(CASE WHEN d > mad_cents * 3 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers,
+        |       max(d) AS max_abs_dev
+        |FROM dev JOIN m1 USING (event_type) JOIN m2 USING (event_type)
+        |GROUP BY 1, 3, 4 ORDER BY event_type""".stripMargin,
 
     "q_ohlc" ->
       """WITH t AS (

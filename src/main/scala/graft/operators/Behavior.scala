@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over the event stream — the product-analytics
+  * queries (funnel conversion, cohort retention, robust anomaly flags) a
+  * TimescaleDB deployment of the reference would run downstream of the
+  * landed `iot_data`/`iot_raw` tables (SURVEY.md §2C scope: documented
+  * analytical surface over engine output; the reference itself has no
+  * engine-side aggregation, §2D).
+  *
+  * All three operators are integer-exact end to end (epoch microseconds,
+  * cents lattices, integer division), so the DuckDB oracle hash-matches
+  * regardless of partitioning.
+  */
+object Behavior {
+
+  /** Ordered multi-stage funnel: how many users performed stage 1, then
+    * stage 2 STRICTLY AFTER their first stage-1 event, then stage 3
+    * strictly after that first qualifying stage-2 event, and so on
+    * ("first-touch" funnel semantics — each stage anchors at the EARLIEST
+    * qualifying event, which is deterministic and order-free, unlike
+    * "any-touch" variants that need per-user event scans).
+    *
+    * Output: one row per stage — `(stage_idx, stage, users, conv_milli)`
+    * where `conv_milli` = users·1000 div stage-1 users (integer
+    * permillage; 1000 for stage 1 itself; 0-user funnels report 0).
+    *
+    * 100 TB shape: per stage one filtered scan of events (filter is
+    * pushed to the parquet scan — only that stage's rows survive) + one
+    * user-keyed partial aggregate, then a user-keyed join against the
+    * previous stage's (user, ts) table — which only ever SHRINKS down the
+    * funnel. No windows over raw events, no per-user event sorting; every
+    * shuffle carries (user_id, long) pairs. The per-stage frontier tables
+    * are user-cardinality-sized, so at 1000 executors they co-partition
+    * with the event scan's user hashing and the joins never touch a
+    * corpus-sized side twice.
+    */
+  def funnel(
+      events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val tsUs = unix_micros(col("ts"))
+    // stage 1: first event of the stage type per user
+    var frontier = events
+      .filter(col("event_type") === stages.head)
+      .groupBy(col("user_id"))
+      .agg(min(tsUs).as("t"))
+    var frontiers = Vector(frontier)
+    for (stage <- stages.tail) {
+      // first stage-k event strictly after the user's stage-(k-1) anchor
+      frontier = events
+        .filter(col("event_type") === stage)
+        .select(col("user_id"), tsUs.as("ts_us"))
+        .join(frontier, "user_id")
+        .filter(col("ts_us") > col("t"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("t"))
+      frontiers = frontiers :+ frontier
+    }
+    // one 1-row aggregate per stage, unioned into the (#stages)-row report;
+    // stays a single lazy plan — no driver-side counting while building
+    val perStage = frontiers.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage_idx"), lit(stages(i)).as("stage"),
+          col("users"))
+    }.reduce(_.unionAll(_))
+    val base = Window.orderBy(col("stage_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perStage
+      .withColumn("base", first(col("users")).over(base))
+      .withColumn("conv_milli",
+        when(col("base") === 0L, 0L)
+          .otherwise(expr("users * 1000 div base")))
+      .drop("base")
+      .orderBy(col("stage_idx"))
+  }
+
+  /** Cohort retention matrix: users are grouped by the DAY of their first
+    * event (the cohort); for every later day a user was active, the
+    * (cohort, day-offset) cell counts them once. The classic retention
+    * triangle, on an integer day lattice.
+    *
+    * Output: `(cohort_us, offset_days, active_users)` — cohort day as
+    * epoch micros, offset in whole days (0 = the cohort day itself).
+    *
+    * 100 TB shape: one scan into a distinct (user, day) set (user-keyed
+    * shuffle of 16-byte pairs), a user-keyed min for the cohort day
+    * (reuses the same hashing), a user join of two user-cardinality
+    * tables, and a final (cohort, offset) partial aggregate whose output
+    * is at most days² rows. Event payloads never shuffle.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val dayUs = unix_micros(date_trunc("day", col("ts")))
+    val userDays = events
+      .select(col("user_id"), dayUs.as("day_us"))
+      .distinct()
+    val cohorts = userDays
+      .groupBy(col("user_id"))
+      .agg(min(col("day_us")).as("cohort_us"))
+    userDays
+      .join(cohorts, "user_id")
+      .select(
+        col("cohort_us"),
+        ((col("day_us") - col("cohort_us")) / lit(86400000000L))
+          .cast("long").as("offset_days"))
+      .groupBy(col("cohort_us"), col("offset_days"))
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy(col("cohort_us"), col("offset_days"))
+  }
+
+  /** Lower median on an integer lattice, computed the scalable way: a
+    * per-(key, value) histogram, a cumulative window over the DISTINCT
+    * value lattice (value-cardinality-sized — corpus-size-independent,
+    * unlike a per-row row_number sort), and the smallest value whose
+    * cumulative count reaches ceil(n/2). Integer and engine-portable:
+    * DuckDB replays the same histogram walk.
+    */
+  private def lowerMedian(
+      df: DataFrame, key: String, value: String): DataFrame = {
+    val cum = Window.partitionBy(col(key)).orderBy(col(value))
+    val tot = Window.partitionBy(col(key))
+    df.groupBy(col(key), col(value))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(tot))
+      // cum ≥ ceil(n/2)  ⟺  2·cum ≥ n (integers): rank-⌈n/2⌉ element,
+      // the lower of the two middles on even counts
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy(col(key))
+      .agg(min(col(value)).as("med"))
+  }
+
+  /** Robust per-type anomaly audit: median + MAD (median absolute
+    * deviation) of `value` per event_type on an exact cents lattice, and
+    * the count of events deviating more than `k`·MAD from the median —
+    * the standard outlier rule that a handful of broken sensors cannot
+    * drag (unlike mean/stddev). Medians are LOWER medians (the element at
+    * rank ceil(n/2)), which keeps everything integer and cross-engine
+    * exact — no interpolation, no float boundary.
+    *
+    * Output: `(event_type, n, med_cents, mad_cents, n_outliers,
+    * max_abs_dev)`.
+    *
+    * 100 TB shape: both median passes run on (type, value)-histogram
+    * tables — the cumulative windows sort the value LATTICE (bounded by
+    * the value domain), never the corpus. The median/MAD tables are
+    * type-cardinality-sized and broadcast back; the flag pass is one
+    * map-side-combined aggregate. Three corpus scans total (histogram,
+    * deviation histogram, flags), each narrow before its partial agg. At
+    * web scale swap the exact lattice for `approx_percentile` in the same
+    * plan shape when the value domain is unbounded floats.
+    */
+  def madOutliers(events: DataFrame, k: Int = 3): DataFrame = {
+    val cents = col("value").cast("decimal(18,2)")
+      .multiply(lit(100)).cast("long")
+    val base = events.select(col("event_type"), cents.as("cents"))
+    val med = lowerMedian(base, "event_type", "cents")
+      .withColumnRenamed("med", "med_cents")
+    val dev = base
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"),
+        abs(col("cents") - col("med_cents")).as("d"))
+    val mad = lowerMedian(dev, "event_type", "d")
+      .withColumnRenamed("med", "mad_cents")
+    dev
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("d") > col("mad_cents") * k, 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("d")).as("max_abs_dev"))
+      .join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("n"), col("med_cents"),
+        col("mad_cents"), col("n_outliers"), col("max_abs_dev"))
+      .orderBy(col("event_type"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Behavior
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long, Double)*) =
+    rows.toDF("user_id", "event_type", "us", "value")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("value"))
+
+  test("funnel: stages must occur in strict temporal order per user") {
+    // u1 completes view→click→purchase in order; u2 clicks BEFORE its
+    // first view (click must not count); u3 views only; u4 has a
+    // purchase with no prior click (must not reach stage 3)
+    val events = ev(
+      (1L, "view", 100L, 0), (1L, "click", 200L, 0), (1L, "purchase", 300L, 0),
+      (2L, "click", 100L, 0), (2L, "view", 200L, 0),
+      (3L, "view", 100L, 0),
+      (4L, "view", 100L, 0), (4L, "purchase", 200L, 0))
+    val r = Behavior.funnel(events).collect()
+    assert(r.map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq ===
+      Seq((1, "view", 4L), (2, "click", 1L), (3, "purchase", 1L)))
+    // conv_milli: 1000, 250, 250
+    assert(r.map(_.getLong(3)).toSeq === Seq(1000L, 250L, 250L))
+  }
+
+  test("funnel: same-timestamp events do not chain (strictly after)") {
+    val events = ev(
+      (1L, "view", 100L, 0), (1L, "click", 100L, 0),
+      (2L, "view", 100L, 0), (2L, "click", 101L, 0))
+    val users = Behavior.funnel(events, Seq("view", "click"))
+      .collect().map(_.getLong(2)).toSeq
+    assert(users === Seq(2L, 1L))
+  }
+
+  test("cohortRetention: offsets count distinct active days from first day") {
+    val d = 86400000000L
+    val events = ev(
+      (1L, "view", 0L, 0), (1L, "view", d + 5L, 0), (1L, "click", 3 * d, 0),
+      (2L, "view", d, 0), (2L, "view", d + 10L, 0), // same day twice
+      (3L, "view", d, 0), (3L, "view", 2 * d, 0))
+    val r = Behavior.cohortRetention(events)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r === Seq(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (d, 0L, 2L), (d, 1L, 1L)))
+  }
+
+  test("madOutliers: lower median, MAD, and 3-MAD flags on the cents lattice") {
+    // values 1.00 x5, 2.00 x4, 100.00 x1 → n=10, lower median = 1.00
+    // (rank 5 of 10), deviations: 0 x5, 100 x4, 9900 x1 → MAD = 0 at
+    // rank 5 → every d > 0 is an outlier (5 of them)
+    val events = ev(
+      (Seq.fill(5)(1.0) ++ Seq.fill(4)(2.0) ++ Seq(100.0))
+        .zipWithIndex.map { case (v, i) => (i.toLong, "a", i * 10L, v) }: _*)
+    val r = Behavior.madOutliers(events).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "a")
+    assert(row.getLong(1) === 10L)        // n
+    assert(row.getLong(2) === 100L)       // med_cents = 1.00
+    assert(row.getLong(3) === 0L)         // mad_cents
+    assert(row.getLong(4) === 5L)         // n_outliers (d > 0)
+    assert(row.getLong(5) === 9900L)      // max_abs_dev
+  }
+
+  test("madOutliers: odd count takes the exact middle, outliers respect k·MAD") {
+    // cents 100,200,300,400,500 → med=300; d = 200,100,0,100,200 → MAD=100
+    // k=3 ⇒ outlier iff d > 300: none
+    val events = ev((1 to 5).map(i =>
+      (i.toLong, "t", i * 10L, i.toDouble)): _*)
+    val row = Behavior.madOutliers(events).collect().head
+    assert(row.getLong(2) === 300L)
+    assert(row.getLong(3) === 100L)
+    assert(row.getLong(4) === 0L)
+  }
+}
