@@ -456,6 +456,17 @@ object SparkEntry {
       TextAnalysis.distinctiveTerms(Tables.documents(s, dir), k = 3)
         .orderBy(col("doc_id"), col("token"))),
 
+    // integer-lattice Flesch readability: pure regexp counts, one scan,
+    // zero shuffle; every division a floor `div` so both engines agree
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir))),
+
+    // cross-doc duplicated-n-gram share per doc (inverted-posting shape:
+    // only (gram hash, doc_id) pairs shuffle) — the corpus-common-text
+    // signal pairwise Jaccard dedup misses
+    "text_dup_gram_fraction" -> ((s, dir) =>
+      TextAnalysis.dupGramFraction(Tables.documents(s, dir))),
+
     // ---- north-star: dedup ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir))
@@ -3678,6 +3689,56 @@ object SparkEntry {
         |       CASE WHEN COALESCE(n_bigrams, 0) > 0
         |            THEN lm_mass // n_bigrams ELSE 0 END AS lm_avg
         |FROM documents LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same permille/floor-division lattice as the Spark plan; alias reuse
+    // avoided via CTEs for dialect safety
+    "text_readability" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents),
+        |g AS (
+        |  SELECT *,
+        |         (n_words * 1000) // greatest(1, n_sents) AS wps_milli,
+        |         (n_syllables * 1000) // greatest(1, n_words) AS spw_milli
+        |  FROM f)
+        |SELECT doc_id, n_words, n_sents, n_syllables, wps_milli, spw_milli,
+        |       206835 - (1015 * wps_milli) // 1000
+        |              - (84600 * spw_milli) // 1000 AS fre_milli
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // string 5-grams stand for the Spark side's 64-bit gram hashes (the
+    // repo-standard trade: counts agree absent a 64-bit collision);
+    // LEFT JOIN back to documents keeps zero-gram docs in the audit
+    "text_dup_gram_fraction" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(ws) - 3),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |                ws[i+3] || ' ' || ws[i+4])) AS grams
+        |  FROM w WHERE len(ws) >= 5),
+        |p AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |dfreq AS (SELECT gram, count(*) AS df FROM p GROUP BY 1),
+        |agg AS (
+        |  SELECT p.doc_id, count(*) AS n_grams,
+        |         CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_dup_grams
+        |  FROM p JOIN dfreq USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       COALESCE(n_grams, 0) AS n_grams,
+        |       COALESCE(n_dup_grams, 0) AS n_dup_grams,
+        |       (COALESCE(n_dup_grams, 0) * 1000)
+        |         // greatest(1, COALESCE(n_grams, 0)) AS dup_milli
+        |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // same integer idf lattice; df from the matched postings, N scalar,

@@ -712,4 +712,80 @@ object TextAnalysis {
         col("n_oov"), col("oov_rate"))
       .orderBy(col("doc_id"))
   }
+
+  /** Readability scoring on an integer lattice — Flesch reading-ease with
+    * the standard automated approximations (sentences = terminal
+    * punctuation runs are NOT counted; each '.', '!' or '?' counts;
+    * syllables = vowel-group runs), every division an integer `div` so the
+    * score is bit-reproducible cross-engine (no float formula boundary).
+    *
+    * Per doc: word count, sentence-terminator count, vowel-group count,
+    * words-per-sentence and syllables-per-word in permille, and
+    * `fre_milli` = 1000× the Flesch formula
+    * (206.835 − 1.015·wps − 84.6·spw) evaluated on the permille lattice
+    * with floor division at each step. A deterministic proxy, not a
+    * linguistic truth — the point is a CHEAP columnar difficulty signal
+    * for curriculum ordering ([[graft.operators.Assembly.curriculumOrder]])
+    * and quality banding.
+    *
+    * 100 TB shape: pure regexp counting expressions in one scan, zero
+    * shuffle — the same must-touch-every-byte-but-IO-bound posture as
+    * [[graft.operators.Pii]]. Patterns are Java∩RE2 so the oracle runs
+    * them verbatim.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val nWords = countMatches(col("text"), "\\S+").cast("long")
+    val nSents = countMatches(col("text"), "[.!?]").cast("long")
+    val nSyll = countMatches(lower(col("text")), "[aeiouy]+").cast("long")
+    docs
+      .select(col("doc_id"), nWords.as("n_words"), nSents.as("n_sents"),
+        nSyll.as("n_syllables"))
+      .withColumn("wps_milli",
+        expr("(n_words * 1000) div greatest(1L, n_sents)"))
+      .withColumn("spw_milli",
+        expr("(n_syllables * 1000) div greatest(1L, n_words)"))
+      .withColumn("fre_milli",
+        expr("206835 - (1015 * wps_milli) div 1000" +
+          " - (84600 * spw_milli) div 1000"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-document duplicated-n-gram fraction (the RefinedWeb/C4-family
+    * REPORT twin of [[graft.operators.Dedup.spanDedup]]'s apply side): for
+    * every doc, the share of its DISTINCT word n-grams that occur in at
+    * least `minDf` documents. High fraction = the doc is largely assembled
+    * from corpus-common text (mirror, template, boilerplate) even when no
+    * single doc pair crosses a Jaccard threshold — which is exactly the
+    * signal pairwise dedup misses.
+    *
+    * 100 TB shape: the inverted-posting shape — ONE tokenization pass
+    * (codegen'd [[gramHashes]], distinct per doc), a gram-keyed
+    * document-frequency aggregate with map-side partials, a gram-keyed
+    * join back to the postings, and a doc-keyed count rollup; only
+    * (8-byte gram hash, doc_id) pairs ever shuffle, text never leaves the
+    * scan. Total audit: zero-gram docs keep a row via the outer explode.
+    */
+  def dupGramFraction(
+      docs: DataFrame,
+      n: Int = 5,
+      minDf: Int = 2): DataFrame = {
+    val postings = docs
+      .withColumn("grams",
+        coalesce(array_distinct(gramHashes(col("text"), n)),
+          array().cast("array<long>")))
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+    val df = postings
+      .filter(col("gram").isNotNull)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+    postings
+      .join(df, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("gram")).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_milli",
+        expr("(n_dup_grams * 1000) div greatest(1L, n_grams)"))
+      .orderBy(col("doc_id"))
+  }
 }

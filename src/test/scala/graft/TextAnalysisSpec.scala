@@ -263,4 +263,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(twin.sorted.toSeq === rows.sorted.toSeq,
       "score must not depend on partition layout")
   }
+
+  test("readability: exact integer counts and permille formula") {
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"),       // 5 words, 2 sents, 5 vowel groups
+      (2L, ""),                            // degenerate: all guards to 1
+      (3L, "xz"))                          // 1 word, 0 sents, 0 syllables
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val byId = r.map(x => x._1 -> x).toMap
+    assert(byId(1L) === ((1L, 5L, 2L, 5L, 2500L, 1000L,
+      // 206835 - 1015*2500/1000 - 84600*1000/1000
+      206835L - (1015L * 2500L) / 1000L - 84600L)))
+    assert(byId(2L) === ((2L, 0L, 0L, 0L, 0L, 0L, 206835L)))
+    assert(byId(3L) === ((3L, 1L, 0L, 0L, 1000L, 0L,
+      206835L - (1015L * 1000L) / 1000L)))
+  }
+
+  test("dupGramFraction: shared 5-grams counted, uniques not, total audit") {
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"$shared zeta"),     // grams: shared(1..2): 2 grams, both... see below
+      (2L, s"$shared eta"),
+      (3L, "one two three four five six"),
+      (4L, "short doc"))          // < 5 words: zero grams, stays in output
+      .toDF("doc_id", "text")
+    // doc1 grams: [alpha..epsilon], [beta..zeta]; doc2: [alpha..epsilon],
+    // [beta..eta] -> the first gram is shared (df=2), second unique each
+    val r = TextAnalysis.dupGramFraction(docs)
+      .as[(Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) === ((1L, 2L, 1L, 500L)))
+    assert(r(2L) === ((2L, 2L, 1L, 500L)))
+    assert(r(3L) === ((3L, 2L, 0L, 0L)))
+    assert(r(4L) === ((4L, 0L, 0L, 0L)))
+  }
 }
