@@ -637,6 +637,20 @@ object SparkEntry {
         redistributeDangling = true)
     }),
 
+    // triangle census over the part co-purchase graph (parts sharing an
+    // order): degree-oriented wedge counting — O(√m) out-degree bound
+    // kills the last-reducer hub problem; all equi-joins, exact integers
+    "graph_triangles" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.operators.Graph.triangleStats(pairs)
+    }),
+
     // stateful-shape analytics: gap-based sessionization (batch twin of
     // the flatMapGroupsWithState streaming operator)
     "q_sessionize" -> ((s, dir) =>
@@ -2621,6 +2635,39 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
         |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // degree-oriented triangle counting replayed with plain joins; row
+    // comparisons (a,b) < (c,d) mirror Spark's struct comparison
+    "graph_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+        |              THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+        |              THEN e.v ELSE e.u END AS dst,
+        |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+        |              THEN dv.deg ELSE du.deg END AS ddst
+        |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |w AS (
+        |  SELECT o1.dst AS w1, o2.dst AS w2
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |  WHERE (o1.ddst, o1.dst) < (o2.ddst, o2.dst)),
+        |t AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM w JOIN o ON w.w1 = o.src AND w.w2 = o.dst)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM e) AS n_edges,
+        |       (SELECT max(deg) FROM deg) AS max_degree,
+        |       n_triangles
+        |FROM t""".stripMargin,
 
     // same graph derivation; the 10 fixed iterations are UNROLLED as
     // chained CTEs (pr1..pr10) because the recurrence aggregates over the

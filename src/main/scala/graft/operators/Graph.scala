@@ -161,6 +161,72 @@ object Graph {
         coalesce(col("component"), col(nodeCol)).as("component"))
   }
 
+  /** Triangle census of the undirected graph given by `pairs` — the
+    * clustering-coefficient numerator, the standard cohesion/anomaly
+    * signal over derived graphs (co-occurrence graphs, near-dup graphs:
+    * triangle-rich components are genuine communities, triangle-free hubs
+    * are template/boilerplate artifacts).
+    *
+    * Algorithm: DEGREE ORIENTATION (the shuffle-native standard, e.g.
+    * Suri & Vassilvitskii WWW'11 "Counting triangles and the curse of the
+    * last reducer"): orient every edge from its lower-(degree, id)
+    * endpoint to the higher; count wedges at each source and close them
+    * against the oriented edge set. Each triangle {a,b,c}, ranked
+    * a < b < c by (degree, id), is counted exactly once — as the wedge
+    * (b, c) at a closed by the oriented edge b→c.
+    *
+    * Why orientation matters at scale: out-degree under degree
+    * orientation is O(√m) for ANY graph, so the wedge join's per-key
+    * fan-out — the "last reducer" that kills naive per-node wedge
+    * counting on a power-law hub — is bounded; the wedge and closure
+    * steps are plain equi-joins shuffling (node, node, long) rows only.
+    *
+    * Returns one summary row `(n_nodes, n_edges, max_degree,
+    * n_triangles)` — all exact integers.
+    */
+  def triangleStats(
+      pairs: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = pairs
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+      .localCheckpoint(true) // consumed by degrees + both sides below
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+    // rank = (degree, id) lexicographic — a total order (ids unique)
+    val lt = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(lt, col("u")).otherwise(col("v")).as("src"),
+        when(lt, col("v")).otherwise(col("u")).as("dst"),
+        when(lt, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint(true) // wedge build reads it twice, closure once
+    val wedges = oriented
+      .select(col("src"), col("dst").as("w1"), col("ddst").as("d1"))
+      .join(oriented.select(col("src"), col("dst").as("w2"),
+        col("ddst").as("d2")), "src")
+      .filter(struct(col("d1"), col("w1")) < struct(col("d2"), col("w2")))
+    val tri = wedges
+      .join(oriented.select(col("src").as("w1"), col("dst").as("w2")),
+        Seq("w1", "w2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      max(col("deg")).as("max_degree"))
+    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("n_triangles"))
+  }
+
   /** Fixed-iteration PageRank with INTEGER mass arithmetic — importance
     * scoring over a derived graph (domain link graph, customer–supplier
     * trade graph, near-dup cluster graph) as a shuffle-native iterative

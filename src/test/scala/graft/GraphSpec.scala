@@ -154,4 +154,38 @@ class GraphSpec extends SparkSpec {
     assert((11L to 14L).forall(l => r1(10L) > r1(l)))
     assert(r1(20L) === 1000000L && r1(21L) === 1000000L)
   }
+
+  test("triangleStats: known shapes — K4, chain, star, duplicate edges") {
+    def stats(pairs: Seq[(Long, Long)]) =
+      Graph.triangleStats(pairs.toDF("src", "dst"))
+        .as[(Long, Long, Long, Long)].collect().head
+    // complete graph on 4 nodes: C(4,3) = 4 triangles, each counted once
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(stats(k4) === ((4L, 6L, 3L, 4L)))
+    // chain has wedges but no closures
+    assert(stats(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === ((4L, 3L, 2L, 0L)))
+    // star: hub degree n-1, zero triangles (the last-reducer shape)
+    assert(stats((2L to 9L).map(8L * 8 -> _)) === ((9L, 8L, 8L, 0L)))
+    // duplicate + reversed + self-loop edges collapse before counting
+    assert(stats(Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L),
+      (2L, 2L))) === ((3L, 3L, 2L, 1L)))
+  }
+
+  test("triangleStats: equals brute-force enumeration on a pseudo-random graph") {
+    // deterministic pseudo-random graph on 40 nodes
+    val edges = (for (a <- 1L to 40L; b <- (a + 1) to 40L
+      if (a * 7919 + b * 104729) % 11 < 2) yield (a, b)).toSeq
+    val adj = edges.toSet
+    def connected(x: Long, y: Long) =
+      adj.contains((x min y, x max y))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = (for {
+      i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+      if connected(i, j) && connected(j, k) && connected(i, k)
+    } yield 1).size
+    val got = Graph.triangleStats(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got._2 === edges.size.toLong)
+    assert(got._4 === brute.toLong)
+  }
 }
