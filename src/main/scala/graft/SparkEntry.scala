@@ -908,6 +908,19 @@ object SparkEntry {
     "embedding_kmeans" -> ((s, dir) =>
       Clustering.kmeansSummary(s, Tables.embeddings(s, dir))),
 
+    // leave-one-out kNN majority-vote label audit over a pinned probe
+    // sample: exact integer L2 on the quantization lattice, (dist,
+    // vec_id) and (votes desc, label) tie-breaks make neighbor sets and
+    // votes replayable — "are labels consistent with embedding space"
+    "embedding_knn_label" -> ((s, dir) =>
+      Similarity.knnLabelAudit(Tables.embeddings(s, dir))),
+
+    // cluster-coverage diversity sample: equal per-cell quotas from the
+    // replayable Lloyd cells, pinned (md5, id) picks; two-phase bounded
+    // heap before the quota window (capPerSource's scale shape)
+    "curation_diverse_sample" -> ((s, dir) =>
+      Clustering.diverseSample(Tables.embeddings(s, dir))),
+
     // OHLC candlestick downsampling (TimescaleDB first/last parity):
     // one agg pass, struct-argmin open / struct-argmax close
     "q_ohlc" -> ((s, dir) =>
@@ -2374,6 +2387,76 @@ object SparkEntry {
          |                          ORDER BY n DESC, label) = 1 AS is_majority
          |FROM counts
          |ORDER BY cluster, label""".stripMargin
+    },
+
+    // identical quantization lattice + md5-pinned probe sample; neighbor
+    // sets by (dist, vec_id), votes by (count desc, label) — replayable
+    "embedding_knn_label" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT vec_id AS probe_id, label AS true_label, q AS pq FROM (
+        |    SELECT *, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM q) WHERE rn <= 200),
+        |d AS (
+        |  SELECT pr.probe_id, pr.true_label, q.vec_id, q.label,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (q.q[i] - pr.pq[i]) * (q.q[i] - pr.pq[i]))) AS dist
+        |  FROM q JOIN pr ON q.vec_id <> pr.probe_id),
+        |tk AS (
+        |  SELECT probe_id, true_label, label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY probe_id
+        |                                 ORDER BY dist, vec_id) AS rn
+        |    FROM d) WHERE rn <= 5),
+        |v AS (
+        |  SELECT probe_id, true_label, label, count(*) AS n_votes
+        |  FROM tk GROUP BY 1, 2, 3)
+        |SELECT probe_id, true_label, label AS predicted_label, n_votes,
+        |       label = true_label AS correct
+        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |                                   ORDER BY n_votes DESC, label) AS vr
+        |      FROM v) WHERE vr = 1
+        |ORDER BY probe_id""".stripMargin,
+
+    // Lloyd replay + per-cell pinned (md5, id) quota picks
+    "curation_diverse_sample" -> {
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+         |p AS (SELECT vec_id, d, q[d] AS v FROM q CROSS JOIN dims),
+         |seeds AS (
+         |  SELECT q, row_number() OVER (
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+         |  FROM q),
+         |c0 AS (
+         |  SELECT s.j, dims.d, s.q[dims.d] AS c
+         |  FROM seeds s CROSS JOIN dims WHERE s.j < 8),
+         |${lloydRoundSql(1)},
+         |${lloydRoundSql(2)},
+         |${lloydRoundSql(3)},
+         |fd AS (
+         |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+         |  FROM p JOIN c3 c USING (d) GROUP BY 1, 2),
+         |fa AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, j AS cluster,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY dist, j) AS rn
+         |    FROM fd) WHERE rn = 1)
+         |SELECT vec_id, CAST(cluster AS INT) AS cluster, pick_rank
+         |FROM (SELECT vec_id, cluster,
+         |             CAST(row_number() OVER (PARTITION BY cluster
+         |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+         |               AS BIGINT) AS pick_rank
+         |      FROM fa) WHERE pick_rank <= 10
+         |ORDER BY cluster, pick_rank""".stripMargin
     },
 
     // full integer-exact SemDeDup replay: the kmeans rounds above, the

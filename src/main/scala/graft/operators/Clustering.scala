@@ -303,6 +303,58 @@ object Clustering {
       .orderBy("cluster")
   }
 
+  /** Cluster-coverage diversity sample: `perCell` vectors from EVERY
+    * learned Lloyd cell, picked by the repo-standard pinned hash order
+    * (smallest (md5(vec_id), vec_id) within the cell). Uniform hash
+    * sampling over-represents dense regions; equal per-cell quotas keep
+    * the sparse corners of the embedding space in the sample — the
+    * coverage-preserving subset used for eval sets, human-review panels
+    * and seed corpora. Deterministic end to end, so the DuckDB oracle
+    * replays the identical picks.
+    *
+    * 100 TB shape: k-means is the bounded Lloyd loop; selection is
+    * TWO-PHASE like [[Curation.capPerSource]] — phase 1 keeps each
+    * partition's `perCell` smallest (hash, id) per cell in a bounded
+    * in-memory heap (narrow map, no shuffle, provably lossless: a row
+    * outside its partition's local smallest-N cannot be in the global
+    * smallest-N), so the final window sorts at most
+    * perCell × partitions × k rows — never a corpus-sized cell.
+    */
+  def diverseSample(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 3,
+      perCell: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val assigned = kmeansAssign(embeddings, k, iters)
+      .select(col("vec_id").cast("long"), col("cluster"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+    // phase 1: bounded per-partition heap (worst kept pick at the head)
+    val local = assigned.as[(Long, Int, String)].mapPartitions { it =>
+      val ord = Ordering.Tuple2(Ordering.String, Ordering.Long)
+      val heaps = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.PriorityQueue[(String, Long)]]
+      it.foreach { case (id, c, h) =>
+        val q = heaps.getOrElseUpdate(c,
+          scala.collection.mutable.PriorityQueue.empty(ord))
+        if (q.size < perCell) q.enqueue((h, id))
+        else if (ord.lt((h, id), q.head)) { q.dequeue(); q.enqueue((h, id)) }
+      }
+      heaps.iterator.flatMap { case (c, q) =>
+        q.iterator.map { case (h, id) => (id, c, h) }
+      }
+    }.toDF("vec_id", "cluster", "h")
+    // phase 2: exact quota over the bounded survivor set
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("h"), col("vec_id"))
+    local
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= perCell)
+      .select(col("vec_id"), col("cluster"), col("pick_rank"))
+      .orderBy(col("cluster"), col("pick_rank"))
+  }
+
   /** Train + assign in one call, returning both the final quantized
     * centroids (for consumers that need the model itself — e.g. the
     * deterministic IVF build, or a streaming assignment against pinned

@@ -903,4 +903,69 @@ object Similarity {
         col("mean_sq_norm") - col("centroid_norm") * col("centroid_norm"))
       .orderBy(col("label"))
   }
+
+  // ------------------------------------------------- kNN label audit
+
+  /** Leave-one-out kNN majority-vote label audit: for a deterministic
+    * md5-selected probe sample, predict each probe's label from its `k`
+    * nearest OTHER vectors (exact integer squared-L2 on the
+    * [[Clustering]] quantization lattice, ties → lowest vec_id; vote
+    * ties → lowest label) and report prediction vs truth — the standard
+    * "are my labels consistent with my embedding space" check before
+    * trusting either for stratification, classifier training, or
+    * semantic dedup. Majority-label disagreement concentrated in one
+    * label = mislabeled slice or encoder blind spot.
+    *
+    * Everything is integer/lexicographic, so the DuckDB oracle replays
+    * the identical neighbor sets and votes — hash-exact.
+    *
+    * 100 TB shape: the audit is SAMPLE-BOUNDED by design — `nProbes`
+    * probes broadcast against one corpus scan (the [[bruteForceTopK]]
+    * posture), so cost is O(nProbes × corpus) narrow work + one
+    * probe-keyed top-k. Corpus-wide labeling (not an audit) swaps the
+    * scan for IVF probe cells ([[ivfQuery]]) — same vote logic over
+    * nprobe cells per query.
+    */
+  def knnLabelAudit(
+      embeddings: DataFrame,
+      k: Int = 5,
+      nProbes: Int = 200): DataFrame = {
+    val q = embeddings.select(
+      col("vec_id"), col("label"),
+      transform(
+        col("embedding"),
+        x => round((x.cast("double") + lit(Clustering.Shift))
+          * lit(Clustering.Scale)).cast("long")).as("q"))
+    // repo-standard pinned sample: smallest (md5(vec_id), vec_id) —
+    // TakeOrderedAndProject, per-partition heaps, no global sort
+    val probes = q
+      .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+        col("q").as("pq"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("probe_id"))
+      .limit(nProbes)
+      .drop("h")
+    val scored = q
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("true_label"), col("vec_id"),
+        col("label"),
+        graft.functions.VectorOps.vec_l2sq_long(col("q"), col("pq"))
+          .as("dist"))
+    val wNear = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    val votes = scored
+      .withColumn("rn", row_number().over(wNear))
+      .filter(col("rn") <= k)
+      .groupBy(col("probe_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy(col("probe_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("probe_id"), col("true_label"),
+        col("label").as("predicted_label"), col("n_votes"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy(col("probe_id"))
+  }
 }

@@ -116,4 +116,33 @@ class ClusteringSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(got === expected)
   }
+
+  test("diverseSample: per-cell quota, pinned picks, partition invariance") {
+    val perCell = 5
+    val picks = Clustering.diverseSample(emb, k = 4, iters = 2,
+      perCell = perCell).as[(Long, Int, Long)].collect().toSeq
+    // quotas: at most perCell per cell, ranks contiguous from 1
+    val byCell = picks.groupBy(_._2)
+    byCell.foreach { case (_, rows) =>
+      assert(rows.length <= perCell)
+      assert(rows.map(_._3).sorted === (1L to rows.length.toLong))
+    }
+    // picks equal the single-window definition: smallest (md5(id), id)
+    // within each cell of the same assignment
+    val assigned = Clustering.kmeansAssign(emb, k = 4, iters = 2)
+      .as[(Long, Int)].collect().toSeq
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = assigned.groupBy(_._2).flatMap { case (c, rows) =>
+      rows.map(_._1).sortBy(id => (md5hex(id.toString), id))
+        .take(perCell).zipWithIndex
+        .map { case (id, i) => (id, c, i + 1L) }
+    }.toSet
+    assert(picks.toSet === expected)
+    // the bounded-heap phase must not depend on partition layout
+    val repart = Clustering.diverseSample(emb.repartition(13), k = 4,
+      iters = 2, perCell = perCell).as[(Long, Int, Long)].collect().toSet
+    assert(repart === picks.toSet)
+  }
 }

@@ -311,4 +311,28 @@ class SimilaritySpec extends SparkSpec {
     assert(stats.map(_._1).sum === corpus.count())
     assert(stats.forall(_._2 >= -1e-9), "variance trace must be nonnegative")
   }
+
+  test("knnLabelAudit: separable labels predict perfectly, LOO excludes self") {
+    // two tight label islands far apart: every probe's 3 nearest others
+    // share its label -> all predictions correct with unanimous votes
+    def v(base: Double, i: Int): Seq[Float] =
+      (0 until 64).map(d => (base + (if (d == 0) i * 0.001 else 0.0)).toFloat)
+    val emb = ((1 to 4).map(i => (i.toLong, v(-0.5, i), 0)) ++
+      (5 to 8).map(i => (i.toLong, v(0.5, i), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnLabelAudit(emb, k = 3, nProbes = 8)
+      .as[(Long, Int, Int, Long, Boolean)].collect().toSeq
+    assert(r.length === 8)
+    assert(r.forall(_._5), "all probes must be predicted correctly")
+    assert(r.forall(_._4 === 3L), "votes must be unanimous (k=3)")
+    // LOO: a singleton label is unpredictable — its neighbors all carry
+    // the other label, so the audit must report it wrong
+    val lone = ((1 to 5).map(i => (i.toLong, v(-0.5, i), 0)) :+
+      ((9L, v(-0.5, 9), 7))).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelAudit(lone, k = 3, nProbes = 6)
+      .as[(Long, Int, Int, Long, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(got(9L)._3 === 0 && !got(9L)._5,
+      "singleton label must be mispredicted under leave-one-out")
+  }
 }
