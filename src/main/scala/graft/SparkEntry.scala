@@ -1227,6 +1227,11 @@ object SparkEntry {
     "text_lm_score" -> ((s, dir) =>
       graft.operators.TextAnalysis.lmScore(Tables.documents(s, dir))),
 
+    // CCNet-style per-language LM-score terciles (head/middle/tail):
+    // lattice-cut boundaries over the lmScore histogram, bucket census
+    "curation_ccnet_buckets" -> ((s, dir) =>
+      Curation.ccnetBuckets(Tables.documents(s, dir))),
+
     // conjunctive tf-idf search: all three terms required, integer idf
     // lattice, deterministic (score desc, doc_id) top-20
     "text_search_topk" -> ((s, dir) =>
@@ -3820,6 +3825,58 @@ object SparkEntry {
         |            THEN lm_mass // n_bigrams ELSE 0 END AS lm_avg
         |FROM documents LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // the same LM recurrence, then per-language lattice-cut terciles:
+    // b1/b2 = smallest scores whose cumulative count reaches ceil(n/3)
+    // and ceil(2n/3); bucket is a pure function of (lang, score)
+    "curation_ccnet_buckets" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ws)),
+        |                               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+        |  FROM w WHERE len(ws) >= 2),
+        |dgc AS (SELECT doc_id, gram, count(*) AS k FROM bg GROUP BY 1, 2),
+        |c2 AS (SELECT gram, CAST(sum(k) AS BIGINT) AS c2 FROM dgc GROUP BY 1),
+        |wt AS (
+        |  SELECT gram,
+        |         (c2 * 1000000) // CAST(sum(c2) OVER (
+        |            PARTITION BY split_part(gram, ' ', 1)) AS BIGINT) AS wgt
+        |  FROM c2),
+        |agg AS (
+        |  SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(d.k * wt.wgt) AS BIGINT) AS lm_mass
+        |  FROM dgc d JOIN wt USING (gram) GROUP BY 1),
+        |lm AS (
+        |  SELECT d.doc_id, d.lang,
+        |         CASE WHEN COALESCE(n_bigrams, 0) > 0
+        |              THEN lm_mass // n_bigrams ELSE 0 END AS lm_avg
+        |  FROM documents d LEFT JOIN agg USING (doc_id)),
+        |hist AS (SELECT lang, lm_avg, count(*) AS cnt FROM lm GROUP BY 1, 2),
+        |mk AS (
+        |  SELECT lang, lm_avg,
+        |         sum(cnt) OVER (PARTITION BY lang ORDER BY lm_avg) AS cum,
+        |         sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |bounds AS (
+        |  SELECT lang,
+        |         min(CASE WHEN cum * 3 >= n THEN lm_avg END) AS b1,
+        |         min(CASE WHEN cum * 3 >= n * 2 THEN lm_avg END) AS b2
+        |  FROM mk GROUP BY 1),
+        |bk AS (
+        |  SELECT lm.lang,
+        |         CASE WHEN lm_avg <= b1 THEN 'tail'
+        |              WHEN lm_avg <= b2 THEN 'middle'
+        |              ELSE 'head' END AS bucket,
+        |         lm_avg
+        |  FROM lm JOIN bounds USING (lang))
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |       min(lm_avg) AS min_avg, max(lm_avg) AS max_avg
+        |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
     // same permille/floor-division lattice as the Spark plan; alias reuse
     // avoided via CTEs for dialect safety

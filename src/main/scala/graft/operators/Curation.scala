@@ -325,4 +325,54 @@ object Curation {
       .drop("kth")
       .orderBy(col("doc_id"))
   }
+
+  /** CCNet-style per-language LM-score bucketing (Wenzek et al. 2020):
+    * split each language's documents into head / middle / tail terciles
+    * by the corpus-trained bigram LM score ([[TextAnalysis.lmScore]] —
+    * the perplexity proxy; higher average transition mass = more
+    * LM-typical text). CCNet trains on "head", audits "middle", drops
+    * "tail"; this operator produces that partition plus the per-bucket
+    * census.
+    *
+    * Boundaries are value-lattice cuts: b1 = smallest score whose
+    * cumulative count reaches ⌈n/3⌉, b2 likewise at ⌈2n/3⌉; bucket is a
+    * pure function of (lang, score), so tied scores land together
+    * (bucket sizes deviate from n/3 exactly by ties — deterministic,
+    * documented). Integer end to end — the oracle replays the identical
+    * recurrence and cuts.
+    *
+    * Output: `(lang, bucket, n_docs, min_avg, max_avg)`.
+    *
+    * 100 TB shape: lmScore's one tokenization pass + vocabulary-sized
+    * model; bucketing adds a (lang, score)-histogram aggregate whose
+    * cumulative windows run on the score LATTICE (value-cardinality
+    * rows, corpus-size-independent — [[Behavior.madOutliers]]'s median
+    * shape), a broadcast boundary join, and one (lang, bucket) partial
+    * agg. The doc table never sorts.
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val lm = TextAnalysis.lmScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val hist = lm.groupBy(col("lang"), col("lm_avg"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy(col("lang")).orderBy(col("lm_avg"))
+    val totW = Window.partitionBy(col("lang"))
+    val bounds = hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(totW))
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") * 3 >= col("n"), col("lm_avg"))).as("b1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("lm_avg"))).as("b2"))
+    lm.join(broadcast(bounds), "lang")
+      .withColumn("bucket",
+        when(col("lm_avg") <= col("b1"), "tail")
+          .when(col("lm_avg") <= col("b2"), "middle")
+          .otherwise("head"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("lm_avg")).as("min_avg"),
+        max(col("lm_avg")).as("max_avg"))
+      .orderBy(col("lang"), col("bucket"))
+  }
 }

@@ -355,4 +355,44 @@ class CurationOpsSpec extends SparkSpec {
       assert(out.head.getAs[Double]("jaccard") === 1.0)
     }
   }
+
+  test("ccnetBuckets: buckets partition each language; census is consistent") {
+    val corpus = Tables.documents(spark, sf)
+    val out = Curation.ccnetBuckets(corpus)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // census covers the whole corpus, buckets disjoint by construction
+    assert(out.map(_._3).sum === corpus.count())
+    // per language: score ranges are ordered tail <= middle <= head and
+    // non-overlapping at the boundaries
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byBucket = rows.map(r => r._2 -> (r._4, r._5)).toMap
+      for {
+        (t1, t2) <- Seq("tail" -> "middle", "middle" -> "head")
+        lo <- byBucket.get(t1); hi <- byBucket.get(t2)
+      } assert(lo._2 < hi._1,
+        s"$t1 max ${lo._2} must sit strictly below $t2 min ${hi._1}")
+    }
+  }
+
+  test("ccnetBuckets: tied scores land in one bucket; terciles are exact when distinct") {
+    // 9 docs, one language, distinct scores -> exactly 3/3/3
+    val texts = (1 to 9).map { i =>
+      // build increasingly LM-typical docs: repeat a common bigram i times
+      (i.toLong, ("common pair " * i) + s"unique$i tail$i", "s")
+    }
+    val out = Curation.ccnetBuckets(docs(texts: _*))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(out.values.sum === 9L)
+    if (out.size == 3) {
+      assert(out("tail") >= 3L && out("head") <= 3L,
+        s"lattice cut must put at least a third in tail, at most in head: $out")
+    }
+    // all-identical docs: one score value -> everything is 'tail'
+    val same = (1 to 6).map(i => (i.toLong, "same text every time", "s"))
+    val one = Curation.ccnetBuckets(docs(same: _*))
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(one.map(_._2) === Seq("tail"))
+    assert(one.head._3 === 6L)
+  }
 }
