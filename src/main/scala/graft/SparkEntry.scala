@@ -921,6 +921,28 @@ object SparkEntry {
     "curation_diverse_sample" -> ((s, dir) =>
       Clustering.diverseSample(Tables.embeddings(s, dir))),
 
+    // perceptual-hash media near-dup pairs through the banded-Hamming
+    // engine. The corpus has no exact-dup docs, so duplicate media are
+    // PLANTED deterministically (decade-shared synthetic content on
+    // doc_id % 10 ∈ {6,7} — derived identically by the oracle, the
+    // derivedUrl idiom); stub hashes are md5-derived, so pairs ≡ planted
+    // exact dups at hamming 0 and the whole pipeline hash-checks. The
+    // REAL-pixel dHash branch is spec-verified on generated PNGs
+    // (MultimodalSpec).
+    "multimodal_phash_pairs" -> ((s, dir) => {
+      val media = Tables.documents(s, dir).select(
+        col("doc_id"),
+        lit("media/stub").as("media_type"),
+        when((col("doc_id") % 10).isin(6, 7),
+          concat(lit("shared-"), expr("doc_id div 10").cast("string")))
+          .otherwise(col("text")).as("content_str"))
+        .select(col("doc_id"), col("media_type"),
+          octet_length(col("content_str")).cast("long").as("n_bytes"),
+          col("content_str").cast("binary").as("content"))
+      Multimodal.imageNearDupPairs(media, maxDist = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // OHLC candlestick downsampling (TimescaleDB first/last parity):
     // one agg pass, struct-argmin open / struct-argmax close
     "q_ohlc" -> ((s, dir) =>
@@ -1328,6 +1350,18 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Portable hex→BIGINT: the top `nibbles` hex chars of md5(`e`) decoded
+    * with strpos arithmetic (the classifier/DSIR idiom, extended to a
+    * 60-bit prefix — 15 nibbles keep the sum inside a positive BIGINT in
+    * both engines, matching the Spark stub's `Long.parseLong(hex(0,15),
+    * 16)`).
+    */
+  private def md5PrefixLongSql(e: String, nibbles: Int = 15): String =
+    (1 to nibbles).map { p =>
+      val pow = java.math.BigInteger.valueOf(16L).pow(nibbles - p)
+      s"(strpos('0123456789abcdef', substring(md5($e), $p, 1)) - 1) * $pow"
+    }.mkString("(", "\n           + ", ")")
+
   /** One Lloyd assign+update round as DuckDB CTEs (`d/a/c{t}` from
     * `c{t-1}`), shared by the `embedding_kmeans` and
     * `dedup_semdedup_kmeans` oracle replays. `//` on the non-negative
@@ -2994,6 +3028,27 @@ object SparkEntry {
         |       CAST(u.i * 128 AS BIGINT) AS byte_offset
         |FROM f, LATERAL (SELECT unnest(generate_series(0, f.n_frames - 1)) AS i) u
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // stub phash = 60-bit md5 prefix (strpos hex decode); pairs = brute
+    // force bit_count(xor) <= 3 — the Spark side's banded buckets must
+    // find exactly this set (pigeonhole completeness, hash-verified)
+    "multimodal_phash_pairs" -> {
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 IN (6, 7)
+         |              THEN 'shared-' || CAST(doc_id // 10 AS VARCHAR)
+         |              ELSE text END AS content
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |         ${md5PrefixLongSql("content")} AS ph
+         |  FROM m)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     // boundaries are computed ONCE driver-side (Assembly.splitBoundaries)
     // and compared as hex strings — neither engine does query-time float

@@ -292,13 +292,27 @@ object Dedup {
     * pigeonhole guarantee; d ≥ 4 could place one differing bit per band and
     * silently miss pairs, hence the hard require).
     */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3, salts: Int = 8): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, salts: Int = 8): DataFrame =
+    hammingPairs64(
+      docs.select(col("doc_id"), simhash(col("text")).as("sh")),
+      maxDist, salts)
+
+  /** Banded-Hamming near-dup pairs over ANY 64-bit signature table
+    * `(doc_id, sh)` — the blocking engine behind [[simhashPairs]] and the
+    * multimodal perceptual-hash dedup
+    * ([[Multimodal.imageNearDupPairs]]). Same contract: pairs at Hamming
+    * ≤ maxDist ≤ 3, found via 4×16-bit band buckets (pigeonhole-complete),
+    * emitted exactly once from the first agreeing band, salted against
+    * degenerate bucket skew.
+    */
+  def hammingPairs64(
+      sigs: DataFrame, maxDist: Int = 3, salts: Int = 8): DataFrame = {
     require(maxDist <= 3,
       s"4x16-bit banding guarantees recall only for hamming <= 3, got $maxDist")
     require(salts >= 1, s"salts must be >= 1, got $salts")
     def chunk(sh: Column, b: Int): Column =
       shiftright(sh, b * 16).bitwiseAND(0xffffL)
-    val sh = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val sh = sigs.select(col("doc_id"), col("sh"))
     val banded = sh.select(
       col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(b => chunk(col("sh"), b)): _*))

@@ -103,4 +103,61 @@ class MultimodalSpec extends SparkSpec {
       .select("byte_offset").as[Long].collect()
     assert(offs.forall(_ % 128 === 0))
   }
+
+  /** 64×64 PNG whose gray level at (x, y) is `f(x, y)` (0..255). */
+  private def png(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val g = math.max(0, math.min(255, f(x, y)))
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  private def mediaDf(rows: (Long, Array[Byte])*) =
+    rows.toDF("doc_id", "content")
+      .select(col("doc_id"), lit("image/png").as("media_type"),
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        col("content"))
+
+  test("perceptualHash: REAL pixels — brightness-shift invariant, gradient-reversal maximal") {
+    // dHash encodes only left-right luma ORDER: a uniform brightness
+    // shift preserves every comparison (hamming 0), reversing the
+    // gradient flips every comparison (hamming 64)
+    val base = png((x, _) => x * 3)
+    val brighter = png((x, _) => x * 3 + 40)
+    val reversed = png((x, _) => 189 - x * 3)
+    val hashes = Multimodal.perceptualHash(
+      mediaDf((1L, base), (2L, brighter), (3L, reversed)))
+      .collect().map(h => h.doc_id -> h).toMap
+    assert(hashes.values.forall(_.is_image), "PNGs must decode for real")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L).phash, hashes(2L).phash) === 0)
+    assert(ham(hashes(1L).phash, hashes(3L).phash) === 64)
+  }
+
+  test("imageNearDupPairs: finds the re-encoded twin, not the reversal") {
+    val base = png((x, _) => x * 3)
+    val twin = png((x, _) => x * 3 + 40)
+    val other = png((x, _) => 189 - x * 3)
+    val pairs = Multimodal.imageNearDupPairs(
+      mediaDf((1L, base), (2L, twin), (3L, other)), maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(pairs.head._3 === 0)
+  }
+
+  test("perceptualHash: stub branch equals the 60-bit md5-prefix contract") {
+    val bytes = "not an image".getBytes("UTF-8")
+    val h = Multimodal.perceptualHash(mediaDf((7L, bytes)))
+      .collect().head
+    assert(!h.is_image)
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    assert(h.phash === java.lang.Long.parseLong(hex.substring(0, 15), 16))
+    assert(h.phash >= 0L, "60-bit prefix must stay a positive BIGINT")
+  }
 }
