@@ -317,7 +317,7 @@ object ScaleCheck {
     val bigEv = (0 until mult).map { i =>
       ev.select((col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
         (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
-        col("ts"), col("event_type"))
+        col("ts"), col("event_type"), col("value"))
     }.reduce(_ unionByName _).repartition(64).cache()
     println(s"events: ${bigEv.count()} rows")
     time("interval join click->purchase 30m") {
@@ -327,6 +327,79 @@ object ScaleCheck {
     }
     time(s"sessionize ${mult * 100}k events") {
       force(Sessionize.batchSessions(bigEv))
+    }
+    // funnel: per stage one filtered scan + user-keyed agg + a join
+    // against the SHRINKING user frontier — users grow ×mult, per-user
+    // density constant, expect ~linear
+    time("funnel view>click>purchase") {
+      force(graft.operators.Behavior.funnel(bigEv))
+    }
+    // cohort retention: distinct (user, day) + user-keyed min + join —
+    // all user-scaling shuffles of 16-byte pairs, expect ~linear
+    time("cohort retention (day lattice)") {
+      force(graft.operators.Behavior.cohortRetention(bigEv))
+    }
+    // MAD outliers: the cumulative-median windows run on the (type,
+    // cents) value LATTICE — replication adds corpus mass but not
+    // lattice values, so window cost stays constant; expect scan-bound
+    time("mad outliers (cents lattice)") {
+      force(graft.operators.Behavior.madOutliers(bigEv))
+    }
+    // readability: pure regexp counting, zero shuffle — scan-bound
+    time("readability (1 scan)") {
+      force(TextAnalysis.readability(big))
+    }
+    // dup-gram fraction: postings shape; replicas multiply every gram's
+    // df by ~mult but postings volume (the join + both aggs) is ~linear
+    // in corpus size
+    time("dup-gram fraction (5-grams)") {
+      force(TextAnalysis.dupGramFraction(big))
+    }
+    // ccnet buckets: lmScore (scan + vocab model) + lattice-window cuts —
+    // expect ~lmScore plus epsilon
+    time("ccnet buckets (terciles)") {
+      force(Curation.ccnetBuckets(big))
+    }
+    // kNN label audit: FIXED 200-probe broadcast × growing corpus scan +
+    // probe-keyed top-k — expect ~linear in corpus size
+    time("knn label audit (200 probes)") {
+      force(Similarity.knnLabelAudit(bigEmb))
+    }
+    // diverse sample: lloyd iterations + narrow bounded-heap phase —
+    // expect ~kmeans cost; the quota window sees ≤ perCell×parts×k rows
+    time("diverse sample (8 cells x10)") {
+      force(graft.operators.Clustering.diverseSample(bigEmb))
+    }
+    // perceptual-hash pairs: mapPartitions hash pass + banded join;
+    // replica texts differ (repN suffix) so stub hashes stay spread —
+    // expect ~linear, no bucket blowup
+    time("phash near-dup pairs (banded)") {
+      force(graft.operators.Multimodal.imageNearDupPairs(
+        graft.operators.Multimodal.asMedia(big)))
+    }
+    // triangles: degree-oriented wedge join on the part co-purchase
+    // graph; a 2nd shifted copy of the graph doubles nodes/edges with
+    // identical structure — triangle work should ~double, not square
+    val o = Tables.orders(spark, "/root/testdata/sf0.1")
+      .select(col("o_orderkey"))
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val items = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val basePairs = items.as("a")
+      .join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+      .cache()
+    println(s"co-purchase edges (pre-distinct): ${basePairs.count()}")
+    time("triangles (1x graph)") {
+      force(graft.operators.Graph.triangleStats(basePairs))
+    }
+    time("triangles (2x disjoint graph)") {
+      val shifted = basePairs.select(
+        (col("src") + 10000000L).as("src"), (col("dst") + 10000000L).as("dst"))
+      force(graft.operators.Graph.triangleStats(basePairs.union(shifted)))
     }
 
     spark.stop()
