@@ -604,6 +604,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // duplicate-cluster size histogram over the same near-dup graph as
+    // dedup_clusters — the post-dedup audit (fat tail = template/mirror
+    // content or a loose threshold)
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.7)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.operators.Graph.componentSizeHistogram(docs, "doc_id", pairs)
+    }),
+
+    // synchronous min-tie label-propagation communities over the sliced
+    // part co-purchase graph (5 fixed rounds, deterministic — the
+    // "densely connected" complement to reachability components)
+    "graph_communities" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.operators.Graph.labelPropagation(pairs, iterations = 5)
+    }),
+
     // integer-mass PageRank over the customer–supplier trade graph
     // (customers = even node ids, suppliers = odd; symmetric edges from
     // distinct order↔supplier pairs); 10 fixed iterations, long
@@ -2764,6 +2789,77 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
         |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the same reachability closure, rolled up to the audit histogram
+    // (component -> size -> clusters-at-size, singletons included)
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN length(norm) >= 3
+        |      THEN [substring(norm, i, 3) for i in range(1, length(norm) - 1)]
+        |      ELSE [norm] END) AS grams
+        |  FROM (SELECT doc_id, lang,
+        |          regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g') AS norm
+        |        FROM documents) t),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
+        |           - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) AS jaccard
+        |    FROM g a JOIN g b
+        |      ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |     AND least(len(a.grams), len(b.grams)) + 1e-9
+        |         >= greatest(len(a.grams), len(b.grams)) * 0.7) p
+        |  WHERE jaccard >= 0.7),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u AS node, u AS comp FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+        |cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+        |assigned AS (
+        |  SELECT COALESCE(cc.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+        |sizes AS (
+        |  SELECT component, count(*) AS cluster_size
+        |  FROM assigned GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters
+        |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    // synchronous min-tie LPA unrolled to 5 rounds; per-round argmax =
+    // row_number (cnt DESC, label) — the twin of Spark's struct-max
+    "graph_communities" -> {
+      def round(t: Int): String =
+        s"""v$t AS (
+           |  SELECT e.dst AS node, l.label, count(*) AS cnt
+           |  FROM edges e JOIN lp${t - 1} l ON e.src = l.node
+           |  GROUP BY 1, 2),
+           |lp$t AS (
+           |  SELECT node, label FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY node
+           |                                 ORDER BY cnt DESC, label) AS rn
+           |    FROM v$t) WHERE rn = 1)""".stripMargin
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+         |  WHERE l_orderkey % 4 = 0),
+         |e0 AS (
+         |  SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         |edges AS (
+         |  SELECT u AS src, v AS dst FROM e0
+         |  UNION ALL SELECT v, u FROM e0),
+         |lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)},
+         |${round(5)}
+         |SELECT node, label AS community FROM lp5
+         |ORDER BY node""".stripMargin
+    },
 
     // degree-oriented triangle counting replayed with plain joins; row
     // comparisons (a,b) < (c,d) mirror Spark's struct comparison

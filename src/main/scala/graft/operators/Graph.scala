@@ -161,6 +161,92 @@ object Graph {
         coalesce(col("component"), col(nodeCol)).as("component"))
   }
 
+  /** Duplicate-cluster size histogram — the AUDIT face of
+    * [[componentsFor]]: how many near-dup clusters exist at each size
+    * (singletons included). The first thing to read after a dedup pass:
+    * a fat tail of large clusters means template/mirror content (or a
+    * too-loose threshold); all-singletons means the threshold found
+    * nothing. Returns `(cluster_size, n_clusters)`.
+    *
+    * 100 TB shape: CC's own cost plus one component-keyed count and one
+    * size-keyed count — both map-side-combined aggregates over (id,
+    * long) rows; the histogram output is at most max-cluster-size rows.
+    */
+  def componentSizeHistogram(
+      nodes: DataFrame,
+      nodeCol: String,
+      pairs: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    componentsFor(nodes, nodeCol, pairs, srcCol, dstCol)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007's
+    * LPA in its deterministic synchronous form): every node starts
+    * labeled with its own id; each round, every node simultaneously
+    * adopts the most frequent label among its neighbors (ties → lowest
+    * label), for exactly `iterations` rounds. Communities = the label
+    * partition after the last round.
+    *
+    * Where [[connectedComponents]] answers "what is REACHABLE", LPA
+    * answers "what is DENSELY connected" — near-dup graphs bridged by a
+    * single boilerplate doc form one component but distinct communities,
+    * and that distinction is what decides whether to collapse or keep.
+    *
+    * Determinism contract (the same trade as [[pageRankInt]]): the
+    * asynchronous/randomized LPA of the paper converges faster but is
+    * run-order-dependent; the synchronous min-tie form is a pure
+    * function of the edge set, so a fixed-round oracle replays it
+    * exactly. Synchronous LPA can oscillate on bipartite structure —
+    * fixed rounds make even that reproducible; callers wanting a stable
+    * point read consecutive rounds (documented, not hidden).
+    *
+    * 100 TB shape: per round ONE src-keyed join (labels ⋈ symmetrized
+    * edges, co-partitioning reused round to round) + one (dst, label)
+    * map-side-combined count + one dst-keyed struct-max argmax — only
+    * (node, label, count) longs shuffle; lineage truncated per round
+    * like every iterative operator here.
+    */
+  def labelPropagation(
+      pairs: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 0)
+    val e0 = pairs
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val edges = e0.select(col("u").as("src"), col("v").as("dst"))
+      .union(e0.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      // argmax by (count, -label): lexicographic struct max takes the
+      // highest count, then the LOWEST label — matching the oracle's
+      // row_number() ORDER BY cnt DESC, label
+      labels = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("label").as("community"))
+      .orderBy(col("node"))
+  }
+
   /** Triangle census of the undirected graph given by `pairs` — the
     * clustering-coefficient numerator, the standard cohesion/anomaly
     * signal over derived graphs (co-occurrence graphs, near-dup graphs:

@@ -171,6 +171,60 @@ class GraphSpec extends SparkSpec {
       (2L, 2L))) === ((3L, 3L, 2L, 1L)))
   }
 
+  test("componentSizeHistogram: pairs collapse, singletons counted at size 1") {
+    val nodes = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.componentSizeHistogram(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    // {1,2,3} size 3, {4,5} size 2, {6} singleton
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  /** Reference synchronous min-tie LPA, driver-side. */
+  private def lpaBrute(
+      edges: Seq[(Long, Long)], iterations: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2)
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iterations) {
+      labels = adj.map { case (n, nbrs) =>
+        val votes = nbrs.groupBy(labels).view.mapValues(_.size)
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation: equals the synchronous reference; separates bridged cliques") {
+    // two 4-cliques joined by one bridge edge: one CC component, but LPA
+    // must keep the cliques in different communities
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) ++ Seq((4L, 11L))
+    val got = Graph.labelPropagation(edges.toDF("src", "dst"), iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === lpaBrute(edges, 5))
+    val left = Set(1L, 2L, 3L).map(got)
+    val right = Set(12L, 13L, 14L).map(got)
+    assert(left.size === 1 && right.size === 1 && left != right)
+    // single CC component for contrast
+    assert(Graph.connectedComponents(edges.toDF("src", "dst"))
+      .select("component").distinct().count() === 1L)
+  }
+
+  test("labelPropagation: reference equality on a pseudo-random graph, partition-invariant") {
+    val edges = (for (a <- 1L to 30L; b <- (a + 1) to 30L
+      if (a * 31 + b * 17) % 7 == 0) yield (a, b)).toSeq
+    val df = edges.toDF("src", "dst")
+    val got = Graph.labelPropagation(df, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === lpaBrute(edges, 4))
+    val repart = Graph.labelPropagation(df.repartition(9), iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(repart === got)
+  }
+
   test("triangleStats: equals brute-force enumeration on a pseudo-random graph") {
     // deterministic pseudo-random graph on 40 nodes
     val edges = (for (a <- 1L to 40L; b <- (a + 1) to 40L
