@@ -866,6 +866,14 @@ object SparkEntry {
       graft.operators.Curation.curate(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // the full corpus-BUILD census: input -> quality -> URL dedup ->
+    // exact dedup -> per-source cap -> splits, one survivor count per
+    // stage — each stage an already-oracled operator; the whole funnel
+    // is ONE lazy plan
+    "pipeline_build_report" -> ((s, dir) =>
+      graft.operators.Curation.buildReport(
+        Tables.documents(s, dir), derivedUrl, maxPerSource = 5)),
+
     // decontamination pass: corpus docs whose word-5-gram overlap with
     // the benchmark set (doc_id % 20 == 0 stand-in) stays under 0.5 —
     // the APPLY side of text_contamination, survivors carry the ratio
@@ -3264,6 +3272,91 @@ object SparkEntry {
               Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
          |FROM d WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    // the composed build funnel: every stage's SQL is the already-oracled
+    // per-stage form (quality score, derived-URL canonicalization, md5
+    // content key, per-source rank, split CASE), chained survivors-only
+    "pipeline_build_report" -> {
+      s"""WITH f AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens,
+         |    CAST(length(text) AS DOUBLE) AS n_chars_d,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct,
+         |    CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|or|in)\\b')) AS DOUBLE) AS n_stop
+         |  FROM documents),
+         |qs AS (
+         |  SELECT doc_id, source, n_chars, text FROM (
+         |    SELECT *,
+         |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |        + (1.0 - CASE WHEN n_chars_d > 0 THEN n_punct / n_chars_d ELSE 0.0 END) * 0.3
+         |        + least(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 5.0, 1.0) * 0.3
+         |        AS quality_score
+         |    FROM f) WHERE quality_score >= 0.5),
+         |u AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+         |    || '://'
+         |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || source || '.Example.COM'
+         |             WHEN doc_id % 3 = 1 THEN source || '.example.com'
+         |             ELSE 'www.' || upper(source) || '.EXAMPLE.com' END)
+         |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+         |    || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+         |    || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+         |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+         |             WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x&ref=a'
+         |             ELSE '' END)
+         |    || (CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END) AS url
+         |  FROM qs),
+         |uq AS (
+         |  SELECT *,
+         |    coalesce(array_to_string(list_sort(list_filter(
+         |      string_split(coalesce(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), ''), '&'),
+         |      p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS qclean,
+         |    regexp_replace(coalesce(regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1), ''), '/+$$', '') AS pclean
+         |  FROM u),
+         |uc AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    lower(coalesce(regexp_extract(url, '^([^:/?#]+)://', 1), '')) || '://'
+         |    || regexp_replace(regexp_replace(
+         |         lower(coalesce(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1), '')),
+         |         '^www\\.', ''), ':(443|80)$$', '')
+         |    || (CASE WHEN pclean = '' THEN '/' ELSE pclean END)
+         |    || (CASE WHEN qclean = '' THEN '' ELSE '?' || qclean END) AS canonical_url
+         |  FROM uq),
+         |uk AS (
+         |  SELECT doc_id, source, n_chars, text FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY canonical_url
+         |                                 ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM uc) WHERE rn = 1),
+         |ek AS (
+         |  SELECT doc_id, source, n_chars FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |    FROM uk) WHERE rn = 1),
+         |cap AS (
+         |  SELECT doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source
+         |                                 ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM ek) WHERE rn <= 5),
+         |sp AS (
+         |  SELECT doc_id, ${Assembly.hashSplitOracleCase("doc_id",
+              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
+         |  FROM cap)
+         |SELECT 1 AS stage_idx, 'input' AS stage,
+         |       (SELECT count(*) FROM documents) AS n_docs
+         |UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM qs)
+         |UNION ALL SELECT 3, 'url_dedup', (SELECT count(*) FROM uk)
+         |UNION ALL SELECT 4, 'exact_dedup', (SELECT count(*) FROM ek)
+         |UNION ALL SELECT 5, 'domain_cap', (SELECT count(*) FROM cap)
+         |UNION ALL SELECT 6, 'split_train',
+         |       (SELECT count(*) FROM sp WHERE split = 'train')
+         |UNION ALL SELECT 7, 'split_val',
+         |       (SELECT count(*) FROM sp WHERE split = 'val')
+         |UNION ALL SELECT 8, 'split_test',
+         |       (SELECT count(*) FROM sp WHERE split = 'test')
+         |ORDER BY stage_idx""".stripMargin
+    },
 
     "q_follow_within" ->
       """SELECT c.user_id, c.event_id AS first_id, p.event_id AS second_id

@@ -326,6 +326,68 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end corpus-BUILD census — the composed pipeline a full
+    * training-data build runs, reported as one funnel table: how many
+    * documents survive each stage of
+    *
+    *   input → quality filter → URL dedup → exact dedup → per-source cap
+    *         → train/val/test split
+    *
+    * (the DataComp/RefinedWeb-style build recipe, each stage an
+    * already-oracle-checked operator of this engine: quality =
+    * [[TextAnalysis.withQuality]] threshold, URL dedup = largest doc per
+    * [[Urls.canonicalize]] key, exact dedup = [[Dedup.exactDedup]]
+    * min-id survivor, cap = [[capPerSource]], split =
+    * [[Assembly.hashSplit]]). The census is what a build operator reads
+    * FIRST — a stage that eats 90% of the corpus is either doing its job
+    * or misconfigured, and this table is how you tell.
+    *
+    * Output: `(stage_idx, stage, n_docs)` — the five stage survivor
+    * counts plus one row per split of the final corpus.
+    *
+    * 100 TB shape: the composition inherits each stage's documented
+    * shape (columnar quality rejection before any exchange, one
+    * canonical-key shuffle, one content-key shuffle, the two-phase
+    * source cap, a narrow split map); the census rows are 1-row
+    * aggregates unioned lazily, so the whole report is ONE plan — no
+    * driver-side counting while building.
+    */
+  def buildReport(
+      docs: DataFrame,
+      url: Column,
+      minQuality: Double = 0.5,
+      maxPerSource: Int = 50,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val quality = TextAnalysis.withQuality(docs)
+      .filter(col("quality_score") >= minQuality)
+    val byUrl = Window.partitionBy(col("canonical_url"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val urlKept = quality
+      .withColumn("canonical_url", Urls.canonicalize(url))
+      .withColumn("_rn", row_number().over(byUrl))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "canonical_url")
+    val exact = Dedup.exactDedup(urlKept)
+    val capped = capPerSource(exact, maxPerSource)
+    val withSplit = Assembly.hashSplit(
+      capped.select(col("doc_id")), "doc_id", splits)
+    val stages: Seq[(String, DataFrame)] = Seq(
+      "input" -> docs,
+      "quality" -> quality,
+      "url_dedup" -> urlKept,
+      "exact_dedup" -> exact,
+      "domain_cap" -> capped) ++
+      splits.map { case (name, _) =>
+        s"split_$name" -> withSplit.filter(col("split") === name)
+      }
+    stages.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"))
+    }.reduce(_.unionAll(_)).orderBy(col("stage_idx"))
+  }
+
   /** CCNet-style per-language LM-score bucketing (Wenzek et al. 2020):
     * split each language's documents into head / middle / tail terciles
     * by the corpus-trained bigram LM score ([[TextAnalysis.lmScore]] —

@@ -356,6 +356,35 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("buildReport: monotone funnel, split partition, exact-dup stage bites") {
+    val corpus = Tables.documents(spark, sf)
+    val report = graft.operators.Curation.buildReport(
+      corpus, SparkEntry.derivedUrl, maxPerSource = 5)
+      .as[(Int, String, Long)].collect().toSeq
+    val byStage = report.map(r => r._2 -> r._3).toMap
+    assert(byStage("input") === corpus.count())
+    // survivor counts can only fall through the filtering stages
+    val funnel = Seq("input", "quality", "url_dedup", "exact_dedup",
+      "domain_cap").map(byStage)
+    assert(funnel === funnel.sorted.reverse, s"non-monotone funnel: $funnel")
+    // splits partition the capped corpus exactly
+    assert(byStage("split_train") + byStage("split_val") +
+      byStage("split_test") === byStage("domain_cap"))
+
+    // crafted corpus: two exact-duplicate texts with DIFFERENT urls must
+    // survive url dedup but collapse at the exact-dedup stage
+    val text = "the quick brown fox jumps over the lazy dog " * 5
+    val crafted = Seq((1L, text, "s1"), (2L, text, "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val crafted2 = graft.operators.Curation.buildReport(
+      crafted, concat(lit("http://h"), col("doc_id"), lit(".com/x")))
+      .as[(Int, String, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(crafted2("url_dedup") === 2L)
+    assert(crafted2("exact_dedup") === 1L)
+  }
+
   test("ccnetBuckets: buckets partition each language; census is consistent") {
     val corpus = Tables.documents(spark, sf)
     val out = Curation.ccnetBuckets(corpus)
