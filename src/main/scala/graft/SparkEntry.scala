@@ -617,17 +617,9 @@ object SparkEntry {
     // synchronous min-tie label-propagation communities over the sliced
     // part co-purchase graph (5 fixed rounds, deterministic — the
     // "densely connected" complement to reachability components)
-    "graph_communities" -> ((s, dir) => {
-      val items = Tables.lineitem(s, dir)
-        .filter(col("l_orderkey") % 4 === 0)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = items.as("a")
-        .join(items.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
-      graft.operators.Graph.labelPropagation(pairs, iterations = 5)
-    }),
+    "graph_communities" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagation(
+        slicedCoPurchasePairs(s, dir), iterations = 5)),
 
     // integer-mass PageRank over the customer–supplier trade graph
     // (customers = even node ids, suppliers = odd; symmetric edges from
@@ -671,17 +663,8 @@ object SparkEntry {
     // parts) to dominate the whole bench (measured 17.8 s; ScaleCheck
     // keeps the full-graph probe as the honest receipt) — sampling the
     // graph, not weakening the operator
-    "graph_triangles" -> ((s, dir) => {
-      val items = Tables.lineitem(s, dir)
-        .filter(col("l_orderkey") % 4 === 0)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = items.as("a")
-        .join(items.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
-      graft.operators.Graph.triangleStats(pairs)
-    }),
+    "graph_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleStats(slicedCoPurchasePairs(s, dir))),
 
     // stateful-shape analytics: gap-based sessionization (batch twin of
     // the flatMapGroupsWithState streaming operator)
@@ -1390,6 +1373,70 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** THE sliced part co-purchase graph (parts sharing an order, on the
+    * deterministic 1-in-4 order slice — see the graph_triangles
+    * registration for why the full graph is bench-hostile): the ONE
+    * derivation `graph_triangles` and `graph_communities` both run, so
+    * the "same graph" claim cannot drift.
+    */
+  private def slicedCoPurchasePairs(
+      s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    items.as("a")
+      .join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+  }
+
+  /** SQL twin of [[slicedCoPurchasePairs]]: CTEs `items` + `e0`
+    * (canonical u < v edge set), shared by both graph oracles.
+    */
+  private val coPurchaseEdgesSql: String =
+    """items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |  WHERE l_orderkey % 4 = 0),
+      |e0 AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p)""".stripMargin
+
+  /** Shared prefix of the `dedup_clusters` / `dedup_cluster_sizes`
+    * oracles: the trigram-Jaccard pair graph at t = 0.7 and its
+    * recursive reachability closure, ending in
+    * `cc(node, component = min reachable)`. One definition — the two
+    * queries audit THE SAME graph by construction.
+    */
+  private val ngramCcSqlPrefix: String =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(CASE WHEN length(norm) >= 3
+      |      THEN [substring(norm, i, 3) for i in range(1, length(norm) - 1)]
+      |      ELSE [norm] END) AS grams
+      |  FROM (SELECT doc_id, lang,
+      |          regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g') AS norm
+      |        FROM documents) t),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |        / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
+      |           - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) AS jaccard
+      |    FROM g a JOIN g b
+      |      ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |     AND least(len(a.grams), len(b.grams)) + 1e-9
+      |         >= greatest(len(a.grams), len(b.grams)) * 0.7) p
+      |  WHERE jaccard >= 0.7),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT u AS node, u AS comp FROM edges
+      |  UNION
+      |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+      |cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)""".stripMargin
+
   /** Portable hex→BIGINT: the top `nibbles` hex chars of md5(`e`) decoded
     * with strpos arithmetic (the classifier/DSIR idiom, extended to a
     * 60-bit prefix — 15 nibbles keep the sum inside a positive BIGINT in
@@ -2764,78 +2811,30 @@ object SparkEntry {
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     // reachability closure over the symmetrized brute-force pair set at
-    // t=0.7; UNION (not UNION ALL) dedups rows so the recursion reaches a
-    // fixpoint; min over reachable nodes = the component's min doc_id
-    "dedup_clusters" ->
-      """WITH RECURSIVE g AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN length(norm) >= 3
-        |      THEN [substring(norm, i, 3) for i in range(1, length(norm) - 1)]
-        |      ELSE [norm] END) AS grams
-        |  FROM (SELECT doc_id, lang,
-        |          regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g') AS norm
-        |        FROM documents) t),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |        / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
-        |           - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) AS jaccard
-        |    FROM g a JOIN g b
-        |      ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |     AND least(len(a.grams), len(b.grams)) + 1e-9
-        |         >= greatest(len(a.grams), len(b.grams)) * 0.7) p
-        |  WHERE jaccard >= 0.7),
-        |edges AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT u AS node, u AS comp FROM edges
-        |  UNION
-        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
-        |cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node)
-        |SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
-        |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    // t=0.7 (shared prefix: ngramCcSqlPrefix); UNION (not UNION ALL)
+    // dedups rows so the recursion reaches a fixpoint; min over reachable
+    // nodes = the component's min doc_id
+    "dedup_clusters" -> {
+      s"""$ngramCcSqlPrefix
+         |SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+         |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
-    // the same reachability closure, rolled up to the audit histogram
-    // (component -> size -> clusters-at-size, singletons included)
-    "dedup_cluster_sizes" ->
-      """WITH RECURSIVE g AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN length(norm) >= 3
-        |      THEN [substring(norm, i, 3) for i in range(1, length(norm) - 1)]
-        |      ELSE [norm] END) AS grams
-        |  FROM (SELECT doc_id, lang,
-        |          regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g') AS norm
-        |        FROM documents) t),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |        / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
-        |           - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) AS jaccard
-        |    FROM g a JOIN g b
-        |      ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |     AND least(len(a.grams), len(b.grams)) + 1e-9
-        |         >= greatest(len(a.grams), len(b.grams)) * 0.7) p
-        |  WHERE jaccard >= 0.7),
-        |edges AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT u AS node, u AS comp FROM edges
-        |  UNION
-        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
-        |cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
-        |assigned AS (
-        |  SELECT COALESCE(cc.component, d.doc_id) AS component
-        |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
-        |sizes AS (
-        |  SELECT component, count(*) AS cluster_size
-        |  FROM assigned GROUP BY 1)
-        |SELECT cluster_size, count(*) AS n_clusters
-        |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+    // the SAME reachability closure (one definition, shared prefix),
+    // rolled up to the audit histogram (component -> size ->
+    // clusters-at-size, singletons included)
+    "dedup_cluster_sizes" -> {
+      s"""$ngramCcSqlPrefix,
+         |assigned AS (
+         |  SELECT COALESCE(cc.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+         |sizes AS (
+         |  SELECT component, count(*) AS cluster_size
+         |  FROM assigned GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin
+    },
 
     // synchronous min-tie LPA unrolled to 5 rounds; per-round argmax =
     // row_number (cnt DESC, label) — the twin of Spark's struct-max
@@ -2850,12 +2849,7 @@ object SparkEntry {
            |    SELECT *, row_number() OVER (PARTITION BY node
            |                                 ORDER BY cnt DESC, label) AS rn
            |    FROM v$t) WHERE rn = 1)""".stripMargin
-      s"""WITH items AS (
-         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-         |  WHERE l_orderkey % 4 = 0),
-         |e0 AS (
-         |  SELECT DISTINCT a.p AS u, b.p AS v
-         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+      s"""WITH $coPurchaseEdgesSql,
          |edges AS (
          |  SELECT u AS src, v AS dst FROM e0
          |  UNION ALL SELECT v, u FROM e0),
@@ -2871,37 +2865,34 @@ object SparkEntry {
 
     // degree-oriented triangle counting replayed with plain joins; row
     // comparisons (a,b) < (c,d) mirror Spark's struct comparison
-    "graph_triangles" ->
-      """WITH items AS (
-        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-        |  WHERE l_orderkey % 4 = 0),
-        |e AS (
-        |  SELECT DISTINCT a.p AS u, b.p AS v
-        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
-        |deg AS (
-        |  SELECT node, count(*) AS deg FROM (
-        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
-        |  GROUP BY 1),
-        |o AS (
-        |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
-        |              THEN e.u ELSE e.v END AS src,
-        |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
-        |              THEN e.v ELSE e.u END AS dst,
-        |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
-        |              THEN dv.deg ELSE du.deg END AS ddst
-        |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
-        |w AS (
-        |  SELECT o1.dst AS w1, o2.dst AS w2
-        |  FROM o o1 JOIN o o2 ON o1.src = o2.src
-        |  WHERE (o1.ddst, o1.dst) < (o2.ddst, o2.dst)),
-        |t AS (
-        |  SELECT count(*) AS n_triangles
-        |  FROM w JOIN o ON w.w1 = o.src AND w.w2 = o.dst)
-        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
-        |       (SELECT count(*) FROM e) AS n_edges,
-        |       (SELECT max(deg) FROM deg) AS max_degree,
-        |       n_triangles
-        |FROM t""".stripMargin,
+    "graph_triangles" -> {
+      s"""WITH $coPurchaseEdgesSql,
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+         |  GROUP BY 1),
+         |o AS (
+         |  SELECT CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v)
+         |              THEN e0.u ELSE e0.v END AS src,
+         |         CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v)
+         |              THEN e0.v ELSE e0.u END AS dst,
+         |         CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v)
+         |              THEN dv.deg ELSE du.deg END AS ddst
+         |  FROM e0 JOIN deg du ON e0.u = du.node
+         |          JOIN deg dv ON e0.v = dv.node),
+         |w AS (
+         |  SELECT o1.dst AS w1, o2.dst AS w2
+         |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+         |  WHERE (o1.ddst, o1.dst) < (o2.ddst, o2.dst)),
+         |t AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM w JOIN o ON w.w1 = o.src AND w.w2 = o.dst)
+         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         |       (SELECT count(*) FROM e0) AS n_edges,
+         |       (SELECT max(deg) FROM deg) AS max_degree,
+         |       n_triangles
+         |FROM t""".stripMargin
+    },
 
     // same graph derivation; the 10 fixed iterations are UNROLLED as
     // chained CTEs (pr1..pr10) because the recurrence aggregates over the

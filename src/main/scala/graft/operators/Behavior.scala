@@ -104,8 +104,11 @@ object Behavior {
       .join(cohorts, "user_id")
       .select(
         col("cohort_us"),
-        ((col("day_us") - col("cohort_us")) / lit(86400000000L))
-          .cast("long").as("offset_days"))
+        // integer `div`, not `/`: the Column `/` promotes to DOUBLE, and
+        // a float quotient truncates where the oracle's `//` floors —
+        // exact here only by the day-multiple invariant; div needs no
+        // invariant
+        expr("(day_us - cohort_us) div 86400000000").as("offset_days"))
       .groupBy(col("cohort_us"), col("offset_days"))
       .agg(count(lit(1)).as("active_users"))
       .orderBy(col("cohort_us"), col("offset_days"))

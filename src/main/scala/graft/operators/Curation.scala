@@ -361,13 +361,10 @@ object Curation {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
     val quality = TextAnalysis.withQuality(docs)
       .filter(col("quality_score") >= minQuality)
-    val byUrl = Window.partitionBy(col("canonical_url"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    val urlKept = quality
-      .withColumn("canonical_url", Urls.canonicalize(url))
-      .withColumn("_rn", row_number().over(byUrl))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "canonical_url")
+    // the SAME survivor rule as Urls.urlDedup, by construction
+    val urlKept = Urls
+      .keepLargestPerCanonical(quality.withColumn("_url", url), col("_url"))
+      .drop("_url", "canonical_url", "n_dups")
     val exact = Dedup.exactDedup(urlKept)
     val capped = capPerSource(exact, maxPerSource)
     val withSplit = Assembly.hashSplit(

@@ -70,11 +70,7 @@ object Multimodal {
     */
   private[operators] def decodeOne(codecHandle: AnyRef, row: MediaRow): MediaFeatures = {
     val _ = codecHandle
-    val img =
-      if (!looksLikeImage(row.content)) null
-      else
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.content))
-        catch { case _: Throwable => null }
+    val img = readImage(row.content)
     val (w, h, frames) =
       if (img != null) (img.getWidth, img.getHeight, 1)
       else (
@@ -171,12 +167,7 @@ object Multimodal {
       val codecHandle: AnyRef = new Object
       val _ = codecHandle
       rows.map { r =>
-        val img =
-          if (!looksLikeImage(r.content)) null
-          else
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(r.content))
-            catch { case _: Throwable => null }
+        val img = readImage(r.content)
         if (img != null) {
           val (tw, th) = fit(img.getWidth.toLong, img.getHeight.toLong)
           val out = new java.awt.image.BufferedImage(
@@ -221,7 +212,23 @@ object Multimodal {
       // GIF87a / GIF89a
       (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
       // BMP "BM"
-      (b(0) == 'B' && b(1) == 'M'))
+      (b(0) == 'B' && b(1) == 'M') ||
+      // TIFF little-endian II*\0 / big-endian MM\0* (JDK ImageIO decodes
+      // TIFF since 9 — without these magics the sniff would silently
+      // reroute decodable TIFFs to the stub branch)
+      (b(0) == 'I' && b(1) == 'I' && b(2) == 0x2a.toByte && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2a.toByte))
+
+  /** THE guarded decode — sniff first (cheap byte compares), ImageIO only
+    * on plausible image bytes, null on anything undecodable. Every image
+    * call site goes through here so the sniff/decoder pair can never
+    * drift apart again (the 107 s → 3 s ScaleCheck lesson).
+    */
+  private[operators] def readImage(b: Array[Byte]): java.awt.image.BufferedImage =
+    if (!looksLikeImage(b)) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: Throwable => null }
 
   /** Perceptual-hash row. `is_image` marks the REAL-pixel branch. */
   final case class MediaHash(
@@ -260,12 +267,7 @@ object Multimodal {
       val codecHandle: AnyRef = new Object
       val _ = codecHandle
       rows.map { r =>
-        val img =
-          if (!looksLikeImage(r.content)) null
-          else
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(r.content))
-            catch { case _: Throwable => null }
+        val img = readImage(r.content)
         if (img != null) {
           val scaled = new java.awt.image.BufferedImage(
             9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -80,17 +80,33 @@ object Urls {
     * over the unbounded frame, row_number over the ordered one — one
     * shuffle, one sort).
     */
-  def urlDedup(docs: DataFrame, url: Column): DataFrame = {
-    val keyed = docs.select(
-      col("doc_id"), col("n_chars"), canonicalize(url).as("canonical_url"))
+  /** THE keep policy, in one place: survivors of canonical-URL dedup
+    * over whatever columns `docs` carries — one row per canonical key,
+    * the LARGEST document kept (n_chars desc, doc_id tiebreak: a total
+    * order, deterministic cut), `canonical_url` + collapse multiplicity
+    * `n_dups` attached. [[urlDedup]] (the audit projection) and
+    * [[Curation.buildReport]] (the full-row pipeline stage) both compose
+    * this, so the survivor rule cannot drift between them.
+    */
+  def keepLargestPerCanonical(docs: DataFrame, url: Column): DataFrame = {
     val byUrl = Window.partitionBy(col("canonical_url"))
-    keyed
+    docs
+      .withColumn("canonical_url", canonicalize(url))
       .withColumn("n_dups", count(lit(1)).over(byUrl))
       .withColumn("_rn", row_number().over(
         byUrl.orderBy(col("n_chars").desc, col("doc_id"))))
       .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  def urlDedup(docs: DataFrame, url: Column): DataFrame =
+    // project BEFORE the window so only (doc_id, n_chars, key) shuffle —
+    // the url expression is evaluated first so it may reference any doc
+    // column
+    keepLargestPerCanonical(
+      docs.select(col("doc_id"), col("n_chars"), url.as("_url")),
+      col("_url"))
       .select(col("doc_id"), col("canonical_url"), col("n_chars"),
         col("n_dups"))
       .orderBy(col("doc_id"))
-  }
 }

@@ -22,18 +22,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stage, ts_us)` — the per-stage user counts of the batch report are a
   * trivial downstream aggregation of these transitions.
   *
-  * 100 TB/state posture: state is TWO fields per user (current stage +
-  * anchor micros) — O(1) per user, independent of event rate, the
-  * smallest possible funnel state. Completed users (final stage reached)
-  * drop their state entirely: nothing more can transition, so the state
-  * store holds only in-progress funnels.
+  * 100 TB/state posture: state is THREE longs per user (current stage,
+  * anchor micros, last-seen micros) — O(1) per user, independent of
+  * event rate. Completed users (final stage reached) drop their state
+  * immediately; in-progress funnels idle past `idleTimeout` of event
+  * time are EVICTED by the watermark (the [[Sessionize]] /
+  * [[StreamingNearDup]] contract — state must never grow with
+  * ever-seen-user cardinality unboundedly). An evicted user who returns
+  * starts the funnel over from stage 1 — documented restart semantics,
+  * the price of bounded state.
   */
 object StreamFunnel {
 
   final case class FunnelEvent(
       user_id: Long, ts: java.sql.Timestamp, event_type: String)
 
-  final case class FunnelState(stage: Int, anchor_us: Long)
+  final case class FunnelState(stage: Int, anchor_us: Long, last_us: Long)
 
   final case class StageReached(
       user_id: Long, stage_idx: Int, stage: String, ts_us: Long)
@@ -43,35 +47,49 @@ object StreamFunnel {
 
   def stageTransitions(
       events: Dataset[FunnelEvent],
-      stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[StageReached] = {
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      idleTimeoutMinutes: Int = 43200 /* 30 days */): Dataset[StageReached] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(idleTimeoutMinutes > 0, "idleTimeoutMinutes must be positive")
     import events.sparkSession.implicits._
+    val idleMillis = idleTimeoutMinutes * 60000L
 
     def update(
         userId: Long,
         rows: Iterator[FunnelEvent],
         state: GroupState[FunnelState]): Iterator[StageReached] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val out = scala.collection.mutable.ArrayBuffer[StageReached]()
-      var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+      var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue, 0L))
       // event-time order within the batch: the greedy scan then anchors
       // each stage at its earliest qualifying event, like the batch twin
       rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+        st = st.copy(last_us = math.max(st.last_us, micros(e.ts)))
         if (st.stage < stages.length &&
           e.event_type == stages(st.stage) &&
           (st.stage == 0 || micros(e.ts) > st.anchor_us)) {
-          st = FunnelState(st.stage + 1, micros(e.ts))
+          st = st.copy(stage = st.stage + 1, anchor_us = micros(e.ts))
           out += StageReached(userId, st.stage, stages(st.stage - 1),
             st.anchor_us)
         }
       }
       if (st.stage >= stages.length) state.remove() // funnel complete
-      else if (st.stage > 0 || state.exists) state.update(st)
+      else if (st.stage > 0 || state.exists) {
+        state.update(st)
+        // watermark-driven eviction; clamp past the current watermark so
+        // a stale last-seen can only evict early, never kill the query
+        // (the Sessionize lesson)
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+          math.max(st.last_us / 1000L + idleMillis, wm + 1))
+      }
       out.iterator
     }
 
     events
+      .withWatermark("ts", s"$idleTimeoutMinutes minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 }

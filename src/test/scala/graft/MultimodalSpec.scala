@@ -150,6 +150,33 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.head._3 === 0)
   }
 
+  test("perceptualHash: every ImageIO-decodable format passes the sniff (incl. TIFF/BMP)") {
+    // the sniff must never reroute a decodable image to the stub branch:
+    // re-encode the same gradient in each writer format the JDK ships
+    // and require the REAL-pixel path (identical dHash, since dHash
+    // depends only on pixel luma order, not the container)
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png((x, _) => x * 3)))
+    val formats = Seq("png", "bmp", "gif", "jpg", "tif")
+      .filter(f => javax.imageio.ImageIO.getImageWritersByFormatName(f).hasNext)
+    assert(formats.contains("tif"), "JDK 9+ ships a TIFF writer")
+    val blobs = formats.zipWithIndex.map { case (f, i) =>
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(src, f, buf), s"write $f failed")
+      (i.toLong + 1, buf.toByteArray)
+    }
+    val hashes = Multimodal.perceptualHash(mediaDf(blobs: _*)).collect()
+    assert(hashes.forall(_.is_image),
+      s"sniff rerouted a decodable format to the stub: " +
+        s"${formats.zip(hashes.map(_.is_image)).toSeq}")
+    // lossless containers agree exactly with the PNG hash (JPEG may
+    // wobble a few gradient bits at block edges)
+    val byFmt = formats.zip(hashes.map(_.phash)).toMap
+    Seq("bmp", "tif").foreach { f =>
+      assert(byFmt(f) === byFmt("png"), s"$f dHash must equal png's")
+    }
+  }
+
   test("perceptualHash: stub branch equals the 60-bit md5-prefix contract") {
     val bytes = "not an image".getBytes("UTF-8")
     val h = Multimodal.perceptualHash(mediaDf((7L, bytes)))

@@ -64,6 +64,32 @@ class StreamFunnelSpec extends SparkSpec {
     assert(byUser(5L) === Set(1))
   }
 
+  test("idle in-progress funnels are evicted by the watermark and restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamFunnel.stageTransitions(in.toDS(), idleTimeoutMinutes = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_evict").start()
+    // A views at minute 0 (state created, timeout at +10 min event time)
+    in.addData(Seq(ev(1, 0, "view"))); q.processAllAvailable()
+    // unrelated traffic advances the watermark far past A's timeout...
+    in.addData(Seq(ev(2, 60, "view"))); q.processAllAvailable()
+    // ...and the next batch without A-data fires A's eviction
+    in.addData(Seq(ev(2, 61, "click"))); q.processAllAvailable()
+    // A's click now finds NO state: stage 2 must not fire
+    in.addData(Seq(ev(1, 62, "click"))); q.processAllAvailable()
+    // a fresh view restarts A's funnel from stage 1
+    in.addData(Seq(ev(1, 63, "view"))); q.processAllAvailable()
+    val got = spark.table("funnel_evict").as[StageReached].collect().toSeq
+    q.stop()
+    spark.sql("DROP TABLE IF EXISTS funnel_evict")
+    val a = got.filter(_.user_id == 1L).map(r => (r.stage_idx, r.ts_us))
+    assert(a.map(_._1).sorted === Seq(1, 1),
+      s"evicted funnel must restart at stage 1, never chain stage 2: $a")
+    assert(a.map(_._2).toSet ===
+      Set(t0 * 1000L, (t0 + 63 * 60000L) * 1000L))
+  }
+
   test("completed funnels drop their state; anchors carry event micros") {
     val got = run(
       Seq(ev(7, 0, "view"), ev(7, 1, "click"), ev(7, 2, "purchase")),
