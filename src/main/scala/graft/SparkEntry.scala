@@ -843,6 +843,18 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("copy"))
         .orderBy(col("doc_id"), col("copy"))),
 
+    // term-level corpus drift between two snapshots (md5 halves stand in
+    // for yesterday/today): top-50 tokens by |rate shift| on the integer
+    // ppm lattice — the monitoring companion to corpus_diff
+    "corpus_vocab_drift" -> ((s, dir) => {
+      val halves = Seq("a" -> 0.5, "b" -> 0.5)
+      val withSplit = Tables.documents(s, dir).withColumn("split",
+        Assembly.splitExpr(col("doc_id"), halves, "vocab"))
+      graft.operators.Snapshot.vocabDrift(
+        withSplit.filter(col("split") === "a"),
+        withSplit.filter(col("split") === "b"))
+    }),
+
     // composed curation pipeline: quality filter -> exact dedup ->
     // deterministic split; one shuffle over the surviving fraction
     "pipeline_curate" -> ((s, dir) =>
@@ -3446,6 +3458,44 @@ object SparkEntry {
         |            ELSE 'changed' END AS status
         |FROM snap_old o FULL OUTER JOIN snap_new n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // term drift on the integer ppm lattice; the md5 half-split CASE is
+    // the same driver-side boundary helper the Spark plan uses
+    "corpus_vocab_drift" -> {
+      val splitCase = Assembly.hashSplitOracleCase(
+        "doc_id", Seq("a" -> 0.5, "b" -> 0.5), "vocab")
+      s"""WITH d AS (
+         |  SELECT doc_id, text, $splitCase AS split FROM documents),
+         |ca AS (
+         |  SELECT token, count(*) AS count_a FROM (
+         |    SELECT unnest(list_filter(
+         |      string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      x -> x <> '')) AS token
+         |    FROM d WHERE split = 'a') GROUP BY 1),
+         |cb AS (
+         |  SELECT token, count(*) AS count_b FROM (
+         |    SELECT unnest(list_filter(
+         |      string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      x -> x <> '')) AS token
+         |    FROM d WHERE split = 'b') GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT COALESCE(sum(count_a), 0) FROM ca) AS total_a,
+         |         (SELECT COALESCE(sum(count_b), 0) FROM cb) AS total_b),
+         |j AS (
+         |  SELECT token,
+         |         COALESCE(count_a, 0) AS count_a,
+         |         COALESCE(count_b, 0) AS count_b
+         |  FROM ca FULL OUTER JOIN cb USING (token)),
+         |r AS (
+         |  SELECT token, count_a, count_b,
+         |         (count_a * 1000000) // greatest(1, total_a) AS rate_a_ppm,
+         |         (count_b * 1000000) // greatest(1, total_b) AS rate_b_ppm
+         |  FROM j, tot)
+         |SELECT token, count_a, count_b, rate_a_ppm, rate_b_ppm,
+         |       abs(rate_a_ppm - rate_b_ppm) AS drift_ppm
+         |FROM r
+         |ORDER BY drift_ppm DESC, token LIMIT 50""".stripMargin
+    },
 
     // same candidate regex; Luhn recomputed digit-by-digit with
     // list_transform over the reversed string (1-based i → (i-1)%2

@@ -56,4 +56,51 @@ object Snapshot {
         countDistinct(coalesce(col("new_md5"), col("old_md5")))
           .as("n_distinct_contents"))
       .orderBy(col("status"))
+
+  /** Vocabulary drift between two corpus snapshots — the TERM-level
+    * companion to [[corpusDiff]]'s document-level view: the topK tokens
+    * whose relative frequency moved most between snapshots (crawl shift,
+    * new spam family, a source turning over, a tokenizer regression all
+    * show up here before any model metric does).
+    *
+    * Rates live on an integer ppm lattice (`count·10⁶ div total` per
+    * side), drift = |rate_a − rate_b| — exact longs end to end, so the
+    * topK cut (drift desc, token asc — a total order) is
+    * bit-reproducible and the oracle replays it.
+    *
+    * Output: `(token, count_a, count_b, rate_a_ppm, rate_b_ppm,
+    * drift_ppm)`, topK rows.
+    *
+    * 100 TB shape: one tokenize pass per snapshot into (token, count)
+    * aggregates with map-side partials (vocabulary-sized results), a
+    * vocabulary-keyed full-outer join, broadcast 1-row totals, and a
+    * TakeOrderedAndProject topK — per-partition heaps, no global sort.
+    * Tokens absent from one side count 0 there (drift = the full rate).
+    */
+  def vocabDrift(
+      a: DataFrame,
+      b: DataFrame,
+      topK: Int = 50,
+      scale: Long = 1000000L): DataFrame = {
+    def counts(df: DataFrame, side: String) =
+      df.select(explode(TextAnalysis.wordArray(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as(s"count_$side"))
+    val ca = counts(a, "a")
+    val cb = counts(b, "b")
+    val totals = ca.agg(sum(col("count_a")).as("total_a"))
+      .crossJoin(cb.agg(sum(col("count_b")).as("total_b")))
+    ca.join(cb, Seq("token"), "full_outer")
+      .na.fill(0L, Seq("count_a", "count_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("rate_a_ppm",
+        expr(s"(count_a * ${scale}L) div greatest(1L, total_a)"))
+      .withColumn("rate_b_ppm",
+        expr(s"(count_b * ${scale}L) div greatest(1L, total_b)"))
+      .withColumn("drift_ppm", abs(col("rate_a_ppm") - col("rate_b_ppm")))
+      .select(col("token"), col("count_a"), col("count_b"),
+        col("rate_a_ppm"), col("rate_b_ppm"), col("drift_ppm"))
+      .orderBy(col("drift_ppm").desc, col("token"))
+      .limit(topK)
+  }
 }

@@ -39,4 +39,22 @@ class SnapshotSpec extends SparkSpec {
       .select("status", "n_docs").as[(String, Long)].collect().toMap
     assert(got === Map("unchanged" -> 1L, "changed" -> 1L, "added" -> 1L))
   }
+
+  test("vocabDrift: one-sided tokens drift at their full rate, shared at zero") {
+    val a = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val b = Seq((2L, "alpha gamma")).toDF("doc_id", "text")
+    val got = Snapshot.vocabDrift(a, b, topK = 10)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // each side: 2 tokens, so every token's rate is 500000 ppm
+    assert(got.map(_._1) === Seq("beta", "gamma", "alpha"),
+      "drift desc then token asc must order the one-sided pair first")
+    val byTok = got.map(r => r._1 -> r).toMap
+    assert(byTok("beta") === (("beta", 1L, 0L, 500000L, 0L, 500000L)))
+    assert(byTok("gamma") === (("gamma", 0L, 1L, 0L, 500000L, 500000L)))
+    assert(byTok("alpha") === (("alpha", 1L, 1L, 500000L, 500000L, 0L)))
+    // identical snapshots: zero drift everywhere
+    val same = Snapshot.vocabDrift(a, a, topK = 10)
+      .select("drift_ppm").as[Long].collect()
+    assert(same.forall(_ === 0L))
+  }
 }
