@@ -604,6 +604,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // dedup threshold calibration: pair/affected-doc counts at each
+    // candidate Jaccard cut, ONE pair pass at the loosest threshold
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(Tables.documents(s, dir))),
+
     // duplicate-cluster size histogram over the same near-dup graph as
     // dedup_clusters — the post-dedup audit (fat tail = template/mirror
     // content or a loose threshold)
@@ -2821,6 +2826,45 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // brute-force pairs at the loosest cut, then per-threshold counts;
+    // t compares as pct/100.0 (correctly-rounded division == the double
+    // literal the Spark side filters on)
+    "dedup_threshold_sweep" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN length(norm) >= 3
+        |      THEN [substring(norm, i, 3) for i in range(1, length(norm) - 1)]
+        |      ELSE [norm] END) AS grams
+        |  FROM (SELECT doc_id, lang,
+        |          regexp_replace(trim(lower(COALESCE(text, ''))), '\s+', ' ', 'g') AS norm
+        |        FROM documents) t),
+        |p AS (
+        |  SELECT doc_a, doc_b, jaccard FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
+        |           - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) AS jaccard
+        |    FROM g a JOIN g b
+        |      ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |     AND least(len(a.grams), len(b.grams)) + 1e-9
+        |         >= greatest(len(a.grams), len(b.grams)) * 0.7) q
+        |  WHERE jaccard >= 0.7),
+        |th AS (SELECT unnest([70, 80, 90]) AS threshold_pct),
+        |m AS (
+        |  SELECT th.threshold_pct, p.doc_a, p.doc_b
+        |  FROM th JOIN p ON p.jaccard >= th.threshold_pct / 100.0),
+        |np AS (SELECT threshold_pct, count(*) AS n_pairs FROM m GROUP BY 1),
+        |nd AS (
+        |  SELECT threshold_pct, count(DISTINCT d) AS n_docs FROM (
+        |    SELECT threshold_pct, unnest([doc_a, doc_b]) AS d FROM m)
+        |  GROUP BY 1)
+        |SELECT CAST(th.threshold_pct AS INT) AS threshold_pct,
+        |       COALESCE(np.n_pairs, 0) AS n_pairs,
+        |       COALESCE(nd.n_docs, 0) AS n_docs
+        |FROM th LEFT JOIN np USING (threshold_pct)
+        |        LEFT JOIN nd USING (threshold_pct)
+        |ORDER BY threshold_pct""".stripMargin,
 
     // reachability closure over the symmetrized brute-force pair set at
     // t=0.7 (shared prefix: ngramCcSqlPrefix); UNION (not UNION ALL)

@@ -439,7 +439,41 @@ object Dedup {
         graft.functions.NgramHashes.ngram_hashes(normText(col("text")), 3)
           .as("grams")),
       threshold, blockKeys = Seq("lang"))
-      .select(col("lang"), col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Threshold-sweep audit — the dedup CALIBRATION table: pair and
+    * affected-document counts at each candidate Jaccard threshold, from
+    * ONE pair-generation pass at the loosest threshold (a pair at J ≥ t
+    * is a pair at every t' ≤ t, so tighter rows are filters over the same
+    * set — never a second pair pass). This is how the threshold gets
+    * picked before committing to a corpus-wide dedup: too loose and
+    * n_docs explodes (false merges), too tight and the curve collapses to
+    * exact dups only.
+    *
+    * Output: `(threshold_pct, n_pairs, n_docs)` — one row per threshold
+    * (rows with zero pairs included), all exact integers.
+    *
+    * 100 TB shape: pair generation's documented banded/salted cost at
+    * min(thresholds), then per-threshold 1-row aggregates over the
+    * materialized pair set (lazily checkpointed — evaluated once, reused
+    * |thresholds| times), unioned into one lazy plan.
+    */
+  def thresholdSweep(
+      docs: DataFrame,
+      thresholds: Seq[Double] = Seq(0.7, 0.8, 0.9)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t <= 1))
+    val pairs = ngramJaccardPairs(docs, thresholds.min)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    thresholds.sorted.map { t =>
+      val p = pairs.filter(col("jaccard") >= t)
+      p.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .agg(count(lit(1)).as("two_n_pairs"),
+          countDistinct(col("d")).as("n_docs"))
+        .select(
+          lit(math.round(t * 100).toInt).as("threshold_pct"),
+          expr("two_n_pairs div 2").as("n_pairs"),
+          col("n_docs"))
+    }.reduce(_.unionAll(_)).orderBy(col("threshold_pct"))
+  }
 
   /** Exact word-3-shingle Jaccard pairs — the same banded-exact join over
     * the MINHASH operators' similarity space (word shingles via

@@ -420,12 +420,14 @@ object Graph {
         .select(col("dst").as("node"),
           expr(s"(mass * $alphaNum) div ($alphaDen * outdeg)").as("c"))
         .groupBy("node").agg(sum(col("c")).as("contrib"))
-      // prev mass rides along in the SAME pre-checkpoint plan (one more
-      // node-keyed join folded into the existing node-hash stage), so the
-      // convergence probe is a filter over the checkpointed partitions —
-      // no extra shuffle, no recompute
-      val next = nodes.join(contribs, Seq("node"), "left")
-        .join(ranks.withColumnRenamed("mass", "prev"), "node")
+      // ONE node-keyed join per round: `ranks` IS the full node set every
+      // round (seeded from `nodes`, preserved by this select), so joining
+      // contribs onto it both carries prev mass for the convergence probe
+      // AND covers contrib-less nodes via the left join — the former
+      // nodes⋈contribs⋈ranks double join paid a second node-hash stage
+      // per round for nothing
+      val next = ranks.withColumnRenamed("mass", "prev")
+        .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base + dShare) + coalesce(col("contrib"), lit(0L))).as("mass"),
           col("prev"))

@@ -422,4 +422,22 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "corpus must contain partial copies")
     assert(capped.subsetOf(exact))
   }
+
+  test("thresholdSweep: monotone counts, rows per threshold match per-threshold pair runs") {
+    val docs = Tables.documents(spark, sf)
+    val sweep = Dedup.thresholdSweep(docs, Seq(0.7, 0.8, 0.9))
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(sweep.map(_._1) === Seq(70, 80, 90))
+    // tightening the threshold can only shed pairs and docs
+    assert(sweep.map(_._2) === sweep.map(_._2).sorted.reverse)
+    assert(sweep.map(_._3) === sweep.map(_._3).sorted.reverse)
+    // each row equals an independent pair run at that threshold
+    sweep.foreach { case (pct, nPairs, nDocs) =>
+      val p = Dedup.ngramJaccardPairs(docs, pct / 100.0)
+      assert(p.count() === nPairs, s"pair count at $pct")
+      val d = p.select(col("doc_a")).union(p.select(col("doc_b")))
+        .distinct().count()
+      assert(d === nDocs, s"doc count at $pct")
+    }
+  }
 }
