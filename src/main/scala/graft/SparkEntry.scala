@@ -3532,8 +3532,10 @@ object SparkEntry {
          |  FROM ca FULL OUTER JOIN cb USING (token)),
          |r AS (
          |  SELECT token, count_a, count_b,
-         |         (count_a * 1000000) // greatest(1, total_a) AS rate_a_ppm,
-         |         (count_b * 1000000) // greatest(1, total_b) AS rate_b_ppm
+         |         CAST((CAST(count_a AS HUGEINT) * 1000000)
+         |              // greatest(1, total_a) AS BIGINT) AS rate_a_ppm,
+         |         CAST((CAST(count_b AS HUGEINT) * 1000000)
+         |              // greatest(1, total_b) AS BIGINT) AS rate_b_ppm
          |  FROM j, tot)
          |SELECT token, count_a, count_b, rate_a_ppm, rate_b_ppm,
          |       abs(rate_a_ppm - rate_b_ppm) AS drift_ppm

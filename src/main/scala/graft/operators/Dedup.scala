@@ -461,8 +461,13 @@ object Dedup {
       docs: DataFrame,
       thresholds: Seq[Double] = Seq(0.7, 0.8, 0.9)): DataFrame = {
     require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t <= 1))
+    require(
+      thresholds.map(t => math.round(t * 100)).distinct.size ==
+        thresholds.size,
+      s"thresholds must stay distinct after pct rounding: $thresholds")
     val pairs = ngramJaccardPairs(docs, thresholds.min)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint(false) // evaluated once, reused |thresholds| times
     thresholds.sorted.map { t =>
       val p = pairs.filter(col("jaccard") >= t)
       p.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))

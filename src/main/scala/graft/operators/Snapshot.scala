@@ -93,10 +93,18 @@ object Snapshot {
     ca.join(cb, Seq("token"), "full_outer")
       .na.fill(0L, Seq("count_a", "count_b"))
       .crossJoin(broadcast(totals))
+      // count·scale through DECIMAL(38,0): a long product would overflow
+      // for counts beyond ~9.2e12 (web-scale stopwords) — silently under
+      // non-ANSI Spark while DuckDB errors, breaking both the exactness
+      // and the oracle contract right where the 100 TB claim lives. The
+      // decimal `div` floors like the oracle's HUGEINT `//`; the RATE
+      // always fits a long (≤ scale)
       .withColumn("rate_a_ppm",
-        expr(s"(count_a * ${scale}L) div greatest(1L, total_a)"))
+        expr(s"(CAST(count_a AS DECIMAL(38,0)) * ${scale}L)" +
+          " div greatest(1L, total_a)").cast("long"))
       .withColumn("rate_b_ppm",
-        expr(s"(count_b * ${scale}L) div greatest(1L, total_b)"))
+        expr(s"(CAST(count_b AS DECIMAL(38,0)) * ${scale}L)" +
+          " div greatest(1L, total_b)").cast("long"))
       .withColumn("drift_ppm", abs(col("rate_a_ppm") - col("rate_b_ppm")))
       .select(col("token"), col("count_a"), col("count_b"),
         col("rate_a_ppm"), col("rate_b_ppm"), col("drift_ppm"))
