@@ -14,7 +14,18 @@ import org.apache.spark.sql.SparkSession
   *     (SPARK_GRAFT_BENCH_OUT to override) — all entries recoverable from
   *     the repo even when the driver keeps only the stdout tail;
   *   - the tail line names the slowest 5 queries, so the expensive end of
-  *     the distribution is identifiable even from a truncated capture.
+  *     the distribution is identifiable even from a truncated capture;
+  *   - a fixed CALIBRATION probe (a data-independent in-memory aggregate
+  *     over `spark.range`) is timed once per measured rep and reported as
+  *     `calib` (median) + `calib_runs`: it exercises the scheduler + the
+  *     codegen'd agg path but touches no parquet, so round-over-round its
+  *     ratio isolates HOST-CLOCK DRIFT from plan changes — divide a
+  *     query's ratio by the calib ratio before calling it a regression
+  *     (the SCALING.md same-day-drift method, now automated in the
+  *     artifact). Per-query MIN-of-reps is emitted alongside the median
+  *     in bench_full.json: the min is the noise-floor estimate (a stall
+  *     can only inflate a run), so median-up + min-down = noise,
+  *     median-up + min-up = a real plan change.
   */
 object Bench {
 
@@ -90,14 +101,29 @@ object Bench {
     // back-to-back per query) so a single noisy-host window degrades one
     // run of many queries instead of all runs of a few — the median then
     // discards it. Per-query value = median across runs.
+    // fixed calibration probe: data-independent, parquet-free — its
+    // per-rep time tracks the HOST, not the engine (see header)
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(4000000L)
+        .selectExpr("sum(xxhash64(id))", "count(if(id % 7 = 0, 1, null))")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm the calib plan like everything else
     val names = SparkEntry.queries.keys.toSeq
     val runsByQuery = collection.mutable.LinkedHashMap(
       names.map(n => n -> Vector.empty[(Double, Option[String])]): _*)
-    for (_ <- 1 to reps; name <- names) {
-      val fn = SparkEntry.queries(name)
-      runsByQuery(name) =
-        runsByQuery(name) :+ timeQuery { force(fn(spark, sfDir)) }
+    var calibRuns = Vector.empty[Double]
+    for (_ <- 1 to reps) {
+      calibRuns = calibRuns :+ calibrate()
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        runsByQuery(name) =
+          runsByQuery(name) :+ timeQuery { force(fn(spark, sfDir)) }
+      }
     }
+    val calibMed = median(calibRuns)
     val results = runsByQuery.toSeq.map { case (name, runs) =>
       (name, median(runs.map(_._1)), runs.map(_._1),
         runs.flatMap(_._2).headOption)
@@ -121,7 +147,7 @@ object Bench {
       val entries = results.map { case (k, med, runs, err) =>
         val runsJson = runs.map(fmt).mkString("[", ",", "]")
         val errJson = err.map(e => s""","err":"${jsonEscape(e)}"""").getOrElse("")
-        s"""    "$k": {"median":${fmt(med)},"runs":$runsJson$errJson}"""
+        s"""    "$k": {"median":${fmt(med)},"min":${fmt(runs.min)},"runs":$runsJson$errJson}"""
       }.mkString(",\n")
       s"""{
   "metric": "total",
@@ -131,6 +157,8 @@ object Bench {
   "reps": $reps,
   "nqueries": ${results.size},
   "nerrors": ${errs.size},
+  "calib": ${fmt(calibMed)},
+  "calib_runs": ${calibRuns.map(fmt).mkString("[", ",", "]")},
   "queries": {
 $entries
   }
@@ -139,7 +167,7 @@ $entries
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fileJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib":${fmt(calibMed)},"queries":$qs$errField,"sf":"$sfDir"}""")
     // The driver keeps only the TAIL of sbt output; with 90+ per-query
     // entries the leading "metric":"total" prefix of the line above can be
     // truncated away (it was in rounds 3-5). Repeat the headline numbers
@@ -149,7 +177,7 @@ $entries
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, med, _, _) => s"\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errs.size},"reps":$reps,"slowest":$slowest,"full":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errs.size},"reps":$reps,"calib":${fmt(calibMed)},"slowest":$slowest,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

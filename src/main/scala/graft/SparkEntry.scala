@@ -671,6 +671,25 @@ object SparkEntry {
     "graph_triangles" -> ((s, dir) =>
       graft.operators.Graph.triangleStats(slicedCoPurchasePairs(s, dir))),
 
+    // DOULION edge-sampled triangle ESTIMATE over the FULL co-purchase
+    // graph (no order slice): each canonical edge survives iff the top
+    // 16 bits of md5("u:v") ≡ 0 (mod 4) — a pure-hash coin, so the
+    // sample is deterministic and the oracle replays the identical
+    // sparsified census; estimate = sampled · 4³. This is the
+    // full-graph affordability path the exact census (wedge-bound,
+    // SCALING.md receipt) runs next to: ~p² of the wedge cost on the
+    // whole graph vs exact on the 1-in-4 slice.
+    "graph_triangles_approx" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.operators.Graph.triangleStatsSampled(pairs, sampleDenom = 4)
+    }),
+
     // stateful-shape analytics: gap-based sessionization (batch twin of
     // the flatMapGroupsWithState streaming operator)
     "q_sessionize" -> ((s, dir) =>
@@ -2947,6 +2966,48 @@ object SparkEntry {
          |       (SELECT count(*) FROM e0) AS n_edges,
          |       (SELECT max(deg) FROM deg) AS max_degree,
          |       n_triangles
+         |FROM t""".stripMargin
+    },
+
+    // DOULION sparsified census on the FULL co-purchase graph: the
+    // md5-top-16-bit coin replayed via strpos arithmetic, then the exact
+    // oriented-wedge count on the surviving edges, scaled by 4³
+    "graph_triangles_approx" -> {
+      val coin = md5PrefixLongSql(
+        "CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)", 4)
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS (
+         |  SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+         |es AS (
+         |  SELECT u, v FROM e0
+         |  WHERE $coin % 4 = 0),
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM es UNION ALL SELECT v FROM es)
+         |  GROUP BY 1),
+         |o AS (
+         |  SELECT CASE WHEN (du.deg, es.u) < (dv.deg, es.v)
+         |              THEN es.u ELSE es.v END AS src,
+         |         CASE WHEN (du.deg, es.u) < (dv.deg, es.v)
+         |              THEN es.v ELSE es.u END AS dst,
+         |         CASE WHEN (du.deg, es.u) < (dv.deg, es.v)
+         |              THEN dv.deg ELSE du.deg END AS ddst
+         |  FROM es JOIN deg du ON es.u = du.node
+         |          JOIN deg dv ON es.v = dv.node),
+         |w AS (
+         |  SELECT o1.dst AS w1, o2.dst AS w2
+         |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+         |  WHERE (o1.ddst, o1.dst) < (o2.ddst, o2.dst)),
+         |t AS (
+         |  SELECT count(*) AS n_triangles_sampled
+         |  FROM w JOIN o ON w.w1 = o.src AND w.w2 = o.dst)
+         |SELECT (SELECT count(*) FROM e0) AS n_edges,
+         |       CAST(4 AS BIGINT) AS sample_denom,
+         |       (SELECT count(*) FROM es) AS n_edges_sampled,
+         |       n_triangles_sampled,
+         |       n_triangles_sampled * 64 AS est_triangles
          |FROM t""".stripMargin
     },
 

@@ -37,6 +37,15 @@ object Behavior {
     * are user-cardinality-sized, so at 1000 executors they co-partition
     * with the event scan's user hashing and the joins never touch a
     * corpus-sized side twice.
+    *
+    * Each frontier is MATERIALIZED (eager localCheckpoint; cluster twin
+    * `.checkpoint()`) before the census counts read it: with lazy
+    * unioned 1-row aggregates, the stage-k count branch would re-run
+    * stages 1..k-1 (no cross-branch CSE in Spark), turning the k-stage
+    * report into O(k²) event scans. Checkpointed, each stage's filtered
+    * event scan and join run exactly once — stage k's branch aggregates
+    * a user-sized in-memory table (BehaviorSpec asserts the
+    * one-scan-per-stage receipt on the census plan).
     */
   def funnel(
       events: DataFrame,
@@ -48,6 +57,7 @@ object Behavior {
       .filter(col("event_type") === stages.head)
       .groupBy(col("user_id"))
       .agg(min(tsUs).as("t"))
+      .localCheckpoint(true)
     var frontiers = Vector(frontier)
     for (stage <- stages.tail) {
       // first stage-k event strictly after the user's stage-(k-1) anchor
@@ -58,10 +68,12 @@ object Behavior {
         .filter(col("ts_us") > col("t"))
         .groupBy(col("user_id"))
         .agg(min(col("ts_us")).as("t"))
+        .localCheckpoint(true)
       frontiers = frontiers :+ frontier
     }
-    // one 1-row aggregate per stage, unioned into the (#stages)-row report;
-    // stays a single lazy plan — no driver-side counting while building
+    // one 1-row aggregate per MATERIALIZED stage frontier, unioned into
+    // the (#stages)-row report — each branch reads its checkpointed
+    // frontier, never the upstream pipeline (see docstring)
     val perStage = frontiers.zipWithIndex.map { case (f, i) =>
       f.agg(count(lit(1)).as("users"))
         .select(lit(i + 1).as("stage_idx"), lit(stages(i)).as("stage"),

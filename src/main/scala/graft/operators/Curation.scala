@@ -348,9 +348,21 @@ object Curation {
     * 100 TB shape: the composition inherits each stage's documented
     * shape (columnar quality rejection before any exchange, one
     * canonical-key shuffle, one content-key shuffle, the two-phase
-    * source cap, a narrow split map); the census rows are 1-row
-    * aggregates unioned lazily, so the whole report is ONE plan — no
-    * driver-side counting while building.
+    * source cap, a narrow split map). Each stage frontier is
+    * MATERIALIZED (eager localCheckpoint — the [[Dedup.thresholdSweep]]
+    * pattern; cluster twin: `.checkpoint()` on fault-tolerant storage)
+    * before the census aggregates read it: Spark has no cross-branch
+    * common-subexpression elimination, so unioned lazy 1-row aggregates
+    * would re-execute the whole prefix pipeline once per census branch
+    * (ReuseExchange dedupes only the identical shuffle exchanges, not
+    * the narrow pre-exchange work — at 100 TB the census would cost a
+    * multiple of the build it audits). With checkpointed frontiers every
+    * stage runs EXACTLY ONCE — each census branch aggregates an
+    * already-materialized frontier, and the input corpus is scanned once
+    * for the build plus once for the input-count row
+    * (CurationOpsSpec asserts the single-scan receipt on the census
+    * plan). The frontier tables are also what the build itself hands to
+    * the next stage, so materialization is work the build pays anyway.
     */
   def buildReport(
       docs: DataFrame,
@@ -359,16 +371,22 @@ object Curation {
       maxPerSource: Int = 50,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    // every stage frontier is materialized ONCE (eager localCheckpoint)
+    // and then read both by the next stage and by its census branch —
+    // see the 100 TB note above for why lazy branches re-execute
     val quality = TextAnalysis.withQuality(docs)
       .filter(col("quality_score") >= minQuality)
+      .localCheckpoint(true)
     // the SAME survivor rule as Urls.urlDedup, by construction
     val urlKept = Urls
       .keepLargestPerCanonical(quality.withColumn("_url", url), col("_url"))
       .drop("_url", "canonical_url", "n_dups")
-    val exact = Dedup.exactDedup(urlKept)
-    val capped = capPerSource(exact, maxPerSource)
+      .localCheckpoint(true)
+    val exact = Dedup.exactDedup(urlKept).localCheckpoint(true)
+    val capped = capPerSource(exact, maxPerSource).localCheckpoint(true)
     val withSplit = Assembly.hashSplit(
       capped.select(col("doc_id")), "doc_id", splits)
+      .localCheckpoint(true)
     val stages: Seq[(String, DataFrame)] = Seq(
       "input" -> docs,
       "quality" -> quality,

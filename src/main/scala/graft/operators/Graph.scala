@@ -202,20 +202,42 @@ object Graph {
     * run-order-dependent; the synchronous min-tie form is a pure
     * function of the edge set, so a fixed-round oracle replays it
     * exactly. Synchronous LPA can oscillate on bipartite structure —
-    * fixed rounds make even that reproducible; callers wanting a stable
-    * point read consecutive rounds (documented, not hidden).
+    * the CONVERGENCE stop below makes even that exact.
+    *
+    * Convergence stop (the [[pageRankIntWithRounds]] contract): the
+    * round map is deterministic on integer label tables, so the loop
+    * stops at the first exact FIXED POINT (labels unchanged — persists
+    * under the map, so the answer equals the cap-unrolled oracle's) or
+    * the first detected 2-CYCLE (labels equal to two rounds back —
+    * from there labels alternate between the last two tables, so the
+    * cap-round table is picked by remaining-round PARITY), capped at
+    * `iterations`. Both tests are node-sized joins on exactly-comparable
+    * longs; early stop changes wall-time, never the answer — the oracle
+    * unrolls the recurrence to the cap and matches bit-for-bit.
     *
     * 100 TB shape: per round ONE src-keyed join (labels ⋈ symmetrized
     * edges, co-partitioning reused round to round) + one (dst, label)
     * map-side-combined count + one dst-keyed struct-max argmax — only
     * (node, label, count) longs shuffle; lineage truncated per round
-    * like every iterative operator here.
+    * like every iterative operator here. The stop tests add two
+    * node-keyed joins of checkpointed (node, long) tables per round —
+    * O(nodes), short-circuited by `isEmpty`.
     */
   def labelPropagation(
       pairs: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5): DataFrame =
+    labelPropagationWithRounds(pairs, srcCol, dstCol, iterations)._1
+
+  /** [[labelPropagation]] plus the number of rounds actually executed
+    * (== `iterations` when the cap hit before a fixed point / 2-cycle).
+    */
+  def labelPropagationWithRounds(
+      pairs: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 5): (DataFrame, Int) = {
     require(iterations >= 0)
     val e0 = pairs
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
@@ -227,14 +249,23 @@ object Graph {
     val edges = e0.select(col("u").as("src"), col("v").as("dst"))
       .union(e0.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(true)
+    // the node set is CONSTANT across rounds (every symmetrized endpoint
+    // appears as a dst each round), so table equality is an inner join +
+    // label comparison — no outer-join null handling needed
+    def same(a: DataFrame, b: DataFrame): Boolean =
+      a.join(b.withColumnRenamed("label", "label_b"), "node")
+        .filter(col("label") =!= col("label_b")).isEmpty
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    var prev: DataFrame = null // labels two rounds back, for 2-cycle test
+    var rounds = 0
+    var done = false
+    while (!done && rounds < iterations) {
       // argmax by (count, -label): lexicographic struct max takes the
       // highest count, then the LOWEST label — matching the oracle's
       // row_number() ORDER BY cnt DESC, label
-      labels = edges
+      val next = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
@@ -242,9 +273,25 @@ object Graph {
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("label"))
         .localCheckpoint(true)
+      rounds += 1
+      if (same(next, labels)) {
+        // fixed point: every later round is identical — cap-equal
+        labels = next
+        done = true
+      } else if (prev != null && same(next, prev)) {
+        // 2-cycle: from round `rounds` labels alternate (next, labels,
+        // next, …), so the cap-round table is next iff the remaining
+        // round count is even — parity picks the oracle-equal phase
+        val remaining = iterations - rounds
+        labels = if (remaining % 2 == 0) next else labels
+        done = true
+      } else {
+        prev = labels
+        labels = next
+      }
     }
-    labels.select(col("node"), col("label").as("community"))
-      .orderBy(col("node"))
+    (labels.select(col("node"), col("label").as("community"))
+      .orderBy(col("node")), rounds)
   }
 
   /** Triangle census of the undirected graph given by `pairs` — the
@@ -270,18 +317,23 @@ object Graph {
     * Returns one summary row `(n_nodes, n_edges, max_degree,
     * n_triangles)` — all exact integers.
     */
-  def triangleStats(
-      pairs: DataFrame,
-      srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
-    val e = pairs
+  /** Canonical (u < v) distinct undirected edge set of a pair list. */
+  private def canonicalEdges(
+      pairs: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    pairs
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
-      .localCheckpoint(true) // consumed by degrees + both sides below
+
+  /** Shared degree-orientation core of [[triangleStats]] and
+    * [[triangleStatsSampled]]: degrees plus the 1-row exact triangle
+    * count of a MATERIALIZED canonical edge set (both callers checkpoint
+    * `e` first — it feeds degrees and both join sides).
+    */
+  private def orientedTriangleCount(e: DataFrame): (DataFrame, DataFrame) = {
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy(col("node"))
@@ -305,12 +357,75 @@ object Graph {
       .join(oriented.select(col("src").as("w1"), col("dst").as("w2")),
         Seq("w1", "w2"))
       .agg(count(lit(1)).as("n_triangles"))
+    (deg, tri)
+  }
+
+  def triangleStats(
+      pairs: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = canonicalEdges(pairs, srcCol, dstCol)
+      .localCheckpoint(true) // consumed by degrees + both sides below
+    val (deg, tri) = orientedTriangleCount(e)
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
       max(col("deg")).as("max_degree"))
     val edgeStats = e.agg(count(lit(1)).as("n_edges"))
     nodeStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("max_degree"),
         col("n_triangles"))
+  }
+
+  /** DOULION-style edge-sampled triangle ESTIMATE (Tsourakakis et al.,
+    * KDD'09 "DOULION: counting triangles in massive graphs with a
+    * coin"): keep each edge with probability p = 1/`sampleDenom`, count
+    * triangles exactly on the sparsified graph, scale by 1/p³. A
+    * triangle survives iff all three edges survive (probability p³), so
+    * the estimator is unbiased; the paper bounds its variance, and cost
+    * shrinks superlinearly — the wedge join, the Ω-floor of any exact
+    * census, runs on a graph with ~p·m edges (~p²·wedges).
+    *
+    * The coin is a HASH, not a RNG: an edge survives iff the top 16 bits
+    * of md5("u:v") ≡ 0 (mod sampleDenom) — a pure function of the
+    * canonical edge, so the sample (and therefore the whole estimate) is
+    * deterministic, partition-invariant, and replayable by the DuckDB
+    * oracle digit for digit. `sampleDenom` must divide 2¹⁶ so the
+    * residue classes partition the 16-bit hash space exactly (no modulo
+    * bias); p is then exactly 1/sampleDenom over the hash space.
+    *
+    * Returns one row `(n_edges, sample_denom, n_edges_sampled,
+    * n_triangles_sampled, est_triangles)` — est = sampled · denom³, all
+    * exact long arithmetic (overflow needs count · denom³ > 2⁶³; at the
+    * default denom=4 that is 1.4·10¹⁷ sampled triangles).
+    *
+    * This is the FULL-GRAPH affordability path next to [[triangleStats]]
+    * (which is exact but wedge-bound): run the estimate on the whole
+    * graph, the exact census on a slice — ScaleCheck carries both
+    * receipts.
+    */
+  def triangleStatsSampled(
+      pairs: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      sampleDenom: Int = 4): DataFrame = {
+    require(sampleDenom >= 1 && 65536 % sampleDenom == 0,
+      s"sampleDenom must divide 2^16 for an exact residue partition, got $sampleDenom")
+    val eFull = canonicalEdges(pairs, srcCol, dstCol)
+      .localCheckpoint(true) // read by the full count + the sample filter
+    // deterministic coin: top 16 bits of md5 of the canonical edge key
+    val coin = conv(
+      substring(md5(concat(col("u").cast("string"), lit(":"),
+        col("v").cast("string")).cast("binary")), 1, 4), 16, 10)
+      .cast("long") % sampleDenom
+    val e = eFull.filter(coin === 0).localCheckpoint(true)
+    val (_, tri) = orientedTriangleCount(e)
+    val denomCubed = sampleDenom.toLong * sampleDenom * sampleDenom
+    val fullEdges = eFull.agg(count(lit(1)).as("n_edges"))
+    val sampledEdges = e.agg(count(lit(1)).as("n_edges_sampled"))
+    fullEdges.crossJoin(broadcast(sampledEdges)).crossJoin(broadcast(tri))
+      .select(col("n_edges"), lit(sampleDenom.toLong).as("sample_denom"),
+        col("n_edges_sampled"),
+        col("n_triangles").as("n_triangles_sampled"),
+        (col("n_triangles") * denomCubed).as("est_triangles"))
   }
 
   /** Fixed-iteration PageRank with INTEGER mass arithmetic — importance

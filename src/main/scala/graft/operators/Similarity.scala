@@ -398,6 +398,88 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** An LSH index reloaded from its ON-DISK layout
+    * ([[graft.sinks.Sink.writeLshIndex]] / `readLshIndex`): the
+    * hyperplanes + band count (tiny metadata), the signed corpus
+    * `(vec_id, unit, sig)` as a plain parquet table (the rerank side —
+    * ONE row per vector, no band inflation), and the POSTINGS table
+    * `(vec_id)` partitioned by `(band, bucket)` — the real disk shape of
+    * an LSH index (per-band hash tables hold postings, not vectors), so
+    * a probe reads only its probe-bucket directories.
+    */
+  final case class PersistedLshIndex(
+      planes: Array[Array[Double]],
+      bands: Int,
+      signed: DataFrame,
+      postings: DataFrame) {
+    def nBits: Int = planes.length
+    def bitsPerBand: Int = nBits / bands
+  }
+
+  /** [[lshQuery]] against the PARTITIONED on-disk index: the query
+    * signatures are fetched first (one bounded collect — #queries longs),
+    * every multi-probe (band, bucket) pair is computed driver-side, and
+    * the union is pushed as a STATIC predicate on the postings table's
+    * partition columns, so the candidate scan carries a PartitionFilter
+    * and provably reads only the probed bucket directories
+    * (SimilarityIndexPersistSpec asserts it) — no reliance on runtime
+    * DPP. Candidate pairs are identical to [[lshQuery]]'s (the static
+    * filter is the probe UNION and prunes I/O; the per-(band, bucket)
+    * join still restricts each query to its own probes), and the rerank
+    * joins candidate ids back to the signed table for exact cosine — so
+    * results are bit-equal to the in-memory path on the same corpus.
+    */
+  def lshQueryPruned(
+      index: PersistedLshIndex,
+      queryIds: Seq[Long],
+      k: Int = 10): DataFrame = {
+    val bitsPerBand = index.bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
+    // driver-side probe set: #queries × bands × (1 + bits/band) pairs
+    val qsigs = index.signed
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("sig"))
+      .collect().map(_.getLong(1))
+    val probePairs: Seq[(Int, Long)] = qsigs.toSeq.flatMap { sig =>
+      (0 until index.bands).flatMap { b =>
+        // arithmetic >> then mask == the query plan's shiftright+AND
+        val base = (sig >> (b * bitsPerBand)) & mask
+        (base +: (0 until bitsPerBand).map(i => base ^ (1L << i)))
+          .map(v => (b, v))
+      }
+    }.distinct.sorted
+    val probeFilter = probePairs
+      .map { case (b, v) => col("band") === b && col("bucket") === v }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def bandBucket(b: Int): Column =
+      shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)
+    val queries = index.signed
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(
+        col("vec_id").as("query_id"), col("unit").as("q_unit"),
+        posexplode(array((0 until index.bands).flatMap { b =>
+          bandBucket(b) +: (0 until bitsPerBand).map(i =>
+            bandBucket(b).bitwiseXOR(lit(1L << i)))
+        }: _*)).as(Seq("probe", "bucket")))
+      .withColumn("band", (col("probe") / (1 + bitsPerBand)).cast("int"))
+      .select(col("band"), col("bucket"), col("query_id"), col("q_unit"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    index.postings
+      .filter(probeFilter) // static partition pruning on (band, bucket)
+      .join(broadcast(queries), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      // posting → corpus fetch: candidate ids pull their unit vectors
+      .join(index.signed.select(col("vec_id"), col("unit")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("unit"), col("q_unit")).as("cosine"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("cosine")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Build-then-query convenience; see [[ivfTopK]] note. */
   def lshTopK(
       embeddings: DataFrame,
@@ -921,10 +1003,15 @@ object Similarity {
     *
     * 100 TB shape: the audit is SAMPLE-BOUNDED by design — `nProbes`
     * probes broadcast against one corpus scan (the [[bruteForceTopK]]
-    * posture), so cost is O(nProbes × corpus) narrow work + one
-    * probe-keyed top-k. Corpus-wide labeling (not an audit) swaps the
-    * scan for IVF probe cells ([[ivfQuery]]) — same vote logic over
-    * nprobe cells per query.
+    * posture), so cost is O(nProbes × corpus) narrow work. The top-k cut
+    * is TWO-PHASE like [[Clustering.diverseSample]]: phase 1 keeps each
+    * partition's `k` smallest (dist, vec_id) per probe in a bounded
+    * in-memory heap (narrow, no shuffle — lossless because a row outside
+    * its partition's local smallest-k cannot be in the global
+    * smallest-k), so the probe-keyed window sorts at most
+    * k × partitions rows per probe — never a corpus-sized partition.
+    * Corpus-wide labeling (not an audit) swaps the scan for IVF probe
+    * cells ([[ivfQuery]]) — same vote logic over nprobe cells per query.
     */
   def knnLabelAudit(
       embeddings: DataFrame,
@@ -951,9 +1038,32 @@ object Similarity {
         col("label"),
         graft.functions.VectorOps.vec_l2sq_long(col("q"), col("pq"))
           .as("dist"))
+    // phase 1: bounded per-partition heap — keep the k smallest
+    // (dist, vec_id) per probe per partition (worst kept row at the
+    // head), so the window below never sees a corpus-sized row set
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val local = scored
+      .as[(Long, String, Long, String, Long)]
+      .mapPartitions { it =>
+        val ord = Ordering.Tuple2(Ordering.Long, Ordering.Long)
+          .on[(Long, String, Long, String, Long)](r => (r._5, r._3))
+        val heaps = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.PriorityQueue[
+            (Long, String, Long, String, Long)]]
+        it.foreach { r =>
+          val h = heaps.getOrElseUpdate(r._1,
+            scala.collection.mutable.PriorityQueue.empty(ord))
+          if (h.size < k) h.enqueue(r)
+          else if (ord.lt(r, h.head)) { h.dequeue(); h.enqueue(r) }
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }
+      .toDF("probe_id", "true_label", "vec_id", "label", "dist")
+    // phase 2: exact top-k over the bounded survivor set
     val wNear = Window.partitionBy(col("probe_id"))
       .orderBy(col("dist"), col("vec_id"))
-    val votes = scored
+    val votes = local
       .withColumn("rn", row_number().over(wNear))
       .filter(col("rn") <= k)
       .groupBy(col("probe_id"), col("true_label"), col("label"))

@@ -129,14 +129,31 @@ object Tokenizer {
     *     "aaaa" under (a,a) fuses to [aa, a, a] (not [aa, aa]), and
     *     "aaaaa" to [aa, a, aa]. The scan below shields that symbol.
     */
-  def bpeMergesLocal(docs: DataFrame, steps: Int = 8): DataFrame = {
+  def bpeMergesLocal(
+      docs: DataFrame, steps: Int = 8, minFreq: Long = 1L): DataFrame = {
     require(steps >= 1, "steps must be >= 1")
+    require(minFreq >= 1L, "minFreq must be >= 1")
     val spark = docs.sparkSession
 
-    // the same single corpus pass as bpeMerges — then ONE vocab collect
+    // the same single corpus pass as bpeMerges — then ONE vocab collect.
+    // `minFreq` bounds the DRIVER-side vocab against web-scale hapax
+    // noise (typos, hashes, OCR garbage routinely inflate raw "vocab"
+    // 10-100× over the real word distribution): words below the floor
+    // are dropped BEFORE the collect, so driver memory is bounded by the
+    // ≥-minFreq vocabulary. CAVEAT (the standard trainer trade, stated
+    // not hidden): dropped words still contributed pairs to the exact
+    // corpus counts, so with minFreq > 1 pair counts are computed over
+    // the floored vocab only — merge choices are invariant exactly when
+    // every argmax margin exceeds the total mass of dropped words
+    // (guaranteed for pairs whose counts sit above the floor-mass bound;
+    // heavy-tail corpora satisfy this for all early merges). The default
+    // minFreq = 1 is bit-identical to [[bpeMerges]] unconditionally —
+    // TokenizerSpec asserts both the equality at 1 and the
+    // shrinking-collect / stable-merges behavior on a hapax-heavy corpus.
     var vocab: Array[(Array[String], Long)] = docs
       .select(explode(TextAnalysis.wordArray(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
       .collect()
       .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
 

@@ -202,6 +202,72 @@ object Sink {
       centroids, spark.read.parquet(s"$path/celled"))
   }
 
+  /** C6+ / similarity — persist an SRP-LSH index in its 100 TB layout
+    * (the [[writeIvfIndex]] twin): the signed corpus `(vec_id, unit,
+    * sig)` as ONE plain table (the rerank side — no band inflation; this
+    * is the "bucketed by a band key, not bands× rows" stance of
+    * `Similarity.LshIndex`, kept for the vectors), plus a POSTINGS table
+    * `(vec_id)` PARTITIONED BY `(band, bucket)` — per-band hash tables
+    * hold 8-byte postings, the standard disk shape of an LSH index, so
+    * the bands× inflation costs ids only and a probe reads just its
+    * bucket directories. Hyperplanes + band count ride along as tiny
+    * metadata. `Similarity.lshQueryPruned` is the consuming query path
+    * (SimilarityIndexPersistSpec round-trips it and asserts the
+    * partition pruning).
+    */
+  def writeLshIndex(
+      index: graft.operators.Similarity.LshIndex,
+      path: String,
+      mode: String = "overwrite"): Unit = {
+    val spark = index.signed.sparkSession
+    import spark.implicits._
+    val bitsPerBand = index.bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
+    index.signed.select(col("vec_id"), col("unit"), col("sig"))
+      .write.mode(mode).parquet(s"$path/signed")
+    def bandBucket(b: Int) =
+      shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)
+    index.signed
+      .select(col("vec_id"),
+        posexplode(array((0 until index.bands).map(bandBucket): _*))
+          .as(Seq("band", "bucket")))
+      // one write task per (band, bucket) group, not one file per
+      // (directory × task)
+      .repartition(col("band"), col("bucket"))
+      .write.mode(mode).partitionBy("band", "bucket")
+      .parquet(s"$path/postings")
+    index.planes.toSeq.zipWithIndex
+      .map { case (p, i) => (i, p.toSeq) }
+      .toDF("bit", "plane")
+      .coalesce(1).write.mode(mode).parquet(s"$path/planes")
+    Seq(index.bands).toDF("bands")
+      .coalesce(1).write.mode(mode).parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted LSH index: planes + band count collected (tiny),
+    * signed corpus and postings as parquet tables (NOT cached — probes
+    * are meant to read only their pruned bucket directories). The
+    * postings schema is DECLARED, not inferred, so the partition columns
+    * come back as exactly (band INT, bucket BIGINT) and
+    * `lshQueryPruned`'s static probe predicate matches them type-exactly
+    * — a type-mismatched cast on a partition column can silently defeat
+    * directory pruning.
+    */
+  def readLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.operators.Similarity.PersistedLshIndex = {
+    val planes = spark.read.parquet(s"$path/planes")
+      .orderBy(col("bit")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val bands = spark.read.parquet(s"$path/meta").head.getInt(0)
+    val signed = spark.read.parquet(s"$path/signed")
+    val postings = spark.read
+      .schema("vec_id BIGINT, band INT, bucket BIGINT")
+      .parquet(s"$path/postings")
+    graft.operators.Similarity.PersistedLshIndex(
+      planes, bands, signed, postings)
+  }
+
   /** C6+ physical design — small-file COMPACTION: rewrite a parquet
     * directory into ~`targetBytes` files. Streaming ingestion (A9's
     * foreachBatch fan-out) produces one file per partition per

@@ -39,6 +39,27 @@ class BehaviorSpec extends SparkSpec {
     assert(users === Seq(2L, 1L))
   }
 
+  test("funnel census plan reads only materialized frontiers (no per-branch event re-scan)") {
+    val events = Tables.events(spark, sf)
+    val report = Behavior.funnel(events)
+    // every stage frontier is an eager localCheckpoint, so the census
+    // branches aggregate RDD scans — the parquet events table appears in
+    // the final plan ZERO times (its scans ran once per stage, during
+    // checkpointing; pre-fix the stage-k branch re-ran stages 1..k-1,
+    // i.e. O(k²) event scans across the report)
+    val planStr = report.queryExecution.executedPlan.toString
+    val nScans = "FileScan".r.findAllIn(planStr).length
+    assert(nScans === 0,
+      s"funnel census must not re-scan events, saw $nScans file scans:\n$planStr")
+    assert(planStr.contains("ExistingRDD"),
+      s"expected checkpointed frontier scans in:\n$planStr")
+    // and the report is still a monotone funnel anchored at stage 1
+    val rows = report.collect()
+    assert(rows.length === 3)
+    val users = rows.map(_.getAs[Long]("users"))
+    assert(users === users.sorted.reverse)
+  }
+
   test("cohortRetention: offsets count distinct active days from first day") {
     val d = 86400000000L
     val events = ev(

@@ -385,6 +385,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(crafted2("exact_dedup") === 1L)
   }
 
+  test("buildReport census plan scans the input corpus exactly once (materialized frontiers)") {
+    val corpus = Tables.documents(spark, sf)
+    val report = graft.operators.Curation.buildReport(
+      corpus, SparkEntry.derivedUrl, maxPerSource = 5)
+    // the single-scan receipt: every stage frontier is an eager
+    // localCheckpoint, so the only census branch still reading parquet
+    // is the input-count row — exactly ONE file scan in the whole plan
+    // (pre-fix, each of the 8 branches re-derived its prefix pipeline
+    // from the scan: 8 scans)
+    val planStr = report.queryExecution.executedPlan.toString
+    val nScans = "FileScan".r.findAllIn(planStr).length
+    assert(nScans === 1,
+      s"census must scan the corpus once, saw $nScans file scans:\n$planStr")
+    // the checkpointed frontiers surface as RDD scans — one per stage
+    // census branch (5 stages − input + 1 split table read 3×)
+    assert(planStr.contains("ExistingRDD") || planStr.contains("Scan ExistingRDD"),
+      s"expected checkpointed frontier scans in:\n$planStr")
+    // and the report itself is still the right funnel
+    val byStage = report.as[(Int, String, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(byStage("input") === corpus.count())
+  }
+
   test("ccnetBuckets: buckets partition each language; census is consistent") {
     val corpus = Tables.documents(spark, sf)
     val out = Curation.ccnetBuckets(corpus)

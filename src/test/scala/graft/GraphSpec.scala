@@ -225,6 +225,93 @@ class GraphSpec extends SparkSpec {
     assert(repart === got)
   }
 
+  test("labelPropagationWithRounds: fixed-point early stop, cap-unrolled answer") {
+    // K4 reaches its label fixed point in 3 rounds (1→2 then all→1 then
+    // stable); the early stop must return the same table as any larger
+    // cap's unrolled recurrence, and report < cap rounds
+    val edges = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val (df, rounds) = Graph.labelPropagationWithRounds(
+      edges.toDF("src", "dst"), iterations = 10)
+    val got = df.as[(Long, Long)].collect().toMap
+    assert(got === lpaBrute(edges, 10))
+    assert(rounds < 10, s"fixed point must stop early, ran $rounds rounds")
+    assert(rounds === 3)
+  }
+
+  test("labelPropagationWithRounds: 2-cycle detection returns the cap-parity phase") {
+    // a single edge oscillates with period 2 under synchronous LPA:
+    // L0={1→1,2→2}, L1={1→2,2→1}, L2=L0, … — the stop rule must detect
+    // the cycle at round 2 and hand back the phase the cap would reach
+    val edges = Seq((1L, 2L))
+    for (cap <- 1 to 6) {
+      val (df, rounds) = Graph.labelPropagationWithRounds(
+        edges.toDF("src", "dst"), iterations = cap)
+      val got = df.as[(Long, Long)].collect().toMap
+      assert(got === lpaBrute(edges, cap), s"cap=$cap parity phase wrong")
+      assert(rounds === math.min(cap, 2), s"cap=$cap ran $rounds rounds")
+    }
+  }
+
+  test("labelPropagationWithRounds: 2-cycle on a bipartite path, every cap parity") {
+    // P4 (path 1-2-3-4) also oscillates; check all cap parities against
+    // the driver-side reference
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    for (cap <- 2 to 7) {
+      val got = Graph.labelPropagation(edges.toDF("src", "dst"),
+        iterations = cap).as[(Long, Long)].collect().toMap
+      assert(got === lpaBrute(edges, cap), s"cap=$cap")
+    }
+  }
+
+  test("triangleStatsSampled: sampleDenom=1 degenerates to the exact census") {
+    val edges = (for (a <- 1L to 30L; b <- (a + 1) to 30L
+      if (a * 13 + b * 29) % 5 < 2) yield (a, b)).toSeq
+    val df = edges.toDF("src", "dst")
+    val exact = Graph.triangleStats(df)
+      .as[(Long, Long, Long, Long)].collect().head
+    val s = Graph.triangleStatsSampled(df, sampleDenom = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(s._1 === exact._2) // n_edges
+    assert(s._3 === exact._2) // every edge kept
+    assert(s._4 === exact._4) // sampled count == exact count
+    assert(s._5 === exact._4) // estimate == exact at p=1
+  }
+
+  test("triangleStatsSampled: hash coin replayed driver-side; estimate = count·denom³") {
+    val edges = (for (a <- 1L to 40L; b <- (a + 1) to 40L
+      if (a * 7919 + b * 104729) % 11 < 3) yield (a, b)).toSeq
+    // replay the md5-top-16-bit coin exactly
+    def keep(u: Long, v: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:$v".getBytes("UTF-8"))
+      val top16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      top16 % 4 == 0
+    }
+    val kept = edges.filter { case (a, b) => keep(a, b) }
+    val adj = kept.toSet
+    def conn(x: Long, y: Long) = adj.contains((x min y, x max y))
+    val nodes = kept.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = (for {
+      i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+      if conn(i, j) && conn(j, k) && conn(i, k)
+    } yield 1).size.toLong
+    val got = Graph.triangleStatsSampled(edges.toDF("src", "dst"),
+      sampleDenom = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got._1 === edges.size.toLong, "full edge count")
+    assert(got._2 === 4L, "denom recorded")
+    assert(got._3 === kept.size.toLong, "hash coin must match the replay")
+    assert(got._4 === brute, "sampled census must be exact on the sample")
+    assert(got._5 === brute * 64L, "estimate = count·denom³")
+  }
+
+  test("triangleStatsSampled: rejects a denom that does not divide 2^16") {
+    val df = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.triangleStatsSampled(df, sampleDenom = 3)
+    }
+  }
+
   test("triangleStats: equals brute-force enumeration on a pseudo-random graph") {
     // deterministic pseudo-random graph on 40 nodes
     val edges = (for (a <- 1L to 40L; b <- (a + 1) to 40L

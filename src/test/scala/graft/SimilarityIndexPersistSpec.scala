@@ -90,4 +90,74 @@ class SimilarityIndexPersistSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("LSH index parquet round-trip: pruned queries are bit-equal to the in-memory path") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildLshIndex(emb, nBits = 64, bands = 16, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx").toString
+    try {
+      Sink.writeLshIndex(idx, dir)
+      val loaded = Sink.readLshIndex(spark, dir)
+      assert(loaded.planes.map(_.toSeq).toSeq
+        === idx.planes.map(_.toSeq).toSeq, "hyperplanes survive verbatim")
+      assert(loaded.bands === idx.bands)
+      assert(loaded.signed.count() === idx.signed.count())
+      // the postings table carries every (vector, band) posting
+      assert(loaded.postings.count() === idx.signed.count() * idx.bands)
+      val mem = Similarity.lshQuery(idx, qids, k = 10).collect().toSeq
+      val disk = Similarity.lshQueryPruned(loaded, qids, k = 10)
+        .collect().toSeq
+      assert(disk === mem,
+        "reloaded pruned path must reproduce the in-memory ranking")
+    } finally {
+      idx.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("pruned LSH probe scan reads only the probed bucket directories") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildLshIndex(emb, nBits = 64, bands = 16, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx2").toString
+    try {
+      Sink.writeLshIndex(idx, dir)
+      val loaded = Sink.readLshIndex(spark, dir)
+      // ONE query: it multi-probes ≤ bands × (1 + bits/band) = 80
+      // (band, bucket) pairs of the 16 × 16 = 256 on disk
+      val df = Similarity.lshQueryPruned(loaded, Seq(0L), k = 10)
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(planStr.contains("PartitionFilters: ["),
+        s"expected a static partition filter in:\n$planStr")
+      assert("PartitionFilters: \\[[^\\]]*band".r
+        .findFirstIn(planStr).isDefined,
+        s"partition filter must constrain band in:\n$planStr")
+      // receipt on actual I/O: the pruned scan lists at most the probed
+      // pair count of directories, strictly fewer than exist on disk
+      df.collect()
+      val bandDirs = new java.io.File(s"$dir/postings")
+        .listFiles().filter(_.getName.startsWith("band="))
+      val allPairs = bandDirs.map(b =>
+        b.listFiles().count(_.getName.startsWith("bucket="))).sum
+      // AQE wraps subtrees in query stages — walk through them
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scansOf(p: SparkPlan): Seq[FileSourceScanExec] =
+        p.collect {
+          case f: FileSourceScanExec => Seq(f)
+          case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+          case q: QueryStageExec => scansOf(q.plan)
+        }.flatten
+      val scan = scansOf(df.queryExecution.executedPlan)
+        .find(_.metadata.get("Location").exists(_.contains("postings")))
+      assert(scan.isDefined, "postings scan must be a FileSourceScan")
+      val filesRead = scan.get.metrics("numFiles").value
+      assert(filesRead <= 80L,
+        s"probe must read <= 80 bucket dirs, read $filesRead")
+      assert(filesRead < allPairs,
+        s"pruning must skip buckets ($filesRead read of $allPairs on disk)")
+    } finally {
+      idx.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -104,6 +104,40 @@ class TokenizerSpec extends SparkSpec {
     assert(m === (1 to 64), "64 consecutive merge steps learned")
   }
 
+  test("bpeMergesLocal minFreq floor: hapax vocab dropped, merges above the floor unchanged") {
+    // common mass: 30 copies of "hello world" → pair counts 30; hapax
+    // noise: 40 unique words over a DISJOINT alphabet ({z,q,x,k,j,v,b,n}
+    // + digits — no char of hello/world), so the floor can only remove
+    // pairs that never compete with the real merges
+    val sym = "zqxkjvbn"
+    val hapax = (0 until 40).map(i =>
+      s"${sym(i % 8)}${sym((i / 8 + i) % 8)}${i}")
+    val docs = (Seq.fill(30)("hello world") ++ hapax)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val floor0 = Tokenizer.bpeMergesLocal(docs, steps = 6).collect().toSeq
+    val floor2 = Tokenizer.bpeMergesLocal(docs, steps = 6, minFreq = 2L)
+      .collect().toSeq
+    assert(floor2 === floor0,
+      "merges above the floor (count 30 vs hapax pairs ≤ 6) must be invariant")
+    // the ScaleCheck-style shrink receipt: the collected vocab is the
+    // ≥-floor table — hapax words are gone before the driver sees them
+    import graft.operators.TextAnalysis
+    val vocabAll = docs
+      .select(explode(TextAnalysis.wordArray(col("text"))).as("w"))
+      .groupBy("w").count()
+    assert(vocabAll.count() === 42L) // hello, world + 40 hapax
+    assert(vocabAll.filter(col("count") >= 2).count() === 2L)
+  }
+
+  test("bpeMergesLocal minFreq=1 default is unchanged behavior") {
+    val docs = docsOf("aaaa", "ab ab ab", "cd cd")
+    val a = Tokenizer.bpeMergesLocal(docs, steps = 4).collect().toSeq
+    val b = Tokenizer.bpeMergesLocal(docs, steps = 4, minFreq = 1L)
+      .collect().toSeq
+    assert(a === b)
+  }
+
   test("trainer is deterministic under repartition") {
     val docs = docsOf("ab ab ab", "abc", "xyz xyz").repartition(7)
     val a = Tokenizer.bpeMerges(docs, steps = 4).collect().toSeq
