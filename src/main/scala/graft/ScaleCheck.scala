@@ -401,6 +401,59 @@ object ScaleCheck {
         (col("src") + 10000000L).as("src"), (col("dst") + 10000000L).as("dst"))
       force(graft.operators.Graph.triangleStats(basePairs.union(shifted)))
     }
+    // DOULION estimate on the SAME full graph: p=1/4 keeps ~m/4 edges so
+    // the wedge join (the exact census's Ω-floor) runs at ~p² of the
+    // exact cost — the affordability receipt next to the exact probes
+    // above; the printed row carries the estimate for eyeballing against
+    // the exact count
+    time("triangles sampled p=1/4 (1x graph)") {
+      val r = graft.operators.Graph
+        .triangleStatsSampled(basePairs, sampleDenom = 4).collect()(0)
+      println(s"  sampled: edges ${r.getLong(0)} -> ${r.getLong(2)}, " +
+        s"tri_sampled ${r.getLong(3)}, est ${r.getLong(4)}")
+      1L
+    }
+    time("triangles sampled p=1/16 (1x graph)") {
+      val r = graft.operators.Graph
+        .triangleStatsSampled(basePairs, sampleDenom = 16).collect()(0)
+      println(s"  sampled: edges ${r.getLong(0)} -> ${r.getLong(2)}, " +
+        s"tri_sampled ${r.getLong(3)}, est ${r.getLong(4)}")
+      1L
+    }
+    // LPA early stop: rounds-to-convergence on the full co-purchase
+    // graph at the registered cap and a deep cap — evidence the stop
+    // rule (fixed point / 2-cycle) fires before the cap on real graphs
+    time("label propagation (cap 5)") {
+      val (df, rounds) = graft.operators.Graph
+        .labelPropagationWithRounds(basePairs, iterations = 5)
+      val n = force(df)
+      println(s"  LPA rounds-to-stop: $rounds of cap 5")
+      n
+    }
+    time("label propagation (cap 20)") {
+      val (df, rounds) = graft.operators.Graph
+        .labelPropagationWithRounds(basePairs, iterations = 20)
+      val n = force(df)
+      println(s"  LPA rounds-to-stop: $rounds of cap 20")
+      n
+    }
+    // bpe minFreq floor: on the replicated corpus the base vocabulary is
+    // high-frequency but every doc_id-ish token is near-hapax — the
+    // floor should shrink the driver collect sharply while early merges
+    // stay identical (spec asserts the equality; this prints the sizes)
+    time("bpe local vocab floor probe") {
+      val all = big.select(explode(TextAnalysis.wordArray(col("text"))).as("w"))
+        .groupBy("w").count()
+      val total = all.count()
+      val floored = all.filter(col("count") >= 2).count()
+      println(s"  vocab rows: $total -> $floored at minFreq=2")
+      val a = graft.operators.Tokenizer.bpeMergesLocal(big, 8)
+        .select("lhs", "rhs").collect().toSeq
+      val b = graft.operators.Tokenizer.bpeMergesLocal(big, 8, minFreq = 2L)
+        .select("lhs", "rhs").collect().toSeq
+      println(s"  merges at floor 2 identical to floor 1: ${a == b}")
+      total
+    }
 
     spark.stop()
   }

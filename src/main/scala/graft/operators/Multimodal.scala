@@ -223,6 +223,16 @@ object Multimodal {
     * on plausible image bytes, null on anything undecodable. Every image
     * call site goes through here so the sniff/decoder pair can never
     * drift apart again (the 107 s → 3 s ScaleCheck lesson).
+    *
+    * ACCEPTED-FORMAT CONTRACT: the sniff admits exactly PNG / JPEG /
+    * GIF / BMP / TIFF — the JDK-decodable formats WITH a magic
+    * signature. A JDK-decodable format with no reliable signature (WBMP
+    * is the one that ships with ImageIO) returns null here and routes to
+    * each caller's stub/fallback branch, the same path as any non-image
+    * blob. If a target corpus carries such formats, extend
+    * [[looksLikeImage]] with their signatures (or an explicit
+    * `media_type` gate) — decode behavior is the SNIFF LIST, not
+    * `ImageIO.getReaderFormatNames`.
     */
   private[operators] def readImage(b: Array[Byte]): java.awt.image.BufferedImage =
     if (!looksLikeImage(b)) null

@@ -1040,26 +1040,23 @@ object Similarity {
           .as("dist"))
     // phase 1: bounded per-partition heap — keep the k smallest
     // (dist, vec_id) per probe per partition (worst kept row at the
-    // head), so the window below never sees a corpus-sized row set
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val local = scored
-      .as[(Long, String, Long, String, Long)]
-      .mapPartitions { it =>
-        val ord = Ordering.Tuple2(Ordering.Long, Ordering.Long)
-          .on[(Long, String, Long, String, Long)](r => (r._5, r._3))
-        val heaps = scala.collection.mutable.Map
-          .empty[Long, scala.collection.mutable.PriorityQueue[
-            (Long, String, Long, String, Long)]]
-        it.foreach { r =>
-          val h = heaps.getOrElseUpdate(r._1,
-            scala.collection.mutable.PriorityQueue.empty(ord))
-          if (h.size < k) h.enqueue(r)
-          else if (ord.lt(r, h.head)) { h.dequeue(); h.enqueue(r) }
-        }
-        heaps.valuesIterator.flatMap(_.iterator)
+    // head), so the window below never sees a corpus-sized row set.
+    // Row-generic (label keeps whatever type the caller's corpus uses);
+    // the heap keys (probe_id, vec_id, dist) are longs by construction
+    val local = scored.mapPartitions { it =>
+      val ord = Ordering.Tuple2(Ordering.Long, Ordering.Long)
+        .on[org.apache.spark.sql.Row](r => (r.getLong(4), r.getLong(2)))
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[
+          org.apache.spark.sql.Row]]
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.PriorityQueue.empty(ord))
+        if (h.size < k) h.enqueue(r)
+        else if (ord.lt(r, h.head)) { h.dequeue(); h.enqueue(r) }
       }
-      .toDF("probe_id", "true_label", "vec_id", "label", "dist")
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(org.apache.spark.sql.Encoders.row(scored.schema))
     // phase 2: exact top-k over the bounded survivor set
     val wNear = Window.partitionBy(col("probe_id"))
       .orderBy(col("dist"), col("vec_id"))

@@ -30,7 +30,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * [[StreamingNearDup]] contract — state must never grow with
   * ever-seen-user cardinality unboundedly). An evicted user who returns
   * starts the funnel over from stage 1 — documented restart semantics,
-  * the price of bounded state.
+  * the price of bounded state. The SAME restart applies to COMPLETED
+  * users: reaching the final stage removes state immediately, so a
+  * returning completed user silently begins a fresh funnel at stage 1
+  * and re-emits stage transitions. Downstream per-stage counts therefore
+  * match [[graft.operators.Behavior.funnel]] only when aggregated as
+  * `count(DISTINCT user_id)` per stage — never a raw transition count,
+  * which double-counts restarted users (restart-after-eviction and
+  * restart-after-completion alike).
   */
 object StreamFunnel {
 
