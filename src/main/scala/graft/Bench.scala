@@ -105,8 +105,10 @@ object Bench {
     // per-rep time tracks the HOST, not the engine (see header)
     def calibrate(): Double = {
       val t0 = System.nanoTime()
+      // shiftright keeps the sum inside Long under ANSI (4M × 2^31 ≪ 2^63)
       spark.range(4000000L)
-        .selectExpr("sum(xxhash64(id))", "count(if(id % 7 = 0, 1, null))")
+        .selectExpr("sum(shiftright(xxhash64(id), 32))",
+          "count(if(id % 7 = 0, 1, null))")
         .collect()
       (System.nanoTime() - t0) / 1e9
     }

@@ -219,9 +219,9 @@ object Graph {
     * edges, co-partitioning reused round to round) + one (dst, label)
     * map-side-combined count + one dst-keyed struct-max argmax — only
     * (node, label, count) longs shuffle; lineage truncated per round
-    * like every iterative operator here. The stop tests add two
-    * node-keyed joins of checkpointed (node, long) tables per round —
-    * O(nodes), short-circuited by `isEmpty`.
+    * like every iterative operator here. Both stop tests fuse into ONE
+    * aggregate job per round over inner joins of checkpointed
+    * (node, long) tables — O(nodes) work, two longs to the driver.
     */
   def labelPropagation(
       pairs: DataFrame,
@@ -249,12 +249,6 @@ object Graph {
     val edges = e0.select(col("u").as("src"), col("v").as("dst"))
       .union(e0.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(true)
-    // the node set is CONSTANT across rounds (every symmetrized endpoint
-    // appears as a dst each round), so table equality is an inner join +
-    // label comparison — no outer-join null handling needed
-    def same(a: DataFrame, b: DataFrame): Boolean =
-      a.join(b.withColumnRenamed("label", "label_b"), "node")
-        .filter(col("label") =!= col("label_b")).isEmpty
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -274,11 +268,30 @@ object Graph {
         .select(col("dst").as("node"), (-col("m.nl")).as("label"))
         .localCheckpoint(true)
       rounds += 1
-      if (same(next, labels)) {
+      // ONE exact stop probe per round: the node set is CONSTANT across
+      // rounds (every symmetrized endpoint appears as a dst), so both
+      // equality tests are inner joins of checkpointed (node, long)
+      // tables — fused into a single aggregate job counting exact label
+      // mismatches vs last round and vs two rounds back
+      val (dLast, dPrev) = {
+        val base = next
+          .join(labels.select(col("node"), col("label").as("l1")), "node")
+        val joined =
+          if (prev == null) base.withColumn("l2", col("l1"))
+          else base.join(prev.select(col("node"), col("label").as("l2")),
+            "node")
+        val r = joined.agg(
+          coalesce(sum(when(col("label") =!= col("l1"), 1L).otherwise(0L)),
+            lit(0L)),
+          coalesce(sum(when(col("label") =!= col("l2"), 1L).otherwise(0L)),
+            lit(0L))).head
+        (r.getLong(0), if (prev == null) Long.MaxValue else r.getLong(1))
+      }
+      if (dLast == 0L) {
         // fixed point: every later round is identical — cap-equal
         labels = next
         done = true
-      } else if (prev != null && same(next, prev)) {
+      } else if (dPrev == 0L) {
         // 2-cycle: from round `rounds` labels alternate (next, labels,
         // next, …), so the cap-round table is next iff the remaining
         // round count is even — parity picks the oracle-equal phase

@@ -243,7 +243,7 @@ class GraphSpec extends SparkSpec {
     // L0={1→1,2→2}, L1={1→2,2→1}, L2=L0, … — the stop rule must detect
     // the cycle at round 2 and hand back the phase the cap would reach
     val edges = Seq((1L, 2L))
-    for (cap <- 1 to 6) {
+    for (cap <- 0 to 6) {
       val (df, rounds) = Graph.labelPropagationWithRounds(
         edges.toDF("src", "dst"), iterations = cap)
       val got = df.as[(Long, Long)].collect().toMap
@@ -310,6 +310,17 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Graph.triangleStatsSampled(df, sampleDenom = 3)
     }
+  }
+
+  test("triangleStatsSampled: empty and self-loop-only inputs yield a zero row") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val e = Graph.triangleStatsSampled(empty, sampleDenom = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(e === ((0L, 4L, 0L, 0L, 0L)))
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    val l = Graph.triangleStatsSampled(loops, sampleDenom = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(l === ((0L, 4L, 0L, 0L, 0L)))
   }
 
   test("triangleStats: equals brute-force enumeration on a pseudo-random graph") {

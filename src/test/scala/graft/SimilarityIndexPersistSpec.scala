@@ -109,6 +109,10 @@ class SimilarityIndexPersistSpec extends SparkSpec {
         .collect().toSeq
       assert(disk === mem,
         "reloaded pruned path must reproduce the in-memory ranking")
+      // unknown ids: empty probe set -> lit(false) partition filter ->
+      // empty result, no degenerate scan or exception
+      assert(Similarity.lshQueryPruned(loaded, Seq(-1L, 999999999L),
+        k = 5).count() === 0L)
     } finally {
       idx.unpersist()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
