@@ -268,39 +268,50 @@ object Graph {
         .select(col("dst").as("node"), (-col("m.nl")).as("label"))
         .localCheckpoint(true)
       rounds += 1
-      // ONE exact stop probe per round: the node set is CONSTANT across
-      // rounds (every symmetrized endpoint appears as a dst), so both
-      // equality tests are inner joins of checkpointed (node, long)
-      // tables — fused into a single aggregate job counting exact label
-      // mismatches vs last round and vs two rounds back
-      val (dLast, dPrev) = {
-        val base = next
-          .join(labels.select(col("node"), col("label").as("l1")), "node")
-        val joined =
-          if (prev == null) base.withColumn("l2", col("l1"))
-          else base.join(prev.select(col("node"), col("label").as("l2")),
-            "node")
-        val r = joined.agg(
-          coalesce(sum(when(col("label") =!= col("l1"), 1L).otherwise(0L)),
-            lit(0L)),
-          coalesce(sum(when(col("label") =!= col("l2"), 1L).otherwise(0L)),
-            lit(0L))).head
-        (r.getLong(0), if (prev == null) Long.MaxValue else r.getLong(1))
-      }
-      if (dLast == 0L) {
-        // fixed point: every later round is identical — cap-equal
+      if (rounds == iterations) {
+        // final round: EVERY stop path would hand back `next` (fixed
+        // point → next; 2-cycle with 0 rounds remaining → even parity →
+        // next; no stop → next), so the probe is skipped
         labels = next
-        done = true
-      } else if (dPrev == 0L) {
-        // 2-cycle: from round `rounds` labels alternate (next, labels,
-        // next, …), so the cap-round table is next iff the remaining
-        // round count is even — parity picks the oracle-equal phase
-        val remaining = iterations - rounds
-        labels = if (remaining % 2 == 0) next else labels
         done = true
       } else {
-        prev = labels
-        labels = next
+        // ONE exact stop probe per round: the node set is CONSTANT
+        // across rounds (every symmetrized endpoint appears as a dst),
+        // so both equality tests are inner joins of checkpointed
+        // (node, long) tables — fused into a single aggregate job
+        // counting exact label mismatches vs last round and two back.
+        // (Probing the round's EAGER checkpoint measured faster than
+        // fusing probe + materialization through a lazy checkpoint —
+        // the lazy form re-ran ~30% slower on BenchOne A/B.)
+        val (dLast, dPrev) = {
+          val base = next
+            .join(labels.select(col("node"), col("label").as("l1")), "node")
+          val joined =
+            if (prev == null) base.withColumn("l2", col("l1"))
+            else base.join(prev.select(col("node"), col("label").as("l2")),
+              "node")
+          val r = joined.agg(
+            coalesce(sum(when(col("label") =!= col("l1"), 1L).otherwise(0L)),
+              lit(0L)),
+            coalesce(sum(when(col("label") =!= col("l2"), 1L).otherwise(0L)),
+              lit(0L))).head
+          (r.getLong(0), if (prev == null) Long.MaxValue else r.getLong(1))
+        }
+        if (dLast == 0L) {
+          // fixed point: every later round is identical — cap-equal
+          labels = next
+          done = true
+        } else if (dPrev == 0L) {
+          // 2-cycle: from round `rounds` labels alternate (next, labels,
+          // next, …), so the cap-round table is next iff the remaining
+          // round count is even — parity picks the oracle-equal phase
+          val remaining = iterations - rounds
+          labels = if (remaining % 2 == 0) next else labels
+          done = true
+        } else {
+          prev = labels
+          labels = next
+        }
       }
     }
     (labels.select(col("node"), col("label").as("community"))
@@ -560,9 +571,12 @@ object Graph {
           (lit(base + dShare) + coalesce(col("contrib"), lit(0L))).as("mass"),
           col("prev"))
         .localCheckpoint(true)
-      converged = next.filter(col("mass") =!= col("prev")).isEmpty
-      ranks = next.select(col("node"), col("mass"))
       rounds += 1
+      // the final round's probe is skipped — the loop exits and hands
+      // back `next` regardless, so the answer cannot depend on it
+      if (rounds < iterations)
+        converged = next.filter(col("mass") =!= col("prev")).isEmpty
+      ranks = next.select(col("node"), col("mass"))
     }
     (ranks.orderBy(col("node")), rounds)
   }
