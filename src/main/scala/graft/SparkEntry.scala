@@ -620,11 +620,15 @@ object SparkEntry {
     }),
 
     // synchronous min-tie label-propagation communities over the sliced
-    // part co-purchase graph (5 fixed rounds, deterministic — the
-    // "densely connected" complement to reachability components)
+    // part co-purchase graph — cap 20 with the CONVERGENCE STOP doing
+    // the work: this graph reaches its label fixed point at round 11
+    // (both sf0.01 and sf0.1), so the engine stops there while the
+    // oracle unrolls all 20 rounds — the hash match IS the proof that
+    // early stop never changes the answer (fixed points persist; 2-cycles
+    // resolve by cap parity)
     "graph_communities" -> ((s, dir) =>
       graft.operators.Graph.labelPropagation(
-        slicedCoPurchasePairs(s, dir), iterations = 5)),
+        slicedCoPurchasePairs(s, dir), iterations = 20)),
 
     // integer-mass PageRank over the customer–supplier trade graph
     // (customers = even node ids, suppliers = odd; symmetric edges from
@@ -2924,17 +2928,14 @@ object SparkEntry {
            |    SELECT *, row_number() OVER (PARTITION BY node
            |                                 ORDER BY cnt DESC, label) AS rn
            |    FROM v$t) WHERE rn = 1)""".stripMargin
+      val rounds = (1 to 20).map(round).mkString(",\n")
       s"""WITH $coPurchaseEdgesSql,
          |edges AS (
          |  SELECT u AS src, v AS dst FROM e0
          |  UNION ALL SELECT v, u FROM e0),
          |lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)},
-         |${round(4)},
-         |${round(5)}
-         |SELECT node, label AS community FROM lp5
+         |$rounds
+         |SELECT node, label AS community FROM lp20
          |ORDER BY node""".stripMargin
     },
 
