@@ -38,37 +38,41 @@ object Behavior {
     * with the event scan's user hashing and the joins never touch a
     * corpus-sized side twice.
     *
-    * Each frontier is MATERIALIZED (eager localCheckpoint; cluster twin
-    * `.checkpoint()`) before the census counts read it: with lazy
-    * unioned 1-row aggregates, the stage-k count branch would re-run
-    * stages 1..k-1 (no cross-branch CSE in Spark), turning the k-stage
-    * report into O(k²) event scans. Checkpointed, each stage's filtered
-    * event scan and join run exactly once — stage k's branch aggregates
-    * a user-sized in-memory table (BehaviorSpec asserts the
-    * one-scan-per-stage receipt on the census plan).
+    * Each frontier is MATERIALIZED via `materialize` before the census
+    * counts read it: with lazy unioned 1-row aggregates, the stage-k
+    * count branch would re-run stages 1..k-1 (no cross-branch CSE in
+    * Spark), turning the k-stage report into O(k²) event scans.
+    * Materialized, each stage's filtered event scan and join run exactly
+    * once — stage k's branch aggregates a user-sized in-memory table
+    * (BehaviorSpec asserts the one-scan-per-stage receipt on the census
+    * plan). The default is the single-JVM `localCheckpoint(true)`; on a
+    * cluster pass `_.checkpoint()` (fault-tolerant storage — a
+    * localCheckpoint block dies with its executor) — the policy is a
+    * parameter, not an edit. Note the default makes CONSTRUCTING the
+    * report eager (each stage runs at call time).
     */
   def funnel(
       events: DataFrame,
-      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val tsUs = unix_micros(col("ts"))
     // stage 1: first event of the stage type per user
-    var frontier = events
+    var frontier = materialize(events
       .filter(col("event_type") === stages.head)
       .groupBy(col("user_id"))
-      .agg(min(tsUs).as("t"))
-      .localCheckpoint(true)
+      .agg(min(tsUs).as("t")))
     var frontiers = Vector(frontier)
     for (stage <- stages.tail) {
       // first stage-k event strictly after the user's stage-(k-1) anchor
-      frontier = events
+      frontier = materialize(events
         .filter(col("event_type") === stage)
         .select(col("user_id"), tsUs.as("ts_us"))
         .join(frontier, "user_id")
         .filter(col("ts_us") > col("t"))
         .groupBy(col("user_id"))
-        .agg(min(col("ts_us")).as("t"))
-        .localCheckpoint(true)
+        .agg(min(col("ts_us")).as("t")))
       frontiers = frontiers :+ frontier
     }
     // one 1-row aggregate per MATERIALIZED stage frontier, unioned into

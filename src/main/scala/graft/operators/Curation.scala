@@ -349,9 +349,12 @@ object Curation {
     * shape (columnar quality rejection before any exchange, one
     * canonical-key shuffle, one content-key shuffle, the two-phase
     * source cap, a narrow split map). Each stage frontier is
-    * MATERIALIZED (eager localCheckpoint — the [[Dedup.thresholdSweep]]
-    * pattern; cluster twin: `.checkpoint()` on fault-tolerant storage)
-    * before the census aggregates read it: Spark has no cross-branch
+    * MATERIALIZED via `materialize` (default: eager localCheckpoint —
+    * the [[Dedup.thresholdSweep]] pattern; on a cluster pass
+    * `_.checkpoint()` for fault-tolerant storage — the policy is a
+    * parameter, not an edit; note the default makes CONSTRUCTING the
+    * report eager) before the census aggregates read it: Spark has no
+    * cross-branch
     * common-subexpression elimination, so unioned lazy 1-row aggregates
     * would re-execute the whole prefix pipeline once per census branch
     * (ReuseExchange dedupes only the identical shuffle exchanges, not
@@ -370,23 +373,22 @@ object Curation {
       minQuality: Double = 0.5,
       maxPerSource: Int = 50,
       splits: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
-    // every stage frontier is materialized ONCE (eager localCheckpoint)
-    // and then read both by the next stage and by its census branch —
-    // see the 100 TB note above for why lazy branches re-execute
-    val quality = TextAnalysis.withQuality(docs)
-      .filter(col("quality_score") >= minQuality)
-      .localCheckpoint(true)
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    // every stage frontier is materialized ONCE and then read both by
+    // the next stage and by its census branch — see the 100 TB note
+    // above for why lazy branches re-execute
+    val quality = materialize(TextAnalysis.withQuality(docs)
+      .filter(col("quality_score") >= minQuality))
     // the SAME survivor rule as Urls.urlDedup, by construction
-    val urlKept = Urls
+    val urlKept = materialize(Urls
       .keepLargestPerCanonical(quality.withColumn("_url", url), col("_url"))
-      .drop("_url", "canonical_url", "n_dups")
-      .localCheckpoint(true)
-    val exact = Dedup.exactDedup(urlKept).localCheckpoint(true)
-    val capped = capPerSource(exact, maxPerSource).localCheckpoint(true)
-    val withSplit = Assembly.hashSplit(
-      capped.select(col("doc_id")), "doc_id", splits)
-      .localCheckpoint(true)
+      .drop("_url", "canonical_url", "n_dups"))
+    val exact = materialize(Dedup.exactDedup(urlKept))
+    val capped = materialize(capPerSource(exact, maxPerSource))
+    val withSplit = materialize(Assembly.hashSplit(
+      capped.select(col("doc_id")), "doc_id", splits))
     val stages: Seq[(String, DataFrame)] = Seq(
       "input" -> docs,
       "quality" -> quality,

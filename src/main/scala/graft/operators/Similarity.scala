@@ -433,14 +433,19 @@ object Similarity {
       index: PersistedLshIndex,
       queryIds: Seq[Long],
       k: Int = 10): DataFrame = {
+    val spark = index.signed.sparkSession
     val bitsPerBand = index.bitsPerBand
     val mask = (1L << bitsPerBand) - 1
-    // driver-side probe set: #queries × bands × (1 + bits/band) pairs
-    val qsigs = index.signed
+    // ONE signed-table scan for the query vectors: the collected rows
+    // (#queries × (id, unit, sig) — request-sized) feed BOTH the
+    // driver-side probe-pair set and the broadcast query relation, so
+    // the table is not scanned a second time to rebuild identical rows
+    val qproj = index.signed
       .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("sig"))
-      .collect().map(_.getLong(1))
-    val probePairs: Seq[(Int, Long)] = qsigs.toSeq.flatMap { sig =>
+      .select(col("vec_id"), col("unit"), col("sig"))
+    val qrows = qproj.collect()
+    val probePairs: Seq[(Int, Long)] = qrows.toSeq.flatMap { r =>
+      val sig = r.getLong(2)
       (0 until index.bands).flatMap { b =>
         // arithmetic >> then mask == the query plan's shiftright+AND
         val base = (sig >> (b * bitsPerBand)) & mask
@@ -448,13 +453,23 @@ object Similarity {
           .map(v => (b, v))
       }
     }.distinct.sorted
-    val probeFilter = probePairs
-      .map { case (b, v) => col("band") === b && col("bucket") === v }
-      .reduceOption(_ || _).getOrElse(lit(false))
+    // linear probe predicate: one IN-list over the combined
+    // (band << bits, bucket) key instead of an OR-chain of #queries ×
+    // bands × (1 + bits/band) conjunctions — a realistic 100-query batch
+    // would otherwise build ~24k expression nodes and fall out of
+    // codegen; the combined key references only partition columns, so it
+    // still prunes directories statically
+    val probeKeys = probePairs.map { case (b, v) =>
+      (b.toLong << bitsPerBand) + v
+    }
+    val probeFilter =
+      if (probeKeys.isEmpty) lit(false)
+      else (shiftleft(col("band").cast("long"), bitsPerBand) + col("bucket"))
+        .isin(probeKeys: _*)
     def bandBucket(b: Int): Column =
       shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)
-    val queries = index.signed
-      .filter(col("vec_id").isin(queryIds: _*))
+    import scala.jdk.CollectionConverters._
+    val queries = spark.createDataFrame(qrows.toList.asJava, qproj.schema)
       .select(
         col("vec_id").as("query_id"), col("unit").as("q_unit"),
         posexplode(array((0 until index.bands).flatMap { b =>

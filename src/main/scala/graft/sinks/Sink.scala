@@ -223,7 +223,9 @@ object Sink {
     import spark.implicits._
     val bitsPerBand = index.bitsPerBand
     val mask = (1L << bitsPerBand) - 1
-    index.signed.select(col("vec_id"), col("unit"), col("sig"))
+    // ALL signed columns persist — an index built with carryCols keeps
+    // its carried metadata across the round-trip
+    index.signed
       .write.mode(mode).parquet(s"$path/signed")
     def bandBucket(b: Int) =
       shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)

@@ -81,8 +81,9 @@ object StreamBuildReport {
 
     // stage flags (both computed without dropping rows): quality is the
     // narrow scorer; decontam is an exact content-key membership against
-    // the static reference key set (broadcast-sized: 16-byte keys)
-    val key = md5(Dedup.normText(col("text")))
+    // the static reference key set (broadcast-sized: 16-byte keys), the
+    // SAME key rule as StreamDecontam.cleanStream
+    val key = StreamDecontam.contentKey
     val refKeys = reference.select(key.as("content_key")).distinct()
       .withColumn("_contam", lit(true))
     val flagged = TextAnalysis.withQuality(docs)
@@ -104,21 +105,14 @@ object StreamBuildReport {
         rows.map(r => CensusVerdict(
           r.doc_id, r.ts, r.band, r.q_pass, r.d_pass, hit = false, r.meta))
       } else {
-        var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
-        var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
-        val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
-          val hit = sigs.exists(s =>
-            java.lang.Long.bitCount(s ^ r.sh) <= maxDist)
-          if (!sigs.contains(r.sh) && sigs.size < maxPerBucket)
-            sigs = r.sh :: sigs
-          lastMs = math.max(lastMs, r.ts.getTime)
-          CensusVerdict(r.doc_id, r.ts, r.band, r.q_pass, r.d_pass, hit,
-            r.meta)
-        }
-        state.update(BucketSigs(sigs, lastMs))
-        state.setTimeoutTimestamp(
-          math.max(lastMs + delayMs, state.getCurrentWatermarkMs() + 1))
-        out.iterator
+        StreamingNearDup.probeBucket(
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)),
+          state, delayMs, maxDist, maxPerBucket)(_.ts.getTime, _.sh)
+          .map { case (r, hit) =>
+            CensusVerdict(r.doc_id, r.ts, r.band, r.q_pass, r.d_pass, hit,
+              r.meta)
+          }
+          .iterator
       }
     }
 
@@ -173,6 +167,12 @@ object StreamBuildReport {
       .toDF()
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the census aggregate AND the admitted-doc handoff both act on
+        // this batch — persist so the stateful micro-batch plan (quality
+        // scan, decontam join, simhash, state-store pass) executes once,
+        // not once per downstream action
+        batch.persist()
+        try {
         val perDoc = batch
           .groupBy(col("doc_id"), col("ts"), col("meta"))
           .agg(
@@ -198,6 +198,7 @@ object StreamBuildReport {
           .select((Seq(col("doc_id"), col("ts")) ++
             carryCols.map(cc => col(s"m.$cc").as(cc))): _*)
         write(batchId, census, admitted)
+        } finally { batch.unpersist(); () }
       }
   }
 }

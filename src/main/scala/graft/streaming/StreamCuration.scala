@@ -85,20 +85,13 @@ object StreamCuration {
         state: GroupState[BucketSigs]): Iterator[CuratedHit] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
-        var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
-        var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
-        val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
-          val hit = sigs.exists(s =>
-            java.lang.Long.bitCount(s ^ r.sh) <= maxDist)
-          if (!sigs.contains(r.sh) && sigs.size < maxPerBucket)
-            sigs = r.sh :: sigs
-          lastMs = math.max(lastMs, r.ts.getTime)
-          CuratedHit(r.doc_id, r.ts, r.band, hit, r.meta)
-        }
-        state.update(BucketSigs(sigs, lastMs))
-        state.setTimeoutTimestamp(
-          math.max(lastMs + delayMs, state.getCurrentWatermarkMs() + 1))
-        out.iterator
+        StreamingNearDup.probeBucket(
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)),
+          state, delayMs, maxDist, maxPerBucket)(_.ts.getTime, _.sh)
+          .map { case (r, hit) =>
+            CuratedHit(r.doc_id, r.ts, r.band, hit, r.meta)
+          }
+          .iterator
       }
     }
     def chunk(sh: Column, b: Int) =

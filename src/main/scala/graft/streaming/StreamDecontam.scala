@@ -27,6 +27,13 @@ import graft.operators.Dedup
   */
 object StreamDecontam {
 
+  /** THE normalized content key every decontam stage matches on — shared
+    * with [[StreamBuildReport.censusFlags]]'s flag variant so the admit
+    * rule cannot drift between the filtering and flagging forms.
+    */
+  def contentKey: org.apache.spark.sql.Column =
+    md5(Dedup.normText(col("text")))
+
   /** `stream` must carry (doc_id, text, …); `reference` is a static
     * DataFrame with a `text` column. Returns the admitted stream rows
     * (original columns + `content_key`).
@@ -36,7 +43,7 @@ object StreamDecontam {
       reference: DataFrame,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.03): DataFrame = {
-    val key = md5(Dedup.normText(col("text")))
+    val key = contentKey
     val refKeys = reference.select(key.as("content_key")).distinct()
     val bloom = refKeys.stat.bloomFilter("content_key", expectedItems, fpp)
     val bc = stream.sparkSession.sparkContext.broadcast(bloom)

@@ -53,7 +53,45 @@ final case class BucketSigs(sigs: List[Long], lastMs: Long)
   * all-distinct-sig flood stops being remembered past the cap rather
   * than growing state).
   */
-object StreamingNearDup {
+object StreamingNearDup extends Serializable {
+
+  /** THE banded-signature bucket kernel, shared by every stateful
+    * near-dup consumer ([[bandFlags]], [[StreamCuration.curatedFlags]],
+    * [[StreamBuildReport.censusFlags]]): probe the bucket's stored
+    * signatures for a hit within `maxDist`, admit the row's signature
+    * (stored once, capped at `maxPerBucket`), advance last-seen, and
+    * re-arm the watermark-clamped eviction timeout. Centralized so the
+    * suppression/eviction semantics cannot drift between the three
+    * stateful operators (the sniff/decoder drift lesson,
+    * [[graft.operators.Multimodal]] `readImage`).
+    *
+    * `rows` must already be in (event-time, doc) order; returns each row
+    * zipped with its hit flag. Callers handle `state.hasTimedOut`
+    * (remove + empty) before calling.
+    */
+  private[streaming] def probeBucket[T](
+      rows: Seq[T],
+      state: GroupState[BucketSigs],
+      delayMs: Long,
+      maxDist: Int,
+      maxPerBucket: Int)(tsMs: T => Long, sig: T => Long): Seq[(T, Boolean)] = {
+    var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
+    var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
+    val out = rows.map { r =>
+      val s0 = sig(r)
+      val hit = sigs.exists(s => java.lang.Long.bitCount(s ^ s0) <= maxDist)
+      if (!sigs.contains(s0) && sigs.size < maxPerBucket) sigs = s0 :: sigs
+      lastMs = math.max(lastMs, tsMs(r))
+      (r, hit)
+    }
+    state.update(BucketSigs(sigs, lastMs))
+    // same clamp as Sessionize.streamingSessions: a timeout at/behind
+    // the current watermark throws — evicting one watermark-tick late
+    // only keeps a bucket warm slightly longer, never loses a doc
+    state.setTimeoutTimestamp(
+      math.max(lastMs + delayMs, state.getCurrentWatermarkMs() + 1))
+    out
+  }
 
   /** Per-(doc, band) hit flags for a streaming `docs(doc_id, text, ts)`.
     * All four band rows of a document derive narrowly from its input row,
@@ -81,23 +119,10 @@ object StreamingNearDup {
         state.remove()
         Iterator.empty
       } else {
-        var sigs = state.getOption.map(_.sigs).getOrElse(Nil)
-        var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
-        val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
-          val hit = sigs.exists(s =>
-            java.lang.Long.bitCount(s ^ r.sh) <= maxDist)
-          if (!sigs.contains(r.sh) && sigs.size < maxPerBucket)
-            sigs = r.sh :: sigs
-          lastMs = math.max(lastMs, r.ts.getTime)
-          BandHit(r.doc_id, r.ts, r.band, hit)
-        }
-        state.update(BucketSigs(sigs, lastMs))
-        // same clamp as Sessionize.streamingSessions: a timeout at/behind
-        // the current watermark throws — evicting one watermark-tick late
-        // only keeps a bucket warm slightly longer, never loses a doc
-        state.setTimeoutTimestamp(
-          math.max(lastMs + delayMs, state.getCurrentWatermarkMs() + 1))
-        out.iterator
+        probeBucket(rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)),
+          state, delayMs, maxDist, maxPerBucket)(_.ts.getTime, _.sh)
+          .map { case (r, hit) => BandHit(r.doc_id, r.ts, r.band, hit) }
+          .iterator
       }
     }
 
