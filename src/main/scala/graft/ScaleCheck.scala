@@ -169,6 +169,14 @@ object ScaleCheck {
     time("curation pipeline (score+dedup+split)") {
       force(Curation.curate(big))
     }
+    // build census: frontier materialization happens at CONSTRUCTION
+    // (eager localCheckpoint per stage), so the thunk times the whole
+    // build + the 8-branch census over in-memory frontiers — the
+    // single-scan plan shape BehaviorSpec/CurationOpsSpec pin
+    time("build census (materialized frontiers)") {
+      force(Curation.buildReport(big, SparkEntry.derivedUrl,
+        maxPerSource = 1000))
+    }
     time("assembly: greedy sequence packing") {
       force(Assembly.packSequences(big, 256))
     }
