@@ -69,7 +69,7 @@ object StreamingNearDup extends Serializable {
     * zipped with its hit flag. Callers handle `state.hasTimedOut`
     * (remove + empty) before calling.
     */
-  private[streaming] def probeBucket[T](
+  private[graft] def probeBucket[T](
       rows: Seq[T],
       state: GroupState[BucketSigs],
       delayMs: Long,

@@ -305,6 +305,33 @@ class GraphSpec extends SparkSpec {
     assert(got._5 === brute * 64L, "estimate = count·denom³")
   }
 
+  test("triangleStatsSampled: random graphs × denominators match the driver replay") {
+    def keep(u: Long, v: Long, denom: Int): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:$v".getBytes("UTF-8"))
+      val top16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      top16 % denom == 0
+    }
+    for (seed <- Seq(3L, 17L); denom <- Seq(2, 16)) {
+      val edges = (for (a <- 1L to 25L; b <- (a + 1) to 25L
+        if (a * seed * 101 + b * 379) % 7 < 3) yield (a, b)).toSeq
+      val kept = edges.filter { case (a, b) => keep(a, b, denom) }
+      val adj = kept.toSet
+      val nodes = kept.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val brute = (for {
+        i <- nodes; j <- nodes if j > i; m <- nodes if m > j
+        if adj((i, j)) && adj((j, m)) && adj((i, m))
+      } yield 1).size.toLong
+      val got = Graph.triangleStatsSampled(edges.toDF("src", "dst"),
+        sampleDenom = denom)
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      assert(got._3 === kept.size.toLong, s"seed=$seed denom=$denom edges")
+      assert(got._4 === brute, s"seed=$seed denom=$denom count")
+      assert(got._5 === brute * denom.toLong * denom * denom,
+        s"seed=$seed denom=$denom estimate")
+    }
+  }
+
   test("triangleStatsSampled: rejects a denom that does not divide 2^16") {
     val df = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException] {

@@ -202,4 +202,52 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: bucket kernel hit flags are invariant under micro-batch chunking") {
+    // the cross-batch consistency contract every streaming near-dup
+    // consumer rides on: splitting an ordered probe sequence into
+    // arbitrary micro-batch chunks (state carried between calls) yields
+    // EXACTLY the same hit flags as one call over the whole sequence
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.{BucketSigs, StreamingNearDup}
+
+    def run(rows: Seq[(Long, Long)], chunks: Seq[Int]): Seq[Boolean] = {
+      // rows = (tsMs, sig) in event order; chunks = sizes partitioning it
+      var carried: Option[BucketSigs] = None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+      var rest = rows
+      for (n <- chunks) {
+        val (batch, r) = rest.splitAt(n)
+        rest = r
+        if (batch.nonEmpty) {
+          val state = TestGroupState.create[BucketSigs](
+            carried.map(Optional.of[BucketSigs])
+              .getOrElse(Optional.empty[BucketSigs]()),
+            GroupStateTimeout.EventTimeTimeout,
+            0L, Optional.of[Long](0L), false)
+          out ++= StreamingNearDup.probeBucket(
+            batch, state, 60000L, 3, 8)(_._1, _._2).map(_._2)
+          carried = if (state.exists) Some(state.get) else None
+        }
+      }
+      out.toSeq
+    }
+
+    // signatures drawn from a small pool so near-collisions (hamming
+    // <= 3) and the bucket cap (8) are both exercised
+    val sigPool = Seq(0L, 1L, 3L, 7L, 15L, 255L, -1L, Long.MaxValue,
+      0x5555555555555555L, 0x5555555555555554L)
+    val seqs = Gen.choose(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(sigPool)))
+    samples(Gen.zip(seqs, Gen.choose(1, 5)), 200).foreach {
+      case (sigs, chunkSize) =>
+        val rows = sigs.zipWithIndex.map { case (s, i) => (i * 1000L, s) }
+        val whole = run(rows, Seq(rows.size))
+        val chunked = run(rows,
+          Seq.fill(rows.size / chunkSize + 1)(chunkSize))
+        assert(chunked === whole,
+          s"chunking by $chunkSize changed verdicts for $sigs")
+    }
+  }
 }
