@@ -694,6 +694,20 @@ object SparkEntry {
       graft.operators.Graph.triangleStatsSampled(pairs, sampleDenom = 4)
     }),
 
+    // 3-core of the weight-≥2 co-purchase graph (Matula–Beck peel): the
+    // engine stops at the edge-count fixed point (11 peel rounds at
+    // sf0.01); the oracle unrolls 16 — the peel is monotone, so any cap
+    // ≥ rounds-to-convergence replays the exact core (no parity case)
+    "graph_kcore" -> ((s, dir) =>
+      graft.operators.Graph.kCore(weightedCoPurchasePairs(s, dir), k = 3)),
+
+    // common-neighbor / Jaccard link scores over the same weighted
+    // graph — the neighborhood link-prediction features; minCommon=2
+    // cuts wedge noise inside the partial aggregate
+    "graph_common_neighbors" -> ((s, dir) =>
+      graft.operators.Graph.commonNeighborScores(
+        weightedCoPurchasePairs(s, dir))),
+
     // stateful-shape analytics: gap-based sessionization (batch twin of
     // the flatMapGroupsWithState streaming operator)
     "q_sessionize" -> ((s, dir) =>
@@ -797,6 +811,15 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb, qids, k = 10),
         k = 10, floor = 0.6)
     }),
+
+    // flat-PQ ADC top-k (Jégou TPAMI'11), integer-exact end to end:
+    // lattice quantization → per-subspace integer Lloyd codebooks (md5
+    // seeds, 2 rounds) → 8×4-bit codes → asymmetric-distance ranking
+    // via broadcast per-probe lookup tables. The oracle replays
+    // training, encoding, AND the ADC ranking bit for bit — a
+    // hash-checked PQ pipeline, not just a recall floor
+    "similarity_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir))),
 
     // ---- north-star: multimodal columns ----
     "multimodal_metadata" -> ((s, dir) =>
@@ -1040,6 +1063,29 @@ object SparkEntry {
     // a corpus sort), outliers at |v − med| > 3·MAD
     "q_anomaly_mad" -> ((s, dir) =>
       Behavior.madOutliers(Tables.events(s, dir))),
+
+    // linear multi-touch attribution on the integer ppm lattice: each
+    // purchase splits 1e6 credit equally across the user's view/click
+    // touches inside the prior 24 h — user-keyed join, channel-sized out
+    "q_attribution" -> ((s, dir) =>
+      Behavior.linearAttribution(Tables.events(s, dir))),
+
+    // dyadic-weight EWMA trend per event type on the hourly cents
+    // lattice — the deterministic integer twin of exp-decay smoothing
+    // (lag fan-out over the BUCKET table, never a raw-event window)
+    "q_ewma" -> ((s, dir) =>
+      Behavior.ewmaTrend(Tables.events(s, dir))),
+
+    // k-anonymity / l-diversity release audit of the event log:
+    // QI = (event_type, day, 10-unit value bucket), sensitive = user_id
+    "audit_k_anonymity" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("day_us", unix_micros(date_trunc("day", col("ts"))))
+        .withColumn("vb", expr(
+          "cast(cast(value as decimal(18,2)) * 100 as long) div 1000"))
+      graft.operators.Pii.kAnonymityAudit(e,
+        Seq(col("event_type"), col("day_us"), col("vb")), col("user_id"))
+    }),
 
     // ntile + percent_rank window pass, partitioned by nation (a global
     // ntile would single-task; partitioned quantiles scale)
@@ -1430,6 +1476,37 @@ object SparkEntry {
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("src"), col("b.p").as("dst"))
   }
+
+  /** Weight-thresholded co-purchase graph: part pairs co-occurring in at
+    * least 2 distinct orders (FULL graph, no slice — the weight cut is
+    * the sparsifier). Much sparser than the raw co-purchase graph and
+    * structurally richer (peels deeply under k-core), so it backs the
+    * core/link-score queries.
+    */
+  private def weightedCoPurchasePairs(
+      s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    items.as("a")
+      .join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u").as("src"), col("v").as("dst"))
+  }
+
+  /** SQL twin of [[weightedCoPurchasePairs]]: CTEs `witems` + `we0`. */
+  private val weightedCoPurchaseEdgesSql: String =
+    """witems AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |we0 AS (
+      |  SELECT u, v FROM (
+      |    SELECT a.p AS u, b.p AS v, count(*) AS w
+      |    FROM witems a JOIN witems b ON a.o = b.o AND a.p < b.p
+      |    GROUP BY 1, 2) WHERE w >= 2)""".stripMargin
 
   /** SQL twin of [[slicedCoPurchasePairs]]: CTEs `items` + `e0`
     * (canonical u < v edge set), shared by both graph oracles.
@@ -2301,6 +2378,64 @@ object SparkEntry {
         |FROM dev JOIN m1 USING (event_type) JOIN m2 USING (event_type)
         |GROUP BY 1, 3, 4 ORDER BY event_type""".stripMargin,
 
+    "q_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_type AS channel, epoch_us(ts) AS touch_us
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |att AS (
+        |  SELECT c.conv_id, t.channel
+        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+        |  WHERE t.touch_us <= c.conv_us
+        |    AND t.touch_us > c.conv_us - 86400000000),
+        |pc AS (SELECT conv_id, count(*) AS n_touches FROM att GROUP BY 1)
+        |SELECT channel, count(*) AS touches,
+        |       count(DISTINCT att.conv_id) AS conversions_touched,
+        |       CAST(sum(1000000 // n_touches) AS BIGINT) AS credit_ppm
+        |FROM att JOIN pc USING (conv_id)
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q_ewma" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |lags AS (SELECT unnest(generate_series(0, 11)) AS lag),
+        |n AS (
+        |  SELECT event_type, h + lag AS h,
+        |         CAST(sum(cents * (CAST(1 AS BIGINT) << (11 - lag)))
+        |              AS BIGINT) AS ewma_num
+        |  FROM b CROSS JOIN lags GROUP BY 1, 2)
+        |SELECT b.event_type, b.h, b.cents AS bucket_cents, n.ewma_num,
+        |       n.ewma_num // 4095 AS ewma_cents
+        |FROM b JOIN n ON b.event_type = n.event_type AND b.h = n.h
+        |ORDER BY b.event_type, b.h""".stripMargin,
+
+    "audit_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           // 1000 AS vb,
+        |         user_id
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, day_us, vb, count(*) AS n,
+        |         count(DISTINCT user_id) AS l
+        |  FROM c GROUP BY 1, 2, 3),
+        |x AS (SELECT n, l, unnest([2, 5, 10]) AS k FROM g)
+        |SELECT k, count(*) AS n_groups,
+        |       CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS groups_below_k,
+        |       CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+        |         AS rows_below_k,
+        |       min(n) AS min_group_size,
+        |       min(l) AS min_l_diversity
+        |FROM x GROUP BY k ORDER BY k""".stripMargin,
+
     "q_ohlc" ->
       """WITH t AS (
         |  SELECT date_trunc('hour', ts) AS bucket, ts, event_id, value
@@ -3012,6 +3147,57 @@ object SparkEntry {
          |FROM t""".stripMargin
     },
 
+    // Matula–Beck peel unrolled to 16 rounds (fixed point at 11 on this
+    // corpus; monotone shrink ⇒ extra rounds are the identity, so the
+    // cap-unrolled replay equals the engine's early-stopped core)
+    "graph_kcore" -> {
+      // every ke/n CTE is referenced 2-3 times downstream — MATERIALIZED
+      // stops DuckDB from inlining the chain (3^16 blow-up otherwise)
+      def round(t: Int): String =
+        s"""d$t AS MATERIALIZED (
+           |  SELECT node, count(*) AS deg FROM (
+           |    SELECT u AS node FROM ke${t - 1}
+           |    UNION ALL SELECT v FROM ke${t - 1})
+           |  GROUP BY 1),
+           |n$t AS MATERIALIZED (SELECT node FROM d$t WHERE deg >= 3),
+           |ke$t AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM ke${t - 1} e
+           |  JOIN n$t a ON e.u = a.node
+           |  JOIN n$t b ON e.v = b.node)""".stripMargin
+      val rounds = (1 to 16).map(round).mkString(",\n")
+      s"""WITH $weightedCoPurchaseEdgesSql,
+         |ke0 AS MATERIALIZED (SELECT u, v FROM we0),
+         |$rounds
+         |SELECT node, count(*) AS core_degree FROM (
+         |  SELECT u AS node FROM ke16 UNION ALL SELECT v FROM ke16)
+         |GROUP BY 1 ORDER BY node""".stripMargin
+    },
+
+    // neighborhood link scores on the same weighted graph: wedge
+    // self-join → common counts (HAVING ≥ 2) → degree joins → integer
+    // ppm Jaccard + is-edge flag
+    "graph_common_neighbors" -> {
+      s"""WITH $weightedCoPurchaseEdgesSql,
+         |sym AS (
+         |  SELECT u AS w, v AS x FROM we0
+         |  UNION ALL SELECT v, u FROM we0),
+         |cn AS (
+         |  SELECT s1.x AS a, s2.x AS b, count(*) AS common
+         |  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.x < s2.x
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |deg AS (SELECT w AS node, count(*) AS deg FROM sym GROUP BY 1)
+         |SELECT cn.a AS node_a, cn.b AS node_b, cn.common,
+         |       da.deg AS deg_a, db.deg AS deg_b,
+         |       cn.common * 1000000 // (da.deg + db.deg - cn.common)
+         |         AS jaccard_ppm,
+         |       COALESCE(e.is_edge, false) AS is_edge
+         |FROM cn JOIN deg da ON cn.a = da.node
+         |        JOIN deg db ON cn.b = db.node
+         |LEFT JOIN (SELECT u, v, true AS is_edge FROM we0) e
+         |       ON cn.a = e.u AND cn.b = e.v
+         |ORDER BY node_a, node_b""".stripMargin
+    },
+
     // same graph derivation; the 10 fixed iterations are UNROLLED as
     // chained CTEs (pr1..pr10) because the recurrence aggregates over the
     // previous frontier, which recursive CTEs can't express portably —
@@ -3145,6 +3331,77 @@ object SparkEntry {
         |       TRUE AS recall_ge_floor
         |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
         |ORDER BY query_id""".stripMargin,
+
+    // full PQ replay: per-subspace integer Lloyd (2 unrolled rounds over
+    // (vec, sub, j) with the same md5 seeds), final-codebook encoding
+    // (pa3), per-probe distance tables from c2, ADC = Σ_sub table hit —
+    // every CTE MATERIALIZED (each feeds 2+ consumers)
+    "similarity_ann_pq" -> {
+      def pqRound(t: Int): String =
+        s"""pd$t AS MATERIALIZED (
+           |  SELECT p.vec_id, p.sub, c.j,
+           |         sum((p.v - c.c)*(p.v - c.c)) AS dist
+           |  FROM p JOIN c${t - 1} c USING (d) GROUP BY 1, 2, 3),
+           |pa$t AS MATERIALIZED (
+           |  SELECT vec_id, sub, j AS code FROM (
+           |    SELECT vec_id, sub, j,
+           |           row_number() OVER (PARTITION BY vec_id, sub
+           |                              ORDER BY dist, j) AS rn
+           |    FROM pd$t) WHERE rn = 1)""".stripMargin
+      def pqUpdate(t: Int): String =
+        s"""c$t AS MATERIALIZED (
+           |  SELECT o.j, o.d, COALESCE(CAST(u.s // u.n AS BIGINT), o.c) AS c
+           |  FROM c${t - 1} o LEFT JOIN (
+           |    SELECT a.code AS j, p.d, CAST(sum(p.v) AS BIGINT) AS s,
+           |           count(*) AS n
+           |    FROM p JOIN pa$t a
+           |      ON p.vec_id = a.vec_id AND p.sub = a.sub
+           |    GROUP BY 1, 2) u
+           |    ON o.j = u.j AND o.d = u.d)""".stripMargin
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+         |p AS MATERIALIZED (
+         |  SELECT vec_id, d, (d - 1) // 8 AS sub, qv[d] AS v
+         |  FROM q CROSS JOIN dims),
+         |seeds AS MATERIALIZED (
+         |  SELECT qv, row_number() OVER (
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+         |  FROM q),
+         |c0 AS MATERIALIZED (
+         |  SELECT s.j, dims.d, s.qv[dims.d] AS c
+         |  FROM seeds s CROSS JOIN dims WHERE s.j < 16),
+         |${pqRound(1)},
+         |${pqUpdate(1)},
+         |${pqRound(2)},
+         |${pqUpdate(2)},
+         |${pqRound(3)},
+         |probes AS MATERIALIZED (
+         |  SELECT vec_id AS probe_id FROM q
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |dt AS MATERIALIZED (
+         |  SELECT pr.probe_id, p.sub, c.j,
+         |         sum((p.v - c.c)*(p.v - c.c)) AS pd
+         |  FROM probes pr
+         |  JOIN p ON p.vec_id = pr.probe_id
+         |  JOIN c2 c ON p.d = c.d
+         |  GROUP BY 1, 2, 3),
+         |adc AS MATERIALIZED (
+         |  SELECT d.probe_id, a.vec_id, CAST(sum(d.pd) AS BIGINT) AS adc_dist
+         |  FROM pa3 a JOIN dt d ON a.sub = d.sub AND a.code = d.j
+         |  WHERE a.vec_id <> d.probe_id
+         |  GROUP BY 1, 2)
+         |SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id, adc_dist
+         |FROM (
+         |  SELECT probe_id, vec_id, adc_dist,
+         |         row_number() OVER (PARTITION BY probe_id
+         |                            ORDER BY adc_dist, vec_id) AS rn
+         |  FROM adc) WHERE rn <= 5
+         |ORDER BY probe_id, rank""".stripMargin
+    },
 
     "similarity_ann_ivf_exact" ->
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,

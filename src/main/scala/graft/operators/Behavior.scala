@@ -130,6 +130,109 @@ object Behavior {
       .orderBy(col("cohort_us"), col("offset_days"))
   }
 
+  /** Linear multi-touch attribution: every conversion event credits the
+    * touch events (of the given types) by the SAME user inside the
+    * `windowHours` lookback window, splitting one unit of credit equally
+    * across the touches — on the integer ppm lattice (each touch earns
+    * `1000000 div n_touches`), so totals are exact and engine-portable.
+    * First/last-touch are the n=1 degenerate forms; position-weighted
+    * variants change only the credit expression.
+    *
+    * Output: one row per channel — `(channel, touches,
+    * conversions_touched, credit_ppm)`; total credit over all channels is
+    * ≤ 1000000 × conversions (floor truncation leaks < n_touches ppm per
+    * conversion, the documented integer-lattice trade).
+    *
+    * 100 TB shape: conversions and touches are two pushed-down filtered
+    * scans; the attribution join is user-keyed (both sides hash the same
+    * key, so the shuffle co-partitions) with per-user fan-out bounded by
+    * conversions×touches inside the window — the window predicate is
+    * applied inside the join, so only qualifying pairs survive the
+    * operator. The per-conversion touch count then rides a
+    * conversion-keyed partial aggregate + join of two attribution-sized
+    * tables, and the final channel rollup is a map-side-combined
+    * aggregate to a channel-cardinality output. Event payloads never
+    * shuffle — every row in flight is (id, long) shaped.
+    */
+  def linearAttribution(
+      events: DataFrame,
+      touchTypes: Seq[String] = Seq("view", "click"),
+      convType: String = "purchase",
+      windowHours: Int = 24): DataFrame = {
+    require(touchTypes.nonEmpty && windowHours > 0)
+    val winUs = windowHours.toLong * 3600000000L
+    val conv = events
+      .filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        unix_micros(col("ts")).as("conv_us"))
+    val touch = events
+      .filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_type").as("channel"),
+        unix_micros(col("ts")).as("touch_us"))
+    val attributed = conv.join(touch, "user_id")
+      .filter(col("touch_us") <= col("conv_us") &&
+        col("touch_us") > col("conv_us") - winUs)
+      .select(col("conv_id"), col("channel"))
+    val perConv = attributed
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_touches"))
+    attributed.join(perConv, "conv_id")
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("touches"),
+        countDistinct(col("conv_id")).as("conversions_touched"),
+        sum(expr("1000000 div n_touches")).as("credit_ppm"))
+      .orderBy(col("channel"))
+  }
+
+  /** Exponentially-weighted trend per event type on an hourly lattice,
+    * with DYADIC weights: bucket the stream into (event_type, hour) cent
+    * sums, then for each bucket compute
+    *
+    *   ewma_num(t) = Σ_{lag=0..L-1} cents(t−lag) · 2^(L−1−lag)
+    *
+    * — weight halves per hour of age, missing hours contribute zero.
+    * Everything is long arithmetic (cents lattice × powers of two), so
+    * the trend is bit-reproducible across engines and partitionings; the
+    * normalized `ewma_cents = ewma_num div (2^L − 1)` is the comparable
+    * smoothed value. A float `exp(−λΔt)` EWMA cannot hash-match across
+    * engines; the dyadic lattice is the deterministic twin with the same
+    * decay shape.
+    *
+    * 100 TB shape: one pushed-down scan into an (event_type, hour)
+    * partial aggregate (bucket table is time×type sized, corpus-size
+    * independent), then the L-lag decomposition is an `explode(sequence)`
+    * over the BUCKET table — a bounded ×L fan-out of tiny rows, NOT a
+    * window sort — re-aggregated by target hour with map-side combine.
+    * A per-row window over raw events would sort the corpus; this never
+    * touches raw rows after the first aggregate.
+    */
+  def ewmaTrend(events: DataFrame, lags: Int = 12): DataFrame = {
+    require(lags >= 1 && lags <= 42,
+      "lags capped so cents · 2^lags stays inside Long at corpus scale")
+    val buckets = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(sum(col("value").cast("decimal(18,2)").multiply(lit(100))
+        .cast("long")).as("cents"))
+      .localCheckpoint(true) // read by the lag fan-out AND the output join
+    val den = (1L << lags) - 1
+    val num = buckets
+      .select(col("event_type"), col("h"), col("cents"),
+        explode(sequence(lit(0), lit(lags - 1))).as("lag"))
+      .select(col("event_type"), (col("h") + col("lag")).as("h"),
+        expr(s"cents * shiftleft(1L, ${lags - 1} - lag)").as("w"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(sum(col("w")).as("ewma_num"))
+    // emit only REAL buckets: the fan-out also lands on horizon hours
+    // past each bucket (and gap hours), which are forecasts, not trend
+    // rows — the inner join keeps the output bucket-table-shaped
+    buckets.join(num, Seq("event_type", "h"))
+      .select(col("event_type"), col("h"), col("cents").as("bucket_cents"),
+        col("ewma_num"), expr(s"ewma_num div $den").as("ewma_cents"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   /** Lower median on an integer lattice, computed the scalable way: a
     * per-(key, value) histogram, a cumulative window over the DISTINCT
     * value lattice (value-cardinality-sized — corpus-size-independent,

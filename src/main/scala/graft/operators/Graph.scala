@@ -452,6 +452,134 @@ object Graph {
         (col("n_triangles") * denomCubed).as("est_triangles"))
   }
 
+  /** k-core of the undirected graph: the (unique) maximal subgraph in
+    * which every node has degree ≥ k — the standard density filter over
+    * derived graphs (a near-dup cluster's 2-core separates genuine
+    * mutual-duplicate mass from spokes hanging off one boilerplate hub;
+    * co-occurrence cores isolate the stable vocabulary/entity nucleus).
+    *
+    * Algorithm: iterative PEEL (Matula & Beck 1983, the textbook
+    * fixed-point form): repeatedly delete every node of current degree
+    * < k until none remains. The peel is MONOTONE — the edge set only
+    * shrinks — so the fixed point is exact, order-free, and equals the
+    * k-core regardless of how deletions are batched; the synchronous
+    * batched rounds here are therefore oracle-replayable (DuckDB unrolls
+    * the same rounds; once the fixed point is reached every further
+    * unrolled round is the identity, so any cap ≥ rounds-to-convergence
+    * hash-matches — monotonicity means there is no 2-cycle parity case,
+    * unlike [[labelPropagation]]).
+    *
+    * Output: `(node, core_degree)` for every node in the k-core, with its
+    * degree INSIDE the core (≥ k by construction); empty when the graph
+    * has no k-core.
+    *
+    * 100 TB shape: per round one map-side-combined degree count over the
+    * current edge set + two node-keyed LEFT SEMI joins (edge rows against
+    * the surviving-node set — semi joins shuffle only (node) keys and
+    * never widen rows), with lineage truncated per round. Convergence is
+    * the edge COUNT fixed point — the count is monotone non-increasing,
+    * so equality ⟺ no node was peeled ⟺ fixed point; one long to the
+    * driver per round, same contract as [[pageRankIntWithRounds]].
+    * Rounds are bounded by the peel depth (≤ longest degeneracy chain,
+    * log-ish on real graphs; ScaleCheck records it).
+    */
+  def kCore(
+      pairs: DataFrame,
+      k: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIter: Int = 100): DataFrame =
+    kCoreWithRounds(pairs, k, srcCol, dstCol, maxIter)._1
+
+  /** [[kCore]] plus rounds-to-fixed-point (the measurable peel depth). */
+  def kCoreWithRounds(
+      pairs: DataFrame,
+      k: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIter: Int = 100): (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def degrees(edges: DataFrame): DataFrame =
+      edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("deg"))
+    var e = canonicalEdges(pairs, srcCol, dstCol).localCheckpoint(true)
+    var nEdges = e.count()
+    var rounds = 0
+    var converged = nEdges == 0L
+    while (!converged && rounds < maxIter) {
+      val keep = degrees(e).filter(col("deg") >= k)
+        .select(col("node"))
+        .localCheckpoint(true) // read by BOTH semi joins
+      val next = e
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val n = next.count() // doubles as the materializing action
+      rounds += 1
+      converged = n == nEdges // monotone ⇒ equality is the fixed point
+      e = next
+      nEdges = n
+    }
+    require(converged, s"kCore did not converge in $maxIter rounds")
+    (degrees(e).select(col("node"), col("deg").as("core_degree"))
+      .orderBy(col("node")), rounds)
+  }
+
+  /** Common-neighbor / Jaccard link scores — the classic neighborhood
+    * link-prediction features (Liben-Nowell & Kleinberg 2003) over a
+    * derived graph: for every node pair sharing ≥ `minCommon` neighbors,
+    * the common-neighbor count, both degrees, integer-ppm Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)|, and whether the pair is already an edge
+    * (scored non-edges are the link candidates; scored edges are a
+    * cohesion audit).
+    *
+    * Output: `(node_a, node_b, common, deg_a, deg_b, jaccard_ppm,
+    * is_edge)` with node_a < node_b, ppm = 1e6·common div
+    * (deg_a + deg_b − common) — all integer, oracle-exact.
+    *
+    * 100 TB shape: wedges are generated from the symmetrized adjacency by
+    * a center-keyed self-join — inherently Ω(Σ deg²) like every
+    * common-neighbor computation (the OUTPUT can be that large); the
+    * `minCommon` cut happens in the partial aggregate right after the
+    * join, so only pairs, never wedge multiplicities, survive the
+    * shuffle. Hub skew is the same last-reducer shape as triangle
+    * counting — run it on a degree-capped or sliced graph (the registered
+    * query uses the same 1-in-4 slice as `graph_triangles`), or cap
+    * neighborhoods first; the operator itself stays pure equi-joins.
+    */
+  def commonNeighborScores(
+      pairs: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      minCommon: Long = 2L): DataFrame = {
+    val e = canonicalEdges(pairs, srcCol, dstCol).localCheckpoint(true)
+    val sym = e.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(e.select(col("v").as("w"), col("u").as("x")))
+    val deg = sym.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("w", "node")
+    // wedge (a, b) at center w, a < b; one row per (pair, common nbr)
+    val pairsCn = sym.select(col("w"), col("x").as("a"))
+      .join(sym.select(col("w"), col("x").as("b")), "w")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    pairsCn
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .join(e.select(col("u").as("a"), col("v").as("b"),
+        lit(true).as("is_edge")), Seq("a", "b"), "left")
+      .select(col("a").as("node_a"), col("b").as("node_b"), col("common"),
+        col("deg_a"), col("deg_b"),
+        expr("common * 1000000 div (deg_a + deg_b - common)")
+          .as("jaccard_ppm"),
+        coalesce(col("is_edge"), lit(false)).as("is_edge"))
+      .orderBy(col("node_a"), col("node_b"))
+  }
+
   /** Fixed-iteration PageRank with INTEGER mass arithmetic — importance
     * scoring over a derived graph (domain link graph, customer–supplier
     * trade graph, near-dup cluster graph) as a shuffle-native iterative

@@ -100,6 +100,53 @@ object Pii {
     * the scan, no shuffle); output is candidate-sized, not corpus-sized,
     * and the card NUMBER itself never leaves the row — only its md5.
     */
+  /** k-anonymity / l-diversity audit of a release candidate (Sweeney
+    * 2002; Machanavajjhala et al. 2007): group rows by the quasi-
+    * identifier columns and, for each candidate `k`, report how many
+    * QI groups (and rows) fall below k-anonymity, plus the worst group
+    * size and the worst l-diversity (distinct sensitive values in a
+    * group — a k-anonymous group with one sensitive value still leaks).
+    * The go/no-go audit before event logs or curated corpora leave the
+    * pipeline boundary.
+    *
+    * Output: one row per k — `(k, n_groups, groups_below_k, rows_below_k,
+    * min_group_size, min_l_diversity)` (the two mins are k-independent
+    * corpus facts, repeated per row for a self-contained report).
+    *
+    * 100 TB shape: ONE corpus scan into a QI-keyed partial aggregate
+    * (count + distinct-sensitive count); everything after runs on the
+    * QI-cardinality group table — the |ks| expansion is an explode over
+    * THAT table, never the corpus, re-aggregated to |ks| rows in one
+    * map-side-combined pass (no per-k plan branches, so nothing is
+    * re-scanned). Adversarially skewed QIs cannot hurt: count-distinct
+    * over the group key is the same two-level hash aggregate Spark uses
+    * everywhere; no row payload survives the first aggregate.
+    */
+  def kAnonymityAudit(
+      rows: DataFrame,
+      qi: Seq[Column],
+      sensitive: Column,
+      ks: Seq[Int] = Seq(2, 5, 10)): DataFrame = {
+    require(qi.nonEmpty && ks.nonEmpty && ks.forall(_ >= 1))
+    val groups = rows
+      .groupBy(qi: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("l"))
+    groups
+      .select(col("n"), col("l"),
+        explode(array(ks.map(lit): _*)).as("k"))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n") < col("k"), 1L).otherwise(0L))
+          .as("groups_below_k"),
+        sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+          .as("rows_below_k"),
+        min(col("n")).as("min_group_size"),
+        min(col("l")).as("min_l_diversity"))
+      .orderBy(col("k"))
+  }
+
   def cardAudit(docs: DataFrame, textCol: Column): DataFrame =
     docs
       .withColumn("card_text", textCol)

@@ -1058,20 +1058,8 @@ object Similarity {
     // head), so the window below never sees a corpus-sized row set.
     // Row-generic (label keeps whatever type the caller's corpus uses);
     // the heap keys (probe_id, vec_id, dist) are longs by construction
-    val local = scored.mapPartitions { it =>
-      val ord = Ordering.Tuple2(Ordering.Long, Ordering.Long)
-        .on[org.apache.spark.sql.Row](r => (r.getLong(4), r.getLong(2)))
-      val heaps = scala.collection.mutable.Map
-        .empty[Long, scala.collection.mutable.PriorityQueue[
-          org.apache.spark.sql.Row]]
-      it.foreach { r =>
-        val h = heaps.getOrElseUpdate(r.getLong(0),
-          scala.collection.mutable.PriorityQueue.empty(ord))
-        if (h.size < k) h.enqueue(r)
-        else if (ord.lt(r, h.head)) { h.dequeue(); h.enqueue(r) }
-      }
-      heaps.valuesIterator.flatMap(_.iterator)
-    }(org.apache.spark.sql.Encoders.row(scored.schema))
+    val local = localTopKPerKey(scored, k, keyIdx = 0, distIdx = 4,
+      idIdx = 2)
     // phase 2: exact top-k over the bounded survivor set
     val wNear = Window.partitionBy(col("probe_id"))
       .orderBy(col("dist"), col("vec_id"))
@@ -1089,5 +1077,213 @@ object Similarity {
         col("label").as("predicted_label"), col("n_votes"),
         (col("label") === col("true_label")).as("correct"))
       .orderBy(col("probe_id"))
+  }
+
+  /** Bounded per-partition top-k pre-reduction (phase 1 of the two-phase
+    * top-k used by [[knnLabelAudit]] and [[pqTopK]]): keep each
+    * partition's `k` smallest (dist, id) rows per key in an in-memory
+    * heap — narrow, no shuffle, LOSSLESS (a row outside its partition's
+    * local smallest-k cannot be in the global smallest-k), so the exact
+    * window in phase 2 sorts at most k × partitions rows per key instead
+    * of a corpus-sized partition. Key/dist/id are positional long
+    * columns; all other columns ride along untouched.
+    */
+  private def localTopKPerKey(
+      df: DataFrame, k: Int,
+      keyIdx: Int, distIdx: Int, idIdx: Int): DataFrame =
+    df.mapPartitions { it =>
+      val ord = Ordering.Tuple2(Ordering.Long, Ordering.Long)
+        .on[org.apache.spark.sql.Row](r =>
+          (r.getLong(distIdx), r.getLong(idIdx)))
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[
+          org.apache.spark.sql.Row]]
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.getLong(keyIdx),
+          scala.collection.mutable.PriorityQueue.empty(ord))
+        if (h.size < k) h.enqueue(r)
+        else if (ord.lt(r, h.head)) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+
+  // ---------------------------------------------- product quantization
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+    * compression layer of every billion-scale ANN deployment): split the
+    * `dim`-dimensional lattice-quantized space into `m` contiguous
+    * subspaces of dim/m components and train an independent `k`-centroid
+    * codebook per subspace with the SAME integer-exact Lloyd recurrence
+    * as [[Clustering.lloyd]] (md5-pinned seeds shared across subspaces,
+    * assignment by exact squared L2 with ties → lowest code, update by
+    * `sum div n`, empty codes keep their centroid). Everything stays on
+    * the [[Clustering]] integer lattice, so a SQL engine unrolling the
+    * same rounds reproduces every codebook cell bit for bit.
+    *
+    * Returns `cents(s)(j)` = centroid j of subspace s (k × dim/m longs
+    * per subspace — driver-sized, like every codebook).
+    *
+    * 100 TB shape: each iteration is ONE corpus scan — a narrow
+    * codegen'd per-subspace argmin (codebooks are plan literals) feeding
+    * an explode to m rows per vector and a (sub, code)-keyed partial
+    * aggregate of m·k·(dim/m + 1) cells; driver state is m·k·(dim/m)
+    * longs. The scan-dominant cost model of PQ training.
+    */
+  def pqTrain(
+      quant: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 2): Array[Array[Array[Long]]] = {
+    require(m >= 1 && k >= 1 && iters >= 0)
+    val seeds = quant
+      .select(col("q"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"),
+        col("vec_id"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    if (seeds.isEmpty) return Array.empty
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim must be divisible by m = $m")
+    val subDim = dim / m
+    var cents: Array[Array[Array[Long]]] =
+      Array.tabulate(m)(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+    for (_ <- 1 to iters) {
+      val perSub = (0 until m).map { s =>
+        val sv = slice(col("q"), s * subDim + 1, subDim)
+        val code = array_min(array(cents(s).zipWithIndex.map {
+          case (c, j) =>
+            struct(
+              graft.functions.VectorOps
+                .vec_l2sq_long(sv, typedLit(c.toSeq)).as("dist"),
+              lit(j).as("code"))
+        }.toIndexedSeq: _*)).getField("code")
+        struct(lit(s).as("sub"), code.as("code"), sv.as("sv"))
+      }
+      val sums = (0 until subDim).map(d => sum(col("e.sv")(d)).as(s"s$d"))
+      val rows = quant
+        .select(explode(array(perSub: _*)).as("e"))
+        .groupBy(col("e.sub"), col("e.code"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      rows.foreach { r =>
+        val s = r.getInt(0); val j = r.getInt(1)
+        val n = r.getLong(subDim + 2)
+        var d = 0
+        while (d < subDim) {
+          next(s)(j)(d) = java.lang.Math.floorDiv(r.getLong(d + 2), n)
+          d += 1
+        }
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Encode the quantized corpus against trained codebooks: one narrow
+    * codegen'd scan → `(vec_id, codes array<int>)`, the 100 TB payoff —
+    * m codes (m·log₂k bits ≈ 4-8 bytes) instead of dim floats (256
+    * bytes at dim 64): the ADC scan that follows reads ~50× less.
+    */
+  def pqEncode(
+      quant: DataFrame, cents: Array[Array[Array[Long]]]): DataFrame = {
+    val m = cents.length
+    require(m >= 1, "empty codebook")
+    val subDim = cents(0)(0).length
+    val codes = (0 until m).map { s =>
+      val sv = slice(col("q"), s * subDim + 1, subDim)
+      array_min(array(cents(s).zipWithIndex.map { case (c, j) =>
+        struct(
+          graft.functions.VectorOps
+            .vec_l2sq_long(sv, typedLit(c.toSeq)).as("dist"),
+          lit(j).as("code"))
+      }.toIndexedSeq: _*)).getField("code")
+    }
+    quant.select(col("vec_id"), array(codes: _*).as("codes"))
+  }
+
+  /** PQ asymmetric-distance top-k (the ADC scan of Jégou et al. §IV):
+    * for a deterministic md5-pinned probe set, rank the whole corpus by
+    *
+    *   adc(probe, vec) = Σ_s dtable(probe)(s)(codes(vec)(s))
+    *
+    * where `dtable(probe)(s)(j)` = exact integer ‖probe_s − cents(s)(j)‖²
+    * (computed once per probe against the driver-sized codebooks and
+    * broadcast as one flat k·m-long array per probe). The corpus-side
+    * cost per (probe, vector) is m array lookups + adds over the 4-byte
+    * code row — never the original vectors: this is the flat-PQ scan
+    * that makes exhaustive reranking affordable at 100 TB, and it
+    * composes with the IVF cell layout ([[ivfQuery]] / `writeIvfIndex`)
+    * by running the same lookup inside nprobe cells instead of the full
+    * corpus (IVF-PQ, the canonical billion-scale index).
+    *
+    * Integer-exact end to end (lattice quantization → integer Lloyd →
+    * integer distance tables), so the DuckDB oracle replays training,
+    * encoding, and the ADC ranking bit for bit.
+    *
+    * Top-k is two-phase ([[localTopKPerKey]]): bounded per-partition
+    * heaps cut the corpus to k × partitions rows per probe before the
+    * exact window — no corpus-sized sort partitions.
+    *
+    * Output: `(probe_id, rank, vec_id, adc_dist)`, ties → lowest vec_id.
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 2,
+      nProbes: Int = 8,
+      topK: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val quant = Clustering.quantized(embeddings).localCheckpoint(true)
+    val cents = pqTrain(quant, m, k, iters)
+    require(cents.nonEmpty, "pqTopK needs a non-empty corpus")
+    val subDim = cents(0)(0).length
+    val codes = pqEncode(quant, cents)
+    val probes = quant
+      .select(col("vec_id"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"), col("q"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(nProbes)
+      .select(col("vec_id"), col("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // per-probe distance table, flattened to tflat(s·k + j): exact
+    // integer math on the driver — identical to the oracle's SQL sums
+    val dtables = probes.toSeq.map { case (pid, pq) =>
+      val tflat = new Array[Long](m * k)
+      for (s <- 0 until m; j <- 0 until k) {
+        var acc = 0L
+        var d = 0
+        while (d < subDim) {
+          val diff = pq(s * subDim + d) - cents(s)(j)(d)
+          acc += diff * diff
+          d += 1
+        }
+        tflat(s * k + j) = acc
+      }
+      (pid, tflat.toSeq)
+    }.toDF("probe_id", "tflat")
+    val adc = (0 until m)
+      .map(s => element_at(col("tflat"), col("codes")(s) + lit(s * k + 1)))
+      .reduce(_ + _)
+    val scored = codes
+      .crossJoin(broadcast(dtables))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), adc.as("adc_dist"))
+    val local = localTopKPerKey(scored, topK, keyIdx = 0, distIdx = 2,
+      idIdx = 1)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    local
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adc_dist"))
+      .orderBy(col("probe_id"), col("rank"))
   }
 }

@@ -101,4 +101,52 @@ class BehaviorSpec extends SparkSpec {
     assert(row.getLong(3) === 100L)
     assert(row.getLong(4) === 0L)
   }
+
+  private def evId(rows: (Long, Long, String, Long)*) =
+    rows.toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), lit(0.0).as("value"))
+
+  test("linearAttribution: equal split, window strictly-after lower bound") {
+    val hr = 3600000000L
+    // conv 100 (u1, t=25h): touches view@24h-in-window? window 24h ⇒
+    // touch_us > conv - 24h: view at t=1h is EXACTLY conv-24h ⇒ excluded;
+    // click at 2h included; view at 25h (same instant) included (<=).
+    // conv 200 (u2): no touches in window ⇒ no credit rows at all.
+    val events = evId(
+      (1L, 1L, "view", 1L * hr), (2L, 1L, "click", 2L * hr),
+      (3L, 1L, "view", 25L * hr), (100L, 1L, "purchase", 25L * hr),
+      (4L, 2L, "view", 1L * hr), (200L, 2L, "purchase", 50L * hr))
+    val r = Behavior.linearAttribution(events)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    // conv 100 has 2 touches (click@2h, view@25h) → 500000 each
+    assert(r === Seq(("click", 1L, 1L, 500000L), ("view", 1L, 1L, 500000L)))
+  }
+
+  test("linearAttribution: floor truncation on 3-way splits") {
+    val hr = 3600000000L
+    val events = evId(
+      (1L, 1L, "view", 1L * hr), (2L, 1L, "view", 2L * hr),
+      (3L, 1L, "click", 3L * hr), (100L, 1L, "purchase", 4L * hr))
+    val r = Behavior.linearAttribution(events)
+      .collect().map(x => (x.getString(0), x.getLong(3))).toSeq
+    // 1000000 div 3 = 333333 per touch
+    assert(r === Seq(("click", 333333L), ("view", 666666L)))
+  }
+
+  test("ewmaTrend: dyadic decay over gaps, real buckets only") {
+    val hr = 3600000000L
+    // type t: hour 0 → 100 cents, hour 2 → 400 cents (hour 1 missing)
+    val events = ev(
+      (1L, "t", 0L * hr, 1.0), (2L, "t", 2L * hr, 4.0))
+    val r = Behavior.ewmaTrend(events, lags = 3)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).toSeq
+    // weights (lag 0,1,2) = 4,2,1; den = 7
+    // h=0: num = 100·4 = 400, ewma = 57
+    // h=2: num = 400·4 + 0·2 + 100·1 = 1700, ewma = 242
+    // h=1 is NOT emitted (no real bucket)
+    assert(r === Seq((0L, 100L, 400L, 57L), (2L, 400L, 1700L, 242L)))
+  }
 }

@@ -367,4 +367,62 @@ class GraphSpec extends SparkSpec {
     assert(got._2 === edges.size.toLong)
     assert(got._4 === brute.toLong)
   }
+
+  /** Driver-side reference peel for the k-core tests. */
+  private def bruteKCore(
+      edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var e = edges.map(p => (p._1 min p._2, p._1 max p._2)).distinct
+    var changed = true
+    while (changed) {
+      val deg = e.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = e.filter(p => keep(p._1) && keep(p._2))
+      changed = next.size != e.size
+      e = next
+    }
+    e.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  test("kCore: pendant chain peels away, triangle survives as the 2-core") {
+    // triangle 1-2-3 with a chain 3-4-5 hanging off: 2-core = triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val (core, rounds) = Graph.kCoreWithRounds(edges.toDF("src", "dst"), 2)
+    assert(core.as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    assert(rounds === 3, "peel 5, then 4, then fixed point")
+    // 3-core is empty (triangle degrees are 2)
+    assert(Graph.kCore(edges.toDF("src", "dst"), 3).count() === 0L)
+  }
+
+  test("kCore: random graphs match the driver-side peel") {
+    for (seed <- Seq(5L, 23L); k <- Seq(2, 3)) {
+      val edges = (for (a <- 1L to 30L; b <- (a + 1) to 30L
+        if (a * seed * 131 + b * 577) % 11 < 2) yield (a, b)).toSeq
+      val expect = bruteKCore(edges, k)
+      val got = Graph.kCore(edges.toDF("src", "dst"), k)
+        .as[(Long, Long)].collect().toMap
+      assert(got === expect.map { case (n, d) => n -> d.toLong },
+        s"seed=$seed k=$k")
+    }
+  }
+
+  test("commonNeighborScores: counts, ppm Jaccard, is_edge flag") {
+    // square 1-2-3-4 (cycle): opposite corners share 2 neighbors and are
+    // NOT edges; adjacent corners share 0 → below minCommon
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val r = Graph.commonNeighborScores(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    // jaccard = 2/(2+2-2) = 1 → 1000000 ppm
+    assert(r === Seq(
+      (1L, 3L, 2L, 2L, 2L, 1000000L, false),
+      (2L, 4L, 2L, 2L, 2L, 1000000L, false)))
+    // add the diagonal 1-3: now it IS an edge and degrees shift
+    val r2 = Graph.commonNeighborScores(
+      (edges :+ (1L, 3L)).toDF("src", "dst"), minCommon = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(r2.exists { case (a, b, _, _, _, _, isE) =>
+      a == 1L && b == 3L && isE })
+  }
 }

@@ -91,4 +91,24 @@ class PiiSpec extends SparkSpec {
     assert(out === List((1L, 0L, true), (1L, 1L, false)),
       "two candidates in doc 1 (one valid), none elsewhere")
   }
+
+  test("kAnonymityAudit: group sizes, below-k tallies, l-diversity floor") {
+    // QI = (region, age_band); sensitive = user
+    // groups: (a,1) → 3 rows {u1,u1,u2} (l=2); (a,2) → 1 row {u3} (l=1);
+    //         (b,1) → 2 rows {u4,u4} (l=1)
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 1L, 1L), ("a", 1L, 2L),
+      ("a", 2L, 3L),
+      ("b", 1L, 4L), ("b", 1L, 4L)
+    ).toDF("region", "age_band", "user")
+    val r = Pii.kAnonymityAudit(df,
+      Seq(col("region"), col("age_band")), col("user"), Seq(2, 3))
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5))).toSeq
+    assert(r === Seq(
+      // k=2: group (a,2) of size 1 is below ⇒ 1 group, 1 row
+      (2, 3L, 1L, 1L, 1L, 1L),
+      // k=3: (a,2) size 1 and (b,1) size 2 below ⇒ 2 groups, 3 rows
+      (3, 3L, 2L, 3L, 1L, 1L)))
+  }
 }

@@ -335,4 +335,51 @@ class SimilaritySpec extends SparkSpec {
     assert(got(9L)._3 === 0 && !got(9L)._5,
       "singleton label must be mispredicted under leave-one-out")
   }
+
+  test("pqTrain/pqEncode: codebook shape, codes in range, deterministic") {
+    val quant = graft.operators.Clustering.quantized(emb)
+    val c1 = Similarity.pqTrain(quant, m = 8, k = 16, iters = 2)
+    val c2 = Similarity.pqTrain(quant, m = 8, k = 16, iters = 2)
+    assert(c1.length === 8 && c1.forall(_.length === 16) &&
+      c1.forall(_.forall(_.length === 8)))
+    assert(c1.map(_.map(_.toSeq).toSeq).toSeq ===
+      c2.map(_.map(_.toSeq).toSeq).toSeq, "training must be deterministic")
+    val codes = Similarity.pqEncode(quant, c1)
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.length === emb.count())
+    assert(codes.forall(_._2.length === 8))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
+  }
+
+  test("pqTopK: ADC ranking equals the driver-side replay of the same codebooks") {
+    val got = Similarity.pqTopK(emb, nProbes = 4, topK = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.length === 20)
+    assert(got.forall { case (p, _, v, _) => p != v }, "self excluded")
+    // independent replay: collect codes + quantized probes, recompute
+    // every ADC distance in plain Scala, take top-5 per probe
+    val quant = graft.operators.Clustering.quantized(emb)
+    val cents = Similarity.pqTrain(quant, m = 8, k = 16, iters = 2)
+    val codes = Similarity.pqEncode(quant, cents)
+      .as[(Long, Seq[Int])].collect()
+    val probeIds = got.map(_._1).distinct.sorted
+    val qmap = quant.as[(Long, Seq[Long])].collect().toMap
+    val expect = probeIds.flatMap { pid =>
+      val pq = qmap(pid)
+      val scored = codes.filter(_._1 != pid).map { case (vid, cs) =>
+        val adc = (0 until 8).map { s =>
+          val c = cents(s)(cs(s))
+          (0 until 8).map { d =>
+            val diff = pq(s * 8 + d) - c(d); diff * diff
+          }.sum
+        }.sum
+        (vid, adc)
+      }.sortBy { case (vid, adc) => (adc, vid) }.take(5)
+      scored.zipWithIndex.map { case ((vid, adc), i) =>
+        (pid, (i + 1).toLong, vid, adc)
+      }
+    }
+    assert(got.sortBy(x => (x._1, x._2)) ===
+      expect.sortBy(x => (x._1, x._2)))
+  }
 }
