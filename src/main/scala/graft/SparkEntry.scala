@@ -451,6 +451,12 @@ object SparkEntry {
     "text_token_freq" -> ((s, dir) =>
       TextAnalysis.tokenFrequencies(Tables.documents(s, dir), topN = 50)),
 
+    // PMI co-occurrence pairs on the integer ratio lattice: ppm ratio
+    // whose log is PMI (log-monotone ⇒ same rankings, hash-exact cells);
+    // minDf prunes the tail BEFORE the doc-keyed pair join
+    "text_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(Tables.documents(s, dir))),
+
     // per-doc distinctive terms: integer-exact TF-IDF ordering
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.distinctiveTerms(Tables.documents(s, dir), k = 3)
@@ -2837,6 +2843,33 @@ object SparkEntry {
         |       ELSE list_transform(e, x -> CAST(round(x * 127.0 / mx) AS TINYINT))
         |  END) AS qvec_json
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    "text_pmi" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |      '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |present AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, token FROM raw WHERE token <> ''),
+        |dft AS MATERIALIZED (
+        |  SELECT token, count(*) AS df FROM present GROUP BY 1),
+        |kept AS MATERIALIZED (
+        |  SELECT p.doc_id, p.token, d.df FROM present p
+        |  JOIN dft d USING (token) WHERE d.df >= 5),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |pairs AS (
+        |  SELECT a.token AS token_a, b.token AS token_b,
+        |         a.df AS df_a, b.df AS df_b, count(*) AS df_ab
+        |  FROM kept a JOIN kept b
+        |    ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT token_a, token_b, df_ab, df_a, df_b,
+        |       CAST((CAST(df_ab AS HUGEINT) * 1000000 * nd.n_docs)
+        |            // (df_a * df_b) AS BIGINT) AS pmi_ratio_ppm
+        |FROM pairs, nd
+        |WHERE df_ab >= 5
+        |ORDER BY token_a, token_b""".stripMargin,
 
     "text_token_freq" ->
       """WITH toks AS (

@@ -332,6 +332,49 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Pointwise-mutual-information co-occurrence pairs (Church & Hanks
+    * 1990) over document-level token presence — the word-association
+    * miner behind collocation extraction, taxonomy seeding, and
+    * "unexpectedly co-occurring boilerplate" forensics in corpus audits.
+    * Emitted on the integer lattice: `pmi_ratio_ppm` =
+    * ⌊10⁶ · N · df(a,b) / (df(a) · df(b))⌋ — the RATIO whose log is PMI;
+    * log is monotone, so rankings and thresholds transfer exactly while
+    * every cell stays cross-engine hash-exact (a float log₂ cannot).
+    * 10⁶ ppm = independence; above ⇒ attraction, below ⇒ repulsion.
+    *
+    * 100 TB shape: one corpus tokenize pass into the (doc, token)
+    * presence table; `minDf` prunes the long tail BEFORE the doc-keyed
+    * self-join (the join is inherently Ω(Σ tokens_per_doc²) — like every
+    * co-occurrence computation, the OUTPUT can be that large; on
+    * web-scale docs cap per-doc tokens to the top-T by tf first, same
+    * plan). Pair multiplicities reduce in the partial aggregate; the
+    * numerator product runs in DECIMAL(38) (`div` floors like the
+    * oracle's HUGEINT `//`), so web-scale df products cannot overflow.
+    */
+  def pmiPairs(
+      docs: DataFrame,
+      minDf: Long = 5L,
+      minPairDf: Long = 5L): DataFrame = {
+    val present = docTermCounts(docs).select(col("doc_id"), col("token"))
+    val dfTab = present.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val kept = present.join(dfTab.filter(col("df") >= minDf), "token")
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+      .select(col("a.token").as("token_a"), col("b.token").as("token_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .groupBy(col("token_a"), col("token_b"), col("df_a"), col("df_b"))
+      .agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= minPairDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("token_a"), col("token_b"), col("df_ab"), col("df_a"),
+        col("df_b"),
+        expr("(CAST(df_ab AS DECIMAL(38,0)) * 1000000 * n_docs)" +
+          " div (df_a * df_b)").cast("long").as("pmi_ratio_ppm"))
+      .orderBy(col("token_a"), col("token_b"))
+  }
+
   /** Single-pass bounded-memory heavy hitters over the token stream —
     * the sketch twin of [[tokenFrequencies]]: a Misra-Gries
     * `TypedImperativeAggregate` ([[graft.functions.FreqSketch]]) whose

@@ -298,4 +298,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L) === ((3L, 2L, 0L, 0L)))
     assert(r(4L) === ((4L, 0L, 0L, 0L)))
   }
+
+  test("pmiPairs: presence (not tf) drives df, exact ppm ratio, ordering") {
+    // d1 repeats x — presence counts once; N = 4, df x=3 y=2 z=1 w=1
+    val docs = Seq((1L, "x x y"), (2L, "x y"), (3L, "x z"), (4L, "w"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.pmiPairs(docs, minDf = 1L, minPairDf = 1L)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5))).toSeq
+    // (x,y): 2·1e6·4 / (3·2) = 1333333 (floor); (x,z): 1·1e6·4 / 3
+    assert(r === Seq(
+      ("x", "y", 2L, 3L, 2L, 1333333L),
+      ("x", "z", 1L, 3L, 1L, 1333333L)))
+    // minDf prunes z before the pair join
+    val r2 = TextAnalysis.pmiPairs(docs, minDf = 2L, minPairDf = 1L)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(r2 === Seq(("x", "y")))
+  }
 }
