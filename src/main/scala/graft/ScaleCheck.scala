@@ -463,6 +463,78 @@ object ScaleCheck {
       total
     }
 
+    // weight-thresholded co-purchase graph (k-core / link-score input):
+    // parts co-occurring in >= 2 orders — the weight cut is the
+    // sparsifier, so probes measure the peel, not a dense clique soup
+    val wPairs = items.as("a")
+      .join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u").as("src"), col("v").as("dst"))
+      .cache()
+    println(s"weighted co-purchase edges (w>=2): ${wPairs.count()}")
+    // k-core peel: per round one degree count + two semi joins; 2x
+    // disjoint graph should cost ~2x per round with UNCHANGED round
+    // count (components peel independently)
+    time("k-core k=2 (weighted graph)") {
+      val (df, rounds) = graft.operators.Graph.kCoreWithRounds(wPairs, 2)
+      val n = force(df)
+      println(s"  peel rounds-to-fixed-point: $rounds")
+      n
+    }
+    // sf0.1's weighted graph is RELATIVELY sparser than sf0.01's (10x
+    // orders but 10x parts: pair repeats thin out), so its 3-core is
+    // empty — the peel proves it in 3 rounds; the sf0.01 gate exercises
+    // the non-trivial 935-node core
+    time("k-core k=3 (weighted graph)") {
+      val (df, rounds) = graft.operators.Graph.kCoreWithRounds(wPairs, 3)
+      val n = force(df)
+      println(s"  peel rounds-to-fixed-point: $rounds")
+      n
+    }
+    time("k-core k=3 (2x disjoint graph)") {
+      val shifted = wPairs.select((col("src") + 10000000L).as("src"),
+        (col("dst") + 10000000L).as("dst"))
+      val (df, rounds) = graft.operators.Graph
+        .kCoreWithRounds(wPairs.union(shifted), 3)
+      val n = force(df)
+      println(s"  peel rounds-to-fixed-point: $rounds")
+      n
+    }
+    time("common-neighbor scores (weighted graph)") {
+      force(graft.operators.Graph.commonNeighborScores(wPairs))
+    }
+    // PQ: training is iters x one scan; the ADC scan is corpus x probes
+    // lookups over 4-bit codes — expect ~linear in corpus size
+    time("PQ train+encode+ADC top-5 x8") {
+      force(Similarity.pqTopK(bigEmb))
+    }
+    // PMI: tokenize pass + doc-keyed pair join; replicas multiply df
+    // uniformly, pair work ~linear in corpus (vocab fixed)
+    time("PMI pairs (minDf 5)") {
+      force(TextAnalysis.pmiPairs(big))
+    }
+    // attribution: user-keyed conv x touch join — users grow xmult,
+    // per-user density constant, expect ~linear
+    time("attribution 24h window") {
+      force(graft.operators.Behavior.linearAttribution(bigEv))
+    }
+    // ewma: bucket table is (type, hour)-sized — constant under user
+    // replication; expect scan-bound
+    time("ewma trend (hour lattice)") {
+      force(graft.operators.Behavior.ewmaTrend(bigEv))
+    }
+    time("k-anonymity audit (QI groups)") {
+      val e = bigEv
+        .withColumn("day_us", unix_micros(date_trunc("day", col("ts"))))
+        .withColumn("vb", expr(
+          "cast(cast(value as decimal(18,2)) * 100 as long) div 1000"))
+      force(graft.operators.Pii.kAnonymityAudit(e,
+        Seq(col("event_type"), col("day_us"), col("vb")), col("user_id")))
+    }
+
     spark.stop()
   }
 }
