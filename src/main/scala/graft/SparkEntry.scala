@@ -818,6 +818,19 @@ object SparkEntry {
         k = 10, floor = 0.6)
     }),
 
+    // IVF-PQ (the FAISS billion-scale layout): exact-Lloyd coarse cells
+    // restrict the scan, PQ codes rank candidates by ADC, float rerank
+    // of the top-64 shortlist only; in-plan recall-floor audit vs the
+    // exact top-k (the ann_ivf contract — booleans pinned by the oracle)
+    "similarity_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      Similarity.annRecallAudit(
+        Similarity.ivfPqQuery(emb, qids),
+        Similarity.bruteForceTopK(emb, qids, k = 10),
+        k = 10, floor = 0.6)
+    }),
+
     // flat-PQ ADC top-k (Jégou TPAMI'11), integer-exact end to end:
     // lattice quantization → per-subspace integer Lloyd codebooks (md5
     // seeds, 2 rounds) → 8×4-bit codes → asymmetric-distance ranking
@@ -3360,6 +3373,12 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
 
     "similarity_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ge_floor
+        |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        |ORDER BY query_id""".stripMargin,
+
+    "similarity_ann_ivfpq" ->
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
         |       TRUE AS recall_ge_floor
         |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)

@@ -106,6 +106,34 @@ case class UnitizeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** PQ nearest-code argmin: subvector (array<long>, d elements) against a
+  * FLAT codebook (array<long>, k·d elements, row-major) → the int code j
+  * minimizing (‖sv − cb[j]‖², j) — ties take the LOWEST j (first strict
+  * improvement wins), matching the oracle's `ORDER BY dist, j`.
+  *
+  * Why an expression: the unrolled alternative (array_min over k inlined
+  * struct(dist, j) subtrees) generates O(k·d) Java per subspace — at
+  * 8 subspaces × 64 codes Janino hits the 64 KB method limit and
+  * whole-stage codegen silently falls back to interpreted. This loops in
+  * ONE call whose generated code is constant-size in k, keeping PQ
+  * training/encoding scans inside codegen at any codebook size.
+  */
+case class NearestCodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vec_nearest_code"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.nearestCode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.nearestCode($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCodeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
 
   def dot(a: ArrayData, b: ArrayData): Double = {
@@ -193,4 +221,33 @@ object VectorOps {
   def vec_dot_long(a: Column, b: Column): Column =
     GraftShims.column(DotLongExpr(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** [[NearestCodeExpr]] helper: flat row-major codebook, k = flat/d. */
+  def nearestCode(sv: ArrayData, flat: ArrayData): Int = {
+    val d = sv.numElements()
+    if (d == 0 || flat.numElements() % d != 0)
+      throw new IllegalArgumentException(
+        s"vec_nearest_code: codebook size ${flat.numElements()}" +
+          s" not a multiple of subvector dim $d")
+    val k = flat.numElements() / d
+    var best = 0L
+    var bestJ = -1
+    var j = 0
+    while (j < k) {
+      var acc = 0L
+      var i = 0
+      while (i < d) {
+        val diff = sv.getLong(i) - flat.getLong(j * d + i)
+        acc += diff * diff
+        i += 1
+      }
+      if (bestJ < 0 || acc < best) { best = acc; bestJ = j }
+      j += 1
+    }
+    bestJ
+  }
+
+  def vec_nearest_code(sv: Column, flatCodebook: Column): Column =
+    GraftShims.column(NearestCodeExpr(
+      GraftShims.expression(sv), GraftShims.expression(flatCodebook)))
 }

@@ -1151,15 +1151,14 @@ object Similarity {
     var cents: Array[Array[Array[Long]]] =
       Array.tabulate(m)(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
     for (_ <- 1 to iters) {
+      // one codegen'd NearestCodeExpr per subspace against the FLAT
+      // codebook literal — constant generated-code size in k (the
+      // unrolled struct-argmin form breaks Janino's 64 KB method limit
+      // at realistic code counts; see NearestCodeExpr)
       val perSub = (0 until m).map { s =>
         val sv = slice(col("q"), s * subDim + 1, subDim)
-        val code = array_min(array(cents(s).zipWithIndex.map {
-          case (c, j) =>
-            struct(
-              graft.functions.VectorOps
-                .vec_l2sq_long(sv, typedLit(c.toSeq)).as("dist"),
-              lit(j).as("code"))
-        }.toIndexedSeq: _*)).getField("code")
+        val code = graft.functions.VectorOps
+          .vec_nearest_code(sv, typedLit(cents(s).flatten.toSeq))
         struct(lit(s).as("sub"), code.as("code"), sv.as("sv"))
       }
       val sums = (0 until subDim).map(d => sum(col("e.sv")(d)).as(s"s$d"))
@@ -1194,13 +1193,9 @@ object Similarity {
     require(m >= 1, "empty codebook")
     val subDim = cents(0)(0).length
     val codes = (0 until m).map { s =>
-      val sv = slice(col("q"), s * subDim + 1, subDim)
-      array_min(array(cents(s).zipWithIndex.map { case (c, j) =>
-        struct(
-          graft.functions.VectorOps
-            .vec_l2sq_long(sv, typedLit(c.toSeq)).as("dist"),
-          lit(j).as("code"))
-      }.toIndexedSeq: _*)).getField("code")
+      graft.functions.VectorOps.vec_nearest_code(
+        slice(col("q"), s * subDim + 1, subDim),
+        typedLit(cents(s).flatten.toSeq))
     }
     quant.select(col("vec_id"), array(codes: _*).as("codes"))
   }
@@ -1285,5 +1280,108 @@ object Similarity {
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("adc_dist"))
       .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** IVF-PQ query — the canonical billion-scale ANN layout (FAISS's
+    * IVFPQ; Jégou et al. TPAMI 2011 §V), composed from this file's two
+    * oracle-grade halves: the EXACT-Lloyd coarse quantizer
+    * ([[buildIvfIndexExact]]) restricts each query to `nprobe` cells,
+    * the PQ codes ([[pqTrain]]/[[pqEncode]]) rank the in-cell candidates
+    * by ADC (m table lookups per candidate — no vector math, no vector
+    * bytes), and only the top `rerank` ADC survivors per query are
+    * reranked with exact float cosine. Codes are trained on raw vectors
+    * (flat PQ), not cell residuals — the residual refinement changes
+    * constants, not the plan shape, and is documented as the upgrade
+    * path.
+    *
+    * 100 TB shape: at scale the celled corpus is the partitioned on-disk
+    * table ([[graft.sinks.Sink.writeIvfIndex]], cell-pruned scans) with
+    * the 4-8 byte code column stored alongside — a probe touches
+    * nprobe/nlist of the corpus and reads codes, not vectors; the only
+    * full-width vector reads are the ≤ queries × rerank shortlist rows.
+    * Everything before the float rerank is integer-exact.
+    *
+    * Recall calibration on the synthetic corpus (ISOTROPIC uniform
+    * vectors — PQ's worst case, no cluster structure for the codebooks
+    * to exploit; real embedding corpora quantize better): 64 codes ×
+    * 8 subspaces at rerank 64 measures recall@10 ≥ 0.7 per query at
+    * both sf0.01 and sf0.1 (16 codes bottomed at 0.2-0.6). `rerank` is
+    * the recall knob whose cost stays in the code domain — the
+    * registered audit floor is 0.6 with that margin.
+    */
+  def ivfPqQuery(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      nlist: Int = 16,
+      nprobe: Int = 12,
+      m: Int = 8,
+      kCodes: Int = 64,
+      pqIters: Int = 2,
+      rerank: Int = 64,
+      k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val index = IndexCache.ivfExact(embeddings, nlist)
+    val quant = Clustering.quantized(embeddings).localCheckpoint(true)
+    val cents = pqTrain(quant, m, kCodes, pqIters)
+    require(cents.nonEmpty, "ivfPqQuery needs a non-empty corpus")
+    val subDim = cents(0)(0).length
+    val codes = pqEncode(quant, cents)
+    // per-query ADC lookup tables from the QUANTIZED query vectors —
+    // driver-sized (queries × m·k longs), broadcast
+    val qrows = quant.filter(col("vec_id").isin(queryIds: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val dtables = qrows.toSeq.map { case (qid, qv) =>
+      val tflat = new Array[Long](m * kCodes)
+      for (s <- 0 until m; j <- 0 until kCodes) {
+        var acc = 0L
+        var d = 0
+        while (d < subDim) {
+          val diff = qv(s * subDim + d) - cents(s)(j)(d)
+          acc += diff * diff
+          d += 1
+        }
+        tflat(s * kCodes + j) = acc
+      }
+      (qid, tflat.toSeq)
+    }.toDF("query_id", "tflat")
+    val queries = index.celled
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
+      .withColumn("probe_cells",
+        probeCells(index.centroids, col("q_unit"), nprobe))
+      .select(col("query_id"), explode(col("probe_cells")).as("cell"))
+    val adcExpr = (0 until m)
+      .map(s => element_at(col("tflat"), col("codes")(s) + lit(s * kCodes + 1)))
+      .reduce(_ + _)
+    val cands = index.celled
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(dtables), "query_id")
+      .select(col("query_id"), col("vec_id"), adcExpr.as("adc_dist"))
+    // ADC cut to the rerank shortlist (two-phase bounded top-k)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    val shortlist =
+      localTopKPerKey(cands, rerank, keyIdx = 0, distIdx = 2, idIdx = 1)
+        .withColumn("adc_rank", row_number().over(wAdc))
+        .filter(col("adc_rank") <= rerank)
+        .select(col("query_id"), col("vec_id"))
+    // exact cosine rerank of shortlist rows only — the sole full-width
+    // vector reads in the query path
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    shortlist
+      .join(index.celled.select(col("vec_id"), col("unit")), "vec_id")
+      .join(broadcast(index.celled.select(col("vec_id").as("query_id"),
+        col("unit").as("q_unit")).filter(col("query_id").isin(queryIds: _*))),
+        "query_id")
+      .select(col("query_id"), col("vec_id"),
+        dot(col("unit"), col("q_unit")).as("cosine"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
   }
 }

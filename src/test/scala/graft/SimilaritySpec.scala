@@ -382,4 +382,51 @@ class SimilaritySpec extends SparkSpec {
     assert(got.sortBy(x => (x._1, x._2)) ===
       expect.sortBy(x => (x._1, x._2)))
   }
+
+  test("vec_nearest_code: brute-force parity, lowest-j ties, dim guard") {
+    import graft.functions.VectorOps
+    val cb = Seq(Seq(0L, 0L), Seq(3L, 4L), Seq(0L, 0L), Seq(10L, 0L))
+    val flat = cb.flatten
+    val rows = Seq(Seq(1L, 1L), Seq(3L, 3L), Seq(9L, 1L), Seq(0L, 0L))
+      .toDF("sv")
+    val got = rows
+      .select(VectorOps.vec_nearest_code(col("sv"), typedLit(flat)))
+      .as[Int].collect().toSeq
+    val expect = Seq(Seq(1L, 1L), Seq(3L, 3L), Seq(9L, 1L), Seq(0L, 0L))
+      .map { sv =>
+        cb.zipWithIndex.map { case (c, j) =>
+          (c.zip(sv).map { case (x, y) => (x - y) * (x - y) }.sum, j)
+        }.min._2
+      }
+    assert(got === expect)
+    // codebook rows 0 and 2 are identical: ties must take the LOWEST j
+    assert(got(3) === 0)
+    val guard = intercept[Exception] {
+      rows.select(VectorOps.vec_nearest_code(col("sv"),
+        typedLit(Seq(1L, 2L, 3L)))).collect()
+    }
+    assert(guard.getMessage.contains("vec_nearest_code") ||
+      Option(guard.getCause).exists(_.getMessage.contains("vec_nearest_code")))
+  }
+
+  test("ivfPqQuery: k results per query, self excluded, recall >= 0.6") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val audit = Similarity.annRecallAudit(
+      Similarity.ivfPqQuery(emb, qids),
+      Similarity.bruteForceTopK(emb, qids, 10), 10, 0.6)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(audit.map(_._1) === qids)
+    assert(audit.forall(_._2 === 10L))
+    assert(audit.forall(_._3), s"recall floor violated: $audit")
+    val rows = Similarity.ivfPqQuery(emb, qids)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.forall { case (q, v, _, _) => q != v })
+    // ranks contiguous from 1, cosine descending per query
+    qids.foreach { q =>
+      val mine = rows.filter(_._1 == q).sortBy(_._4)
+      assert(mine.map(_._4).toSeq === (1 to 10))
+      val cos = mine.map(_._3).toSeq
+      assert(cos === cos.sorted.reverse)
+    }
+  }
 }
