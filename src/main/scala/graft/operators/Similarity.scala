@@ -1384,4 +1384,87 @@ object Similarity {
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** [[ivfPqQuery]] against the PERSISTED layout
+    * ([[graft.sinks.Sink.writeIvfPqIndex]] → `readIvfPqIndex`): the probe
+    * cell union is computed driver-side and pushed as a static
+    * `cell IN (...)` predicate (directory pruning, the
+    * [[ivfQueryPruned]] contract), and the ADC candidate scan projects
+    * `(vec_id, codes, cell)` ONLY — parquet COLUMN pruning keeps the
+    * full-width `unit` vectors on disk for everything but the ≤ queries
+    * × rerank shortlist rows (both prunings plan-asserted in
+    * SimilarityIndexPersistSpec). Query vectors are re-quantized from
+    * `embeddings` by id; in production they arrive with the request.
+    * Results are bit-equal to [[ivfPqQuery]] under the same index
+    * (identical codebooks, candidates, and tie rules).
+    */
+  def ivfPqQueryPruned(
+      index: IvfIndex,
+      pqCents: Array[Array[Array[Long]]],
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      nprobe: Int = 12,
+      rerank: Int = 64,
+      k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val m = pqCents.length
+    require(m >= 1, "empty PQ codebook")
+    val kCodes = pqCents(0).length
+    val subDim = pqCents(0)(0).length
+    val qrows = Clustering.quantized(embeddings)
+      .filter(col("vec_id").isin(queryIds: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val dtables = qrows.toSeq.map { case (qid, qv) =>
+      val tflat = new Array[Long](m * kCodes)
+      for (s <- 0 until m; j <- 0 until kCodes) {
+        var acc = 0L
+        var d = 0
+        while (d < subDim) {
+          val diff = qv(s * subDim + d) - pqCents(s)(j)(d)
+          acc += diff * diff
+          d += 1
+        }
+        tflat(s * kCodes + j) = acc
+      }
+      (qid, tflat.toSeq)
+    }.toDF("query_id", "tflat")
+    val queries = index.celled
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("unit").as("q_unit"))
+      .withColumn("probe_cells",
+        probeCells(index.centroids, col("q_unit"), nprobe))
+      .select(col("query_id"), explode(col("probe_cells")).as("cell"))
+    val probed: Seq[Int] = queries.select(col("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val adcExpr = (0 until m)
+      .map(s => element_at(col("tflat"), col("codes")(s) + lit(s * kCodes + 1)))
+      .reduce(_ + _)
+    val cands = index.celled
+      .select(col("vec_id"), col("codes"), col("cell")) // NO unit: column prune
+      .filter(col("cell").isin(probed: _*)) // static partition pruning
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(dtables), "query_id")
+      .select(col("query_id"), col("vec_id"), adcExpr.as("adc_dist"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    val shortlist =
+      localTopKPerKey(cands, rerank, keyIdx = 0, distIdx = 2, idIdx = 1)
+        .withColumn("adc_rank", row_number().over(wAdc))
+        .filter(col("adc_rank") <= rerank)
+        .select(col("query_id"), col("vec_id"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    shortlist
+      .join(index.celled.select(col("vec_id"), col("unit")), "vec_id")
+      .join(broadcast(index.celled.select(col("vec_id").as("query_id"),
+        col("unit").as("q_unit")).filter(col("query_id").isin(queryIds: _*))),
+        "query_id")
+      .select(col("query_id"), col("vec_id"),
+        dot(col("unit"), col("q_unit")).as("cosine"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -202,6 +202,58 @@ object Sink {
       centroids, spark.read.parquet(s"$path/celled"))
   }
 
+  /** C6+ / similarity — persist the IVF-PQ index (the full FAISS-style
+    * billion-scale layout on disk): the celled corpus with its PQ CODES
+    * column alongside, partitioned by cell — so a probe (a) touches
+    * nprobe directories (partition pruning) and (b) its ADC candidate
+    * scan reads `(vec_id, codes)` ONLY (parquet column pruning: the
+    * full-width `unit` vectors never leave disk except for the rerank
+    * shortlist; SimilarityIndexPersistSpec asserts both prunings on the
+    * plan) — plus the coarse centroids and the per-subspace PQ codebooks
+    * (m·k rows). [[readIvfPqIndex]] + `Similarity.ivfPqQueryPruned` are
+    * the consuming path.
+    */
+  def writeIvfPqIndex(
+      index: graft.operators.Similarity.IvfIndex,
+      pqCents: Array[Array[Array[Long]]],
+      codes: DataFrame,
+      path: String,
+      mode: String = "overwrite"): Unit = {
+    val spark = index.celled.sparkSession
+    import spark.implicits._
+    index.celled
+      .join(codes, "vec_id")
+      .select(col("vec_id"), col("unit"), col("codes"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode(mode).partitionBy("cell").parquet(s"$path/celled")
+    index.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode(mode).parquet(s"$path/centroids")
+    (for (s <- pqCents.indices; j <- pqCents(s).indices)
+      yield (s, j, pqCents(s)(j).toSeq))
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode(mode).parquet(s"$path/pq_codebooks")
+  }
+
+  /** Reload a persisted IVF-PQ index: `(IvfIndex with codes on the celled
+    * table, pq codebooks as cents(sub)(code))`.
+    */
+  def readIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String)
+      : (graft.operators.Similarity.IvfIndex, Array[Array[Array[Long]]]) = {
+    val base = readIvfIndex(spark, path)
+    val rows = spark.read.parquet(s"$path/pq_codebooks")
+      .orderBy(col("sub"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val cents = Array.ofDim[Array[Long]](m, k)
+    rows.foreach { case (s, j, c) => cents(s)(j) = c }
+    (base, cents)
+  }
+
   /** C6+ / similarity — persist an SRP-LSH index in its 100 TB layout
     * (the [[writeIvfIndex]] twin): the signed corpus `(vec_id, unit,
     * sig)` as ONE plain table (the rerank side — no band inflation; this

@@ -164,4 +164,44 @@ class SimilarityIndexPersistSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("IVF-PQ index round-trip: bit-equal ranking, partition AND column pruning") {
+    val emb = Tables.embeddings(spark, sf)
+    // iters = 3 matches IndexCache.ivfExact's default, so the in-memory
+    // ivfPqQuery below trains the IDENTICAL coarse quantizer
+    val idx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 3)
+    val quant = graft.operators.Clustering.quantized(emb)
+    val pqCents = Similarity.pqTrain(quant, m = 8, k = 16, iters = 2)
+    val codes = Similarity.pqEncode(quant, pqCents)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    try {
+      Sink.writeIvfPqIndex(idx, pqCents, codes, dir)
+      val (loaded, loadedCents) = Sink.readIvfPqIndex(spark, dir)
+      assert(loadedCents.map(_.map(_.toSeq).toSeq).toSeq ===
+        pqCents.map(_.map(_.toSeq).toSeq).toSeq, "codebooks survive verbatim")
+      // the in-memory composed query on the same corpus/codebook params
+      val mem = Similarity.ivfPqQuery(emb, qids, nlist = 8, nprobe = 4,
+        kCodes = 16, rerank = 32).collect().toSeq
+      val disk = Similarity.ivfPqQueryPruned(loaded, loadedCents, emb, qids,
+        nprobe = 4, rerank = 32).collect().toSeq
+      assert(disk === mem,
+        "persisted IVF-PQ path must reproduce the in-memory ranking")
+      // plan receipts: the ADC candidate scan carries the static cell
+      // partition filter AND projects codes without unit (column pruning
+      // = the full-width vectors stay on disk for non-shortlist rows)
+      val df = Similarity.ivfPqQueryPruned(loaded, loadedCents, emb,
+        Seq(0L), nprobe = 2, rerank = 16)
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(planStr.contains("PartitionFilters: [cell"),
+        s"expected a static cell partition filter in:\n$planStr")
+      val adcScan = "ReadSchema: [^\\n]*codes[^\\n]*".r
+        .findAllIn(planStr).toSeq
+      assert(adcScan.nonEmpty, s"expected a codes scan in:\n$planStr")
+      assert(adcScan.exists(!_.contains("unit")),
+        s"ADC scan must NOT read unit (column pruning), saw:\n$adcScan")
+    } finally {
+      idx.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
