@@ -1237,6 +1237,9 @@ object Similarity {
     val quant = Clustering.quantized(embeddings).localCheckpoint(true)
     val cents = pqTrain(quant, m, k, iters)
     require(cents.nonEmpty, "pqTopK needs a non-empty corpus")
+    // EFFECTIVE code count: seeds clamp to the corpus size when n < k,
+    // so table sizing must follow the trained codebook, not the param
+    val kEff = cents(0).length
     val subDim = cents(0)(0).length
     val codes = pqEncode(quant, cents)
     val probes = quant
@@ -1250,8 +1253,8 @@ object Similarity {
     // per-probe distance table, flattened to tflat(s·k + j): exact
     // integer math on the driver — identical to the oracle's SQL sums
     val dtables = probes.toSeq.map { case (pid, pq) =>
-      val tflat = new Array[Long](m * k)
-      for (s <- 0 until m; j <- 0 until k) {
+      val tflat = new Array[Long](m * kEff)
+      for (s <- 0 until m; j <- 0 until kEff) {
         var acc = 0L
         var d = 0
         while (d < subDim) {
@@ -1259,12 +1262,12 @@ object Similarity {
           acc += diff * diff
           d += 1
         }
-        tflat(s * k + j) = acc
+        tflat(s * kEff + j) = acc
       }
       (pid, tflat.toSeq)
     }.toDF("probe_id", "tflat")
     val adc = (0 until m)
-      .map(s => element_at(col("tflat"), col("codes")(s) + lit(s * k + 1)))
+      .map(s => element_at(col("tflat"), col("codes")(s) + lit(s * kEff + 1)))
       .reduce(_ + _)
     val scored = codes
       .crossJoin(broadcast(dtables))
@@ -1325,6 +1328,7 @@ object Similarity {
     val quant = Clustering.quantized(embeddings).localCheckpoint(true)
     val cents = pqTrain(quant, m, kCodes, pqIters)
     require(cents.nonEmpty, "ivfPqQuery needs a non-empty corpus")
+    val kEff = cents(0).length // seeds clamp to the corpus when n < kCodes
     val subDim = cents(0)(0).length
     val codes = pqEncode(quant, cents)
     // per-query ADC lookup tables from the QUANTIZED query vectors —
@@ -1332,8 +1336,8 @@ object Similarity {
     val qrows = quant.filter(col("vec_id").isin(queryIds: _*))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     val dtables = qrows.toSeq.map { case (qid, qv) =>
-      val tflat = new Array[Long](m * kCodes)
-      for (s <- 0 until m; j <- 0 until kCodes) {
+      val tflat = new Array[Long](m * kEff)
+      for (s <- 0 until m; j <- 0 until kEff) {
         var acc = 0L
         var d = 0
         while (d < subDim) {
@@ -1341,7 +1345,7 @@ object Similarity {
           acc += diff * diff
           d += 1
         }
-        tflat(s * kCodes + j) = acc
+        tflat(s * kEff + j) = acc
       }
       (qid, tflat.toSeq)
     }.toDF("query_id", "tflat")
@@ -1352,7 +1356,7 @@ object Similarity {
         probeCells(index.centroids, col("q_unit"), nprobe))
       .select(col("query_id"), explode(col("probe_cells")).as("cell"))
     val adcExpr = (0 until m)
-      .map(s => element_at(col("tflat"), col("codes")(s) + lit(s * kCodes + 1)))
+      .map(s => element_at(col("tflat"), col("codes")(s) + lit(s * kEff + 1)))
       .reduce(_ + _)
     val cands = index.celled
       .join(broadcast(queries), Seq("cell"))

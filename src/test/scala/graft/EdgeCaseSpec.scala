@@ -174,4 +174,50 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got(1).get === "plain <EMAIL> goes")
     assert(got(2).isEmpty)
   }
+
+  test("round-8 operators on empty / degenerate inputs: no exceptions") {
+    import java.sql.Timestamp
+    import graft.operators.{Behavior, Graph, Pii}
+    import org.apache.spark.sql.functions._
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], evSchema)
+    assert(Behavior.linearAttribution(emptyEv).count() === 0)
+    assert(Behavior.ewmaTrend(emptyEv).count() === 0)
+    assert(Pii.kAnonymityAudit(emptyEv,
+      Seq(col("event_type")), col("user_id")).count() === 0,
+      "no QI groups on an empty release candidate (k rows appear only " +
+        "when groups exist)")
+    // conversions with zero touches: empty credit table, not a crash
+    val convOnly = Seq((1L, 1L, new Timestamp(0L), "purchase", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    assert(Behavior.linearAttribution(convOnly).count() === 0)
+    // empty graph: empty k-core and link scores
+    val emptyPairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("src", LongType),
+        StructField("dst", LongType))))
+    assert(Graph.kCore(emptyPairs, 2).count() === 0)
+    assert(Graph.commonNeighborScores(emptyPairs).count() === 0)
+    // PMI on an empty corpus
+    assert(TextAnalysis.pmiPairs(emptyDocs).count() === 0)
+  }
+
+  test("PQ on a corpus smaller than the codebook clamps, does not crash") {
+    // 3 vectors < kCodes=16: seeds clamp to 3 — table sizing must follow
+    // the TRAINED codebook, not the parameter (the kEff contract)
+    val tiny = Seq(
+      (1L, Array.fill(64)(0.1f), 0),
+      (2L, Array.fill(64)(-0.2f), 0),
+      (3L, Array.fill(64)(0.3f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.pqTopK(tiny, nProbes = 2, topK = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall { case (p, _, v, _) => p != v })
+    assert(r.groupBy(_._1).forall(_._2.length <= 2))
+  }
 }
