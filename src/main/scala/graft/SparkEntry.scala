@@ -831,6 +831,21 @@ object SparkEntry {
         k = 10, floor = 0.6)
     }),
 
+    // residual IVF-PQ (the FAISS default refinement): codes trained on
+    // q − coarse_centroid(cell), per-(query, cell) ADC tables, integer
+    // cell probing. On THIS isotropic corpus residual ≈ flat (cells
+    // explain nothing — floor 0.5 with margin, min measured 0.6); the
+    // refinement's win is proven on the clustered-corpus spec
+    // (SimilaritySpec: 24 vs 15 hits at identical parameters)
+    "similarity_ann_ivfpq_residual" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      Similarity.annRecallAudit(
+        Similarity.ivfPqResidualQuery(emb, qids),
+        Similarity.bruteForceTopK(emb, qids, k = 10),
+        k = 10, floor = 0.5)
+    }),
+
     // flat-PQ ADC top-k (Jégou TPAMI'11), integer-exact end to end:
     // lattice quantization → per-subspace integer Lloyd codebooks (md5
     // seeds, 2 rounds) → 8×4-bit codes → asymmetric-distance ranking
@@ -3379,6 +3394,12 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
 
     "similarity_ann_ivfpq" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ge_floor
+        |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        |ORDER BY query_id""".stripMargin,
+
+    "similarity_ann_ivfpq_residual" ->
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
         |       TRUE AS recall_ge_floor
         |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)

@@ -1389,6 +1389,115 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RESIDUAL IVF-PQ (Jégou TPAMI'11 §V-A, the refinement FAISS's IVFPQ
+    * ships by default): PQ codebooks are trained on the residuals
+    * `r = q − coarse_centroid(cell)` instead of raw vectors — after the
+    * coarse quantizer explains the cell-level structure, the residual
+    * distribution is tighter and the same code budget quantizes it with
+    * less error (measured on the isotropic corpus: recall@10 floor rises
+    * vs flat codes at identical parameters). Everything stays on the
+    * integer lattice: coarse centroids come from [[Clustering.fit]]
+    * (integer Lloyd), residuals are long subtractions, probing ranks
+    * cells by integer L2 to the coarse centroids, and the ADC tables are
+    * per-(query, cell) — `‖(q − c_cell)_s − pqcent‖²` — computed
+    * driver-side (queries × nprobe × m·k longs) and broadcast. The only
+    * float math is the final cosine rerank of the shortlist.
+    *
+    * 100 TB shape: identical to [[ivfPqQuery]] (the codes column just
+    * encodes residuals; candidates join their per-cell table by (cell,
+    * query) instead of one table per query) — partition-pruned celled
+    * scan, code-only ADC, ≤ queries × rerank full-width reads.
+    */
+  def ivfPqResidualQuery(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      nlist: Int = 16,
+      nprobe: Int = 12,
+      m: Int = 8,
+      kCodes: Int = 64,
+      pqIters: Int = 2,
+      rerank: Int = 64,
+      k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (coarse, assigned) = Clustering.fit(embeddings, nlist, 3)
+    require(coarse.nonEmpty, "ivfPqResidualQuery needs a non-empty corpus")
+    val coarseDf = broadcast(coarse.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "ccent"))
+    val quant = Clustering.quantized(embeddings).localCheckpoint(true)
+    val resid = quant
+      .join(assigned.select(col("vec_id"), col("cluster").as("cell")),
+        "vec_id")
+      .join(coarseDf, "cell")
+      .select(col("vec_id"),
+        zip_with(col("q"), col("ccent"), (a, b) => a - b).as("q"),
+        col("cell"))
+      .localCheckpoint(true)
+    val cents = pqTrain(resid.select("vec_id", "q"), m, kCodes, pqIters)
+    val kEff = cents(0).length
+    val subDim = cents(0)(0).length
+    val codes = pqEncode(resid.select("vec_id", "q"), cents)
+      .join(resid.select(col("vec_id"), col("cell")), "vec_id")
+    val qrows = quant.filter(col("vec_id").isin(queryIds: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // per-(query, probed cell) residual ADC tables; cells ranked by
+    // integer L2 to the coarse centroids (ties → lowest cell id)
+    val probeRows = qrows.toSeq.flatMap { case (qid, qv) =>
+      val byDist = coarse.zipWithIndex.map { case (c, j) =>
+        var acc = 0L
+        var d = 0
+        while (d < qv.length) {
+          val diff = qv(d) - c(d); acc += diff * diff; d += 1
+        }
+        (acc, j)
+      }.sorted.take(nprobe)
+      byDist.map { case (_, cellId) =>
+        val cc = coarse(cellId)
+        val tflat = new Array[Long](m * kEff)
+        for (s <- 0 until m; j <- 0 until kEff) {
+          var acc = 0L
+          var d = 0
+          while (d < subDim) {
+            val diff =
+              (qv(s * subDim + d) - cc(s * subDim + d)) - cents(s)(j)(d)
+            acc += diff * diff
+            d += 1
+          }
+          tflat(s * kEff + j) = acc
+        }
+        (qid, cellId, tflat.toSeq)
+      }
+    }.toDF("query_id", "cell", "tflat")
+    val adcExpr = (0 until m)
+      .map(s => element_at(col("tflat"), col("codes")(s) + lit(s * kEff + 1)))
+      .reduce(_ + _)
+    val cands = codes
+      .join(broadcast(probeRows), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcExpr.as("adc_dist"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    val shortlist =
+      localTopKPerKey(cands, rerank, keyIdx = 0, distIdx = 2, idIdx = 1)
+        .withColumn("adc_rank", row_number().over(wAdc))
+        .filter(col("adc_rank") <= rerank)
+        .select(col("query_id"), col("vec_id"))
+    val units = embeddings
+      .select(col("vec_id"), normalized(col("embedding")).as("unit"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    shortlist
+      .join(units, "vec_id")
+      .join(broadcast(units.select(col("vec_id").as("query_id"),
+        col("unit").as("q_unit")).filter(col("query_id").isin(queryIds: _*))),
+        "query_id")
+      .select(col("query_id"), col("vec_id"),
+        dot(col("unit"), col("q_unit")).as("cosine"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** [[ivfPqQuery]] against the PERSISTED layout
     * ([[graft.sinks.Sink.writeIvfPqIndex]] → `readIvfPqIndex`): the probe
     * cell union is computed driver-side and pushed as a static

@@ -383,6 +383,38 @@ class SimilaritySpec extends SparkSpec {
       expect.sortBy(x => (x._1, x._2)))
   }
 
+  test("residual PQ beats flat PQ on a CLUSTERED corpus (the refinement's point)") {
+    // strong cell structure: residuals after the coarse quantizer are
+    // small and tight, so the same code budget quantizes them better.
+    // Deterministic seed; components bounded for the quantization lattice
+    val rnd = new scala.util.Random(11L)
+    val centers = Array.fill(16, 64)(rnd.nextGaussian() * 0.3)
+    val rows = (0 until 800).map { i =>
+      val c = centers(i % 16)
+      val v = c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v.toSeq, i % 16)
+    }
+    val cemb = rows.toDF("vec_id", "embedding", "label").cache()
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val e = Similarity.bruteForceTopK(cemb, qids, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .count(e.contains)
+    val flat = hits(Similarity.ivfPqQuery(cemb, qids,
+      nprobe = 4, kCodes = 16, rerank = 16))
+    val resid = hits(Similarity.ivfPqResidualQuery(cemb, qids,
+      nprobe = 4, kCodes = 16, rerank = 16))
+    info(s"clustered corpus recall@10×5: flat=$flat/50 residual=$resid/50")
+    // measured 15 vs 24; the gap is the refinement working, the bound
+    // leaves room for k-means tie wobble only
+    assert(resid > flat,
+      s"residual codes must out-recall flat codes on clustered data " +
+        s"($resid vs $flat)")
+    assert(resid >= 20, s"residual recall collapsed: $resid/50")
+    cemb.unpersist()
+  }
+
   test("vec_nearest_code: brute-force parity, lowest-j ties, dim guard") {
     import graft.functions.VectorOps
     val cb = Seq(Seq(0L, 0L), Seq(3L, 4L), Seq(0L, 0L), Seq(10L, 0L))
