@@ -457,6 +457,12 @@ object SparkEntry {
     "text_pmi" -> ((s, dir) =>
       TextAnalysis.pmiPairs(Tables.documents(s, dir))),
 
+    // TextRank keywords: integer PageRank over the PMI presence-pair
+    // graph with md5-prefix node ids — the whole composition (graph
+    // build + 10 unrolled rounds) replayed by the oracle
+    "text_keywords_textrank" -> ((s, dir) =>
+      TextAnalysis.textRankKeywords(Tables.documents(s, dir))),
+
     // per-doc distinctive terms: integer-exact TF-IDF ordering
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.distinctiveTerms(Tables.documents(s, dir), k = 3)
@@ -2898,6 +2904,61 @@ object SparkEntry {
         |FROM pairs, nd
         |WHERE df_ab >= 5
         |ORDER BY token_a, token_b""".stripMargin,
+
+    "text_keywords_textrank" -> {
+      val idA = md5PrefixLongSql("token_a")
+      val idB = md5PrefixLongSql("token_b")
+      val idT = md5PrefixLongSql("token")
+      val steps = (1 to 10).map { i =>
+        s"""pr$i AS MATERIALIZED (
+           |  SELECT n.node,
+           |         CAST(150000 + coalesce(
+           |           sum((p.mass * 85) // (100 * o.outdeg)), 0) AS BIGINT)
+           |           AS mass
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.dst = n.node
+           |  LEFT JOIN pr${i - 1} p ON p.node = e.src
+           |  LEFT JOIN outdeg o ON o.src = e.src
+           |  GROUP BY n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+         |      '\\s+', ' ', 'g'), ' ')) AS token
+         |  FROM documents),
+         |present AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, token FROM raw WHERE token <> ''),
+         |dft AS MATERIALIZED (
+         |  SELECT token, count(*) AS df FROM present GROUP BY 1),
+         |kept AS MATERIALIZED (
+         |  SELECT p.doc_id, p.token FROM present p
+         |  JOIN dft d USING (token) WHERE d.df >= 5),
+         |tp AS MATERIALIZED (
+         |  SELECT a.token AS token_a, b.token AS token_b
+         |  FROM kept a JOIN kept b
+         |    ON a.doc_id = b.doc_id AND a.token < b.token
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |edges AS MATERIALIZED (
+         |  SELECT $idA AS src, $idB AS dst FROM tp
+         |  UNION ALL
+         |  SELECT $idB, $idA FROM tp),
+         |outdeg AS MATERIALIZED (
+         |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+         |pr0 AS MATERIALIZED (
+         |  SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes),
+         |$steps,
+         |tid AS (
+         |  SELECT token, $idT AS node FROM (
+         |    SELECT DISTINCT token FROM (
+         |      SELECT token_a AS token FROM tp
+         |      UNION ALL SELECT token_b FROM tp)))
+         |SELECT token, mass,
+         |       CAST(row_number() OVER (ORDER BY mass DESC, token)
+         |            AS BIGINT) AS kw_rank
+         |FROM pr10 JOIN tid USING (node)
+         |ORDER BY mass DESC, token LIMIT 20""".stripMargin
+    },
 
     "text_token_freq" ->
       """WITH toks AS (

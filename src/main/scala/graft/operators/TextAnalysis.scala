@@ -375,6 +375,53 @@ object TextAnalysis {
       .orderBy(col("token_a"), col("token_b"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) —
+    * PageRank over the word co-occurrence graph — composed ENTIRELY from
+    * operators this engine already oracle-proves: the [[pmiPairs]]
+    * presence-pair graph supplies the edges, tokens get deterministic
+    * 60-bit md5-prefix node ids (the repo-standard engine-portable
+    * hash), and [[Graph.pageRankInt]] runs the integer-mass recurrence —
+    * so the ranking is bit-reproducible and the DuckDB oracle replays
+    * the whole composition (graph build + unrolled rounds) exactly.
+    * Top-ranked words are the corpus's keyword nucleus — the cheap
+    * unsupervised tagger for corpus exploration and domain labeling.
+    *
+    * Output: top `topK` rows `(token, mass, kw_rank)` by (mass desc,
+    * token) — mass on [[Graph.pageRankInt]]'s integer lattice.
+    *
+    * 100 TB shape: pmiPairs' cost (one tokenize pass + the minDf-pruned
+    * doc-keyed pair join) + PageRank on a VOCABULARY-sized graph — the
+    * iterative stage never touches the corpus again.
+    */
+  def textRankKeywords(
+      docs: DataFrame,
+      minDf: Long = 5L,
+      minPairDf: Long = 5L,
+      iterations: Int = 10,
+      topK: Int = 20): DataFrame = {
+    val pairs = pmiPairs(docs, minDf, minPairDf)
+      .select(col("token_a"), col("token_b"))
+    def tid(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val edges = pairs
+      .select(tid(col("token_a")).as("src"), tid(col("token_b")).as("dst"))
+    val sym = edges
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val ranks = Graph.pageRankInt(sym, iterations)
+    val tokenIds = pairs
+      .select(col("token_a").as("token"))
+      .unionAll(pairs.select(col("token_b").as("token")))
+      .distinct()
+      .select(col("token"), tid(col("token")).as("node"))
+    ranks.join(tokenIds, "node")
+      .orderBy(col("mass").desc, col("token"))
+      .limit(topK)
+      .select(col("token"), col("mass"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("mass").desc, col("token"))).cast("long")
+          .as("kw_rank"))
+  }
+
   /** Single-pass bounded-memory heavy hitters over the token stream —
     * the sketch twin of [[tokenFrequencies]]: a Misra-Gries
     * `TypedImperativeAggregate` ([[graft.functions.FreqSketch]]) whose

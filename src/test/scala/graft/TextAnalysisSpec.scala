@@ -315,4 +315,19 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(x => (x.getString(0), x.getString(1))).toSeq
     assert(r2 === Seq(("x", "y")))
   }
+
+  test("textRankKeywords: the co-occurrence hub ranks first, ties by token") {
+    // hub co-occurs with both b and c; b and c never co-occur — the
+    // hub's mass must dominate, b/c get equal mass and tie by token
+    val docs = ((1 to 3).map(i => (i.toLong, "hub b")) ++
+      (4 to 6).map(i => (i.toLong, "hub c"))).toDF("doc_id", "text")
+    val r = TextAnalysis.textRankKeywords(docs,
+      minDf = 1L, minPairDf = 1L, iterations = 5, topK = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      .toSeq
+    assert(r.map(_._1) === Seq("hub", "b", "c"))
+    assert(r.map(_._3) === Seq(1L, 2L, 3L))
+    assert(r(0)._2 > r(1)._2, "hub mass must dominate")
+    assert(r(1)._2 === r(2)._2, "symmetric leaves carry equal mass")
+  }
 }
