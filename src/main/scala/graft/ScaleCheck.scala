@@ -516,6 +516,18 @@ object ScaleCheck {
     time("PMI pairs (minDf 5)") {
       force(TextAnalysis.pmiPairs(big))
     }
+    // TextRank: pmiPairs cost + PageRank on the VOCABULARY-sized graph —
+    // the iterative stage is corpus-size-independent
+    time("TextRank keywords (top 20)") {
+      force(TextAnalysis.textRankKeywords(big))
+    }
+    // composed IVF-PQ: coarse cells + code-only ADC + shortlist rerank
+    time("IVF-PQ query x5 (flat codes)") {
+      force(Similarity.ivfPqQuery(bigEmb, Seq(0L, 1L, 2L, 3L, 4L)))
+    }
+    time("IVF-PQ query x5 (residual codes)") {
+      force(Similarity.ivfPqResidualQuery(bigEmb, Seq(0L, 1L, 2L, 3L, 4L)))
+    }
     // attribution: user-keyed conv x touch join — users grow xmult,
     // per-user density constant, expect ~linear
     time("attribution 24h window") {
