@@ -710,8 +710,15 @@ object SparkEntry {
     // engine stops at the edge-count fixed point (11 peel rounds at
     // sf0.01); the oracle unrolls 16 — the peel is monotone, so any cap
     // ≥ rounds-to-convergence replays the exact core (no parity case)
-    "graph_kcore" -> ((s, dir) =>
-      graft.operators.Graph.kCore(weightedCoPurchasePairs(s, dir), k = 3)),
+    "graph_kcore" -> ((s, dir) => {
+      val (core, rounds) = graft.operators.Graph
+        .kCoreWithRounds(weightedCoPurchasePairs(s, dir), k = 3)
+      // the oracle unrolls 16 rounds; a corpus whose peel runs deeper
+      // would hash-mismatch with the blame on the wrong side — fail HERE
+      require(rounds <= 16,
+        s"graph_kcore oracle unrolls 16 peel rounds but the corpus needed $rounds")
+      core
+    }),
 
     // common-neighbor / Jaccard link scores over the same weighted
     // graph — the neighborhood link-prediction features; minCommon=2

@@ -230,6 +230,9 @@ object VectorOps {
         s"vec_nearest_code: codebook size ${flat.numElements()}" +
           s" not a multiple of subvector dim $d")
     val k = flat.numElements() / d
+    if (k == 0)
+      throw new IllegalArgumentException(
+        "vec_nearest_code: empty codebook")
     var best = 0L
     var bestJ = -1
     var j = 0

@@ -160,6 +160,9 @@ object Behavior {
       convType: String = "purchase",
       windowHours: Int = 24): DataFrame = {
     require(touchTypes.nonEmpty && windowHours > 0)
+    require(!touchTypes.contains(convType),
+      "convType must not be a touch type: a self-crediting conversion " +
+        "has no single sane semantics and the streaming twin diverges")
     val winUs = windowHours.toLong * 3600000000L
     val conv = events
       .filter(col("event_type") === convType)
@@ -208,8 +211,13 @@ object Behavior {
     * touches raw rows after the first aggregate.
     */
   def ewmaTrend(events: DataFrame, lags: Int = 12): DataFrame = {
-    require(lags >= 1 && lags <= 42,
-      "lags capped so cents · 2^lags stays inside Long at corpus scale")
+    // overflow precondition (NOT fully enforced by the cap): per-bucket
+    // |cents| must stay below 2^(63−lags) — at the default L=12 that is
+    // ~4.6·10^15 cents per (type, hour). Under ANSI mode (this engine's
+    // default) a violation THROWS loudly rather than wrapping; for
+    // corpora beyond the bound, lower `lags` or move the weighted sum to
+    // DECIMAL(38) in the same plan shape
+    require(lags >= 1 && lags <= 42, "lags out of range (1..42)")
     val buckets = events
       .groupBy(col("event_type"),
         expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))

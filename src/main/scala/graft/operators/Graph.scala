@@ -497,7 +497,7 @@ object Graph {
       k: Int,
       srcCol: String = "src",
       dstCol: String = "dst",
-      maxIter: Int = 100): (DataFrame, Int) = {
+      maxIter: Int = 10000): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
     def degrees(edges: DataFrame): DataFrame =
       edges.select(col("u").as("node"))

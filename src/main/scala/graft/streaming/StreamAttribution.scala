@@ -57,6 +57,9 @@ object StreamAttribution {
       idleTimeoutMinutes: Int = 43200 /* 30 days */): Dataset[Credit] = {
     require(touchTypes.nonEmpty && windowHours > 0 && maxTouches > 0)
     require(idleTimeoutMinutes > 0)
+    require(!touchTypes.contains(convType),
+      "convType must not be a touch type (the touch branch would shadow " +
+        "conversions and silently diverge from the batch twin)")
     import events.sparkSession.implicits._
     val winUs = windowHours.toLong * 3600000000L
     val idleMillis = idleTimeoutMinutes * 60000L
