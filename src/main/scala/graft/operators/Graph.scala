@@ -488,7 +488,7 @@ object Graph {
       k: Int,
       srcCol: String = "src",
       dstCol: String = "dst",
-      maxIter: Int = 100): DataFrame =
+      maxIter: Int = 10000): DataFrame =
     kCoreWithRounds(pairs, k, srcCol, dstCol, maxIter)._1
 
   /** [[kCore]] plus rounds-to-fixed-point (the measurable peel depth). */

@@ -269,6 +269,67 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[ivfQueryPruned]] for EXTERNAL query vectors — the serving shape:
+    * queries arrive as `(query_id, embedding)` rows carrying their own
+    * vectors (an inference request, a micro-batch of a query stream),
+    * never as corpus members, so there is no lookup scan and no
+    * self-exclusion. The probe-cell union is collected driver-side
+    * (≤ |queries| × nprobe ints — callers hand in request-sized batches,
+    * not corpora) and pushed as the same static `cell IN (...)`
+    * partition predicate, so against a persisted index the candidate
+    * scan provably touches only the probed cell directories.
+    * [[graft.streaming.StreamAnnServe]] runs this per micro-batch.
+    *
+    * Output: `(query_id, vec_id, cosine, rank)`, ties → lowest vec_id.
+    */
+  def ivfQueryVectors(
+      index: IvfIndex,
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val probes = queries
+      .select(col("query_id"), normalized(col("embedding")).as("q_unit"))
+      .withColumn("probe_cells",
+        probeCells(index.centroids, col("q_unit"), nprobe))
+      .select(col("query_id"), col("q_unit"),
+        explode(col("probe_cells")).as("cell"))
+    val probed: Seq[Int] = probes.select(col("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    index.celled
+      .filter(col("cell").isin(probed: _*)) // static partition pruning
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("unit"), col("q_unit")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exact cosine top-k for EXTERNAL query vectors — [[bruteForceTopK]]
+    * with the queries handed in as `(query_id, embedding)` rows instead
+    * of corpus ids (and hence no self-exclusion): the correctness
+    * baseline for [[ivfQueryVectors]] recall audits.
+    */
+  def bruteForceTopKVectors(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val unit = embeddings.select(
+      col("vec_id"), normalized(col("embedding")).as("unit"))
+    val qs = queries.select(
+      col("query_id"), normalized(col("embedding")).as("q_unit"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    unit.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("unit"), col("q_unit")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Build-then-query convenience (kept for spec/one-shot use; the
     * registered query path goes through [[IndexCache]] so the build runs
     * once per corpus, not once per call).
@@ -771,6 +832,10 @@ object Similarity {
       scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, Int), IvfIndex]
     private val lshCache =
       scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, Int, String), LshIndex]
+    private val pqCache =
+      scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, Int, Int), PqModel]
+    private val pqResidualCache =
+      scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, Int, Int, Int), (Array[Array[Long]], PqModel)]
     // sessions that already carry the evict-on-stop listener
     private val hookedSessions =
       scala.collection.concurrent.TrieMap.empty[Int, Unit]
@@ -843,6 +908,14 @@ object Similarity {
         .filter(k => k._1 == sid && k._2 == plan && k._3 != fileState)
         .foreach(k => lshCache.remove(k).foreach(i =>
           try i.unpersist() catch { case _: Exception => () }))
+      pqCache.keys
+        .filter(k => k._1 == sid && k._2 == plan && k._3 != fileState)
+        .foreach(k => pqCache.remove(k).foreach(m =>
+          try m.unpersist() catch { case _: Exception => () }))
+      pqResidualCache.keys
+        .filter(k => k._1 == sid && k._2 == plan && k._3 != fileState)
+        .foreach(k => pqResidualCache.remove(k).foreach { case (_, m) =>
+          try m.unpersist() catch { case _: Exception => () } })
     }
 
     /** Drop (and unpersist) every cached index built under the given
@@ -862,6 +935,14 @@ object Similarity {
         lshCache.remove(k).foreach(i =>
           try i.unpersist() catch { case _: Exception => () })
       }
+      pqCache.keys.filter(_._1 == sid).foreach { k =>
+        pqCache.remove(k).foreach(m =>
+          try m.unpersist() catch { case _: Exception => () })
+      }
+      pqResidualCache.keys.filter(_._1 == sid).foreach { k =>
+        pqResidualCache.remove(k).foreach { case (_, m) =>
+          try m.unpersist() catch { case _: Exception => () } }
+      }
       hookedSessions.remove(sid)
       ()
     }
@@ -877,6 +958,11 @@ object Similarity {
         try i.unpersist() catch { case _: Exception => () }))
       lshCache.keys.foreach(k => lshCache.remove(k).foreach(i =>
         try i.unpersist() catch { case _: Exception => () }))
+      pqCache.keys.foreach(k => pqCache.remove(k).foreach(m =>
+        try m.unpersist() catch { case _: Exception => () }))
+      pqResidualCache.keys.foreach(k =>
+        pqResidualCache.remove(k).foreach { case (_, m) =>
+          try m.unpersist() catch { case _: Exception => () } })
       // hookedSessions intentionally NOT cleared: the sessions are still
       // live and already carry their evict-on-stop listener — forgetting
       // them here would register a duplicate listener per clear()+use
@@ -905,6 +991,30 @@ object Similarity {
       evictStale(s, p, f)
       lshCache.getOrElseUpdate((s, p, f, nBits, bands, carryCols.mkString(",")),
         buildLshIndex(embeddings, nBits, bands, dim, carryCols = carryCols))
+    }
+
+    /** Cached flat-PQ model — trained once per (corpus, m, k, iters),
+      * then shared by every [[pqTopK]]/[[ivfPqQuery]] call on the same
+      * corpus. Same staleness/eviction contract as [[ivf]].
+      */
+    def pq(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+        iters: Int = 2): PqModel = {
+      val (s, p, f) = corpusKey(embeddings)
+      evictStale(s, p, f)
+      pqCache.getOrElseUpdate((s, p, f, m, k, iters),
+        buildPqModel(embeddings, m, k, iters))
+    }
+
+    /** Cached residual-PQ model (coarse centroids + codebooks trained on
+      * cell residuals) — one offline build per (corpus, nlist, m, k,
+      * iters); [[ivfPqResidualQuery]] queries it many times.
+      */
+    def pqResidual(embeddings: DataFrame, nlist: Int = 16, m: Int = 8,
+        k: Int = 64, iters: Int = 2): (Array[Array[Long]], PqModel) = {
+      val (s, p, f) = corpusKey(embeddings)
+      evictStale(s, p, f)
+      pqResidualCache.getOrElseUpdate((s, p, f, nlist, m, k, iters),
+        buildPqResidualModel(embeddings, nlist, m, k, iters))
     }
   }
 

@@ -348,8 +348,10 @@ object TextAnalysis {
     * co-occurrence computation, the OUTPUT can be that large; on
     * web-scale docs cap per-doc tokens to the top-T by tf first, same
     * plan). Pair multiplicities reduce in the partial aggregate; the
-    * numerator product runs in DECIMAL(38) (`div` floors like the
-    * oracle's HUGEINT `//`), so web-scale df products cannot overflow.
+    * numerator product AND the df(a)·df(b) denominator both run in
+    * DECIMAL(38) (`div` floors like the oracle's HUGEINT `//`), so
+    * web-scale df products cannot overflow — a bare Long denominator
+    * would overflow at df ≈ 3·10⁹ per factor.
     */
   def pmiPairs(
       docs: DataFrame,
@@ -371,7 +373,8 @@ object TextAnalysis {
       .select(col("token_a"), col("token_b"), col("df_ab"), col("df_a"),
         col("df_b"),
         expr("(CAST(df_ab AS DECIMAL(38,0)) * 1000000 * n_docs)" +
-          " div (df_a * df_b)").cast("long").as("pmi_ratio_ppm"))
+          " div (CAST(df_a AS DECIMAL(38,0)) * df_b)")
+          .cast("long").as("pmi_ratio_ppm"))
       .orderBy(col("token_a"), col("token_b"))
   }
 
