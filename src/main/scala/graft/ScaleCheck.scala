@@ -533,6 +533,29 @@ object ScaleCheck {
     time("attribution 24h window") {
       force(graft.operators.Behavior.linearAttribution(bigEv))
     }
+    time("attribution 24h window (bucketed)") {
+      force(graft.operators.Behavior.linearAttribution(bigEv,
+        bucketed = true))
+    }
+    // DENSE-USER adversary: same user ids, histories grow xmult (each
+    // replica shifted +i x 40 days, so window-local density is constant
+    // while lifetime conv x touch grows xmult^2). The user-keyed join
+    // must go quadratic here; the (user, bucket)-keyed interval join
+    // stays ~linear — the switch SCALING.md prescribes, measured.
+    val denseEv = (0 until mult).map { i =>
+      ev.select(col("user_id"),
+        (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+        (col("ts") + expr(s"INTERVAL ${i * 40} DAYS")).as("ts"),
+        col("event_type"), col("value"))
+    }.reduce(_ unionByName _).repartition(64).cache()
+    println(s"dense events: ${denseEv.count()} rows")
+    time("attribution dense users (user-keyed)") {
+      force(graft.operators.Behavior.linearAttribution(denseEv))
+    }
+    time("attribution dense users (bucketed)") {
+      force(graft.operators.Behavior.linearAttribution(denseEv,
+        bucketed = true))
+    }
     // ewma: bucket table is (type, hour)-sized — constant under user
     // replication; expect scan-bound
     time("ewma trend (hour lattice)") {

@@ -859,6 +859,49 @@ object SparkEntry {
         k = 10, floor = 0.5)
     }),
 
+    // the SERVING path: external query vectors (request payloads, not
+    // corpus members — here corpus embeddings re-badged under fresh ids)
+    // against the cached IVF index via the same static-pruned probe the
+    // streaming twin (StreamAnnServe) runs per micro-batch; in-plan
+    // recall audit vs the exact external-vector top-k
+    "similarity_ann_serve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000L).as("query_id"), col("embedding"))
+      Similarity.annRecallAudit(
+        Similarity.ivfQueryVectors(
+          Similarity.IndexCache.ivfExact(emb, nlist = 16), queries,
+          k = 10, nprobe = 12),
+        Similarity.bruteForceTopKVectors(emb, queries, k = 10),
+        k = 10, floor = 0.6)
+    }),
+
+    // the residual refinement's WIN, driver-proven: on a corpus with
+    // strong cell structure (16 tight md5-derived clusters built
+    // deterministically from the embeddings table — centers from md5
+    // digits, original vectors shrunk to 5% as intra-cluster noise),
+    // residual codes must out-recall flat codes at identical parameters
+    // AND clear an absolute floor. The spec measures 24 vs 15 hits on
+    // its own fixture; this registers the same claim on a driver-
+    // replayable corpus so the hash match (both booleans TRUE) is the
+    // machine-checked proof, not a commit message
+    "similarity_ann_residual_clustered" -> ((s, dir) => {
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val clustered = clusteredEmbeddings(Tables.embeddings(s, dir))
+      val exact = Similarity.bruteForceTopK(clustered, qids, k = 10)
+        .select(col("query_id"), col("vec_id"))
+      def hitCount(ann: org.apache.spark.sql.DataFrame, as: String) =
+        ann.join(exact, Seq("query_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as(as))
+      hitCount(Similarity.ivfPqQuery(clustered, qids,
+          nprobe = 4, kCodes = 16, rerank = 16), "flat_hits")
+        .crossJoin(hitCount(Similarity.ivfPqResidualQuery(clustered, qids,
+          nprobe = 4, kCodes = 16, rerank = 16), "resid_hits"))
+        .select(lit("clustered").as("corpus"),
+          (col("resid_hits") > col("flat_hits")).as("residual_wins"),
+          (col("resid_hits") >= 20L).as("residual_recall_ge_20"))
+    }),
+
     // flat-PQ ADC top-k (Jégou TPAMI'11), integer-exact end to end:
     // lattice quantization → per-subspace integer Lloyd codebooks (md5
     // seeds, 2 rounds) → 8×4-bit codes → asymmetric-distance ranking
@@ -1113,9 +1156,13 @@ object SparkEntry {
 
     // linear multi-touch attribution on the integer ppm lattice: each
     // purchase splits 1e6 credit equally across the user's view/click
-    // touches inside the prior 24 h — user-keyed join, channel-sized out
+    // touches inside the prior 24 h — registered on the BUCKETED
+    // (user, ⌊ts/window⌋)-keyed interval join (the dense-user scale
+    // path), whose hash equals the user-keyed variant's by construction;
+    // the oracle replays the plain user-keyed form, so the match is the
+    // driver-proof the bucketing is answer-invariant
     "q_attribution" -> ((s, dir) =>
-      Behavior.linearAttribution(Tables.events(s, dir))),
+      Behavior.linearAttribution(Tables.events(s, dir), bucketed = true)),
 
     // dyadic-weight EWMA trend per event type on the hourly cents
     // lattice — the deterministic integer twin of exp-decay smoothing
@@ -1512,6 +1559,23 @@ object SparkEntry {
     * derivation `graph_triangles` and `graph_communities` both run, so
     * the "same graph" claim cannot drift.
     */
+  /** Deterministic 16-cluster corpus derived from the embeddings table:
+    * cluster(v) = vec_id % 16, component i of the cluster center is a
+    * uniform-ish value in [−0.3, 0.3] read off md5 hex digits of
+    * "cluster_i" (engine-portable, no RNG), and the vector's own
+    * embedding shrunk to 5% supplies intra-cluster noise. The result has
+    * the strong coarse-cell structure residual PQ exists for, built from
+    * driver-shared data only.
+    */
+  private def clusteredEmbeddings(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("""transform(embedding, (x, i) -> cast(
+        x * 0.05D +
+        ((cast(conv(substring(md5(concat(cast(vec_id % 16 AS string),
+                                         '_', cast(i AS string))), 1, 6),
+                    16, 10) AS long) % 1000) / 1000.0D - 0.5D) * 0.6D
+        AS float))""").as("embedding"))
+
   private def slicedCoPurchasePairs(
       s: SparkSession, dir: String): DataFrame = {
     val items = Tables.lineitem(s, dir)
@@ -2907,7 +2971,7 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3, 4)
         |SELECT token_a, token_b, df_ab, df_a, df_b,
         |       CAST((CAST(df_ab AS HUGEINT) * 1000000 * nd.n_docs)
-        |            // (df_a * df_b) AS BIGINT) AS pmi_ratio_ppm
+        |            // (CAST(df_a AS HUGEINT) * df_b) AS BIGINT) AS pmi_ratio_ppm
         |FROM pairs, nd
         |WHERE df_ab >= 5
         |ORDER BY token_a, token_b""".stripMargin,
@@ -3472,6 +3536,19 @@ object SparkEntry {
         |       TRUE AS recall_ge_floor
         |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
         |ORDER BY query_id""".stripMargin,
+
+    "similarity_ann_serve" ->
+      """SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ge_floor
+        |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        |ORDER BY query_id""".stripMargin,
+
+    // the asserted facts are the booleans; recall counting happens
+    // in-plan on the Spark side (FALSE on either ⇒ hash mismatch ⇒ the
+    // residual refinement stopped beating flat codes on clustered data)
+    "similarity_ann_residual_clustered" ->
+      """SELECT 'clustered' AS corpus, TRUE AS residual_wins,
+        |       TRUE AS residual_recall_ge_20""".stripMargin,
 
     // full PQ replay: per-subspace integer Lloyd (2 unrolled rounds over
     // (vec, sub, j) with the same md5 seeds), final-codebook encoding

@@ -153,12 +153,26 @@ object Behavior {
     * tables, and the final channel rollup is a map-side-combined
     * aggregate to a channel-cardinality output. Event payloads never
     * shuffle — every row in flight is (id, long) shaped.
+    *
+    * DENSE-USER switch (`bucketed = true`): the user-keyed join's
+    * per-user fan-out is LIFETIME conversions × LIFETIME touches, which
+    * a year-long power user (or a bot) turns quadratic. The bucketed
+    * variant keys the join on (user, ⌊ts/window⌋) — the
+    * [[graft.streaming.StreamJoin.followWithinBatch]] interval-join
+    * shape: each conversion probes exactly its own and the previous
+    * time bucket (the (conv_us − win, conv_us] lookback spans at most
+    * those two), so fan-out is conversions × touches WITHIN ±1 window,
+    * bounded by window-local density however long the user's history
+    * grows. Identical pairs → identical credit arithmetic → identical
+    * output (a pair lands in exactly one probed bucket, so no dedup is
+    * ever needed); cost: a ×2 explode of the id-shaped conversion rows.
     */
   def linearAttribution(
       events: DataFrame,
       touchTypes: Seq[String] = Seq("view", "click"),
       convType: String = "purchase",
-      windowHours: Int = 24): DataFrame = {
+      windowHours: Int = 24,
+      bucketed: Boolean = false): DataFrame = {
     require(touchTypes.nonEmpty && windowHours > 0)
     require(!touchTypes.contains(convType),
       "convType must not be a touch type: a self-crediting conversion " +
@@ -172,10 +186,26 @@ object Behavior {
       .filter(col("event_type").isin(touchTypes: _*))
       .select(col("user_id"), col("event_type").as("channel"),
         unix_micros(col("ts")).as("touch_us"))
-    val attributed = conv.join(touch, "user_id")
-      .filter(col("touch_us") <= col("conv_us") &&
-        col("touch_us") > col("conv_us") - winUs)
-      .select(col("conv_id"), col("channel"))
+    val windowPred = col("touch_us") <= col("conv_us") &&
+      col("touch_us") > col("conv_us") - winUs
+    val attributed =
+      if (!bucketed)
+        conv.join(touch, "user_id")
+          .filter(windowPred)
+          .select(col("conv_id"), col("channel"))
+      else {
+        // floor division via pmod: exact for pre-1970 (negative-µs)
+        // timestamps too, where `div` truncates toward zero
+        def bucketOf(c: String) =
+          expr(s"($c - pmod($c, $winUs)) div $winUs")
+        val tB = touch.withColumn("bucket", bucketOf("touch_us"))
+        val cB = conv.withColumn("cb", bucketOf("conv_us"))
+          .select(col("user_id"), col("conv_id"), col("conv_us"),
+            explode(array(col("cb"), col("cb") - 1)).as("bucket"))
+        cB.join(tB, Seq("user_id", "bucket"))
+          .filter(windowPred)
+          .select(col("conv_id"), col("channel"))
+      }
     val perConv = attributed
       .groupBy(col("conv_id"))
       .agg(count(lit(1)).as("n_touches"))

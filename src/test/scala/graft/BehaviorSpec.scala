@@ -135,6 +135,29 @@ class BehaviorSpec extends SparkSpec {
     assert(r === Seq(("click", 333333L), ("view", 666666L)))
   }
 
+  test("linearAttribution: bucketed interval join matches user-keyed " +
+      "exactly, including window-boundary and bucket-boundary touches") {
+    val hr = 3600000000L
+    // touches straddle bucket boundaries relative to each conv: conv at
+    // 25h (bucket 1) must see touches in buckets 0 and 1; the 1h touch
+    // sits EXACTLY at conv-24h (excluded by the strict bound on either
+    // path); extra user with a conv at a bucket's first microsecond
+    val events = evId(
+      (1L, 1L, "view", 1L * hr), (2L, 1L, "click", 2L * hr),
+      (3L, 1L, "view", 25L * hr), (100L, 1L, "purchase", 25L * hr),
+      (4L, 2L, "view", 23L * hr), (200L, 2L, "purchase", 24L * hr),
+      (5L, 3L, "click", 47L * hr), (300L, 3L, "purchase", 49L * hr),
+      (400L, 3L, "purchase", 90L * hr))
+    val plain = Behavior.linearAttribution(events)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val bucketed = Behavior.linearAttribution(events, bucketed = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(bucketed === plain)
+    assert(plain.nonEmpty)
+  }
+
   test("ewmaTrend: dyadic decay over gaps, real buckets only") {
     val hr = 3600000000L
     // type t: hour 0 → 100 cents, hour 2 → 400 cents (hour 1 missing)

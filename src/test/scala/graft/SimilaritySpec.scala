@@ -461,4 +461,14 @@ class SimilaritySpec extends SparkSpec {
       assert(cos === cos.sorted.reverse)
     }
   }
+
+  test("registered clustered-corpus query: residual wins and clears the " +
+      "absolute floor (the driver-proven form of the refinement claim)") {
+    val row = SparkEntry.queries("similarity_ann_residual_clustered")(
+      spark, sf).collect()
+    assert(row.length === 1)
+    assert(row(0).getString(0) === "clustered")
+    assert(row(0).getBoolean(1), "residual_wins was FALSE")
+    assert(row(0).getBoolean(2), "residual_recall_ge_20 was FALSE")
+  }
 }
