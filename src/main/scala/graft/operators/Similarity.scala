@@ -192,6 +192,22 @@ object Similarity {
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
+  /** Assign external vectors to their nearest existing cell — the
+    * incremental-ADD half of the IVF lifecycle (FAISS `add`): new
+    * vectors join the index under the ALREADY-TRAINED coarse quantizer,
+    * no retrain, no corpus re-scan. A narrow map (broadcast centroid
+    * literals, codegen'd argmax), so ingest cost is one pass over the
+    * new rows only. [[graft.sinks.Sink.appendIvfIndex]] persists the
+    * result into the on-disk cell layout.
+    *
+    * Output: `(vec_id, unit, cell)` — the celled-table row shape.
+    */
+  def assignCells(
+      centroids: Array[Array[Double]], vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
+        normalized(col("embedding")).as("unit"))
+      .withColumn("cell", cellOf(centroids, col("unit")))
+
   /** The query's nprobe nearest cells, in descending-affinity order. */
   private def probeCells(
       centroids: Array[Array[Double]], v: Column, nprobe: Int): Column =

@@ -187,10 +187,52 @@ object Sink {
       .coalesce(1).write.mode(mode).parquet(s"$path/centroids")
   }
 
+  /** Incrementally ADD vectors to a persisted IVF index — the online
+    * half of the build-offline/serve-online split: new `(vec_id,
+    * embedding)` rows are assigned to their nearest EXISTING cell (the
+    * persisted coarse quantizer is never retrained — FAISS-`add`
+    * semantics) and land under `path/ingested` partitioned by
+    * `(cell, batch_id)`. Queries through [[readIvfIndex]] see them
+    * immediately: the ingested table unions into `celled` and carries
+    * the same `cell` partition column, so probe pruning reads nprobe
+    * directories of BOTH tables.
+    *
+    * Exactly-once: `batch_id` is the second partition level and the
+    * write is a DYNAMIC partition overwrite, so a replayed batch (a
+    * streaming restart re-running its in-flight micro-batch with the
+    * same id) overwrites exactly its own `(cell, batch_id=N)`
+    * directories instead of appending duplicates —
+    * [[graft.streaming.StreamAnnIngest]] relies on this.
+    *
+    * Periodic [[compact]] of `ingested` back into `celled` (or a
+    * centroid retrain + full rebuild when cell balance drifts) is the
+    * maintenance valve, same as every write-optimized index.
+    */
+  def appendIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      vectors: DataFrame,
+      batchId: Long): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    graft.operators.Similarity.assignCells(centroids, vectors)
+      .withColumn("batch_id", lit(batchId))
+      // one output file per touched (cell, batch) directory
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch_id")
+      .parquet(s"$path/ingested")
+  }
+
   /** Reload a persisted IVF index: centroids collected (nlist × dim — the
     * same literals the in-memory build broadcasts) and the celled corpus
     * as a partition-pruned parquet table (NOT cached — the point of the
-    * on-disk layout is that probes read nprobe directories).
+    * on-disk layout is that probes read nprobe directories). Vectors
+    * added after the build ([[appendIvfIndex]]) union in from the
+    * `ingested` layout with their cell partition column intact, so the
+    * probe's static `cell IN (...)` predicate prunes both tables.
     */
   def readIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -198,8 +240,23 @@ object Sink {
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
-    graft.operators.Similarity.IvfIndex(
-      centroids, spark.read.parquet(s"$path/celled"))
+    val celled = spark.read.parquet(s"$path/celled")
+    val ingestedDir = new org.apache.hadoop.fs.Path(s"$path/ingested")
+    val hasIngested = ingestedDir
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(ingestedDir)
+    val all =
+      if (!hasIngested) celled
+      else celled.unionByName(
+        // declared schema: the partition columns must come back as
+        // exactly (cell INT, batch_id BIGINT) or a silent cast on the
+        // probe predicate could defeat directory pruning
+        spark.read
+          .schema("vec_id BIGINT, unit ARRAY<DOUBLE>, cell INT, batch_id BIGINT")
+          .parquet(s"$path/ingested")
+          .select(col("vec_id"), col("unit"), col("cell")),
+        allowMissingColumns = true)
+    graft.operators.Similarity.IvfIndex(centroids, all)
   }
 
   /** C6+ / similarity — persist the IVF-PQ index (the full FAISS-style
