@@ -93,6 +93,13 @@ object ScaleCheck {
     time("IVF ANN top-10 x5 (prebuilt)") {
       force(Similarity.ivfQuery(ivfIdx, Seq(0L, 1L, 2L, 3L, 4L), 10))
     }
+    // the serving path: request-shaped external vectors against the
+    // prebuilt index — cost must track probed cells, not corpus size
+    time("IVF serve x5 (external vectors)") {
+      val reqs = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 9000000L).as("query_id"), col("embedding"))
+      force(Similarity.ivfQueryVectors(ivfIdx, reqs, k = 10, nprobe = 4))
+    }
     time("NN within label (exact, agg argmax)") {
       // |block|² dots are inherent on this isotropic corpus, but pair rows
       // no longer shuffle (partial-agg argmax) — time should track CPU

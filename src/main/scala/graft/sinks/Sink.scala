@@ -226,6 +226,53 @@ object Sink {
       .parquet(s"$path/ingested")
   }
 
+  /** Fold the [[appendIvfIndex]] `ingested/` layout back into the base
+    * `celled/` table — the periodic maintenance pass of the
+    * write-optimized index: streamed micro-batches leave one file per
+    * touched (cell, batch) directory, and at high ingest rates those
+    * small files dominate probe I/O exactly like any LSM tree's L0.
+    * Rewrites celled ∪ ingested partitioned by cell (one file per cell),
+    * swaps it in via rename, and drops `ingested/` — queries before and
+    * after are bit-identical (spec-asserted), only the file census
+    * changes. The rename swap is the local-FS demonstration; at scale
+    * the swap is a table-format/metastore commit, same as [[compact]].
+    *
+    * Returns (rows compacted, ingested files folded in).
+    */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val ingestedDir = new org.apache.hadoop.fs.Path(s"$path/ingested")
+    if (!fs.exists(ingestedDir)) {
+      (spark.read.parquet(s"$path/celled").count(), 0L)
+    } else {
+      val nIngestedFiles = fs.listFiles(ingestedDir, true)
+      var nf = 0L
+      while (nIngestedFiles.hasNext) {
+        if (nIngestedFiles.next().getPath.getName.endsWith(".parquet"))
+          nf += 1
+      }
+      val merged = readIvfIndex(spark, path).celled
+      val n = merged.count()
+      merged
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/celled_compact")
+      val celled = new org.apache.hadoop.fs.Path(s"$path/celled")
+      val old = new org.apache.hadoop.fs.Path(s"$path/celled_old")
+      require(fs.rename(celled, old), s"swap failed: $celled -> $old")
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$path/celled_compact"), celled),
+        "swap failed: celled_compact -> celled")
+      fs.delete(old, true)
+      fs.delete(ingestedDir, true)
+      (n, nf)
+    }
+  }
+
   /** Reload a persisted IVF index: centroids collected (nlist × dim — the
     * same literals the in-memory build broadcasts) and the celled corpus
     * as a partition-pruned parquet table (NOT cached — the point of the

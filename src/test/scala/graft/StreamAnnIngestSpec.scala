@@ -118,6 +118,31 @@ class StreamAnnIngestSpec extends SparkSpec {
       prunes.foreach(m =>
         assert(m.group(1).split(",").length <= 4,
           s"probe must stay cell-pruned, saw: ${m.group(1)}"))
+
+      // COMPACTION: fold ingested/ back into celled/ — queries must be
+      // bit-identical before and after; only the file census changes
+      val before = Similarity.ivfQueryVectors(
+        Sink.readIvfIndex(spark, idxDir), queries, k = 3, nprobe = 2)
+        .collect().toSeq
+      val (nRows, nFolded) = Sink.compactIvfIndex(spark, idxDir)
+      assert(nRows === nBase + 10)
+      assert(nFolded > 0L, "compaction must report the files it folded")
+      assert(!new java.io.File(s"$idxDir/ingested").exists(),
+        "ingested/ must be dropped after compaction")
+      val compacted = Sink.readIvfIndex(spark, idxDir)
+      assert(compacted.celled.count() === nBase + 10)
+      val after = Similarity.ivfQueryVectors(compacted, queries,
+        k = 3, nprobe = 2).collect().toSeq
+      assert(after === before,
+        "compaction must not change any query result")
+      // one file per cell directory afterward
+      new java.io.File(s"$idxDir/celled").listFiles()
+        .filter(_.getName.startsWith("cell=")).foreach { d =>
+          val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+          assert(files === 1, s"${d.getName}: $files files after compact")
+        }
+      // compacting an already-compact index is a no-op report
+      assert(Sink.compactIvfIndex(spark, idxDir) === ((nBase + 10, 0L)))
     } finally {
       idx.unpersist()
       org.apache.commons.io.FileUtils.deleteDirectory(
