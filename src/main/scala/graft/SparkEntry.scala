@@ -1181,6 +1181,44 @@ object SparkEntry {
         Seq(col("event_type"), col("day_us"), col("vb")), col("user_id"))
     }),
 
+    // HLL distinct-census lifecycle, driver-proven: per-(type, day)
+    // sketches rolled up to per-type WITHOUT rescanning events must
+    // estimate identically to a direct per-type sketch (register-max
+    // merge is lossless) and land within 2% of exact — both shipped as
+    // oracle-checked booleans next to the exact count itself
+    "census_distinct_sketch" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("day_us", unix_micros(date_trunc("day", col("ts"))))
+      val daily = graft.operators.Census.distinctSketch(
+        e, "user_id", Seq("event_type", "day_us"))
+      val rolled = graft.operators.Census.rollup(daily, Seq("event_type"))
+        .withColumnRenamed("distinct_est", "rolled_est")
+      val direct = graft.operators.Census.withEstimates(
+          graft.operators.Census.distinctSketch(e, "user_id", Seq("event_type")))
+        .select(col("event_type"), col("distinct_est").as("direct_est"))
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      rolled.join(direct, "event_type").join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (col("rolled_est") === col("direct_est")).as("rollup_consistent"),
+          (abs(col("direct_est") - col("exact_users")) * 100 <=
+            col("exact_users") * 2).as("within_tolerance"))
+        .orderBy(col("event_type"))
+    }),
+
+    // theta-sketch set algebra (custom TypedImperativeAggregate — the
+    // intersection HLL cannot do): overlap of two value-thresholded
+    // user sets in one scan per side + sketch math on a single crossed
+    // row, NO key-set join. Exact mode at driver scale → every count
+    // hash-matches the oracle's DISTINCT-join truth
+    "census_overlap_theta" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.operators.Census.overlap(
+        e.filter(col("event_type") === "purchase" && col("value") > 150),
+        e.filter(col("event_type") === "error" && col("value") > 150),
+        "user_id")
+    }),
+
     // ntile + percent_rank window pass, partitioned by nation (a global
     // ntile would single-task; partitioned quantiles scale)
     "q_customer_quartiles" -> ((s, dir) =>
@@ -2546,6 +2584,25 @@ object SparkEntry {
         |       min(n) AS min_group_size,
         |       min(l) AS min_l_diversity
         |FROM x GROUP BY k ORDER BY k""".stripMargin,
+
+    "census_distinct_sketch" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS rollup_consistent, TRUE AS within_tolerance
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "census_overlap_theta" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'purchase' AND value > 150),
+        |     b AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'error' AND value > 150),
+        |     u AS (SELECT user_id FROM a UNION SELECT user_id FROM b)
+        |SELECT (SELECT count(*) FROM a) AS card_a,
+        |       (SELECT count(*) FROM b) AS card_b,
+        |       (SELECT count(*) FROM a JOIN b USING (user_id))
+        |         AS card_intersection,
+        |       (SELECT count(*) FROM u) AS card_union,
+        |       (SELECT count(*) FROM a JOIN b USING (user_id)) * 1000000
+        |         // (SELECT count(*) FROM u) AS jaccard_ppm""".stripMargin,
 
     "q_ohlc" ->
       """WITH t AS (
