@@ -1219,6 +1219,19 @@ object SparkEntry {
         "user_id")
     }),
 
+    // z-order physical design, driver-proven: the per-tile min-max box
+    // census of the Morton layout over (user, cents) plus the parquet
+    // min-max pruning verdict a point scan would make from footer stats
+    // — the whole chain (min-max normalize, 8-bit buckets, 16-term bit
+    // interleave, prefix tiles, skip decision) replayed bit-exactly by
+    // the oracle's identical integer arithmetic
+    "layout_zorder_census" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as long)").as("cents"))
+      graft.operators.Layout.zorderSkippingCensus(e, Seq("user_id", "cents"),
+        Map("user_id" -> 42L, "cents" -> 2500L))
+    }),
+
     // ntile + percent_rank window pass, partitioned by nation (a global
     // ntile would single-task; partitioned quantiles scale)
     "q_customer_quartiles" -> ((s, dir) =>
@@ -2603,6 +2616,41 @@ object SparkEntry {
         |       (SELECT count(*) FROM u) AS card_union,
         |       (SELECT count(*) FROM a JOIN b USING (user_id)) * 1000000
         |         // (SELECT count(*) FROM u) AS jaccard_ppm""".stripMargin,
+
+    "layout_zorder_census" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT min(user_id) AS minu, max(user_id) AS maxu,
+        |             min(cents) AS minc, max(cents) AS maxc FROM e),
+        |b AS (
+        |  SELECT user_id, cents,
+        |    CASE WHEN maxu = minu THEN 0
+        |         ELSE ((user_id - minu) * 255) // (maxu - minu) END AS bu,
+        |    CASE WHEN maxc = minc THEN 0
+        |         ELSE ((cents - minc) * 255) // (maxc - minc) END AS bc
+        |  FROM e CROSS JOIN r),
+        |z AS (
+        |  SELECT user_id, cents,
+        |      (((bu >> 0) & 1) << 0) + (((bc >> 0) & 1) << 1)
+        |    + (((bu >> 1) & 1) << 2) + (((bc >> 1) & 1) << 3)
+        |    + (((bu >> 2) & 1) << 4) + (((bc >> 2) & 1) << 5)
+        |    + (((bu >> 3) & 1) << 6) + (((bc >> 3) & 1) << 7)
+        |    + (((bu >> 4) & 1) << 8) + (((bc >> 4) & 1) << 9)
+        |    + (((bu >> 5) & 1) << 10) + (((bc >> 5) & 1) << 11)
+        |    + (((bu >> 6) & 1) << 12) + (((bc >> 6) & 1) << 13)
+        |    + (((bu >> 7) & 1) << 14) + (((bc >> 7) & 1) << 15) AS zval
+        |  FROM b),
+        |t AS (
+        |  SELECT zval >> 10 AS tile, count(*) AS n_rows,
+        |         min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+        |         min(cents) AS min_cents, max(cents) AS max_cents
+        |  FROM z GROUP BY 1)
+        |SELECT tile, n_rows, min_user_id, max_user_id, min_cents, max_cents,
+        |       (2500 < min_cents OR 2500 > max_cents
+        |        OR 42 < min_user_id OR 42 > max_user_id) AS skippable
+        |FROM t ORDER BY tile""".stripMargin,
 
     "q_ohlc" ->
       """WITH t AS (

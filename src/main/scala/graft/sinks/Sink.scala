@@ -161,6 +161,29 @@ object Sink {
       .format("parquet")
       .saveAsTable(table)
 
+  /** C6+ physical design — Z-ORDERED table write: range-partition and
+    * sort on the Morton z-value of `zCols`
+    * ([[graft.operators.Layout.withZValue]]) so every output file is an
+    * axis-aligned box in coordinate space and parquet min-max footer
+    * stats prune scans filtered on ANY of the z columns — the
+    * multi-column complement of [[writeBucketed]] (one join key) and
+    * [[writePartitionedByDate]] (one partition axis). LayoutSpec reads
+    * the files back and asserts per-file span shrinkage on every z
+    * column vs a lexicographic baseline.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      bits: Int = 8,
+      nFiles: Int = 32,
+      mode: String = "overwrite"): Unit =
+    graft.operators.Layout.withZValue(df, zCols, bits)
+      .repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode(mode).parquet(path)
+
   /** C6+ / similarity — persist an IVF index in its 100 TB layout: the
     * celled corpus written PARTITIONED BY cell id (so a query probing
     * nprobe cells touches nprobe partition directories, never the whole
