@@ -449,6 +449,84 @@ object Sink {
       planes, bands, signed, postings)
   }
 
+  /** Read the latest committed generation of a [[mergeCensusTable]]
+    * census table: `(census, batchId)` of the newest `gen-<batchId>/`
+    * directory that finished its write (carries `_SUCCESS`). None if no
+    * generation has ever committed. Partially-written generations (a
+    * crash mid-write leaves no `_SUCCESS`) are invisible — the write
+    * itself is the commit record, so there is no separate pointer file
+    * to torn-update.
+    */
+  def readCensusTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(DataFrame, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else {
+      val gens = fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(_.getName.startsWith("gen-"))
+        .filter(p => fs.exists(
+          new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(_.getName.stripPrefix("gen-").toLong)
+      if (gens.isEmpty) None
+      else {
+        val latest = gens.max
+        Some((spark.read.parquet(s"$path/gen-$latest"), latest))
+      }
+    }
+  }
+
+  /** Fold one micro-batch's delta census (per-group HLL sketches from
+    * [[graft.operators.Census.distinctSketch]]) into the persisted
+    * census table — the transactional sink behind
+    * [[graft.streaming.StreamCensus]]. Generation layout: each commit
+    * writes the FULL merged census to a fresh `gen-<batchId>/`
+    * directory (never in-place — the read of the previous generation
+    * and the write of the next touch different paths), then deletes the
+    * superseded generation. Exactly-once twice over: (a) the
+    * transactional guard — a replayed micro-batch (foreachBatch
+    * redelivers the same batchId after a crash) is skipped because a
+    * generation at-or-past that id already committed; (b) the algebraic
+    * backstop — even if the same delta merged twice, HLL union is
+    * register-max idempotent, so the census would be bit-identical
+    * anyway (spec-asserted both ways).
+    *
+    * 100 TB shape: the census table is one sketch row per group
+    * (KiB·groups, not the corpus), so rewriting it per epoch is cheap
+    * relative to any rescan; the corpus rows are read exactly once, in
+    * the epoch that carried them. Single-writer by construction (one
+    * streaming query owns the path) — the generation swap is the
+    * local-FS demonstration of what a table-format commit does at
+    * scale. Returns true if the delta was applied, false if skipped as
+    * a replay.
+    */
+  def mergeCensusTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      delta: DataFrame,
+      groupCols: Seq[String],
+      batchId: Long): Boolean = {
+    val current = readCensusTable(spark, path)
+    current match {
+      case Some((_, last)) if batchId <= last => false
+      case _ =>
+        val merged = current match {
+          case Some((base, _)) =>
+            graft.operators.Census.mergeCensus(base, delta, groupCols)
+          case None => delta
+        }
+        merged.write.mode("overwrite").parquet(s"$path/gen-$batchId")
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        current.foreach { case (_, last) =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen-$last"), true)
+        }
+        true
+    }
+  }
+
   /** C6+ physical design — small-file COMPACTION: rewrite a parquet
     * directory into ~`targetBytes` files. Streaming ingestion (A9's
     * foreachBatch fan-out) produces one file per partition per
