@@ -103,7 +103,7 @@ object Bench {
     // discards it. Per-query value = median across runs.
     // fixed calibration probe: data-independent, parquet-free — its
     // per-rep time tracks the HOST, not the engine (see header)
-    def calibrate(): Double = {
+    def calibrateOnce(): Double = {
       val t0 = System.nanoTime()
       // shiftright keeps the sum inside Long under ANSI (4M × 2^31 ≪ 2^63)
       spark.range(4000000L)
@@ -111,6 +111,16 @@ object Bench {
           "count(if(id % 7 = 0, 1, null))")
         .collect()
       (System.nanoTime() - t0) / 1e9
+    }
+    // One calibrate() per rep proved too noisy to anchor cross-round
+    // normalization (r9 calib runs spanned 3.4×: a single scheduler
+    // hiccup IS the sample). Per measurement point: discard one warmup
+    // run, report the median of 5 — a sub-50 ms probe, so the extra
+    // runs cost ~1 s per rep and the spread collapses to the true
+    // host-clock signal.
+    def calibrate(): Double = {
+      calibrateOnce() // warmup discard
+      median((1 to 5).map(_ => calibrateOnce()))
     }
     calibrate() // warm the calib plan like everything else
     val names = SparkEntry.queries.keys.toSeq

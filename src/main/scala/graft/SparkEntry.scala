@@ -1232,6 +1232,35 @@ object SparkEntry {
         Map("user_id" -> 42L, "cents" -> 2500L))
     }),
 
+    // the quantile normalizer's WIN on a heavy-tailed column, driver-
+    // proven: cents³ (cubing the already-skewed value column makes
+    // median/max ≈ 3·10⁻⁴, so min-max normalization crushes ~97% of rows
+    // into the bottom tile strip and a median-point probe must scan
+    // nearly everything) — the equi-depth (approx_percentile-cut) layout
+    // must scan STRICTLY less and at most a quarter of the corpus for
+    // the same probe. The min-max scan fraction is replayed bit-exactly
+    // by the oracle's identical integer chain; the quantile-vs-minmax
+    // verdicts are booleans the oracle pins TRUE (FALSE ⇒ hash mismatch)
+    "layout_zorder_skewed" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as long)").as("cents"))
+        .select(col("user_id"),
+          (col("cents") * col("cents") * col("cents")).as("skewed"))
+      val zcols = Seq("user_id", "skewed")
+      val probes = Map("skewed" -> 40000000000L) // ≈ the median of cents³
+      val mm = graft.operators.Layout.scanFractionPpm(
+          graft.operators.Layout.zorderSkippingCensus(e, zcols, probes))
+        .withColumnRenamed("scan_ppm", "minmax_scan_ppm")
+      val qt = graft.operators.Layout.scanFractionPpm(
+          graft.operators.Layout
+            .zorderSkippingCensusQuantile(e, zcols, probes))
+        .withColumnRenamed("scan_ppm", "qt_scan_ppm")
+      mm.crossJoin(qt).select(col("minmax_scan_ppm"),
+        (col("qt_scan_ppm") < col("minmax_scan_ppm"))
+          .as("quantile_beats_minmax"),
+        (col("qt_scan_ppm") <= 250000L).as("quantile_scan_le_quarter"))
+    }),
+
     // ntile + percent_rank window pass, partitioned by nation (a global
     // ntile would single-task; partitioned quantiles scale)
     "q_customer_quartiles" -> ((s, dir) =>
@@ -2651,6 +2680,45 @@ object SparkEntry {
         |       (2500 < min_cents OR 2500 > max_cents
         |        OR 42 < min_user_id OR 42 > max_user_id) AS skippable
         |FROM t ORDER BY tile""".stripMargin,
+
+    // replays the full min-max chain on the cubed column to the exact
+    // scan-ppm; the quantile layout's superiority is pinned as booleans
+    "layout_zorder_skewed" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |e AS (SELECT user_id, cents * cents * cents AS skewed FROM c),
+        |r AS (SELECT min(user_id) AS minu, max(user_id) AS maxu,
+        |             min(skewed) AS mins, max(skewed) AS maxs FROM e),
+        |b AS (
+        |  SELECT user_id, skewed,
+        |    CASE WHEN maxu = minu THEN 0
+        |         ELSE ((user_id - minu) * 255) // (maxu - minu) END AS bu,
+        |    CASE WHEN maxs = mins THEN 0
+        |         ELSE ((skewed - mins) * 255) // (maxs - mins) END AS bs
+        |  FROM e CROSS JOIN r),
+        |z AS (
+        |  SELECT skewed,
+        |      (((bu >> 0) & 1) << 0) + (((bs >> 0) & 1) << 1)
+        |    + (((bu >> 1) & 1) << 2) + (((bs >> 1) & 1) << 3)
+        |    + (((bu >> 2) & 1) << 4) + (((bs >> 2) & 1) << 5)
+        |    + (((bu >> 3) & 1) << 6) + (((bs >> 3) & 1) << 7)
+        |    + (((bu >> 4) & 1) << 8) + (((bs >> 4) & 1) << 9)
+        |    + (((bu >> 5) & 1) << 10) + (((bs >> 5) & 1) << 11)
+        |    + (((bu >> 6) & 1) << 12) + (((bs >> 6) & 1) << 13)
+        |    + (((bu >> 7) & 1) << 14) + (((bs >> 7) & 1) << 15) AS zval
+        |  FROM b),
+        |t AS (
+        |  SELECT zval >> 10 AS tile, count(*) AS n_rows,
+        |         min(skewed) AS min_s, max(skewed) AS max_s
+        |  FROM z GROUP BY 1)
+        |SELECT CAST(sum(CASE WHEN 40000000000 < min_s OR 40000000000 > max_s
+        |                     THEN 0 ELSE n_rows END) AS BIGINT) * 1000000
+        |         // CAST(sum(n_rows) AS BIGINT) AS minmax_scan_ppm,
+        |       TRUE AS quantile_beats_minmax,
+        |       TRUE AS quantile_scan_le_quarter
+        |FROM t""".stripMargin,
 
     "q_ohlc" ->
       """WITH t AS (

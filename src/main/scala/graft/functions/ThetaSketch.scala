@@ -90,6 +90,62 @@ case class ThetaSketchAgg(
     copy(child = newChildren.head)
 }
 
+/** Union-merge an entire COLUMN of serialized theta sketches into one —
+  * the aggregate that makes a PERSISTED theta census incremental: daily
+  * per-group sketch rows fold into coarser groups (or a global row)
+  * without ever rescanning the corpus that built them, exactly like
+  * `hll_union_agg` for the HLL census. Same exactness contract as
+  * [[ThetaSketchAgg]]: with lgK matching the inputs' build size, exact
+  * mode survives the merge (union downsampling is sized away).
+  */
+case class ThetaUnionAgg(
+    child: Expression,
+    lgK: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union] {
+  require(lgK >= 4 && lgK <= 26, "lgK must be in [4, 26]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_union_agg"
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.union(CompactSketch.heapify(
+        Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def merge(b1: Union, b2: Union): Union = {
+    b1.union(b2.getResult)
+    b1
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    u.union(CompactSketch.heapify(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ThetaUnionAgg =
+    copy(child = newChildren.head)
+}
+
 /** Rounded cardinality estimate of a serialized theta sketch — exact-mode
   * sketches round to the true count. Interpreted eval only: runs on
   * sketch-cardinality rows (one per group), never per corpus row, so
@@ -109,6 +165,9 @@ case class ThetaEstimateExpr(child: Expression)
 
 /** A ∩ B of two serialized theta sketches, as a serialized sketch —
   * composable with [[ThetaEstimateExpr]] and [[ThetaUnionExpr]].
+  * Intersection never downsamples (its result theta is the min of the
+  * input thetas; the retained set only shrinks), so no nominal-entry
+  * sizing is needed here — exact inputs give an exact intersection.
   */
 case class ThetaIntersectExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -125,13 +184,23 @@ case class ThetaIntersectExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** A ∪ B of two serialized theta sketches, as a serialized sketch. */
-case class ThetaUnionExpr(left: Expression, right: Expression)
+/** A ∪ B of two serialized theta sketches, as a serialized sketch.
+  *
+  * `lgK` MUST match the nominal entries the input sketches were built
+  * with: a DataSketches Union DOWNSAMPLES when its retained entries
+  * exceed its own nominal entries, so a default-sized (lgK 12) union of
+  * two exact lgK-16 sketches would silently degrade the documented
+  * "exact below 2^lgK" contract to an estimate. [[ThetaSketch.theta_union]]
+  * threads the caller's lgK through; [[graft.operators.Census.overlap]]
+  * passes the same lgK it aggregated with.
+  */
+case class ThetaUnionExpr(left: Expression, right: Expression, lgK: Int)
     extends BinaryExpression with CodegenFallback {
+  require(lgK >= 4 && lgK <= 26, "lgK must be in [4, 26]")
   override def dataType: DataType = BinaryType
   override def prettyName: String = "theta_union"
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val u = SetOperation.builder().buildUnion()
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
     u.union(CompactSketch.heapify(Memory.wrap(a.asInstanceOf[Array[Byte]])))
     u.union(CompactSketch.heapify(Memory.wrap(b.asInstanceOf[Array[Byte]])))
     u.getResult.toByteArray
@@ -157,7 +226,15 @@ object ThetaSketch {
     GraftShims.column(
       ThetaIntersectExpr(GraftShims.expression(a), GraftShims.expression(b)))
 
-  def theta_union(a: Column, b: Column): Column =
+  /** `lgK` must match the build size of the input sketches (union
+    * downsampling otherwise degrades exact mode — see [[ThetaUnionExpr]]).
+    */
+  def theta_union(a: Column, b: Column, lgK: Int = 12): Column =
     GraftShims.column(
-      ThetaUnionExpr(GraftShims.expression(a), GraftShims.expression(b)))
+      ThetaUnionExpr(GraftShims.expression(a), GraftShims.expression(b), lgK))
+
+  /** Aggregate: union a column of serialized sketches into one. */
+  def theta_union_agg(c: Column, lgK: Int = 12): Column =
+    GraftShims.column(
+      ThetaUnionAgg(GraftShims.expression(c), lgK).toAggregateExpression())
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.ThetaSketch.{theta_estimate, theta_intersect, theta_sketch, theta_union}
+import graft.functions.ThetaSketch.{theta_estimate, theta_intersect, theta_sketch, theta_union, theta_union_agg}
 
 /** Incremental distinct-census over unbounded key streams — the sketch
   * lifecycle that replaces "re-run COUNT(DISTINCT) over all history"
@@ -93,13 +93,68 @@ object Census {
     val skA = dfA.agg(theta_sketch(col(keyCol), lgK).as("sk_a"))
     val skB = dfB.agg(theta_sketch(col(keyCol), lgK).as("sk_b"))
     skA.crossJoin(skB)
-      .select(
-        theta_estimate(col("sk_a")).as("card_a"),
-        theta_estimate(col("sk_b")).as("card_b"),
-        theta_estimate(theta_intersect(col("sk_a"), col("sk_b")))
-          .as("card_intersection"),
-        theta_estimate(theta_union(col("sk_a"), col("sk_b")))
-          .as("card_union"))
+      .select(overlapStats(col("sk_a"), col("sk_b"), lgK): _*)
+      .withColumn("jaccard_ppm",
+        expr("(card_intersection * 1000000L) div card_union"))
+  }
+
+  /** |A|, |B|, |A∩B|, |A∪B| from two sketch COLUMNS — the shared
+    * projection of [[overlap]] (fresh sketches) and [[overlapFromCensus]]
+    * (persisted sketches). The union expression is sized to the inputs'
+    * lgK so exact mode survives the set algebra.
+    */
+  private def overlapStats(skA: org.apache.spark.sql.Column,
+      skB: org.apache.spark.sql.Column, lgK: Int) = Seq(
+    theta_estimate(skA).as("card_a"),
+    theta_estimate(skB).as("card_b"),
+    theta_estimate(theta_intersect(skA, skB)).as("card_intersection"),
+    theta_estimate(theta_union(skA, skB, lgK)).as("card_union"))
+
+  /** Per-group THETA sketches of `keyCol` — the delta builder of the
+    * PERSISTED theta census ([[graft.sinks.Sink.mergeThetaCensusTable]]):
+    * the HLL census answers "how many distinct", this one also answers
+    * "how many SHARED" ([[overlapFromCensus]]) without rescanning. Same
+    * shape as [[distinctSketch]]: one scan into KiB-per-group partials.
+    */
+  def thetaSketchTable(
+      df: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String],
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.ThetaSketch
+        .theta_sketch(col(keyCol), lgK).as("sketch"))
+
+  /** Fold a theta delta census into the base — sketch union per group,
+    * sized to lgK so exact mode survives (the incremental maintenance
+    * step; union is idempotent register...retained-set max, so a replayed
+    * delta merges to a set-identical sketch).
+    */
+  def mergeThetaCensus(
+      base: DataFrame,
+      delta: DataFrame,
+      groupCols: Seq[String],
+      lgK: Int = 12): DataFrame =
+    base.unionByName(delta)
+      .groupBy(groupCols.map(col): _*)
+      .agg(theta_union_agg(col("sketch"), lgK).as("sketch"))
+
+  /** [[overlap]] computed from a PERSISTED theta census instead of the
+    * corpus: roll each side's census rows up to one sketch
+    * (`theta_union_agg`), then the same single-row set algebra. The
+    * corpus is NEVER rescanned — overlap between any two groups of an
+    * incrementally-maintained census costs census-table rows only.
+    * Exactness contract unchanged: exact while every contributing
+    * sketch stayed under 2^lgK retained keys.
+    */
+  def overlapFromCensus(
+      censusA: DataFrame,
+      censusB: DataFrame,
+      lgK: Int = 12): DataFrame = {
+    val skA = censusA.agg(theta_union_agg(col("sketch"), lgK).as("sk_a"))
+    val skB = censusB.agg(theta_union_agg(col("sketch"), lgK).as("sk_b"))
+    skA.crossJoin(skB)
+      .select(overlapStats(col("sk_a"), col("sk_b"), lgK): _*)
       .withColumn("jaccard_ppm",
         expr("(card_intersection * 1000000L) div card_union"))
   }

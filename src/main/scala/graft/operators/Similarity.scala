@@ -309,6 +309,12 @@ object Similarity {
         probeCells(index.centroids, col("q_unit"), nprobe))
       .select(col("query_id"), col("q_unit"),
         explode(col("probe_cells")).as("cell"))
+      // pin the request batch (it is request-sized) so the driver-side
+      // cell-union collect and the broadcast join side read the SAME
+      // rows even if `queries` is non-deterministic (a sample, a
+      // re-read of a mutating path) — otherwise un-probed cells could
+      // silently drop candidates
+      .localCheckpoint(true)
     val probed: Seq[Int] = probes.select(col("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val w = Window.partitionBy(col("query_id"))

@@ -177,12 +177,20 @@ object Sink {
       zCols: Seq[String],
       bits: Int = 8,
       nFiles: Int = 32,
-      mode: String = "overwrite"): Unit =
-    graft.operators.Layout.withZValue(df, zCols, bits)
-      .repartitionByRange(nFiles, col("zval"))
+      mode: String = "overwrite",
+      quantile: Boolean = false): Unit = {
+    // quantile = equi-depth bucket boundaries (approx_percentile cuts):
+    // the normalizer for heavy-tailed z columns, where min-max scaling
+    // collapses most rows into a few buckets and skipping evaporates
+    val z =
+      if (quantile)
+        graft.operators.Layout.withZValueQuantile(df, zCols, bits)
+      else graft.operators.Layout.withZValue(df, zCols, bits)
+    z.repartitionByRange(nFiles, col("zval"))
       .sortWithinPartitions("zval")
       .drop("zval")
       .write.mode(mode).parquet(path)
+  }
 
   /** C6+ / similarity — persist an IVF index in its 100 TB layout: the
     * celled corpus written PARTITIONED BY cell id (so a query probing
@@ -464,12 +472,7 @@ object Sink {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) None
     else {
-      val gens = fs.listStatus(root).filter(_.isDirectory)
-        .map(_.getPath)
-        .filter(_.getName.startsWith("gen-"))
-        .filter(p => fs.exists(
-          new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-        .map(_.getName.stripPrefix("gen-").toLong)
+      val gens = committedGenerations(fs, root)
       if (gens.isEmpty) None
       else {
         val latest = gens.max
@@ -477,6 +480,20 @@ object Sink {
       }
     }
   }
+
+  /** Batch ids of every committed (`_SUCCESS`-carrying) `gen-<id>/`
+    * directory under `root`. Non-numeric `gen-*` strays (a partial
+    * rename, a hand-dropped dir) are ignored rather than throwing —
+    * a stray must never blind the reader to the real generations.
+    */
+  private def committedGenerations(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    fs.listStatus(root).filter(_.isDirectory).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("gen-"))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .flatMap(p => p.getName.stripPrefix("gen-").toLongOption)
 
   /** Fold one micro-batch's delta census (per-group HLL sketches from
     * [[graft.operators.Census.distinctSketch]]) into the persisted
@@ -507,22 +524,57 @@ object Sink {
       path: String,
       delta: DataFrame,
       groupCols: Seq[String],
-      batchId: Long): Boolean = {
+      batchId: Long): Boolean =
+    mergeGenerational(spark, path, delta, batchId)(
+      (base, d) => graft.operators.Census.mergeCensus(base, d, groupCols))
+
+  /** [[mergeCensusTable]] for the THETA census
+    * ([[graft.operators.Census.thetaSketchTable]] deltas): identical
+    * generation-commit lifecycle, theta union-merge instead of HLL. The
+    * same exactly-once pair holds — the batchId guard skips replays, and
+    * theta union is retained-set idempotent so a double-merged delta is
+    * set-identical anyway.
+    */
+  def mergeThetaCensusTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      delta: DataFrame,
+      groupCols: Seq[String],
+      batchId: Long,
+      lgK: Int = 12): Boolean =
+    mergeGenerational(spark, path, delta, batchId)(
+      (base, d) =>
+        graft.operators.Census.mergeThetaCensus(base, d, groupCols, lgK))
+
+  /** Shared generation-commit engine of the census sinks: write the full
+    * merged table to a fresh `gen-<batchId>/` (the `_SUCCESS` marker IS
+    * the commit record), then GC EVERY committed generation with a lower
+    * id — not just the one read as current, so a crash that previously
+    * orphaned an older generation (write new → die before delete) is
+    * healed by the next merge instead of leaking forever.
+    */
+  private def mergeGenerational(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      delta: DataFrame,
+      batchId: Long)(
+      mergeFn: (DataFrame, DataFrame) => DataFrame): Boolean = {
     val current = readCensusTable(spark, path)
     current match {
       case Some((_, last)) if batchId <= last => false
       case _ =>
         val merged = current match {
-          case Some((base, _)) =>
-            graft.operators.Census.mergeCensus(base, delta, groupCols)
+          case Some((base, _)) => mergeFn(base, delta)
           case None => delta
         }
         merged.write.mode("overwrite").parquet(s"$path/gen-$batchId")
         val root = new org.apache.hadoop.fs.Path(path)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        current.foreach { case (_, last) =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen-$last"), true)
-        }
+        committedGenerations(fs, root)
+          .filter(_ < batchId)
+          .foreach { id =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen-$id"), true)
+          }
         true
     }
   }

@@ -77,4 +77,78 @@ class LayoutSpec extends SparkSpec {
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  // heavy-tailed fixture: y = x³ over a uniform lattice — one max-value
+  // outlier regime where min-max buckets collapse (median/max = 1/8,
+  // and the cube concentrates half the mass in the bottom 1/8 of the
+  // range) while equi-depth buckets stay uniform by construction
+  private def skewed = spark.range(0, 65536)
+    .select((col("id") % 256).as("x"),
+      ((col("id") / 256) * (col("id") / 256) * (col("id") / 256))
+        .cast("long").as("y"))
+
+  test("quantile z-order: equi-depth buckets spread a heavy tail") {
+    val probes = Map("y" -> 2000000L) // y median = 127³ ≈ 2.05M
+    val mm = Layout.scanFractionPpm(
+      Layout.zorderSkippingCensus(skewed, Seq("x", "y"), probes))
+      .collect()(0).getLong(0)
+    val qt = Layout.scanFractionPpm(
+      Layout.zorderSkippingCensusQuantile(skewed, Seq("x", "y"), probes))
+      .collect()(0).getLong(0)
+    // min-max: the probe's bucket strip holds ~half the corpus; quantile:
+    // one 32-bucket equi-depth strip = ~1/8 of rows
+    assert(qt < mm / 2, s"quantile scan $qt ppm must beat min-max $mm ppm")
+    assert(qt <= 250000L, s"quantile scan $qt ppm should stay under 1/4")
+  }
+
+  test("writeZOrdered(quantile): per-FILE span shrinkage on the skewed axis") {
+    val dir = java.nio.file.Files.createTempDirectory("zorderq").toString
+    try {
+      Sink.writeZOrdered(skewed, s"$dir/qz", Seq("x", "y"), nFiles = 16,
+        quantile = true)
+      Sink.writeZOrdered(skewed, s"$dir/mm", Seq("x", "y"), nFiles = 16)
+
+      // per-file ROW-COVERAGE of a y median-point probe: the fraction of
+      // rows in files whose [min_y, max_y] box contains the probe — the
+      // exact decision a parquet reader makes from footer stats
+      def probeScanFrac(path: String, probe: Long): Double = {
+        val files = new java.io.File(path).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.toString)
+        assert(files.length > 8)
+        val stats = files.map { f =>
+          val r = spark.read.parquet(f)
+            .agg(count(lit(1)), min("y"), max("y")).collect()(0)
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        val scanned = stats.collect {
+          case (n, lo, hi) if probe >= lo && probe <= hi => n
+        }.sum
+        scanned.toDouble / stats.map(_._1).sum
+      }
+      val qFrac = probeScanFrac(s"$dir/qz", 2000000L)
+      val mFrac = probeScanFrac(s"$dir/mm", 2000000L)
+      assert(qFrac < mFrac / 2,
+        s"quantile file scan $qFrac must beat min-max $mFrac")
+      assert(qFrac <= 0.3, s"quantile file scan $qFrac should be ≤ 0.3")
+      // layout changes bytes on disk, never rows: content identical
+      assert(spark.read.parquet(s"$dir/qz").orderBy("x", "y").collect().toSeq
+        === skewed.orderBy("x", "y").collect().toSeq)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("withZValueQuantile: pinned cuts bucket new data identically") {
+    val cuts = Layout.quantileCuts(skewed, Seq("x", "y"))
+    val fromCuts = Layout.withZValueQuantile(
+      skewed, Seq("x", "y"), cuts = cuts)
+    val fresh = Layout.withZValueQuantile(skewed, Seq("x", "y"))
+    assert(fromCuts.orderBy("x", "y").select("zval").collect().toSeq ===
+      fresh.orderBy("x", "y").select("zval").collect().toSeq)
+  }
+
+  test("census: empty probes refuse loudly") {
+    intercept[IllegalArgumentException] {
+      Layout.zorderSkippingCensus(grid, Seq("x", "y"), Map.empty)
+    }
+  }
 }
