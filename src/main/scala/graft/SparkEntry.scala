@@ -876,6 +876,29 @@ object SparkEntry {
         k = 10, floor = 0.6)
     }),
 
+    // the PQ serving path: external query vectors against the composed
+    // IVF-PQ layout (coarse cells + PQ codes on the celled table) via
+    // the same static-pruned, code-only-ADC probe production serving
+    // runs (StreamAnnServe.servedPqWriter per micro-batch); in-plan
+    // recall audit vs the exact external-vector top-k. Queries are
+    // corpus vectors re-badged under fresh ids, so the exact duplicate
+    // must surface at rank 1 through the ADC shortlist — a quantization
+    // regression shows up as a recall break, not just slower answers
+    "similarity_ann_serve_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000L).as("query_id"), col("embedding"))
+      val index = Similarity.IndexCache.ivfExact(emb, nlist = 16)
+      val model = Similarity.IndexCache.pq(emb, m = 8, k = 64, iters = 2)
+      val withCodes = Similarity.IvfIndex(index.centroids,
+        index.celled.join(model.codes.select("vec_id", "codes"), "vec_id"))
+      Similarity.annRecallAudit(
+        Similarity.ivfPqQueryVectors(withCodes, model.cents, queries,
+          nprobe = 12, rerank = 64, k = 10),
+        Similarity.bruteForceTopKVectors(emb, queries, k = 10),
+        k = 10, floor = 0.6)
+    }),
+
     // the residual refinement's WIN, driver-proven: on a corpus with
     // strong cell structure (16 tight md5-derived clusters built
     // deterministically from the embeddings table — centers from md5
@@ -3711,6 +3734,12 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
 
     "similarity_ann_serve" ->
+      """SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ge_floor
+        |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        |ORDER BY query_id""".stripMargin,
+
+    "similarity_ann_serve_pq" ->
       """SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS n_results,
         |       TRUE AS recall_ge_floor
         |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)

@@ -1715,4 +1715,81 @@ object Similarity {
     cosineRerank(adcShortlist(cands, rerank),
       index.celled.select(col("vec_id"), col("unit")), queryIds, k)
   }
+
+  /** [[ivfPqQueryPruned]] for EXTERNAL query vectors — production ANN
+    * serving in its billion-scale layout: requests arrive as
+    * `(query_id: Long, embedding)` rows carrying their own vectors
+    * (never corpus members — no lookup scan, no self-exclusion), the
+    * request batch is pinned once (`localCheckpoint` — the ADC-table
+    * collect, the probe-cell collect, and both broadcast join sides must
+    * read the SAME rows, [[ivfQueryVectors]]' determinism stance), and
+    * everything downstream is the persisted IVF-PQ contract: static
+    * `cell IN (...)` directory pruning, an ADC candidate scan that
+    * projects `(vec_id, codes, cell)` ONLY (the full-width `unit`
+    * vectors stay on disk for all but the ≤ batch × rerank shortlist
+    * rows), and the exact float cosine rerank last.
+    * [[graft.streaming.StreamAnnServe.servedPqWriter]] runs this per
+    * micro-batch. Driver-side state per batch: batch × (m·kEff) ADC
+    * longs + batch × nprobe probe ints — request-sized, never corpus-
+    * sized.
+    */
+  def ivfPqQueryVectors(
+      index: IvfIndex,
+      pqCents: Array[Array[Array[Long]]],
+      queries: DataFrame,
+      nprobe: Int = 12,
+      rerank: Int = 64,
+      k: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = pqCents.length
+    require(m >= 1, "empty PQ codebook")
+    val kEff = pqCents(0).length
+    val pinned = queries.select(col("query_id"),
+        normalized(col("embedding")).as("q_unit"),
+        transform(col("embedding"), x =>
+          round((x.cast("double") + lit(Clustering.Shift))
+            * lit(Clustering.Scale)).cast("long")).as("q"))
+      .localCheckpoint(true)
+    val dtables = pinned.select(col("query_id"), col("q")).collect().toSeq
+      .map(r => (r.getLong(0),
+        adcTableFlat(r.getSeq[Long](1).toArray, pqCents)))
+      .toDF("query_id", "tflat")
+    val probes = pinned
+      .withColumn("probe_cells",
+        probeCells(index.centroids, col("q_unit"), nprobe))
+      .select(col("query_id"), explode(col("probe_cells")).as("cell"))
+    val probed: Seq[Int] = probes.select(col("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val cands = index.celled
+      .select(col("vec_id"), col("codes"), col("cell")) // NO unit: column prune
+      .filter(col("cell").isin(probed: _*)) // static partition pruning
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(dtables), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        adcColumn(m, kEff).as("adc_dist"))
+    cosineRerankVectors(adcShortlist(cands, rerank),
+      index.celled.select(col("vec_id"), col("unit")),
+      pinned.select(col("query_id"), col("q_unit")), k)
+  }
+
+  /** [[cosineRerank]] with the query units handed in as `(query_id,
+    * q_unit)` rows (external vectors) instead of fetched by corpus id.
+    */
+  private def cosineRerankVectors(
+      shortlist: DataFrame,
+      units: DataFrame,
+      qUnits: DataFrame,
+      k: Int): DataFrame = {
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    shortlist
+      .join(units, "vec_id")
+      .join(broadcast(qUnits), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        dot(col("unit"), col("q_unit")).as("cosine"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

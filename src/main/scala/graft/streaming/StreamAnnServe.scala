@@ -47,4 +47,28 @@ object StreamAnnServe {
         emit(batchId, Similarity.ivfQueryVectors(index, batch, k, nprobe))
         ()
       }
+
+  /** The IVF-PQ twin — production serving against the persisted IVF-PQ
+    * layout ([[graft.sinks.Sink.readIvfPqIndex]]): per micro-batch,
+    * [[Similarity.ivfPqQueryVectors]] answers the request batch with the
+    * same static cell pruning, a code-only ADC candidate scan (full-width
+    * vectors leave disk only for the ≤ batch × rerank shortlist), and the
+    * exact cosine rerank. Same batchId-keyed exactly-once delivery
+    * contract as [[servedWriter]], spec-asserted with a real kill +
+    * restart in StreamAnnServeSpec.
+    */
+  def servedPqWriter(
+      queries: DataFrame,
+      index: Similarity.IvfIndex,
+      pqCents: Array[Array[Array[Long]]],
+      k: Int = 10,
+      nprobe: Int = 12,
+      rerank: Int = 64)(
+      emit: (Long, DataFrame) => Unit): DataStreamWriter[Row] =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        emit(batchId, Similarity.ivfPqQueryVectors(
+          index, pqCents, batch, nprobe, rerank, k))
+        ()
+      }
 }

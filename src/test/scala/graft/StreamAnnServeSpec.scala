@@ -137,6 +137,102 @@ class StreamAnnServeSpec extends SparkSpec {
     }
   }
 
+  test("PQ served stream: kill/recover exactly-once, batch parity, " +
+      "code-only ADC scan on the reloaded IVF-PQ index") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+    val model = Similarity.buildPqModel(emb, m = 8, k = 16, iters = 2)
+    val idxDir = Files.createTempDirectory("ann_servepq_idx").toString
+    val input = Files.createTempDirectory("ann_servepq_in")
+    val checkpoint = Files.createTempDirectory("ann_servepq_ckpt")
+    try {
+      Sink.writeIvfPqIndex(idx, model.cents, model.codes, idxDir)
+      val (loaded, cents) = Sink.readIvfPqIndex(spark, idxDir)
+
+      val corpusVecs = emb.filter(col("vec_id").isin(0L, 7L, 11L))
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toMap
+
+      val served =
+        TrieMap.empty[Long, (Seq[(Long, Long, Int)], String)]
+      def run(): Unit = {
+        val q = StreamAnnServe.servedPqWriter(
+          queryStream(input), loaded, cents,
+          k = 5, nprobe = 4, rerank = 16) { (bid, res) =>
+          val rows = res.select(col("query_id"), col("vec_id"), col("rank"))
+            .as[(Long, Long, Int)].collect().toSeq
+          served.put(bid, (rows, res.queryExecution.executedPlan.toString))
+          ()
+        }
+          .option("checkpointLocation", checkpoint.toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+
+      writeQueryFile(input, "batch1.json", Seq(
+        (1000001L, corpusVecs(0L)), (1000002L, corpusVecs(7L))))
+      run() // epoch 1, then the driver "dies"
+
+      val epoch1 = served.toMap
+      val got1 = epoch1.values.flatMap(_._1).toSeq
+      assert(got1.nonEmpty, "epoch 1 must serve results")
+      assert(got1.map(_._1).toSet === Set(1000001L, 1000002L))
+      // an external query equal to a corpus vector has ADC distance 0 to
+      // its twin's codes, so the twin survives the shortlist and the
+      // exact rerank puts it at rank 1
+      assert(got1.filter(_._1 == 1000001L).minBy(_._3)._2 === 0L)
+      assert(got1.filter(_._1 == 1000002L).minBy(_._3)._2 === 7L)
+
+      // batch/streaming parity: bit-identical to the batch entry point
+      val batchQ = Seq((1000001L, corpusVecs(0L)), (1000002L, corpusVecs(7L)))
+        .toDF("query_id", "embedding")
+      val parity = Similarity.ivfPqQueryVectors(loaded, cents, batchQ,
+          nprobe = 4, rerank = 16, k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(got1.sorted === parity.sorted,
+        "streamed batch must equal the batch query path bit for bit")
+
+      // prune receipts: static cell partition filter ≤ 2 queries ×
+      // nprobe 4, AND the ADC candidate scan reads codes without the
+      // full-width unit vectors (parquet column pruning)
+      val plan1 = epoch1.values.head._2
+      assert(plan1.contains("PartitionFilters: [cell"),
+        s"expected a cell partition filter in:\n$plan1")
+      val inList = "PartitionFilters: \\[cell#\\d+ IN \\(([^)]+)\\)".r
+        .findFirstMatchIn(plan1)
+      assert(inList.isDefined, s"expected cell IN (...) in:\n$plan1")
+      assert(inList.get.group(1).split(",").length <= 8,
+        "probe must touch <= 8 cells")
+      val codesScan = "ReadSchema: [^\\n]*codes[^\\n]*".r
+        .findAllIn(plan1).toSeq
+      assert(codesScan.exists(!_.contains("unit")),
+        s"ADC scan must project codes WITHOUT unit vectors:\n$plan1")
+
+      // epoch 2: NEW query instance, same checkpoint, one more request
+      writeQueryFile(input, "batch2.json", Seq((1000003L, corpusVecs(11L))))
+      run()
+
+      val epoch2 = served.toMap
+      epoch1.foreach { case (bid, (rows, _)) =>
+        assert(epoch2(bid)._1.sorted === rows.sorted,
+          s"replayed batch $bid must reproduce its rows")
+      }
+      val got3 = epoch2.values.flatMap(_._1).filter(_._1 == 1000003L).toSeq
+      assert(got3.nonEmpty, "epoch 2 must serve the new query")
+      assert(got3.minBy(_._3)._2 === 11L)
+      assert(got3.map(_._2).toSet.size === got3.size,
+        "no duplicate candidates per query")
+    } finally {
+      idx.unpersist()
+      model.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idxDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(input.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(checkpoint.toFile)
+    }
+  }
+
   test("ivfQueryVectors: recall vs brute force clears the ivf floor on " +
       "external vectors; bruteForceTopKVectors ranks its twin first") {
     val emb = Tables.embeddings(spark, sf)
