@@ -433,6 +433,116 @@ object Sink {
       .coalesce(1).write.mode(mode).parquet(s"$path/meta")
   }
 
+  /** Incrementally ADD vectors to a persisted LSH index — the
+    * [[appendIvfIndex]] twin: new `(vec_id, embedding)` rows are signed
+    * with the PERSISTED hyperplanes (the hash family is never resampled —
+    * a resample would strand every existing posting), their signed rows
+    * land under `path/signed_ingested` partitioned by `batch_id`, and
+    * their band postings under `path/postings_ingested` partitioned by
+    * `(band, bucket, batch_id)`. Queries through [[readLshIndex]] see
+    * them immediately: both ingested tables union in with their
+    * partition columns intact, so the probe's static `(band, bucket)`
+    * predicate prunes the ingested postings directories exactly like the
+    * base ones.
+    *
+    * Exactly-once: `batch_id` is the last partition level and the write
+    * is a DYNAMIC partition overwrite, so a replayed micro-batch
+    * overwrites its own directories instead of appending duplicates —
+    * [[graft.streaming.StreamLshIngest]] relies on this, same contract
+    * as the IVF ingest path.
+    */
+  def appendLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      vectors: DataFrame,
+      batchId: Long): Unit = {
+    import graft.operators.Similarity
+    val planes = spark.read.parquet(s"$path/planes")
+      .orderBy(col("bit")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val bands = spark.read.parquet(s"$path/meta").head.getInt(0)
+    val bitsPerBand = planes.length / bands
+    val mask = (1L << bitsPerBand) - 1
+    val signed = vectors
+      .select(col("vec_id"),
+        Similarity.normalized(col("embedding")).as("unit"))
+      .withColumn("sig", Similarity.srpSignature(col("unit"), planes))
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true) // sign ONCE; feeds both writes below
+    signed
+      .repartition(1) // batch-sized: one file per batch directory
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$path/signed_ingested")
+    def bandBucket(b: Int) =
+      shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)
+    signed
+      .select(col("vec_id"), col("batch_id"),
+        posexplode(array((0 until bands).map(bandBucket): _*))
+          .as(Seq("band", "bucket")))
+      // one write task per touched (band, bucket) directory
+      .repartition(col("band"), col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("band", "bucket", "batch_id")
+      .parquet(s"$path/postings_ingested")
+  }
+
+  /** Fold the [[appendLshIndex]] ingested layouts back into the base
+    * `signed/` and `postings/` tables — the [[compactIvfIndex]] twin:
+    * streamed micro-batches leave one file per touched (band, bucket,
+    * batch) directory and those small files dominate probe I/O at high
+    * ingest rates. Rewrites signed ∪ signed_ingested and postings ∪
+    * postings_ingested, swaps both in via rename, drops the ingested
+    * dirs — queries before and after are bit-identical (spec-asserted),
+    * only the file census changes. Rename swap = local-FS stand-in for a
+    * table-format commit, as everywhere in this file.
+    *
+    * Returns (signed rows after compaction, ingested posting files
+    * folded in).
+    */
+  def compactLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val signedIn = new org.apache.hadoop.fs.Path(s"$path/signed_ingested")
+    val postIn = new org.apache.hadoop.fs.Path(s"$path/postings_ingested")
+    if (!fs.exists(signedIn) && !fs.exists(postIn)) {
+      (spark.read.parquet(s"$path/signed").count(), 0L)
+    } else {
+      var nf = 0L
+      if (fs.exists(postIn)) {
+        val it = fs.listFiles(postIn, true)
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) nf += 1
+        }
+      }
+      val merged = readLshIndex(spark, path)
+      def swap(tmpName: String, liveName: String): Unit = {
+        val live = new org.apache.hadoop.fs.Path(s"$path/$liveName")
+        val old = new org.apache.hadoop.fs.Path(s"$path/${liveName}_old")
+        require(fs.rename(live, old), s"swap failed: $live -> $old")
+        require(fs.rename(
+          new org.apache.hadoop.fs.Path(s"$path/$tmpName"), live),
+          s"swap failed: $tmpName -> $liveName")
+        fs.delete(old, true)
+      }
+      merged.signed.write.mode("overwrite").parquet(s"$path/signed_compact")
+      val n = spark.read.parquet(s"$path/signed_compact").count()
+      merged.postings
+        .repartition(col("band"), col("bucket"))
+        .write.mode("overwrite").partitionBy("band", "bucket")
+        .parquet(s"$path/postings_compact")
+      swap("signed_compact", "signed")
+      swap("postings_compact", "postings")
+      fs.delete(signedIn, true)
+      fs.delete(postIn, true)
+      (n, nf)
+    }
+  }
+
   /** Reload a persisted LSH index: planes + band count collected (tiny),
     * signed corpus and postings as parquet tables (NOT cached — probes
     * are meant to read only their pruned bucket directories). The
@@ -445,14 +555,38 @@ object Sink {
   def readLshIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): graft.operators.Similarity.PersistedLshIndex = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(sub: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
     val planes = spark.read.parquet(s"$path/planes")
       .orderBy(col("bit")).collect()
       .map(_.getSeq[Double](1).toArray)
     val bands = spark.read.parquet(s"$path/meta").head.getInt(0)
-    val signed = spark.read.parquet(s"$path/signed")
-    val postings = spark.read
+    val signedBase = spark.read.parquet(s"$path/signed")
+    // vectors added after the build ([[appendLshIndex]]) union in from
+    // the ingested layouts; declared schemas keep the partition columns
+    // type-exact so static probe predicates still prune directories
+    val signed =
+      if (!exists("signed_ingested")) signedBase
+      else signedBase.unionByName(
+        spark.read
+          .schema("vec_id BIGINT, unit ARRAY<DOUBLE>, sig BIGINT, " +
+            "batch_id BIGINT")
+          .parquet(s"$path/signed_ingested")
+          .select(col("vec_id"), col("unit"), col("sig")),
+        allowMissingColumns = true)
+    val postingsBase = spark.read
       .schema("vec_id BIGINT, band INT, bucket BIGINT")
       .parquet(s"$path/postings")
+    val postings =
+      if (!exists("postings_ingested")) postingsBase
+      else postingsBase.unionByName(
+        spark.read
+          .schema("vec_id BIGINT, band INT, bucket BIGINT, batch_id BIGINT")
+          .parquet(s"$path/postings_ingested")
+          .select(col("vec_id"), col("band"), col("bucket")))
     graft.operators.Similarity.PersistedLshIndex(
       planes, bands, signed, postings)
   }
