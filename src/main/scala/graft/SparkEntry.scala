@@ -1242,6 +1242,28 @@ object SparkEntry {
         "user_id")
     }),
 
+    // the INCREMENTAL theta lifecycle, driver-proven: the census table is
+    // built in two day-parity deltas (exactly how the streaming twin
+    // folds micro-batches in — StreamCensus.thetaCensusWriter), merged
+    // via theta_union_agg, and the overlap question is then answered
+    // from the CENSUS ROWS ALONE (overlapFromCensus — the corpus is
+    // never rescanned and the key sets never join). Exact mode end to
+    // end, so every count hash-matches the oracle's DISTINCT-join truth
+    // — a broken delta merge or a downsampling union breaks the hash
+    "census_overlap_incremental" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("day", (unix_micros(date_trunc("day", col("ts")))
+          / 86400000000L).cast("long"))
+      def delta(parity: Int) = graft.operators.Census.thetaSketchTable(
+        e.filter(pmod(col("day"), lit(2)) === parity),
+        "user_id", Seq("event_type"))
+      val census = graft.operators.Census.mergeThetaCensus(
+        delta(0), delta(1), Seq("event_type"))
+      graft.operators.Census.overlapFromCensus(
+        census.filter(col("event_type") === "purchase"),
+        census.filter(col("event_type") === "error"))
+    }),
+
     // z-order physical design, driver-proven: the per-tile min-max box
     // census of the Morton layout over (user, cents) plus the parquet
     // min-max pruning verdict a point scan would make from footer stats
@@ -2660,6 +2682,20 @@ object SparkEntry {
         |           WHERE event_type = 'purchase' AND value > 150),
         |     b AS (SELECT DISTINCT user_id FROM events
         |           WHERE event_type = 'error' AND value > 150),
+        |     u AS (SELECT user_id FROM a UNION SELECT user_id FROM b)
+        |SELECT (SELECT count(*) FROM a) AS card_a,
+        |       (SELECT count(*) FROM b) AS card_b,
+        |       (SELECT count(*) FROM a JOIN b USING (user_id))
+        |         AS card_intersection,
+        |       (SELECT count(*) FROM u) AS card_union,
+        |       (SELECT count(*) FROM a JOIN b USING (user_id)) * 1000000
+        |         // (SELECT count(*) FROM u) AS jaccard_ppm""".stripMargin,
+
+    "census_overlap_incremental" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |     b AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'error'),
         |     u AS (SELECT user_id FROM a UNION SELECT user_id FROM b)
         |SELECT (SELECT count(*) FROM a) AS card_a,
         |       (SELECT count(*) FROM b) AS card_b,

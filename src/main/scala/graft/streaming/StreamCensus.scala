@@ -50,4 +50,27 @@ object StreamCensus {
           groupCols, batchId)
         ()
       }
+
+  /** THETA twin of [[censusWriter]]: maintains a per-group theta-sketch
+    * table instead of HLL — same generation-commit lifecycle, same
+    * exactly-once pair (batchId guard + retained-set-idempotent union),
+    * but the persisted census additionally answers SET-ALGEBRA questions
+    * ([[Census.overlapFromCensus]]: overlap/Jaccard between any two
+    * groups) without ever rescanning the stream — exactly while every
+    * group stays under 2^lgK distinct keys, bounded-error beyond.
+    */
+  def thetaCensusWriter(
+      events: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String],
+      tablePath: String,
+      lgK: Int = 12): DataStreamWriter[Row] =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sink.mergeThetaCensusTable(
+          batch.sparkSession, tablePath,
+          Census.thetaSketchTable(batch, keyCol, groupCols, lgK),
+          groupCols, batchId, lgK)
+        ()
+      }
 }

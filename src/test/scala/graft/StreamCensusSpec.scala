@@ -126,4 +126,91 @@ class StreamCensusSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(checkpoint.toFile)
     }
   }
+
+  test("streamed THETA census: overlap from persisted sketches == exact " +
+      "DISTINCT-join truth across kill/recover; replay exactly-once; " +
+      "orphaned generations healed") {
+    // purchase users [0,300), error users [200,500) → overlap 100;
+    // each epoch carries half of both groups
+    val epoch1 = (0L until 150L).map((_, "purchase")) ++
+      (200L until 350L).map((_, "error"))
+    val epoch2 = (150L until 300L).map((_, "purchase")) ++
+      (350L until 500L).map((_, "error")) ++
+      (0L until 50L).map((_, "purchase")) // cross-epoch dups too
+
+    val input = Files.createTempDirectory("tcensus_in")
+    val checkpoint = Files.createTempDirectory("tcensus_ckpt")
+    val table = Files.createTempDirectory("tcensus_tbl").toString
+
+    def run(): Unit = {
+      val q = StreamCensus.thetaCensusWriter(
+          eventStream(input), "user_id", Seq("event_type"), table)
+        .option("checkpointLocation", checkpoint.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    def overlapRow(census: DataFrame): (Long, Long, Long, Long, Long) =
+      Census.overlapFromCensus(
+          census.filter(col("event_type") === "purchase"),
+          census.filter(col("event_type") === "error"))
+        .as[(Long, Long, Long, Long, Long)].head()
+
+    try {
+      writeEventsFile(input, "batch1.json", epoch1)
+      run() // epoch 1, then the driver "dies"
+
+      val (census1, gen1) = Sink.readCensusTable(spark, table).get
+      assert(gen1 === 0L)
+      assert(overlapRow(census1) === ((150L, 150L, 0L, 300L, 0L)))
+
+      writeEventsFile(input, "batch2.json", epoch2)
+      run() // restart from the same checkpoint
+
+      val (census2, gen2) = Sink.readCensusTable(spark, table).get
+      assert(gen2 === 1L)
+      assert(new java.io.File(table).listFiles()
+        .count(_.getName.startsWith("gen-")) === 1)
+      // EXACT set algebra from the persisted census only: |A|=300,
+      // |B|=300, |A∩B|=100, |A∪B|=500, jaccard 200000 ppm
+      val want = (300L, 300L, 100L, 500L, 200000L)
+      assert(overlapRow(census2) === want,
+        "persisted theta census must answer the overlap exactly")
+
+      // REPLAY, guard path: a redelivered epoch is skipped outright
+      val delta1 = Census.thetaSketchTable(
+        epoch1.toDF("user_id", "event_type"), "user_id", Seq("event_type"))
+      assert(!Sink.mergeThetaCensusTable(spark, table, delta1,
+        Seq("event_type"), batchId = 0L))
+      // REPLAY, algebra path: a double-merged delta is set-invisible
+      assert(Sink.mergeThetaCensusTable(spark, table, delta1,
+        Seq("event_type"), batchId = 50L))
+      assert(overlapRow(Sink.readCensusTable(spark, table).get._1) === want,
+        "double-merged delta must be invisible in the theta census")
+
+      // ORPHAN HEALING: simulate the crash window (new generation
+      // committed, superseded one never deleted) by hand-restoring a
+      // stale committed generation and a non-numeric stray; the next
+      // merge must GC everything below its id and ignore the stray
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      spark.read.parquet(s"$table/gen-50").write.parquet(s"$table/gen-7")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$table/gen-stray"))
+      assert(Sink.mergeThetaCensusTable(spark, table,
+        Census.thetaSketchTable(
+          Seq((9999L, "purchase")).toDF("user_id", "event_type"),
+          "user_id", Seq("event_type")),
+        Seq("event_type"), batchId = 51L))
+      val gens = new java.io.File(table).listFiles()
+        .map(_.getName).filter(_.startsWith("gen-")).toSeq
+      assert(gens.sorted === Seq("gen-51", "gen-stray"),
+        s"older committed generations must be GC'd, saw $gens")
+      val (census4, _) = Sink.readCensusTable(spark, table).get
+      assert(overlapRow(census4) === ((301L, 300L, 100L, 501L, 199600L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+      org.apache.commons.io.FileUtils.deleteDirectory(input.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(checkpoint.toFile)
+    }
+  }
 }
