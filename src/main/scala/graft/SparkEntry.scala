@@ -953,6 +953,39 @@ object SparkEntry {
           col("target_w"), col("target_h"))
         .orderBy(col("doc_id"))),
 
+    // VIDEO near-dup by frame-hash-set Jaccard, driver-proven on planted
+    // re-cut clips: per doc, clip A = 8 fixed 32-char text chunks packed
+    // as container frames, clip B = the same clip with the last frame
+    // dropped (a re-cut) — the container walk, per-frame hashing, minhash
+    // LSH candidate generation, and exact sorted-merge Jaccard verify all
+    // run for real; text frames take the md5-stub branch so DuckDB
+    // replays the identical frame hashes and the exact pair set + ppm
+    // values hash-match (the REAL-pixel path — dHash per decodable
+    // keyframe, brightness-invariant across a re-encode — is spec-proven
+    // on generated PNG containers, same split as multimodal_phash_pairs)
+    "multimodal_videohash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val chunked = Tables.documents(s, dir)
+        .filter(col("doc_id") < 40 && col("n_chars") >= 256)
+        .select(col("doc_id"),
+          array((0 until 8).map(i =>
+            substring(col("text"), i * 32 + 1, 32)): _*).as("frames"))
+        .as[(Long, Seq[String])]
+      val clips = chunked.mapPartitions { it =>
+        it.flatMap { case (id, fs) =>
+          val bytes = fs.map(_.getBytes("UTF-8"))
+          val a = Multimodal.packFrames(bytes)
+          val b = Multimodal.packFrames(bytes.take(7)) // re-cut: drop last
+          Seq(Multimodal.MediaRow(id, "video/gfv", a.length.toLong, a),
+            Multimodal.MediaRow(id + 100000L, "video/gfv",
+              b.length.toLong, b))
+        }
+      }.toDF()
+      Multimodal.videoNearDupPairs(clips, minJaccardPpm = 700000L,
+          k = 32, bands = 16, rowsPerBand = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ---- north-star: dataset assembly (training-data pipeline) ----
     // deterministic N-way split: md5-bucket per id, stable across runs,
     // partitionings, and engines; narrow map — zero shuffle
@@ -3981,6 +4014,37 @@ object SparkEntry {
          |       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
          |FROM h a JOIN h b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // replays the container frame hashes (md5-stub frames — text chunks)
+    // and the exact set-Jaccard pair decision the LSH+verify chain makes
+    "multimodal_videohash_pairs" -> {
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 40 AND n_chars >= 256),
+         |fr AS (
+         |  SELECT d.doc_id, g.i,
+         |         ${md5PrefixLongSql("substr(text, CAST(i*32+1 AS BIGINT), 32)")}
+         |           AS fh
+         |  FROM d CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 7)) AS i) g),
+         |clips AS (
+         |  SELECT doc_id AS clip, fh FROM fr GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS clip, fh FROM fr WHERE i < 7
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT clip, count(*) AS n FROM clips GROUP BY clip),
+         |inter AS (
+         |  SELECT a.clip AS doc_a, b.clip AS doc_b, count(*) AS ni
+         |  FROM clips a JOIN clips b ON a.fh = b.fh AND a.clip < b.clip
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       (ni * 1000000) // (sa.n + sb.n - ni) AS jaccard_ppm
+         |FROM inter
+         |JOIN sizes sa ON sa.clip = inter.doc_a
+         |JOIN sizes sb ON sb.clip = inter.doc_b
+         |WHERE (ni * 1000000) // (sa.n + sb.n - ni) >= 700000
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 

@@ -270,6 +270,53 @@ object Multimodal {
     * idiom) emitting 16-byte rows; pairing is [[Dedup.hammingPairs64]] —
     * banded buckets, never all-pairs.
     */
+  /** Real 64-bit dHash over decoded pixels: bilinear-downscale to 9×8,
+    * integer Rec.601 luma per cell, bit (x, y) = luma(x, y) >
+    * luma(x+1, y) — only left-right luma ORDER survives into the hash,
+    * so re-encodes and uniform brightness shifts keep most bits. Shared
+    * by the whole-image path ([[perceptualHash]]) and the per-keyframe
+    * video path ([[videoFrameHashes]]).
+    */
+  private[operators] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val scaled = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    g.setRenderingHint(
+      java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 9, 8, null)
+    g.dispose()
+    def luma(x: Int, y: Int): Int = {
+      val rgb = scaled.getRGB(x, y)
+      // integer Rec.601: deterministic, no float rounding
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+    }
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x, y) > luma(x + 1, y)) h |= (1L << bit)
+        bit += 1; x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** 60-bit md5-prefix content hash — the clearly-marked STUB for truly
+    * opaque bytes (no codec can see inside): deterministic and
+    * SQL-replayable (15 hex nibbles fit a positive BIGINT in both
+    * engines).
+    */
+  private[operators] def md5Hash60(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(bytes).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   def perceptualHash(media: DataFrame): Dataset[MediaHash] = {
     implicit val enc = Encoders.product[MediaHash]
     media.as(Encoders.product[MediaRow]).mapPartitions { rows =>
@@ -278,41 +325,12 @@ object Multimodal {
       val _ = codecHandle
       rows.map { r =>
         val img = readImage(r.content)
-        if (img != null) {
-          val scaled = new java.awt.image.BufferedImage(
-            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = scaled.createGraphics()
-          g.setRenderingHint(
-            java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, 9, 8, null)
-          g.dispose()
-          def luma(x: Int, y: Int): Int = {
-            val rgb = scaled.getRGB(x, y)
-            // integer Rec.601: deterministic, no float rounding
-            (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000
-          }
-          var h = 0L
-          var bit = 0
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              if (luma(x, y) > luma(x + 1, y)) h |= (1L << bit)
-              bit += 1; x += 1
-            }
-            y += 1
-          }
-          MediaHash(r.doc_id, "image", is_image = true, phash = h)
-        } else {
-          // >>> STUB: non-image media — 60-bit md5 prefix (SQL-replayable:
-          //     15 hex nibbles fit a positive BIGINT in both engines). <<<
-          val d = java.security.MessageDigest.getInstance("MD5")
-          val hex = d.digest(r.content).map(b => f"$b%02x").mkString
+        if (img != null)
+          MediaHash(r.doc_id, "image", is_image = true, phash = dHash64(img))
+        else
+          // >>> STUB: opaque bytes — md5 prefix (see md5Hash60). <<<
           MediaHash(r.doc_id, r.media_type, is_image = false,
-            phash = java.lang.Long.parseLong(hex.substring(0, 15), 16))
-        }
+            phash = md5Hash60(r.content))
       }
     }
   }
@@ -331,6 +349,126 @@ object Multimodal {
     val sigs = perceptualHash(media)
       .select(col("doc_id"), col("phash").as("sh"))
     Dedup.hammingPairs64(sigs, maxDist, salts)
+  }
+
+  // ------------------------------------------------------- video hashing
+
+  /** Magic bytes of the length-prefixed frame container this module's
+    * video path understands — the MJPEG/IVF-style shape: magic, then per
+    * frame a 4-byte big-endian length + the frame bytes. A real pipeline
+    * swaps [[unpackFrames]] for the container demuxer (mp4/mkv); the
+    * downstream hashing is codec-agnostic either way.
+    */
+  private val VideoMagic: Array[Byte] = "GFV1".getBytes("US-ASCII")
+
+  /** Pack frames into the container (fixture/ingest helper). */
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(VideoMagic)
+    frames.foreach { f =>
+      out.write(Array[Byte](
+        (f.length >> 24).toByte, (f.length >> 16).toByte,
+        (f.length >> 8).toByte, f.length.toByte))
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
+  /** Frames of a container blob; null when the blob is not a container
+    * (callers then treat the whole blob as a single frame — images and
+    * opaque bytes degrade gracefully to the single-frame semantics).
+    */
+  private[operators] def unpackFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+    if (b.length < 4 || !(0 until 4).forall(i => b(i) == VideoMagic(i)))
+      return null
+    val frames = Seq.newBuilder[Array[Byte]]
+    var p = 4
+    while (p + 4 <= b.length) {
+      val len = ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+        ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      if (len < 0 || p + 4 + len > b.length) return null // torn container
+      frames += java.util.Arrays.copyOfRange(b, p + 4, p + 4 + len)
+      p += 4 + len
+    }
+    if (p != b.length) null else frames.result()
+  }
+
+  /** Per-video frame-hash row: the sorted DISTINCT set of per-frame
+    * perceptual hashes, the real VIDEO signature — near-dup clips (a
+    * re-cut with dropped/reordered frames, re-encoded keyframes) share
+    * most FRAME hashes even when no byte of the containers matches.
+    */
+  final case class VideoFrameHashes(
+      doc_id: Long,
+      n_frames: Int,
+      n_image_frames: Int,
+      frame_hashes: Array[Long])
+
+  /** Decode-and-hash pass for video containers: walk the frames, REAL
+    * [[dHash64]] for every decodable keyframe (re-encode/brightness
+    * robust — the honest perceptual part), [[md5Hash60]] only for truly
+    * opaque frame bytes (STUB semantics: such frames match on exact
+    * content only). Non-container blobs hash as a single frame, so the
+    * operator is total over any media table. One mapPartitions pass
+    * (codec-per-partition idiom) emitting bounded rows — the set is
+    * distinct-sorted in place, never a per-frame shuffle.
+    */
+  def videoFrameHashes(media: DataFrame): Dataset[VideoFrameHashes] = {
+    implicit val enc = Encoders.product[VideoFrameHashes]
+    media.as(Encoders.product[MediaRow]).mapPartitions { rows =>
+      // >>> STUB: per-partition codec init (real: load native lib once). <<<
+      val codecHandle: AnyRef = new Object
+      val _ = codecHandle
+      rows.map { r =>
+        val frames = unpackFrames(r.content) match {
+          case null => Seq(r.content)
+          case fs => fs
+        }
+        var nImg = 0
+        val hashes = frames.map { f =>
+          val img = readImage(f)
+          if (img != null) { nImg += 1; dHash64(img) }
+          else md5Hash60(f) // >>> STUB: opaque frame bytes <<<
+        }
+        VideoFrameHashes(r.doc_id, frames.size, nImg,
+          hashes.distinct.sorted.toArray)
+      }
+    }
+  }
+
+  /** Near-duplicate VIDEO pairs by frame-hash-set Jaccard — the judge of
+    * "same clip, different cut/encode": signatures are MinHash over the
+    * frame-hash set, candidates come from banded LSH buckets (never
+    * all-pairs — [[Dedup.lshCandidates]], the text-dedup blocking engine
+    * reused verbatim), and every candidate is verified with the EXACT
+    * sorted-merge Jaccard of the frame-hash sets. Output
+    * `(doc_a, doc_b, jaccard_ppm)` for pairs ≥ `minJaccardPpm`.
+    *
+    * 100 TB shape: one decode pass → (doc, k-long signature) rows; the
+    * bands× inflation carries ids only; verification touches candidate
+    * pairs' hash arrays (frame-count-bounded), not pixels.
+    */
+  def videoNearDupPairs(
+      media: DataFrame,
+      minJaccardPpm: Long = 500000L,
+      k: Int = 32,
+      bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val fh = videoFrameHashes(media)
+      .select(col("doc_id"), col("frame_hashes").as("sh"))
+    val signed = fh.select(col("doc_id"),
+      graft.functions.MinHash.minhash_sig(col("sh"), k).as("sig"))
+    val cand = Dedup.lshCandidates(signed, bands, rowsPerBand)
+    val a = fh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = fh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand
+      .join(a, "doc_a").join(b, "doc_b")
+      .withColumn("__inter", graft.functions.SortedIntersect
+        .sorted_intersect_size(col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("jaccard_ppm", expr(
+        "(__inter * 1000000) div (size(sh_a) + size(sh_b) - __inter)"))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"))
   }
 
   /** Frame sampling: one row per sampled frame offset — pure expressions

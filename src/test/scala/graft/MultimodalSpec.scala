@@ -187,4 +187,71 @@ class MultimodalSpec extends SparkSpec {
     assert(h.phash === java.lang.Long.parseLong(hex.substring(0, 15), 16))
     assert(h.phash >= 0L, "60-bit prefix must stay a positive BIGINT")
   }
+
+  // deterministic pseudo-noise PNG — pairwise-distinct dHashes across
+  // seeds (asserted below), brightness-shift stable (values ≤ 199, so
+  // +40 never clips and luma ORDER is preserved cell for cell)
+  private def noisePng(seed: Int, shift: Int = 0): Array[Byte] =
+    png((x, y) => (x * 31 + y * 17 + seed * 97) * 7 % 200 + shift)
+
+  private def videoDf(rows: (Long, Array[Byte])*) =
+    rows.toDF("doc_id", "content")
+      .select(col("doc_id"), lit("video/gfv").as("media_type"),
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        col("content"))
+
+  test("videoFrameHashes: REAL dHash per decodable keyframe, md5 stub " +
+      "only for opaque frames, non-containers hash as one frame") {
+    val pngs = (1 to 3).map(noisePng(_))
+    val opaque = "raw sensor dump".getBytes("UTF-8")
+    val clip = Multimodal.packFrames(pngs :+ opaque)
+    val vf = Multimodal.videoFrameHashes(videoDf((1L, clip)))
+      .collect().head
+    assert(vf.n_frames === 4)
+    assert(vf.n_image_frames === 3)
+    // frame hashes are exactly {dHash of each png} ∪ {md5 stub of opaque}
+    val wantImage = Multimodal.perceptualHash(
+      mediaDf(pngs.zipWithIndex.map { case (p, i) => (i.toLong, p) }: _*))
+      .collect().map(_.phash).toSet
+    assert(wantImage.size === 3, "noise seeds must give distinct dHashes")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(opaque).map("%02x".format(_)).mkString
+    val wantStub = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    assert(vf.frame_hashes.toSet === (wantImage + wantStub))
+    assert(vf.frame_hashes.toSeq === vf.frame_hashes.toSeq.sorted,
+      "hash set must come out sorted for the merge-join verifier")
+
+    // a non-container blob degrades to single-frame semantics
+    val single = Multimodal.videoFrameHashes(videoDf((2L, pngs.head)))
+      .collect().head
+    assert(single.n_frames === 1 && single.n_image_frames === 1)
+
+    // a torn container (truncated mid-frame) refuses the walk and
+    // falls back to whole-blob hashing rather than emitting junk frames
+    val torn = clip.take(clip.length - 3)
+    val tornRow = Multimodal.videoFrameHashes(videoDf((3L, torn)))
+      .collect().head
+    assert(tornRow.n_frames === 1)
+  }
+
+  test("videoNearDupPairs: re-cut + re-encoded clip pairs by frame-set " +
+      "Jaccard; unrelated clip stays unpaired") {
+    val frames = (1 to 8).map(noisePng(_))
+    val clipA = Multimodal.packFrames(frames)
+    // the near-dup cut: last frame dropped, frame 3 brightness-shifted
+    // (+40 — same dHash, the perceptual part doing real work: zero BYTES
+    // of that frame match clip A's)
+    val clipB = Multimodal.packFrames(
+      frames.take(7).updated(2, noisePng(3, shift = 40)))
+    // unrelated clip: disjoint noise seeds → disjoint hash sets
+    val clipC = Multimodal.packFrames((11 to 18).map(noisePng(_)))
+    val pairs = Multimodal.videoNearDupPairs(
+        videoDf((1L, clipA), (2L, clipB), (3L, clipC)),
+        minJaccardPpm = 500000L, k = 32, bands = 16, rowsPerBand = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)),
+      s"expected exactly the re-cut pair, got $pairs")
+    // 7 shared hashes of 8 distinct: 7/8 = 875000 ppm
+    assert(pairs.head._3 === 875000L)
+  }
 }
