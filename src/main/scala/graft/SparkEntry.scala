@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Envelope
+import graft.sinks.Sink
 import graft.operators.{Analytics, Assembly, Behavior, Clustering, Curation,
   Dedup, Multimodal, Route, Router, Sessionize, Similarity, Transforms,
   TextAnalysis}
@@ -1124,6 +1125,48 @@ object SparkEntry {
     // of the streaming drift monitor
     "embedding_occupancy_drift" -> ((s, dir) =>
       Clustering.occupancyDrift(Tables.embeddings(s, dir))),
+
+    // the PERSISTED index's drift-and-retrain valve, driver-proven end
+    // to end: build + persist an exact-Lloyd IVF index, stream in a
+    // pathologically skewed ADD batch (500 clones of one vector — every
+    // one lands in a single cell, the balance failure mode), read the
+    // occupancy-drift census off disk, fire rebuildIvfIndex past its
+    // threshold, and pin the lifecycle claims as oracle booleans:
+    // drift detected, rebuild fired, post-rebuild drift exactly zero,
+    // and exhaustive-probe answers bit-identical across the rebuild
+    // (a rebuild relocates rows, never changes them)
+    "embedding_index_drift_rebuild" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_drift_${new java.io.File(dir).getName}").toString
+      val idx = Similarity.buildIvfIndexExact(emb, nlist = 16, iters = 2)
+      Sink.writeIvfIndex(idx, path)
+      idx.unpersist()
+      val skew = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding"))
+        .crossJoin(s.range(1000000L, 1000500L).toDF("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      Sink.appendIvfIndex(s, path, skew, batchId = 0L)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 2000000L).as("query_id"), col("embedding"))
+      def exhaustive() = Similarity.ivfQueryVectors(
+        Sink.readIvfIndex(s, path), queries, k = 10, nprobe = 16)
+      val before = exhaustive().localCheckpoint(true)
+      val (rebuilt, maxPpm) =
+        Sink.rebuildIvfIndex(s, path, nlist = 16, thresholdPpm = 200000L)
+      val after = exhaustive().localCheckpoint(true)
+      val postMax = Sink.ivfOccupancyDrift(s, path)
+        .agg(max(col("growth_ppm"))).head.getLong(0)
+      val nTotal = Sink.readIvfIndex(s, path).celled.count()
+      val matched = before.join(after,
+        Seq("query_id", "vec_id", "cosine", "rank")).count()
+      val nBefore = before.count()
+      import s.implicits._
+      Seq((nTotal, maxPpm >= 200000L, rebuilt, postMax == 0L,
+          matched == nBefore && after.count() == nBefore))
+        .toDF("n_total", "drift_exceeded", "rebuilt",
+          "post_drift_zero", "query_parity")
+    }),
 
     // cluster-vs-label agreement audit: contingency of learned cells
     // against the label column (+ per-cell majority flag) — the "do my
@@ -2979,6 +3022,14 @@ object SparkEntry {
     // format feeds the shared round CTEs; pall = everyone, assigned under
     // the final centroids); the split CASE is generated by the same
     // driver-side boundary helper the Spark plan uses
+    // the lifecycle claims are the booleans; the only corpus-derived
+    // value is the post-rebuild index size (corpus + the 500 skew adds)
+    "embedding_index_drift_rebuild" ->
+      """SELECT CAST(count(*) + 500 AS BIGINT) AS n_total,
+        |       TRUE AS drift_exceeded, TRUE AS rebuilt,
+        |       TRUE AS post_drift_zero, TRUE AS query_parity
+        |FROM embeddings""".stripMargin,
+
     "embedding_occupancy_drift" -> {
       val splitCase = Assembly.hashSplitOracleCase(
         "vec_id", Seq("train" -> 0.5, "live" -> 0.5), "drift")

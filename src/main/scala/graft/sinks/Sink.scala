@@ -216,6 +216,98 @@ object Sink {
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode(mode).parquet(s"$path/centroids")
+    // build-time occupancy census (nlist rows): the baseline
+    // [[ivfOccupancyDrift]] compares live occupancy against — the
+    // "retrain when cell balance drifts" valve needs a remembered
+    // build-time balance, not a guess
+    index.celled.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_build"))
+      .coalesce(1).write.mode(mode).parquet(s"$path/build_census")
+  }
+
+  /** Cell-occupancy DRIFT census of a persisted IVF index: per cell, the
+    * build-time row count vs the live count (celled ∪ ingested) and the
+    * growth in ppm — the health metric behind the "retrain when cell
+    * balance drifts" maintenance valve ([[rebuildIvfIndex]]). A skewed
+    * ingest stream (new data concentrated in one region) balloons a few
+    * cells; probes into those cells then scan far more than corpus/nlist
+    * and the index's pruning guarantee quietly degrades. Cost: one
+    * count-by-cell over the index (metadata-light — at scale, partition
+    * row counts) joined to the nlist-row build census.
+    */
+  def ivfOccupancyDrift(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val live = readIvfIndex(spark, path).celled
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_now"))
+    spark.read.parquet(s"$path/build_census")
+      .join(live, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_build"), lit(0L)).as("n_build"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"))
+      .withColumn("growth_ppm", expr(
+        "(n_now - n_build) * 1000000 div greatest(n_build, 1)"))
+      .orderBy(col("cell"))
+  }
+
+  /** The maintenance valve itself: retrain + rewrite the persisted IVF
+    * index when any cell's occupancy grew past `thresholdPpm` since
+    * build. Below threshold this is a no-op census read. Above it:
+    * the CURRENT corpus (celled ∪ ingested — unit vectors are the
+    * training input, FAISS-retrain semantics) trains a fresh exact-Lloyd
+    * coarse quantizer, the full index (celled + centroids + build
+    * census) is rewritten to a sibling dir and swapped in, and the
+    * ingested layout is absorbed — post-rebuild drift is zero by
+    * construction and cell balance reflects the live distribution.
+    * Queries with the same probe budget keep their contract (nprobe of a
+    * BALANCED nlist again); exhaustive-probe answers are bit-identical
+    * before/after (spec-asserted — a rebuild relocates rows, never
+    * changes them).
+    *
+    * Returns (rebuilt?, max growth_ppm observed before the decision).
+    */
+  def rebuildIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nlist: Int = 16,
+      thresholdPpm: Long = 200000L,
+      iters: Int = 3): (Boolean, Long) = {
+    val maxPpm = ivfOccupancyDrift(spark, path)
+      .agg(max(col("growth_ppm"))).head.getLong(0)
+    if (maxPpm < thresholdPpm) (false, maxPpm)
+    else {
+      val cur = readIvfIndex(spark, path).celled
+        .select(col("vec_id"), col("unit"))
+      val fresh = graft.operators.Similarity.buildIvfIndexExact(
+        cur.select(col("vec_id"), col("unit").as("embedding")),
+        nlist, iters)
+      // carry the ORIGINAL unit arrays through by id: buildIvfIndexExact
+      // re-normalizes its input, and normalize(unit) is not BITWISE unit
+      // (÷ by a norm ≈ 1.0 flips last-bit doubles) — a rebuild must
+      // relocate rows, never change them, or exhaustive-probe parity
+      // (and every cached cosine downstream) silently drifts
+      val preserved = fresh.celled.select(col("vec_id"), col("cell"))
+        .join(cur, "vec_id")
+        .select(col("vec_id"), col("unit"), col("cell"))
+      writeIvfIndex(
+        graft.operators.Similarity.IvfIndex(fresh.centroids, preserved),
+        s"$path/rebuild_tmp")
+      fresh.unpersist()
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      Seq("celled", "centroids", "build_census").foreach { sub =>
+        val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+        val old = new org.apache.hadoop.fs.Path(s"$path/${sub}_old")
+        require(fs.rename(live, old), s"swap failed: $live -> $old")
+        require(fs.rename(
+          new org.apache.hadoop.fs.Path(s"$path/rebuild_tmp/$sub"), live),
+          s"swap failed: rebuild_tmp/$sub -> $sub")
+        fs.delete(old, true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/rebuild_tmp"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/ingested"), true)
+      (true, maxPpm)
+    }
   }
 
   /** Incrementally ADD vectors to a persisted IVF index — the online
