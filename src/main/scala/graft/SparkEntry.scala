@@ -900,6 +900,23 @@ object SparkEntry {
         k = 10, floor = 0.6)
     }),
 
+    // the LSH serving path, completing the serving family (IVF, IVF-PQ,
+    // LSH): external query vectors signed with the index's persisted
+    // hyperplanes, multi-probed through the static combined-key bucket
+    // predicate (StreamAnnServe.servedLshWriter per micro-batch);
+    // in-plan recall audit vs the exact external-vector top-k
+    "similarity_ann_serve_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000L).as("query_id"), col("embedding"))
+      Similarity.annRecallAudit(
+        Similarity.lshQueryVectors(
+          Similarity.lshIndexView(Similarity.IndexCache.lsh(emb)),
+          queries, k = 10),
+        Similarity.bruteForceTopKVectors(emb, queries, k = 10),
+        k = 10, floor = 0.7)
+    }),
+
     // the residual refinement's WIN, driver-proven: on a corpus with
     // strong cell structure (16 tight md5-derived clusters built
     // deterministically from the embeddings table — centers from md5
@@ -3860,6 +3877,12 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin,
 
     "similarity_ann_serve_pq" ->
+      """SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS n_results,
+        |       TRUE AS recall_ge_floor
+        |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        |ORDER BY query_id""".stripMargin,
+
+    "similarity_ann_serve_lsh" ->
       """SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS n_results,
         |       TRUE AS recall_ge_floor
         |FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)

@@ -578,6 +578,96 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[lshQueryPruned]] for EXTERNAL query vectors — the LSH serving
+    * shape, completing the serving family (IVF: [[ivfQueryVectors]],
+    * IVF-PQ: [[ivfPqQueryVectors]]): requests arrive as `(query_id,
+    * embedding)` rows, are SIGNED WITH THE PERSISTED HYPERPLANES (the
+    * index's hash family — a request hashed with any other planes would
+    * probe garbage buckets), multi-probe their band buckets (home +
+    * every 1-bit flip), and the probe-pair union is pushed as the same
+    * static combined-key predicate over the postings partition columns,
+    * so against an on-disk index the candidate scan reads only probed
+    * bucket directories. No self-exclusion (external queries). The
+    * request batch is pinned once (`localCheckpoint`) so the signature
+    * collect and the broadcast probe relation read the same rows.
+    * [[graft.streaming.StreamAnnServe.servedLshWriter]] runs this per
+    * micro-batch.
+    */
+  def lshQueryVectors(
+      index: PersistedLshIndex,
+      queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val bitsPerBand = index.bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
+    val pinned = queries
+      .select(col("query_id"), normalized(col("embedding")).as("q_unit"))
+      .withColumn("sig", srpSignature(col("q_unit"), index.planes))
+      .localCheckpoint(true)
+    val sigs = pinned.select(col("sig")).collect().map(_.getLong(0))
+    val probePairs: Seq[(Int, Long)] = sigs.toSeq.flatMap { sig =>
+      (0 until index.bands).flatMap { b =>
+        val base = (sig >> (b * bitsPerBand)) & mask
+        (base +: (0 until bitsPerBand).map(i => base ^ (1L << i)))
+          .map(v => (b, v))
+      }
+    }.distinct.sorted
+    // combined-key IN list over partition columns only — the
+    // [[lshQueryPruned]] linear-predicate stance (an OR-chain of
+    // #queries × bands × (1 + bits/band) conjunctions falls out of
+    // codegen at realistic batch sizes)
+    val probeKeys = probePairs.map { case (b, v) =>
+      (b.toLong << bitsPerBand) + v
+    }
+    val probeFilter =
+      if (probeKeys.isEmpty) lit(false)
+      else (shiftleft(col("band").cast("long"), bitsPerBand) + col("bucket"))
+        .isin(probeKeys: _*)
+    def bandBucket(b: Int): Column =
+      shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)
+    val probes = pinned
+      .select(col("query_id"), col("q_unit"),
+        posexplode(array((0 until index.bands).flatMap { b =>
+          bandBucket(b) +: (0 until bitsPerBand).map(i =>
+            bandBucket(b).bitwiseXOR(lit(1L << i)))
+        }: _*)).as(Seq("probe", "bucket")))
+      .withColumn("band", (col("probe") / (1 + bitsPerBand)).cast("int"))
+      .select(col("band"), col("bucket"), col("query_id"), col("q_unit"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    index.postings
+      .filter(probeFilter) // static partition pruning on (band, bucket)
+      .join(broadcast(probes), Seq("band", "bucket"))
+      .join(index.signed.select(col("vec_id"), col("unit")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("unit"), col("q_unit")).as("cosine"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("cosine")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** An in-memory [[PersistedLshIndex]] view over a prebuilt [[LshIndex]]
+    * — the postings relation derived from the signed table by the same
+    * band arithmetic the disk layout materializes. Lets the serving path
+    * ([[lshQueryVectors]]) run against cached indexes (registered
+    * queries, tests) with identical semantics; the static probe filter
+    * then prunes candidates instead of directories.
+    */
+  def lshIndexView(index: LshIndex): PersistedLshIndex = {
+    val bitsPerBand = index.bitsPerBand
+    val mask = (1L << bitsPerBand) - 1
+    def bandBucket(b: Int): Column =
+      shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)
+    val postings = index.signed.select(
+      col("vec_id"),
+      posexplode(array((0 until index.bands).map(bandBucket): _*))
+        .as(Seq("band", "bucket")))
+      .select(col("vec_id"), col("band").cast("int").as("band"),
+        col("bucket"))
+    PersistedLshIndex(index.planes, index.bands, index.signed, postings)
+  }
+
   /** Build-then-query convenience; see [[ivfTopK]] note. */
   def lshTopK(
       embeddings: DataFrame,

@@ -71,4 +71,22 @@ object StreamAnnServe {
           index, pqCents, batch, nprobe, rerank, k))
         ()
       }
+
+  /** The LSH twin — serving against the persisted SRP-LSH layout
+    * ([[graft.sinks.Sink.readLshIndex]]): per micro-batch,
+    * [[Similarity.lshQueryVectors]] signs the request vectors with the
+    * index's persisted hyperplanes, multi-probes their band buckets
+    * through the static combined-key partition predicate, and reranks
+    * by exact cosine. Same batchId-keyed exactly-once delivery contract.
+    */
+  def servedLshWriter(
+      queries: DataFrame,
+      index: Similarity.PersistedLshIndex,
+      k: Int = 10)(
+      emit: (Long, DataFrame) => Unit): DataStreamWriter[Row] =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        emit(batchId, Similarity.lshQueryVectors(index, batch, k))
+        ()
+      }
 }

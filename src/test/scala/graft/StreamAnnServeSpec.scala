@@ -233,6 +233,82 @@ class StreamAnnServeSpec extends SparkSpec {
     }
   }
 
+  test("LSH served stream: kill/recover exactly-once, batch parity, " +
+      "bucket-pruned probes signed with the persisted planes") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildLshIndex(emb, nBits = 64, bands = 16, dim = 64)
+    val idxDir = Files.createTempDirectory("ann_servelsh_idx").toString
+    val input = Files.createTempDirectory("ann_servelsh_in")
+    val checkpoint = Files.createTempDirectory("ann_servelsh_ckpt")
+    try {
+      Sink.writeLshIndex(idx, idxDir)
+      val loaded = Sink.readLshIndex(spark, idxDir)
+
+      val corpusVecs = emb.filter(col("vec_id").isin(0L, 7L, 11L))
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toMap
+
+      val served =
+        TrieMap.empty[Long, (Seq[(Long, Long, Int)], String)]
+      def run(): Unit = {
+        val q = StreamAnnServe.servedLshWriter(
+          queryStream(input), loaded, k = 5) { (bid, res) =>
+          val rows = res.select(col("query_id"), col("vec_id"), col("rank"))
+            .as[(Long, Long, Int)].collect().toSeq
+          served.put(bid, (rows, res.queryExecution.executedPlan.toString))
+          ()
+        }
+          .option("checkpointLocation", checkpoint.toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+
+      writeQueryFile(input, "batch1.json", Seq(
+        (1000001L, corpusVecs(0L)), (1000002L, corpusVecs(7L))))
+      run() // epoch 1, then the driver "dies"
+
+      val epoch1 = served.toMap
+      val got1 = epoch1.values.flatMap(_._1).toSeq
+      assert(got1.nonEmpty, "epoch 1 must serve results")
+      // a query equal to a corpus vector shares every band bucket with
+      // its twin → the twin is always a candidate and ranks first
+      assert(got1.filter(_._1 == 1000001L).minBy(_._3)._2 === 0L)
+      assert(got1.filter(_._1 == 1000002L).minBy(_._3)._2 === 7L)
+
+      // batch/streaming parity
+      val batchQ = Seq((1000001L, corpusVecs(0L)), (1000002L, corpusVecs(7L)))
+        .toDF("query_id", "embedding")
+      val parity = Similarity.lshQueryVectors(loaded, batchQ, k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(got1.sorted === parity.sorted,
+        "streamed batch must equal the batch query path bit for bit")
+
+      // prune receipt: a static partition filter constraining band
+      val plan1 = epoch1.values.head._2
+      assert("PartitionFilters: \\[[^\\]]*band".r
+        .findFirstIn(plan1).isDefined,
+        s"postings scan must carry a band/bucket filter:\n$plan1")
+
+      // epoch 2: restart from the same checkpoint
+      writeQueryFile(input, "batch2.json", Seq((1000003L, corpusVecs(11L))))
+      run()
+      val epoch2 = served.toMap
+      epoch1.foreach { case (bid, (rows, _)) =>
+        assert(epoch2(bid)._1.sorted === rows.sorted,
+          s"replayed batch $bid must reproduce its rows")
+      }
+      val got3 = epoch2.values.flatMap(_._1).filter(_._1 == 1000003L).toSeq
+      assert(got3.nonEmpty && got3.minBy(_._3)._2 === 11L)
+    } finally {
+      idx.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idxDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(input.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(checkpoint.toFile)
+    }
+  }
+
   test("ivfQueryVectors: recall vs brute force clears the ivf floor on " +
       "external vectors; bruteForceTopKVectors ranks its twin first") {
     val emb = Tables.embeddings(spark, sf)
