@@ -105,8 +105,8 @@ object Bench {
     // per-rep time tracks the HOST, not the engine (see header)
     def calibrateOnce(): Double = {
       val t0 = System.nanoTime()
-      // shiftright keeps the sum inside Long under ANSI (4M × 2^31 ≪ 2^63)
-      spark.range(4000000L)
+      // shiftright keeps the sum inside Long under ANSI (16M × 2^31 ≪ 2^63)
+      spark.range(16000000L)
         .selectExpr("sum(shiftright(xxhash64(id), 32))",
           "count(if(id % 7 = 0, 1, null))")
         .collect()
@@ -115,9 +115,12 @@ object Bench {
     // One calibrate() per rep proved too noisy to anchor cross-round
     // normalization (r9 calib runs spanned 3.4×: a single scheduler
     // hiccup IS the sample). Per measurement point: discard one warmup
-    // run, report the median of 5 — a sub-50 ms probe, so the extra
-    // runs cost ~1 s per rep and the spread collapses to the true
-    // host-clock signal.
+    // run, report the median of 5; the probe was also lengthened 4×
+    // in round 10 (range 4M → 16M — a ~50 ms probe was mostly
+    // scheduler jitter, a ~300 ms probe is mostly compute, so the
+    // per-rep medians track the host clock, not the noise floor).
+    // NOTE: calib VALUES are therefore not comparable to rounds ≤ 9;
+    // within-round spread and cross-round RATIOS from r10 on are.
     def calibrate(): Double = {
       calibrateOnce() // warmup discard
       median((1 to 5).map(_ => calibrateOnce()))

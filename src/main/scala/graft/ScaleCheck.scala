@@ -577,6 +577,118 @@ object ScaleCheck {
         Seq(col("event_type"), col("day_us"), col("vb")), col("user_id")))
     }
 
+    // quantile z-order on a heavy-tailed column: cut computation is one
+    // approx_percentile agg; bucketing is a 255-compare codegen'd fold
+    // per row per column — both scan-shaped, expect ~linear
+    val skewEv = bigEv.select(col("user_id"), expr(
+      "cast(cast(value as decimal(18,2)) * 100 as long)").as("c"))
+      .select(col("user_id"), (col("c") * col("c") * col("c")).as("skewed"))
+    time("quantile z-order census (skewed col)") {
+      force(graft.operators.Layout.scanFractionPpm(
+        graft.operators.Layout.zorderSkippingCensusQuantile(
+          skewEv, Seq("user_id", "skewed"), Map("skewed" -> 40000000000L))))
+    }
+    time("minmax z-order census (skewed col)") {
+      force(graft.operators.Layout.scanFractionPpm(
+        graft.operators.Layout.zorderSkippingCensus(
+          skewEv, Seq("user_id", "skewed"), Map("skewed" -> 40000000000L))))
+    }
+
+    // theta census lifecycle: delta build is one scan into KiB/group
+    // partials; merge + overlap run on census rows only — the overlap
+    // cost must NOT grow with corpus size once deltas are built
+    time("theta census: 2 deltas + merge + overlap") {
+      val e = bigEv.withColumn("day", (unix_micros(
+        date_trunc("day", col("ts"))) / 86400000000L).cast("long"))
+      def delta(p: Int) = graft.operators.Census.thetaSketchTable(
+        e.filter(pmod(col("day"), lit(2)) === p), "user_id",
+        Seq("event_type"))
+      val census = graft.operators.Census.mergeThetaCensus(
+        delta(0), delta(1), Seq("event_type"))
+      force(graft.operators.Census.overlapFromCensus(
+        census.filter(col("event_type") === "purchase"),
+        census.filter(col("event_type") === "error")))
+    }
+
+    // video near-dup: one container-walk pass → per-clip hash sets,
+    // banded LSH candidates (bounded by true near-dup structure: each
+    // clip pairs with its planted re-cut), exact sorted-merge verify
+    time("video near-dup pairs (clips from docs)") {
+      import spark.implicits._
+      val chunked = big
+        .filter(col("n_chars") >= 256)
+        .select(col("doc_id"),
+          array((0 until 8).map(i =>
+            substring(col("text"), i * 32 + 1, 32)): _*).as("frames"))
+        .as[(Long, Seq[String])]
+      val clips = chunked.mapPartitions { it =>
+        it.flatMap { case (id, fs) =>
+          val bytes = fs.map(_.getBytes("UTF-8"))
+          val a = graft.operators.Multimodal.packFrames(bytes)
+          val b = graft.operators.Multimodal.packFrames(bytes.take(7))
+          Seq(graft.operators.Multimodal
+              .MediaRow(id, "video/gfv", a.length.toLong, a),
+            graft.operators.Multimodal.MediaRow(id + 100000000L,
+              "video/gfv", b.length.toLong, b))
+        }
+      }.toDF()
+      force(graft.operators.Multimodal.videoNearDupPairs(
+        clips, minJaccardPpm = 700000L, k = 32, bands = 16, rowsPerBand = 2))
+    }
+
+    // KLL quantile census: each delta is one scan into ~3 KiB/group
+    // partials; the roll-up + 4-percentile report and the KS drift
+    // test run on CENSUS ROWS only — corpus-size-independent once the
+    // deltas exist
+    time("KLL census: 2 deltas + merge + percentiles + KS drift") {
+      val e = bigEv
+        .withColumn("cents", expr(
+          "cast(cast(value as decimal(18,2)) * 100 as long)"))
+        .withColumn("day", (unix_micros(date_trunc("day", col("ts")))
+          / 86400000000L).cast("long"))
+      def delta(p: Int) = graft.operators.Census.quantileSketchTable(
+        e.filter(pmod(col("day"), lit(2)) === p), "cents",
+        Seq("event_type"), k = 400)
+      val census = graft.operators.Census.mergeQuantileCensus(
+        delta(0), delta(1), Seq("event_type"), k = 400)
+      force(graft.operators.Census.quantilesFromCensus(
+          census, Seq("event_type"),
+          Seq(100000L, 500000L, 900000L, 990000L), k = 400)
+        .unionByName(
+          graft.operators.Census.distributionDrift(
+              census.filter(col("event_type") === "click"),
+              census.filter(col("event_type") === "error"), k = 400)
+            .select(lit("drift").as("event_type"), col("ks_ppm")
+              .as("rank_ppm"), col("n_a").as("n"),
+              col("n_b").as("quantile_est"))))
+    }
+
+    // frequent-items census over ~2.7M corpus tokens: maxMapSize
+    // counters per partial regardless of vocabulary; merge +
+    // threshold report on census rows
+    time("freq census: 2 deltas + merge + heavy hitters") {
+      val toks = graft.operators.TextAnalysis.tokens(big)
+      def delta(p: Int) = graft.operators.Census.freqSketchTable(
+        toks.filter(pmod(col("doc_id"), lit(2)) === p), "token",
+        Seq(), maxMapSize = 1024)
+      force(graft.operators.Census.heavyHittersFromCensus(
+        graft.operators.Census.mergeFreqCensus(
+          delta(0), delta(1), Seq(), 1024),
+        Seq(), threshold = 1000L, maxMapSize = 1024))
+    }
+
+    // LSH serving with external vectors against the prebuilt index —
+    // cost must track probed buckets, not corpus size (the IVF serve
+    // probe's twin)
+    time("LSH serve x5 (external vectors)") {
+      // the build probe may have been filtered out — pay it here then
+      if (lshIdx == null) lshIdx = Similarity.buildLshIndex(bigEmb)
+      val reqs = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 9000000L).as("query_id"), col("embedding"))
+      force(Similarity.lshQueryVectors(
+        Similarity.lshIndexView(lshIdx), reqs, k = 10))
+    }
+
     spark.stop()
   }
 }

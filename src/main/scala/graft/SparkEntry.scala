@@ -1004,6 +1004,50 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // REAL audio near-dup, driver-proven: per-doc 8-note melodies
+    // synthesized as PCM WAV (notes from doc_id base-5 digits), twin =
+    // the SAME material at exactly half gain. The band-energy delta
+    // fingerprint is gain-invariant by construction — and halving is a
+    // power-of-two scale, so every Goertzel intermediate scales exactly
+    // and the twin's 64 bits are IDENTICAL (hamming 0, pinned by the
+    // oracle). Different melodies flip delta signs far past the banding
+    // radius, so the planted pairs are the ONLY output — the oracle is
+    // the literal planted-pair list: a broken decoder, fingerprint, or
+    // banding produces extra/missing rows and a hash mismatch
+    "multimodal_audiohash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id")).as[Long]
+      val clips = ids.mapPartitions { it =>
+        it.flatMap { id =>
+          val rate = 8000
+          val samples = new Array[Short](17000)
+          var i = 0
+          while (i < samples.length) {
+            // alternate the id's two base-5 digits across the 8 notes,
+            // so any two distinct ids differ in ≥4 notes (≈half the
+            // clip) — melodies are far apart in fingerprint space
+            val j = i / 2125
+            val digit = if (j % 2 == 0) id % 5 else (id / 5) % 5
+            val freq = 400.0 + 150.0 * digit
+            // even samples, so the half-gain twin divides exactly
+            samples(i) = (2 * Math.round(
+              Math.sin(2 * Math.PI * freq * i / rate) * 8191)).toShort
+            i += 1
+          }
+          val half = samples.map(v => (v / 2).toShort)
+          val a = Multimodal.packWav(samples, rate)
+          val b = Multimodal.packWav(half, rate)
+          Seq(Multimodal.MediaRow(id, "audio/wav", a.length.toLong, a),
+            Multimodal.MediaRow(id + 100000L, "audio/wav",
+              b.length.toLong, b))
+        }
+      }.toDF()
+      Multimodal.audioNearDupPairs(clips, maxDist = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ---- north-star: dataset assembly (training-data pipeline) ----
     // deterministic N-way split: md5-bucket per id, stable across runs,
     // partitionings, and engines; narrow map — zero shuffle
@@ -1355,6 +1399,91 @@ object SparkEntry {
       graft.operators.Census.overlapFromCensus(
         census.filter(col("event_type") === "purchase"),
         census.filter(col("event_type") === "error"))
+    }),
+
+    // KLL quantile census (custom TypedImperativeAggregate — the
+    // percentile member of the sketch family): per-(type, day) deltas
+    // merged through the census fold, then p10/p50/p90/p99 answered
+    // from census rows alone. The hash-matched spine is kll_n (exact
+    // summed counter — proves the merge tree saw every row once); the
+    // estimates are gated by the corpus-exact rank of each returned
+    // quantile staying within 5pp of its target (k=400 ⇒ ~0.9% rank
+    // error — boolean pinned TRUE by the oracle, FALSE ⇒ hash mismatch)
+    "census_quantile_sketch" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("cents",
+          expr("cast(cast(value as decimal(18,2)) * 100 as long)"))
+        .withColumn("day_us", unix_micros(date_trunc("day", col("ts"))))
+      val daily = graft.operators.Census.quantileSketchTable(
+        e, "cents", Seq("event_type", "day_us"), k = 400)
+      val est = graft.operators.Census.quantilesFromCensus(
+        daily, Seq("event_type"),
+        Seq(100000L, 500000L, 900000L, 990000L), k = 400)
+      e.select(col("event_type"), col("cents"))
+        .join(broadcast(est), "event_type")
+        .groupBy("event_type", "rank_ppm", "n", "quantile_est")
+        .agg(sum(when(col("cents") <= col("quantile_est"), 1L)
+          .otherwise(0L)).as("n_le"))
+        .select(col("event_type"), col("rank_ppm"), col("n"),
+          (abs(expr("n_le * 1000000 div n") - col("rank_ppm")) <= 50000L)
+            .as("within_tol"))
+        .orderBy("event_type", "rank_ppm")
+    }),
+
+    // distribution DRIFT from census rows alone: two-sample KS between
+    // persisted KLL sketches (kll_ks — CDFs evaluated on the union
+    // quantile grid), for a same-distribution pair (even vs odd days of
+    // clicks) and a genuinely shifted pair (cents vs 2·cents+1000).
+    // n_a/n_b hash-match exactly; the drift verdicts (KS > 20%) and the
+    // |KS_sketch − KS_exact| ≤ 6pp tolerance are booleans the oracle
+    // pins — the exact KS replayed via the identical cumulative
+    // floor-div lattice in SQL
+    "census_distribution_drift" -> ((s, dir) => {
+      val clicks = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .withColumn("cents",
+          expr("cast(cast(value as decimal(18,2)) * 100 as long)"))
+        .withColumn("day", (unix_micros(date_trunc("day", col("ts")))
+          / 86400000000L).cast("long"))
+      val shifted = clicks.withColumn("cents",
+        col("cents") * 2L + 1000L)
+      def sketchOf(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Census.quantileSketchTable(
+          df, "cents", Seq("day"), k = 400)
+      def pairRow(name: String, a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        graft.operators.Census.distributionDrift(
+            sketchOf(a), sketchOf(b), k = 400)
+          .crossJoin(graft.operators.Census.exactKs(a, b, "cents"))
+          .select(lit(name).as("pair"), col("n_a"), col("n_b"),
+            (col("ks_ppm") > 200000L).as("drift"),
+            (abs(col("ks_ppm") - col("ks_exact_ppm")) <= 60000L)
+              .as("within_tol"))
+      pairRow("same",
+          clicks.filter(pmod(col("day"), lit(2)) === 0),
+          clicks.filter(pmod(col("day"), lit(2)) === 1))
+        .unionByName(pairRow("shifted", clicks, shifted))
+        .orderBy("pair")
+    }),
+
+    // heavy-hitter census in EXACT mode (freq sketch, counter algebra):
+    // doc-parity deltas merged through the census fold, report = every
+    // token with count ≥ 500 — map 1024 ≫ the 31-token vocabulary, so
+    // max_error = 0 and every estimate IS the true count for any merge
+    // order: token, freq, and the total stream length all hash-match
+    // the oracle's exact GROUP BY, and the exact_mode witness is pinned
+    "census_heavy_hitters_sketch" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(Tables.documents(s, dir))
+      def delta(p: Int) = graft.operators.Census.freqSketchTable(
+        toks.filter(pmod(col("doc_id"), lit(2)) === p),
+        "token", Seq(), maxMapSize = 1024)
+      val census = graft.operators.Census.mergeFreqCensus(
+        delta(0), delta(1), Seq(), maxMapSize = 1024)
+      graft.operators.Census.heavyHittersFromCensus(
+          census, Seq(), threshold = 500L, maxMapSize = 1024)
+        .select(col("item").as("token"), col("freq"), col("stream_len"),
+          (col("max_error") === 0L).as("exact_mode"))
+        .orderBy(desc("freq"), col("token"))
     }),
 
     // z-order physical design, driver-proven: the per-tile min-max box
@@ -2798,6 +2927,65 @@ object SparkEntry {
         |       (SELECT count(*) FROM a JOIN b USING (user_id)) * 1000000
         |         // (SELECT count(*) FROM u) AS jaccard_ppm""".stripMargin,
 
+    "census_quantile_sketch" ->
+      """WITH r AS (SELECT unnest([100000, 500000, 900000, 990000])
+        |             AS rank_ppm)
+        |SELECT event_type, CAST(rank_ppm AS BIGINT) AS rank_ppm,
+        |       count(*) AS n, TRUE AS within_tol
+        |FROM events CROSS JOIN r
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "census_distribution_drift" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents,
+        |         CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+        |           AS BIGINT) AS day
+        |  FROM events WHERE event_type = 'click'),
+        |sa AS (SELECT cents FROM c WHERE day % 2 = 0),
+        |sb AS (SELECT cents FROM c WHERE day % 2 = 1),
+        |db AS (SELECT cents * 2 + 1000 AS cents FROM c),
+        |u1 AS (SELECT cents, 1 AS ia, 0 AS ib FROM sa
+        |       UNION ALL SELECT cents, 0, 1 FROM sb),
+        |g1 AS (SELECT cents, sum(ia) AS ka, sum(ib) AS kb
+        |       FROM u1 GROUP BY 1),
+        |w1 AS (SELECT sum(ka) OVER (ORDER BY cents) AS ca,
+        |              sum(kb) OVER (ORDER BY cents) AS cb FROM g1),
+        |k1 AS (SELECT max(abs(ca * 1000000 // (SELECT count(*) FROM sa)
+        |                    - cb * 1000000 // (SELECT count(*) FROM sb)))
+        |         AS ks FROM w1),
+        |u2 AS (SELECT cents, 1 AS ia, 0 AS ib FROM c
+        |       UNION ALL SELECT cents, 0, 1 FROM db),
+        |g2 AS (SELECT cents, sum(ia) AS ka, sum(ib) AS kb
+        |       FROM u2 GROUP BY 1),
+        |w2 AS (SELECT sum(ka) OVER (ORDER BY cents) AS ca,
+        |              sum(kb) OVER (ORDER BY cents) AS cb FROM g2),
+        |k2 AS (SELECT max(abs(ca * 1000000 // (SELECT count(*) FROM c)
+        |                    - cb * 1000000 // (SELECT count(*) FROM db)))
+        |         AS ks FROM w2)
+        |SELECT 'same' AS pair, (SELECT count(*) FROM sa) AS n_a,
+        |       (SELECT count(*) FROM sb) AS n_b,
+        |       (SELECT ks FROM k1) > 200000 AS drift,
+        |       TRUE AS within_tol
+        |UNION ALL
+        |SELECT 'shifted', (SELECT count(*) FROM c),
+        |       (SELECT count(*) FROM db),
+        |       (SELECT ks FROM k2) > 200000, TRUE
+        |ORDER BY pair""".stripMargin,
+
+    "census_heavy_hitters_sketch" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(regexp_replace(trim(lower(
+        |    COALESCE(text, ''))), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |nz AS (SELECT token FROM toks WHERE token <> ''),
+        |tot AS (SELECT count(*) AS stream_len FROM nz)
+        |SELECT token, count(*) AS freq,
+        |       (SELECT stream_len FROM tot) AS stream_len,
+        |       TRUE AS exact_mode
+        |FROM nz GROUP BY token HAVING count(*) >= 500
+        |ORDER BY freq DESC, token""".stripMargin,
+
     "layout_zorder_census" ->
       """WITH e AS (
         |  SELECT user_id,
@@ -4121,6 +4309,18 @@ object SparkEntry {
          |WHERE (ni * 1000000) // (sa.n + sb.n - ni) >= 700000
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    // the DSP itself is not SQL-expressible; what IS replayable is the
+    // PLANTED STRUCTURE the gain-invariance contract forces: each
+    // half-gain twin must fingerprint bit-identically to its source
+    // (hamming 0) and nothing else may pair — so the oracle is the
+    // literal planted-pair list, and any decoder/fingerprint/banding
+    // defect shows up as a missing, extra, or nonzero-distance row
+    "multimodal_audiohash_pairs" ->
+      """SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b,
+        |       0 AS hamming
+        |FROM documents WHERE doc_id < 40
+        |ORDER BY 1, 2""".stripMargin,
 
     // boundaries are computed ONCE driver-side (Assembly.splitBoundaries)
     // and compared as hex strings — neither engine does query-time float

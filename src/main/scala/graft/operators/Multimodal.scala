@@ -471,6 +471,192 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"))
   }
 
+  // ------------------------------------------------------- audio hashing
+
+  /** Parse a canonical RIFF/WAVE blob: PCM (format 1), 16-bit samples,
+    * first channel only. Returns (samples, sampleRate), or null when the
+    * bytes are not such a WAV (callers route those to the md5 stub, the
+    * same graceful degradation as [[readImage]]). This is a REAL decoder
+    * for the one audio container the JDK can honestly handle without
+    * native codecs — compressed formats (mp3/aac/opus) are exactly the
+    * swap-point a production deploy fills with a native lib, like
+    * [[unpackFrames]]'s demuxer note.
+    */
+  private[graft] def readPcmWav(b: Array[Byte]): (Array[Short], Int) = {
+    def u16(p: Int) = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def u32(p: Int) = (b(p) & 0xff).toLong | ((b(p + 1) & 0xff).toLong << 8) |
+      ((b(p + 2) & 0xff).toLong << 16) | ((b(p + 3) & 0xff).toLong << 24)
+    if (b.length < 44) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+      return null
+    var p = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var samples: Array[Short] = null
+    while (p + 8 <= b.length) {
+      val id = new String(b, p, 4, "US-ASCII")
+      val len = u32(p + 4).toInt
+      if (len < 0 || p + 8 + len > b.length) return null // torn chunk
+      id match {
+        case "fmt " =>
+          if (len < 16) return null
+          if (u16(p + 8) != 1) return null // PCM only
+          channels = u16(p + 10)
+          rate = u32(p + 12).toInt
+          bits = u16(p + 22)
+          if (channels < 1 || rate <= 0 || bits != 16) return null
+        case "data" =>
+          if (channels < 1) return null // data before fmt: malformed
+          val n = len / (2 * channels)
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { // first channel of each frame
+            val q = p + 8 + i * 2 * channels
+            samples(i) = ((b(q) & 0xff) | (b(q + 1) << 8)).toShort
+            i += 1
+          }
+        case _ => () // skip LIST/INFO/etc.
+      }
+      p += 8 + len + (len & 1) // chunks are 2-byte aligned
+    }
+    if (samples == null || rate == 0) null else (samples, rate)
+  }
+
+  /** Pack 16-bit mono PCM into a canonical WAV (fixture/ingest helper,
+    * the [[packFrames]] of the audio path).
+    */
+  def packWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Goertzel in-band power of `samples[from, from+len)` at `freq` —
+    * the classic single-bin DFT recurrence (O(len) per band, no FFT
+    * needed for 4 bands × 17 frames).
+    */
+  private def goertzelPower(
+      samples: Array[Short], from: Int, len: Int,
+      freq: Double, rate: Int): Double = {
+    val w = 2.0 * Math.PI * freq / rate
+    val coeff = 2.0 * Math.cos(w)
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+    var i = from
+    val end = from + len
+    while (i < end) {
+      s0 = samples(i) + coeff * s1 - s2
+      s2 = s1; s1 = s0
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** Energy bands of the audio fingerprint: log-spaced through the
+    * speech/music range.
+    */
+  private val AudioBands = Array(300.0, 700.0, 1500.0, 3000.0)
+
+  /** REAL 64-bit audio fingerprint over decoded PCM, chromaprint-style:
+    * split the clip into 17 equal frames, Goertzel energy in 4
+    * log-spaced bands per frame, bit (f, b) = E(f, b) > E(f−1, b) — only
+    * the temporal ORDER of band energies survives into the hash.
+    * Gain-invariant BY CONSTRUCTION: scaling every sample by c scales
+    * every energy by c², so all comparisons (and therefore all 64 bits)
+    * are unchanged — a re-mastered/re-gained copy of the same material
+    * fingerprints identically, while different material flips band-delta
+    * signs throughout (spec-driven on synthesized tone sequences).
+    */
+  private[graft] def audioFingerprint64(
+      samples: Array[Short], rate: Int): Long = {
+    val nFrames = 17
+    val frameLen = samples.length / nFrames
+    if (frameLen == 0) return 0L
+    val e = Array.ofDim[Double](nFrames, AudioBands.length)
+    var f = 0
+    while (f < nFrames) {
+      var b = 0
+      while (b < AudioBands.length) {
+        e(f)(b) = goertzelPower(
+          samples, f * frameLen, frameLen, AudioBands(b), rate)
+        b += 1
+      }
+      f += 1
+    }
+    var h = 0L
+    var bit = 0
+    f = 1
+    while (f < nFrames) {
+      var b = 0
+      while (b < AudioBands.length) {
+        if (e(f)(b) > e(f - 1)(b)) h |= (1L << bit)
+        bit += 1; b += 1
+      }
+      f += 1
+    }
+    h
+  }
+
+  /** Per-media audio fingerprint row. `is_audio` = the REAL DSP path ran
+    * (decodable PCM WAV); false rows carry the md5 stub and pair only on
+    * exact content, the [[perceptualHash]] stance.
+    */
+  final case class AudioHash(
+      doc_id: Long,
+      media_type: String,
+      is_audio: Boolean,
+      ahash: Long)
+
+  /** Decode-and-fingerprint pass for audio: REAL band-energy
+    * fingerprints ([[audioFingerprint64]]) for decodable PCM WAV blobs,
+    * [[md5Hash60]] only for opaque bytes — closes the audio leg of the
+    * multimodal family next to [[perceptualHash]] (images) and
+    * [[videoFrameHashes]] (clips). One mapPartitions pass,
+    * codec-per-partition idiom.
+    */
+  def audioFingerprints(media: DataFrame): Dataset[AudioHash] = {
+    implicit val enc = Encoders.product[AudioHash]
+    media.as(Encoders.product[MediaRow]).mapPartitions { rows =>
+      // >>> STUB: per-partition codec init (real: load native lib once). <<<
+      val codecHandle: AnyRef = new Object
+      val _ = codecHandle
+      rows.map { r =>
+        readPcmWav(r.content) match {
+          case null =>
+            // >>> STUB: opaque bytes — md5 prefix (see md5Hash60). <<<
+            AudioHash(r.doc_id, r.media_type, is_audio = false,
+              ahash = md5Hash60(r.content))
+          case (samples, rate) =>
+            AudioHash(r.doc_id, "audio", is_audio = true,
+              ahash = audioFingerprint64(samples, rate))
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate AUDIO pairs by fingerprint Hamming distance — the
+    * [[imageNearDupPairs]] of the audio leg: [[Dedup.hammingPairs64]]
+    * banding over [[audioFingerprints]], pigeonhole-complete for
+    * Hamming ≤ 3, never all-pairs. "Same material, different gain/
+    * master" pairs with zero matching bytes; different material stays
+    * apart (band-delta signs flip with the melody).
+    */
+  def audioNearDupPairs(
+      media: DataFrame,
+      maxDist: Int = 3,
+      salts: Int = 4): DataFrame = {
+    val sigs = audioFingerprints(media)
+      .select(col("doc_id"), col("ahash").as("sh"))
+    Dedup.hammingPairs64(sigs, maxDist, salts)
+  }
+
   /** Frame sampling: one row per sampled frame offset — pure expressions
     * (sequence + explode), no decode needed for offset planning.
     */

@@ -772,6 +772,42 @@ object Sink {
       (base, d) =>
         graft.operators.Census.mergeThetaCensus(base, d, groupCols, lgK))
 
+  /** [[mergeCensusTable]] for the KLL QUANTILE census
+    * ([[graft.operators.Census.quantileSketchTable]] deltas): identical
+    * generation-commit lifecycle, KLL merge instead of HLL union.
+    * CONTRACT DIFFERENCE: KLL merge is counting algebra — a replayed
+    * delta would double-count n — so exactly-once here rests ENTIRELY
+    * on the batchId transactional guard; there is no algebraic
+    * idempotence backstop (spec-demonstrated both ways: the guard
+    * skips, and a forced double-merge provably inflates n).
+    */
+  def mergeKllCensusTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      delta: DataFrame,
+      groupCols: Seq[String],
+      batchId: Long,
+      k: Int = 200): Boolean =
+    mergeGenerational(spark, path, delta, batchId)(
+      (base, d) =>
+        graft.operators.Census.mergeQuantileCensus(base, d, groupCols, k))
+
+  /** [[mergeKllCensusTable]] for the FREQUENT-ITEMS census
+    * ([[graft.operators.Census.freqSketchTable]] deltas) — counter-merge
+    * per group, same guard-only exactly-once contract (counting
+    * algebra).
+    */
+  def mergeFreqCensusTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      delta: DataFrame,
+      groupCols: Seq[String],
+      batchId: Long,
+      maxMapSize: Int = 1024): Boolean =
+    mergeGenerational(spark, path, delta, batchId)(
+      (base, d) =>
+        graft.operators.Census.mergeFreqCensus(base, d, groupCols, maxMapSize))
+
   /** Shared generation-commit engine of the census sinks: write the full
     * merged table to a fresh `gen-<batchId>/` (the `_SUCCESS` marker IS
     * the commit record), then GC EVERY committed generation with a lower

@@ -73,4 +73,51 @@ object StreamCensus {
           groupCols, batchId, lgK)
         ()
       }
+
+  /** KLL QUANTILE twin of [[censusWriter]]: maintains a per-group
+    * quantile-sketch table — every percentile/rank/drift question over
+    * the stream's whole history answered from census rows
+    * ([[Census.quantilesFromCensus]], [[Census.distributionDrift]])
+    * without rescanning or re-windowing it. CONTRACT DIFFERENCE from
+    * the HLL/theta twins: KLL merge is counting algebra with no
+    * idempotence backstop, so the batchId guard inside
+    * [[Sink.mergeKllCensusTable]] carries exactly-once alone —
+    * spec-asserted (StreamCensusSpec) the same two ways the guard
+    * itself is.
+    */
+  def kllCensusWriter(
+      events: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      tablePath: String,
+      k: Int = 200): DataStreamWriter[Row] =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sink.mergeKllCensusTable(
+          batch.sparkSession, tablePath,
+          Census.quantileSketchTable(batch, valueCol, groupCols, k),
+          groupCols, batchId, k)
+        ()
+      }
+
+  /** FREQUENT-ITEMS twin of [[censusWriter]]: maintains a per-group
+    * heavy-hitter sketch table — "which items dominate, over all
+    * history" from ≤ maxMapSize counters per group
+    * ([[Census.heavyHittersFromCensus]]). Counting algebra: the batchId
+    * guard carries exactly-once alone, like the KLL twin.
+    */
+  def freqCensusWriter(
+      events: DataFrame,
+      itemCol: String,
+      groupCols: Seq[String],
+      tablePath: String,
+      maxMapSize: Int = 1024): DataStreamWriter[Row] =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sink.mergeFreqCensusTable(
+          batch.sparkSession, tablePath,
+          Census.freqSketchTable(batch, itemCol, groupCols, maxMapSize),
+          groupCols, batchId, maxMapSize)
+        ()
+      }
 }

@@ -254,4 +254,76 @@ class MultimodalSpec extends SparkSpec {
     // 7 shared hashes of 8 distinct: 7/8 = 875000 ppm
     assert(pairs.head._3 === 875000L)
   }
+
+  // ------------------------------------------------------- audio
+
+  /** 8-note melody (frequencies in Hz), 16-bit mono PCM at 8 kHz,
+    * 17000 samples — gain scales every sample, dither adds bounded
+    * deterministic noise.
+    */
+  private def melody(
+      notes: Seq[Double], gain: Double = 1.0, dither: Int = 0): Array[Short] = {
+    val rate = 8000
+    Array.tabulate[Short](17000) { i =>
+      val f = notes(math.min(i / 2125, notes.length - 1))
+      val noise = if (dither == 0) 0 else ((i * 2654435761L >>> 20) % (2 * dither + 1) - dither).toInt
+      (Math.round(Math.sin(2 * Math.PI * f * i / rate) * 12000 * gain) + noise).toShort
+    }
+  }
+
+  private def audioDf(rows: (Long, Array[Byte])*) =
+    rows.map { case (id, b) =>
+      Multimodal.MediaRow(id, "audio/wav", b.length.toLong, b) }.toDF()
+
+  test("readPcmWav: canonical pack/parse round-trip; torn and non-WAV " +
+      "bytes refuse (md5 stub path)") {
+    val s = melody(Seq(440, 550, 660, 770, 440, 550, 660, 770))
+    val wav = Multimodal.packWav(s, 8000)
+    val parsed = Multimodal.readPcmWav(wav)
+    assert(parsed != null && parsed._2 === 8000)
+    assert(parsed._1.toSeq === s.toSeq)
+    assert(Multimodal.readPcmWav(wav.take(30)) === null)
+    assert(Multimodal.readPcmWav("not audio".getBytes("UTF-8")) === null)
+    // truncated data chunk = torn
+    assert(Multimodal.readPcmWav(wav.dropRight(5)) === null)
+  }
+
+  test("audioFingerprint64: REAL DSP — gain-invariant, dither-robust, " +
+      "melody-discriminating") {
+    val notesA = Seq(400.0, 850, 550, 1000, 400, 700, 1150, 550)
+    val notesB = Seq(1150.0, 400, 1000, 550, 850, 1150, 400, 700)
+    val a = Multimodal.audioFingerprint64(melody(notesA), 8000)
+    // re-mastered at 0.7 gain: energies scale by 0.49 uniformly — the
+    // delta-sign bits barely move (float rounding can nudge near-ties)
+    val aQuiet = Multimodal.audioFingerprint64(melody(notesA, gain = 0.7), 8000)
+    assert(java.lang.Long.bitCount(a ^ aQuiet) <= 3,
+      s"gain re-master moved ${java.lang.Long.bitCount(a ^ aQuiet)} bits")
+    // small additive dither: in-band energies dominate, bits hold
+    val aDither = Multimodal.audioFingerprint64(
+      melody(notesA, dither = 8), 8000)
+    assert(java.lang.Long.bitCount(a ^ aDither) <= 3,
+      s"dither moved ${java.lang.Long.bitCount(a ^ aDither)} bits")
+    // a different melody flips band-delta signs throughout
+    val b = Multimodal.audioFingerprint64(melody(notesB), 8000)
+    assert(java.lang.Long.bitCount(a ^ b) > 10,
+      s"different melodies only ${java.lang.Long.bitCount(a ^ b)} bits apart")
+  }
+
+  test("audioNearDupPairs: re-gained twin pairs, different melody and " +
+      "opaque bytes stay unpaired") {
+    val notesA = Seq(400.0, 850, 550, 1000, 400, 700, 1150, 550)
+    val notesB = Seq(1150.0, 400, 1000, 550, 850, 1150, 400, 700)
+    val rows = audioDf(
+      (1L, Multimodal.packWav(melody(notesA), 8000)),
+      (2L, Multimodal.packWav(melody(notesA, gain = 0.6), 8000)),
+      (3L, Multimodal.packWav(melody(notesB), 8000)),
+      (4L, "opaque bytes, not a wav".getBytes("UTF-8")))
+    val fps = Multimodal.audioFingerprints(rows)
+      .select(col("doc_id"), col("is_audio")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(fps === Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
+    val pairs = Multimodal.audioNearDupPairs(rows, maxDist = 3)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L)), s"got $pairs")
+  }
 }
