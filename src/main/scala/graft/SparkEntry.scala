@@ -1005,15 +1005,20 @@ object SparkEntry {
     }),
 
     // REAL audio near-dup, driver-proven: per-doc 8-note melodies
-    // synthesized as PCM WAV (notes from doc_id base-5 digits), twin =
-    // the SAME material at exactly half gain. The band-energy delta
-    // fingerprint is gain-invariant by construction — and halving is a
-    // power-of-two scale, so every Goertzel intermediate scales exactly
-    // and the twin's 64 bits are IDENTICAL (hamming 0, pinned by the
-    // oracle). Different melodies flip delta signs far past the banding
-    // radius, so the planted pairs are the ONLY output — the oracle is
-    // the literal planted-pair list: a broken decoder, fingerprint, or
-    // banding produces extra/missing rows and a hash mismatch
+    // synthesized as PCM WAV (Multimodal.fixtureMelody: notes at the
+    // EXACT Goertzel band centers selected by doc_id's base-4 digits —
+    // injective over id < 64, any two distinct ids differ in ≥2 notes
+    // that jump between band centers, and MultimodalSpec asserts all
+    // fixture melodies sit pairwise beyond the Hamming≤3 banding
+    // radius). Twin = the SAME material at exactly half gain: halving
+    // is a power-of-two scale, every Goertzel intermediate scales
+    // exactly, and the twin's 64 bits are IDENTICAL (hamming 0, pinned
+    // by the oracle). The planted pairs are the ONLY output — the
+    // oracle is the literal planted-pair list: a broken decoder,
+    // fingerprint, or banding produces extra/missing rows and a hash
+    // mismatch. (Round 10's fixture drew 40 ids from a 25-id two-digit
+    // base-5 space — ids 25–39 duplicated 0–14's melodies exactly and
+    // 150 Hz steps left near-collisions inside the banding radius.)
     "multimodal_audiohash_pairs" -> ((s, dir) => {
       import s.implicits._
       val ids = Tables.documents(s, dir)
@@ -1022,20 +1027,7 @@ object SparkEntry {
       val clips = ids.mapPartitions { it =>
         it.flatMap { id =>
           val rate = 8000
-          val samples = new Array[Short](17000)
-          var i = 0
-          while (i < samples.length) {
-            // alternate the id's two base-5 digits across the 8 notes,
-            // so any two distinct ids differ in ≥4 notes (≈half the
-            // clip) — melodies are far apart in fingerprint space
-            val j = i / 2125
-            val digit = if (j % 2 == 0) id % 5 else (id / 5) % 5
-            val freq = 400.0 + 150.0 * digit
-            // even samples, so the half-gain twin divides exactly
-            samples(i) = (2 * Math.round(
-              Math.sin(2 * Math.PI * freq * i / rate) * 8191)).toShort
-            i += 1
-          }
+          val samples = Multimodal.fixtureMelody(id, rate = rate)
           val half = samples.map(v => (v / 2).toShort)
           val a = Multimodal.packWav(samples, rate)
           val b = Multimodal.packWav(half, rate)

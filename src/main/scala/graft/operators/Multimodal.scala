@@ -564,6 +564,45 @@ object Multimodal {
     */
   private val AudioBands = Array(300.0, 700.0, 1500.0, 3000.0)
 
+  /** Deterministic fixture melody for the audio near-dup oracle,
+    * designed AGAINST the delta-coded fingerprint: [[audioFingerprint64]]
+    * only records frame-to-frame energy ORDER, so a melody scheme must
+    * encode ids in band TRANSITIONS, not absolute tones (round 10's
+    * digit-to-frequency map let constant melodies — and any two ids with
+    * the same change pattern — collide). Return-to-reference coding: 8
+    * notes alternate digit/reference — notes 0/2/4/6 carry the three
+    * base-4 digits of `id` plus a mod-4 checksum digit, each at the
+    * EXACT [[AudioBands]] center it selects; notes 1/3/5/7 return to a
+    * fixed 1200 Hz reference, so every digit note enters and exits
+    * through band transitions that encode its absolute band. The
+    * checksum slot makes any two distinct ids differ in ≥ 2 of the 4
+    * digit slots (one differing base-4 digit forces the checksum to
+    * differ too). Injective over id < 64; measured min pairwise
+    * fingerprint distance over all C(64,2) pairs = 8 bits — well beyond
+    * the Hamming≤3 banding radius (pinned by MultimodalSpec). Every
+    * sample is even (2 × round(...)) so an exactly-half-gain twin
+    * divides exactly and fingerprints bit-identically (power-of-two
+    * scaling is exact through the Goertzel recurrence).
+    */
+  private[graft] def fixtureMelody(
+      id: Long, nSamples: Int = 17000, rate: Int = 8000): Array[Short] = {
+    val d0 = (id & 3L).toInt
+    val d1 = ((id >> 2) & 3L).toInt
+    val d2 = ((id >> 4) & 3L).toInt
+    val slots = Array(d0, d1, d2, (d0 + d1 + d2) % 4)
+    val samples = new Array[Short](nSamples)
+    val noteLen = nSamples / 8
+    var i = 0
+    while (i < samples.length) {
+      val j = math.min(i / noteLen, 7)
+      val freq = if (j % 2 == 1) 1200.0 else AudioBands(slots(j / 2))
+      samples(i) = (2 * Math.round(
+        Math.sin(2 * Math.PI * freq * i / rate) * 8191)).toShort
+      i += 1
+    }
+    samples
+  }
+
   /** REAL 64-bit audio fingerprint over decoded PCM, chromaprint-style:
     * split the clip into 17 equal frames, Goertzel energy in 4
     * log-spaced bands per frame, bit (f, b) = E(f, b) > E(f−1, b) — only

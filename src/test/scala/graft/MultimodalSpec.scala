@@ -326,4 +326,33 @@ class MultimodalSpec extends SparkSpec {
       .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSeq
     assert(pairs === Seq((1L, 2L)), s"got $pairs")
   }
+
+  test("fixtureMelody: all 64 oracle-fixture melodies fingerprint " +
+      "pairwise beyond the Hamming<=3 banding radius, and the " +
+      "half-gain twin is bit-identical") {
+    // the round-10 fixture overran its digit space (ids 25-39 duplicated
+    // 0-14's melodies) and 150 Hz steps left near-collisions inside the
+    // banding radius; this pins the redesigned fixture's separation
+    // contract over the FULL injective range, not just the 40 ids the
+    // registered query draws
+    val fps = (0 until 64).map { id =>
+      Multimodal.audioFingerprint64(
+        Multimodal.fixtureMelody(id.toLong), 8000)
+    }
+    assert(fps.distinct.size === 64, "fixture melodies must be injective")
+    var minDist = 64
+    for (a <- 0 until 64; b <- (a + 1) until 64) {
+      val d = java.lang.Long.bitCount(fps(a) ^ fps(b))
+      if (d < minDist) minDist = d
+      assert(d > 3, s"ids $a and $b only $d bits apart (banding radius 3)")
+    }
+    info(s"min pairwise Hamming distance over C(64,2) pairs: $minDist")
+    // exact power-of-two gain scaling: twin fingerprints bit-identical
+    (0 until 64 by 7).foreach { id =>
+      val s = Multimodal.fixtureMelody(id.toLong)
+      val half = s.map(v => (v / 2).toShort)
+      assert(Multimodal.audioFingerprint64(half, 8000) === fps(id),
+        s"half-gain twin of id $id moved bits")
+    }
+  }
 }
