@@ -161,6 +161,11 @@ case class KllMergeAgg(
 case class KllQuantileExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  // returns null on an EMPTY sketch regardless of child nullability —
+  // sketch columns from KllSketchAgg are non-nullable, and inheriting
+  // their nullable=false would let the optimizer mis-prune / codegen
+  // read garbage for all-null groups
+  override def nullable: Boolean = true
   override def prettyName: String = "kll_quantile"
   override protected def nullSafeEval(sk: Any, rankPpm: Any): Any = {
     val s = KllLongsSketch.heapify(
@@ -179,6 +184,8 @@ case class KllQuantileExpr(left: Expression, right: Expression)
 case class KllRankExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  // null on an empty sketch — see KllQuantileExpr.nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "kll_rank"
   override protected def nullSafeEval(sk: Any, value: Any): Any = {
     val s = KllLongsSketch.heapify(
@@ -222,6 +229,8 @@ case class KllNExpr(child: Expression)
 case class KllKsExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  // null when either sketch is empty — see KllQuantileExpr.nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "kll_ks"
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val sa = KllLongsSketch.heapify(Memory.wrap(a.asInstanceOf[Array[Byte]]))

@@ -202,12 +202,52 @@ object Sink {
     * consuming query path (SimilarityIndexPersistSpec round-trips it and
     * asserts the partition pruning).
     */
+  /** Resolve the LIVE root of a persisted index at `path`: the newest
+    * committed rebuild generation (`gen-N/` carrying a root-level
+    * `_SUCCESS`) if any [[rebuildIvfIndex]]-style rebuild has committed,
+    * else `path` itself (the flat layout a fresh [[writeIvfIndex]]
+    * produces). The `_SUCCESS` marker IS the commit record — a crash
+    * mid-rebuild leaves a half-written gen dir invisible and the prior
+    * generation live, so readers can never observe a torn swap (a new
+    * celled table paired with an old quantizer). Same
+    * commit-by-generation idiom as [[mergeCensusTable]]; the marker
+    * file stands in for a table-format/metastore pointer flip at scale.
+    */
+  def resolveIndexRoot(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) path
+    else committedGenerations(fs, root).maxOption
+      .map(g => s"$path/gen-$g").getOrElse(path)
+  }
+
+  /** Drop every rebuild generation at `path` — a fresh overwrite-mode
+    * build supersedes them all and must be the layout readers resolve.
+    */
+  private def clearGenerations(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith("gen-"))
+        .foreach(p => fs.delete(p, true))
+    }
+  }
+
   def writeIvfIndex(
       index: graft.operators.Similarity.IvfIndex,
       path: String,
       mode: String = "overwrite"): Unit = {
     val spark = index.celled.sparkSession
     import spark.implicits._
+    // a FRESH build supersedes every rebuild generation at this path —
+    // clear them first so the flat layout written below is the one
+    // readers resolve (crash mid-write re-exposes at worst a torn flat
+    // build, the exposure any overwrite-mode write always had)
+    if (mode == "overwrite") clearGenerations(spark, path)
     index.celled
       // one output file per cell directory, not one per (cell × task)
       .repartition(col("cell"))
@@ -238,9 +278,24 @@ object Sink {
   def ivfOccupancyDrift(
       spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
+    val root = resolveIndexRoot(spark, path)
+    val censusPath = new org.apache.hadoop.fs.Path(s"$root/build_census")
+    val fs = censusPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // indexes persisted before the drift census existed ship no
+    // build_census — ADOPT the current celled occupancy as the baseline
+    // and persist it (drift is then measured from "now" onward, and the
+    // ingested layout — post-build traffic by definition — still counts
+    // against it), instead of throwing path-not-found on the first
+    // drift/rebuild call against a legacy index
+    if (!fs.exists(censusPath)) {
+      spark.read.parquet(s"$root/celled")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_build"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/build_census")
+    }
     val live = readIvfIndex(spark, path).celled
       .groupBy(col("cell")).agg(count(lit(1)).as("n_now"))
-    spark.read.parquet(s"$path/build_census")
+    spark.read.parquet(s"$root/build_census")
       .join(live, Seq("cell"), "full_outer")
       .select(col("cell"),
         coalesce(col("n_build"), lit(0L)).as("n_build"),
@@ -256,13 +311,24 @@ object Sink {
     * the CURRENT corpus (celled ∪ ingested — unit vectors are the
     * training input, FAISS-retrain semantics) trains a fresh exact-Lloyd
     * coarse quantizer, the full index (celled + centroids + build
-    * census) is rewritten to a sibling dir and swapped in, and the
-    * ingested layout is absorbed — post-rebuild drift is zero by
+    * census) is written to a fresh `gen-N/` generation and COMMITTED by
+    * a single root-level `_SUCCESS` marker ([[resolveIndexRoot]]), and
+    * the ingested layout is absorbed — post-rebuild drift is zero by
     * construction and cell balance reflects the live distribution.
     * Queries with the same probe budget keep their contract (nprobe of a
     * BALANCED nlist again); exhaustive-probe answers are bit-identical
     * before/after (spec-asserted — a rebuild relocates rows, never
     * changes them).
+    *
+    * Crash-safety: the commit is ONE marker-file creation, never a
+    * multi-rename window — an earlier version swapped celled, centroids
+    * and build_census via three sequential renames, and a crash between
+    * them left the NEW celled table paired with the OLD quantizer
+    * (probes then assign/prune against the wrong centroids and silently
+    * return wrong neighbors). A crash before the marker leaves the old
+    * generation live and the half-written gen dir invisible; a crash
+    * after it, before cleanup, leaves a superseded layout that readers
+    * already ignore.
     *
     * Returns (rebuilt?, max growth_ppm observed before the decision).
     */
@@ -276,6 +342,10 @@ object Sink {
       .agg(max(col("growth_ppm"))).head.getLong(0)
     if (maxPpm < thresholdPpm) (false, maxPpm)
     else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val rootPath = new org.apache.hadoop.fs.Path(path)
+      val fs = rootPath.getFileSystem(conf)
+      val oldRoot = resolveIndexRoot(spark, path)
       val cur = readIvfIndex(spark, path).celled
         .select(col("vec_id"), col("unit"))
       val fresh = graft.operators.Similarity.buildIvfIndexExact(
@@ -289,23 +359,25 @@ object Sink {
       val preserved = fresh.celled.select(col("vec_id"), col("cell"))
         .join(cur, "vec_id")
         .select(col("vec_id"), col("unit"), col("cell"))
+      val gen = committedGenerations(fs, rootPath)
+        .maxOption.getOrElse(0L) + 1
+      val genDir = s"$path/gen-$gen"
       writeIvfIndex(
         graft.operators.Similarity.IvfIndex(fresh.centroids, preserved),
-        s"$path/rebuild_tmp")
+        genDir)
       fresh.unpersist()
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      Seq("celled", "centroids", "build_census").foreach { sub =>
-        val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
-        val old = new org.apache.hadoop.fs.Path(s"$path/${sub}_old")
-        require(fs.rename(live, old), s"swap failed: $live -> $old")
-        require(fs.rename(
-          new org.apache.hadoop.fs.Path(s"$path/rebuild_tmp/$sub"), live),
-          s"swap failed: rebuild_tmp/$sub -> $sub")
-        fs.delete(old, true)
+      // COMMIT: one marker-file creation — from here on readers resolve
+      // the new generation; everything below is recoverable cleanup
+      fs.create(
+        new org.apache.hadoop.fs.Path(s"$genDir/_SUCCESS"), true).close()
+      if (oldRoot == path) {
+        // superseded flat layout (the gen-* dirs stay untouched)
+        Seq("celled", "centroids", "build_census", "ingested").foreach {
+          sub => fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+        }
+      } else {
+        fs.delete(new org.apache.hadoop.fs.Path(oldRoot), true)
       }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/rebuild_tmp"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/ingested"), true)
       (true, maxPpm)
     }
   }
@@ -336,7 +408,8 @@ object Sink {
       path: String,
       vectors: DataFrame,
       batchId: Long): Unit = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val root = resolveIndexRoot(spark, path)
+    val centroids = spark.read.parquet(s"$root/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
     graft.operators.Similarity.assignCells(centroids, vectors)
@@ -346,7 +419,7 @@ object Sink {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "batch_id")
-      .parquet(s"$path/ingested")
+      .parquet(s"$root/ingested")
   }
 
   /** Fold the [[appendIvfIndex]] `ingested/` layout back into the base
@@ -364,8 +437,9 @@ object Sink {
     */
   def compactIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): (Long, Long) = {
+      rawPath: String): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val path = resolveIndexRoot(spark, rawPath)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     val ingestedDir = new org.apache.hadoop.fs.Path(s"$path/ingested")
@@ -406,7 +480,8 @@ object Sink {
     */
   def readIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): graft.operators.Similarity.IvfIndex = {
+      rawPath: String): graft.operators.Similarity.IvfIndex = {
+    val path = resolveIndexRoot(spark, rawPath)
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
@@ -448,6 +523,7 @@ object Sink {
       mode: String = "overwrite"): Unit = {
     val spark = index.celled.sparkSession
     import spark.implicits._
+    if (mode == "overwrite") clearGenerations(spark, path)
     index.celled
       .join(codes, "vec_id")
       .select(col("vec_id"), col("unit"), col("codes"), col("cell"))
@@ -471,7 +547,8 @@ object Sink {
       path: String)
       : (graft.operators.Similarity.IvfIndex, Array[Array[Array[Long]]]) = {
     val base = readIvfIndex(spark, path)
-    val rows = spark.read.parquet(s"$path/pq_codebooks")
+    val root = resolveIndexRoot(spark, path)
+    val rows = spark.read.parquet(s"$root/pq_codebooks")
       .orderBy(col("sub"), col("code")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
     val m = rows.map(_._1).max + 1

@@ -35,6 +35,31 @@ class KllCensusSpec extends SparkSpec {
     le * 1000000L / n
   }
 
+  test("empty-sketch scalars are DECLARED nullable and propagate null " +
+      "(all-null group through a non-nullable sketch column)") {
+    // KllSketchAgg's sketch column is non-nullable; a group whose values
+    // are all null yields an EMPTY sketch, and the scalar expressions
+    // return null from it — without nullable=true on the expressions the
+    // optimizer may mis-prune / codegen read garbage instead
+    val df = spark.range(4)
+      .select((col("id") % 2).as("g"),
+        when(col("id") % 2 === 0, col("id")).as("v"))
+      .groupBy(col("g")).agg(kll_sketch(col("v")).as("sk"))
+      .select(col("g"),
+        kll_quantile(col("sk"), lit(500000L)).as("q"),
+        kll_rank(col("sk"), lit(1L)).as("r"),
+        kll_ks(col("sk"), col("sk")).as("ks"))
+    assert(df.schema("q").nullable && df.schema("r").nullable &&
+      df.schema("ks").nullable)
+    val rows = df.orderBy(col("g")).collect()
+    assert(!rows(0).isNullAt(1) && !rows(0).isNullAt(2) &&
+      !rows(0).isNullAt(3))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).isNullAt(3),
+      "all-null group must surface null, not garbage")
+    // and IsNotNull on the scalar must not be constant-folded away
+    assert(df.filter(col("q").isNotNull).count() === 1)
+  }
+
   test("n is exact through delta merges; quantile estimates stay " +
       "within the rank-error bound on a heavy-tailed lattice") {
     val df = skewed
