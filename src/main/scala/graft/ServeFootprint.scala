@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Similarity
+import graft.sinks.Sink
+import graft.streaming.StreamAnnServe
+
+/** Checkpoint-footprint receipt for the three ANN serving twins
+  * (IVF / IVF-PQ / LSH): drive each `StreamAnnServe` writer through N
+  * sustained request micro-batches against its PERSISTED index and
+  * record, per batch, the serving latency and the checkpoint directory
+  * size — the serving-path analog of the census writers' generation
+  * receipts.
+  *
+  * What "flat" must mean here: the writers are foreachBatch sinks with
+  * NO stateful operators, so the checkpoint holds only the source
+  * offset/commit logs (a few hundred bytes per batch, retention-bounded
+  * by Spark at `minBatchesToRetain`) and NO state store; per-batch
+  * latency must not trend upward with batch count (each batch's work is
+  * probe-union-bounded, independent of how many batches came before).
+  * A state store appearing in the checkpoint, or latency growing with
+  * batch index, would mean serving accumulates per-request state — the
+  * failure mode this receipt exists to rule out.
+  *
+  * Run: `sbt "runMain graft.ServeFootprint [nBatches] [sfDir]"` — prints
+  * one line per (flavor, batch) plus a flavor summary; results are
+  * recorded in SCALING.md.
+  */
+object ServeFootprint {
+
+  private def dirBytes(p: java.io.File): Long =
+    if (!p.exists()) 0L
+    else if (p.isFile) p.length()
+    else Option(p.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+
+  private def writeQueryFile(
+      dir: Path, name: String, rows: Seq[(Long, Seq[Float])]): Unit = {
+    val lines = rows.map { case (qid, emb) =>
+      s"""{"query_id":$qid,"embedding":[${emb.mkString(",")}]}"""
+    }
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(name))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nBatches = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val reqPool = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+
+    def queryStream(dir: Path): DataFrame = {
+      val schema = StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      spark.readStream.schema(schema).json(dir.toString)
+    }
+
+    /** Drive one flavor: start writer, feed nBatches request files of 20
+      * vectors each (processAllAvailable between feeds = one micro-batch
+      * per file), record per-batch seconds + checkpoint bytes.
+      */
+    def drive(flavor: String)(
+        mkWriter: DataFrame => ((Long, DataFrame) => Unit) =>
+          org.apache.spark.sql.streaming.DataStreamWriter[
+            org.apache.spark.sql.Row]): Unit = {
+      val input = Files.createTempDirectory(s"sf_${flavor}_in")
+      val checkpoint = Files.createTempDirectory(s"sf_${flavor}_ckpt")
+      var servedRows = 0L
+      val q = mkWriter(queryStream(input)) { (_, res) =>
+        servedRows += res.count()
+      }
+        .option("checkpointLocation", checkpoint.toString)
+        .start()
+      try {
+        val times = (0 until nBatches).map { b =>
+          val rows = (0 until 20).map { i =>
+            val (vid, e) = reqPool((b * 20 + i) % reqPool.length)
+            (1000000L + b * 1000L + vid + i, e)
+          }
+          writeQueryFile(input, f"batch$b%03d.json", rows)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val ckpt = dirBytes(checkpoint.toFile)
+          val state = dirBytes(checkpoint.resolve("state").toFile)
+          println(f"$flavor%-6s batch=$b%2d  $sec%6.2f s  " +
+            f"ckpt=$ckpt%7d B  state=$state%d B")
+          sec
+        }
+        val firstHalf = times.take(nBatches / 2).sum / (nBatches / 2)
+        val secondHalf = times.drop(nBatches / 2).sum /
+          (nBatches - nBatches / 2)
+        println(f"$flavor%-6s summary: served=$servedRows rows  " +
+          f"mean(first half)=$firstHalf%5.2f s  " +
+          f"mean(second half)=$secondHalf%5.2f s  " +
+          f"ckpt final=${dirBytes(checkpoint.toFile)}%d B")
+      } finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteDirectory(input.toFile)
+        org.apache.commons.io.FileUtils.deleteDirectory(checkpoint.toFile)
+      }
+    }
+
+    val tmp = System.getProperty("java.io.tmpdir")
+
+    // IVF: persisted cell-partitioned layout
+    val ivfDir = s"$tmp/sf_ivf_idx"
+    val ivf = Similarity.buildIvfIndexExact(emb, nlist = 16, iters = 2)
+    Sink.writeIvfIndex(ivf, ivfDir)
+    ivf.unpersist()
+    val loadedIvf = Sink.readIvfIndex(spark, ivfDir)
+    drive("ivf")(qs => emit =>
+      StreamAnnServe.servedWriter(qs, loadedIvf, k = 10, nprobe = 4)(emit))
+
+    // IVF-PQ: persisted celled+codes layout, code-only ADC probes
+    val pqDir = s"$tmp/sf_pq_idx"
+    val ivf2 = Similarity.buildIvfIndexExact(emb, nlist = 16, iters = 2)
+    val model = Similarity.buildPqModel(emb, m = 8, k = 64, iters = 2)
+    Sink.writeIvfPqIndex(ivf2, model.cents, model.codes, pqDir)
+    ivf2.unpersist(); model.unpersist()
+    val (loadedPq, cents) = Sink.readIvfPqIndex(spark, pqDir)
+    drive("pq")(qs => emit =>
+      StreamAnnServe.servedPqWriter(qs, loadedPq, cents,
+        k = 10, nprobe = 4, rerank = 64)(emit))
+
+    // LSH: persisted signed + postings layout, bucket-pruned probes
+    val lshDir = s"$tmp/sf_lsh_idx"
+    val lsh = Similarity.buildLshIndex(emb, nBits = 64, bands = 16)
+    Sink.writeLshIndex(lsh, lshDir)
+    lsh.unpersist()
+    val loadedLsh = Sink.readLshIndex(spark, lshDir)
+    drive("lsh")(qs => emit =>
+      StreamAnnServe.servedLshWriter(qs, loadedLsh, k = 10)(emit))
+
+    Seq(ivfDir, pqDir, lshDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    spark.stop()
+  }
+}

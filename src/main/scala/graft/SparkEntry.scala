@@ -877,10 +877,13 @@ object SparkEntry {
         k = 10, floor = 0.6)
     }),
 
-    // the PQ serving path: external query vectors against the composed
-    // IVF-PQ layout (coarse cells + PQ codes on the celled table) via
-    // the same static-pruned, code-only-ADC probe production serving
-    // runs (StreamAnnServe.servedPqWriter per micro-batch); in-plan
+    // the PQ serving path, now on the PERSISTED layout: external query
+    // vectors against the ON-DISK IVF-PQ index (celled + codes
+    // partitioned by cell, centroids, codebooks — write-if-absent via
+    // persistedPqServeDir, reloaded through readIvfPqIndex) via the same
+    // static-pruned, code-only-ADC probe production serving runs
+    // (StreamAnnServe.servedPqWriter per micro-batch — kill/recover
+    // spec-asserted on this exact layout in StreamAnnServeSpec); in-plan
     // recall audit vs the exact external-vector top-k. Queries are
     // corpus vectors re-badged under fresh ids, so the exact duplicate
     // must surface at rank 1 through the ADC shortlist — a quantization
@@ -889,12 +892,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
         .select((col("vec_id") + 1000000L).as("query_id"), col("embedding"))
-      val index = Similarity.IndexCache.ivfExact(emb, nlist = 16)
-      val model = Similarity.IndexCache.pq(emb, m = 8, k = 64, iters = 2)
-      val withCodes = Similarity.IvfIndex(index.centroids,
-        index.celled.join(model.codes.select("vec_id", "codes"), "vec_id"))
+      val (loaded, cents) =
+        Sink.readIvfPqIndex(s, persistedPqServeDir(s, dir))
       Similarity.annRecallAudit(
-        Similarity.ivfPqQueryVectors(withCodes, model.cents, queries,
+        Similarity.ivfPqQueryVectors(loaded, cents, queries,
           nprobe = 12, rerank = 64, k = 10),
         Similarity.bruteForceTopKVectors(emb, queries, k = 10),
         k = 10, floor = 0.6)
@@ -953,23 +954,40 @@ object SparkEntry {
       Similarity.pqTopK(Tables.embeddings(s, dir))),
 
     // ---- north-star: multimodal columns ----
+    // the DECODE pass (mapPartitions, codec-per-partition): on this
+    // text-bytes corpus no codec applies, so every row surfaces NULL
+    // dimensions + decoded=false — honest "the decoder did not run",
+    // not the deterministic pseudo-dims earlier rounds fabricated (the
+    // real-image branch — true pixels, decoded=true — is spec-proven on
+    // generated PNGs in MultimodalSpec)
     "multimodal_metadata" -> ((s, dir) =>
-      Multimodal.metadata(Multimodal.asMedia(Tables.documents(s, dir)))
+      Multimodal.decodeFeatures(
+          Multimodal.asMedia(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("checksum"), col("width"), col("height"), col("n_frames"),
+          col("decoded"))
         .orderBy(col("doc_id"))),
 
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.asMedia(Tables.documents(s, dir)))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
-    // aspect-fit resize plan: integer-exact target dims from metadata,
-    // no bytes touched (the pixel stage is resize(), spec-tested on
-    // real PNGs)
-    "multimodal_resize_plan" -> ((s, dir) =>
-      Multimodal.resizePlan(
-          Multimodal.metadata(Multimodal.asMedia(Tables.documents(s, dir))))
+    // aspect-fit resize plan: integer-exact target dims, no bytes
+    // touched (the pixel stage is resize(), spec-tested on real PNGs).
+    // Input dims are an EXPLICIT synthetic fixture (n_bytes-derived) —
+    // they stand in for decodeFeatures output on a decodable corpus and
+    // are labeled as fixture, not reported as measured metadata
+    "multimodal_resize_plan" -> ((s, dir) => {
+      val fixtureDims = Multimodal.asMedia(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          ((col("n_bytes") % 640) + 1).cast("int").as("width"),
+          (((col("n_bytes") * 7) % 480) + 1).cast("int").as("height"))
+      Multimodal.resizePlan(fixtureDims)
         .select(col("doc_id"), col("width"), col("height"),
           col("target_w"), col("target_h"))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+    }),
 
     // VIDEO near-dup by frame-hash-set Jaccard, driver-proven on planted
     // re-cut clips: per doc, clip A = 8 fixed 32-char text chunks packed
@@ -981,28 +999,10 @@ object SparkEntry {
     // values hash-match (the REAL-pixel path — dHash per decodable
     // keyframe, brightness-invariant across a re-encode — is spec-proven
     // on generated PNG containers, same split as multimodal_phash_pairs)
-    "multimodal_videohash_pairs" -> ((s, dir) => {
-      import s.implicits._
-      val chunked = Tables.documents(s, dir)
-        .filter(col("doc_id") < 40 && col("n_chars") >= 256)
-        .select(col("doc_id"),
-          array((0 until 8).map(i =>
-            substring(col("text"), i * 32 + 1, 32)): _*).as("frames"))
-        .as[(Long, Seq[String])]
-      val clips = chunked.mapPartitions { it =>
-        it.flatMap { case (id, fs) =>
-          val bytes = fs.map(_.getBytes("UTF-8"))
-          val a = Multimodal.packFrames(bytes)
-          val b = Multimodal.packFrames(bytes.take(7)) // re-cut: drop last
-          Seq(Multimodal.MediaRow(id, "video/gfv", a.length.toLong, a),
-            Multimodal.MediaRow(id + 100000L, "video/gfv",
-              b.length.toLong, b))
-        }
-      }.toDF()
-      Multimodal.videoNearDupPairs(clips, minJaccardPpm = 700000L,
-          k = 32, bands = 16, rowsPerBand = 2)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "multimodal_videohash_pairs" -> ((s, dir) =>
+      Multimodal.videoNearDupPairs(videoClipsFixture(s, dir),
+          minJaccardPpm = 700000L, k = 32, bands = 16, rowsPerBand = 2)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // REAL audio near-dup, driver-proven: per-doc 8-note melodies
     // synthesized as PCM WAV (Multimodal.fixtureMelody: notes at the
@@ -1019,25 +1019,45 @@ object SparkEntry {
     // mismatch. (Round 10's fixture drew 40 ids from a 25-id two-digit
     // base-5 space — ids 25–39 duplicated 0–14's melodies exactly and
     // 150 Hz steps left near-collisions inside the banding radius.)
-    "multimodal_audiohash_pairs" -> ((s, dir) => {
-      import s.implicits._
-      val ids = Tables.documents(s, dir)
-        .filter(col("doc_id") < 40)
-        .select(col("doc_id")).as[Long]
-      val clips = ids.mapPartitions { it =>
-        it.flatMap { id =>
-          val rate = 8000
-          val samples = Multimodal.fixtureMelody(id, rate = rate)
-          val half = samples.map(v => (v / 2).toShort)
-          val a = Multimodal.packWav(samples, rate)
-          val b = Multimodal.packWav(half, rate)
-          Seq(Multimodal.MediaRow(id, "audio/wav", a.length.toLong, a),
-            Multimodal.MediaRow(id + 100000L, "audio/wav",
-              b.length.toLong, b))
-        }
-      }.toDF()
-      Multimodal.audioNearDupPairs(clips, maxDist = 3)
-        .orderBy(col("doc_a"), col("doc_b"))
+    "multimodal_audiohash_pairs" -> ((s, dir) =>
+      Multimodal.audioNearDupPairs(audioClipsFixture(s, dir), maxDist = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // the UNIFIED media-duplicate surface: image dHash pairs, video
+    // frame-set Jaccard pairs, and audio fingerprint pairs — each from
+    // the SAME fixture its per-modality query audits — union into one
+    // graph (nodes namespaced clip_id*4 + modality code) and connected
+    // components label every media item with its duplicate cluster:
+    // the dedup_clusters shape applied to multimodal, what a pipeline
+    // user actually consumes ("give me media dup clusters", not three
+    // pair lists). Modality namespaces are disjoint, so clusters never
+    // leak across modalities; singletons carry their own node id
+    "multimodal_dup_clusters" -> ((s, dir) => {
+      val img = Multimodal
+        .imageNearDupPairs(phashMediaFixture(s, dir), maxDist = 3)
+        .select((col("doc_a") * 4).as("src"), (col("doc_b") * 4).as("dst"))
+      val vid = Multimodal.videoNearDupPairs(videoClipsFixture(s, dir),
+          minJaccardPpm = 700000L, k = 32, bands = 16, rowsPerBand = 2)
+        .select((col("doc_a") * 4 + 1).as("src"),
+          (col("doc_b") * 4 + 1).as("dst"))
+      val aud = Multimodal
+        .audioNearDupPairs(audioClipsFixture(s, dir), maxDist = 3)
+        .select((col("doc_a") * 4 + 2).as("src"),
+          (col("doc_b") * 4 + 2).as("dst"))
+      val edges = img.unionByName(vid).unionByName(aud)
+      val nodes = phashMediaFixture(s, dir)
+        .select((col("doc_id") * 4).as("node"))
+        .unionByName(videoClipsFixture(s, dir)
+          .select((col("doc_id") * 4 + 1).as("node")))
+        .unionByName(audioClipsFixture(s, dir)
+          .select((col("doc_id") * 4 + 2).as("node")))
+      graft.operators.Graph.componentsFor(nodes, "node", edges)
+        .select(expr("node div 4").as("doc_id"),
+          when(col("node") % 4 === 0, "image")
+            .when(col("node") % 4 === 1, "video")
+            .otherwise("audio").as("modality"),
+          col("component").as("cluster_id"))
+        .orderBy(col("modality"), col("doc_id"))
     }),
 
     // ---- north-star: dataset assembly (training-data pipeline) ----
@@ -1221,6 +1241,92 @@ object SparkEntry {
           "post_drift_zero", "query_parity")
     }),
 
+    // the IVF-PQ lifecycle valve, driver-proven end to end (the PQ twin
+    // of embedding_index_drift_rebuild): persist an IVF-PQ index on a
+    // 500-vector slice, skewed CODED ingest (appendIvfIndex encodes with
+    // the persisted codebooks), drift census off disk, rebuildIvfPqIndex
+    // past threshold retrains coarse quantizer AND codebooks, re-encodes
+    // from the corpus, and commits a gen-N generation — pins: drift
+    // detected, rebuild fired, post-rebuild drift zero, and
+    // exhaustive-probe FULL-RERANK answers bit-identical across the
+    // rebuild (codes and ADC order change with the codebooks; the exact
+    // cosine rerank over the full candidate set must not)
+    "embedding_pq_drift_rebuild" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_pqdrift_${new java.io.File(dir).getName}").toString
+      val idx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+      val model = Similarity.buildPqModel(emb, m = 8, k = 16, iters = 1)
+      Sink.writeIvfPqIndex(idx, model.cents, model.codes, path)
+      idx.unpersist(); model.unpersist()
+      val skew = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding"))
+        .crossJoin(s.range(1000000L, 1000300L).toDF("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      Sink.appendIvfIndex(s, path, skew, batchId = 0L)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 2000000L).as("query_id"), col("embedding"))
+      def exhaustive() = {
+        val (loaded, cents) = Sink.readIvfPqIndex(s, path)
+        Similarity.ivfPqQueryVectors(loaded, cents, queries,
+          nprobe = 8, rerank = 1000000, k = 10)
+      }
+      val before = exhaustive().localCheckpoint(true)
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(skew)
+      val (rebuilt, maxPpm) = Sink.rebuildIvfPqIndex(s, path, corpus,
+        nlist = 8, m = 8, k = 16, thresholdPpm = 200000L,
+        iters = 2, pqIters = 1)
+      val after = exhaustive().localCheckpoint(true)
+      val postMax = Sink.ivfOccupancyDrift(s, path)
+        .agg(max(col("growth_ppm"))).head.getLong(0)
+      val nTotal = Sink.readIvfIndex(s, path).celled.count()
+      val matched = before.join(after,
+        Seq("query_id", "vec_id", "cosine", "rank")).count()
+      val nBefore = before.count()
+      import s.implicits._
+      Seq((nTotal, maxPpm >= 200000L, rebuilt, postMax == 0L,
+          matched == nBefore && after.count() == nBefore))
+        .toDF("n_total", "drift_exceeded", "rebuilt",
+          "post_drift_zero", "query_parity")
+    }),
+
+    // the LSH bucket-balance census, driver-proven: persist an SRP-LSH
+    // index on the same 500-vector slice, skew-ingest 300 clones of one
+    // vector (clones share ALL the source's band buckets — SRP skew is
+    // intrinsic to data concentration, which is why the census, not a
+    // hyperplane resample, is the LSH health valve), read the drift
+    // census off disk and pin: exactly `bands` (band, bucket) entries
+    // grew, growth clears the floor, and compaction folds the ingested
+    // postings back WITHOUT changing the census (live counts and build
+    // baseline both survive the swap)
+    "embedding_lsh_bucket_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_lshdrift_${new java.io.File(dir).getName}").toString
+      val idx = Similarity.buildLshIndex(emb, nBits = 64, bands = 16)
+      Sink.writeLshIndex(idx, path)
+      idx.unpersist()
+      val skew = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding"))
+        .crossJoin(s.range(1000000L, 1000300L).toDF("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      Sink.appendLshIndex(s, path, skew, batchId = 0L)
+      val drift = Sink.lshOccupancyDrift(s, path).localCheckpoint(true)
+      val nGrown = drift.filter(col("growth_ppm") > 0L).count()
+      val maxGrow = drift.agg(max(col("growth_ppm"))).head.getLong(0)
+      Sink.compactLshIndex(s, path)
+      val drift2 = Sink.lshOccupancyDrift(s, path)
+      val nStable = drift.join(drift2,
+        Seq("band", "bucket", "n_build", "n_now", "growth_ppm")).count()
+      val nRows = drift.count()
+      import s.implicits._
+      Seq((nGrown, nGrown == 16L, maxGrow >= 500000L,
+          nStable == nRows && drift2.count() == nRows))
+        .toDF("n_buckets_grown", "grown_eq_bands", "growth_exceeds",
+          "census_stable_across_compaction")
+    }),
+
     // cluster-vs-label agreement audit: contingency of learned cells
     // against the label column (+ per-cell majority flag) — the "do my
     // learned cells mean anything" encoder check, all integer-exact
@@ -1257,19 +1363,9 @@ object SparkEntry {
     // exact dups at hamming 0 and the whole pipeline hash-checks. The
     // REAL-pixel dHash branch is spec-verified on generated PNGs
     // (MultimodalSpec).
-    "multimodal_phash_pairs" -> ((s, dir) => {
-      val media = Tables.documents(s, dir).select(
-        col("doc_id"),
-        lit("media/stub").as("media_type"),
-        when((col("doc_id") % 10).isin(6, 7),
-          concat(lit("shared-"), expr("doc_id div 10").cast("string")))
-          .otherwise(col("text")).as("content_str"))
-        .select(col("doc_id"), col("media_type"),
-          octet_length(col("content_str")).cast("long").as("n_bytes"),
-          col("content_str").cast("binary").as("content"))
-      Multimodal.imageNearDupPairs(media, maxDist = 3)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "multimodal_phash_pairs" -> ((s, dir) =>
+      Multimodal.imageNearDupPairs(phashMediaFixture(s, dir), maxDist = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // OHLC candlestick downsampling (TimescaleDB first/last parity):
     // one agg pass, struct-argmin open / struct-argmax close
@@ -1914,6 +2010,100 @@ object SparkEntry {
                                          '_', cast(i AS string))), 1, 6),
                     16, 10) AS long) % 1000) / 1000.0D - 0.5D) * 0.6D
         AS float))""").as("embedding"))
+
+  // ---- media near-dup fixtures: ONE definition each, shared by the
+  // per-modality pair queries AND the unified multimodal_dup_clusters
+  // surface, so the clusters query audits exactly the graphs the pair
+  // queries emit ----
+
+  /** Image-modality media fixture (see multimodal_phash_pairs): decade-
+    * shared synthetic content planted on doc_id % 10 ∈ {6, 7}, text
+    * bytes elsewhere — md5-stub hashes, so the pair set is the planted
+    * exact dups, oracle-replayable.
+    */
+  private def phashMediaFixture(
+      s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      lit("media/stub").as("media_type"),
+      when((col("doc_id") % 10).isin(6, 7),
+        concat(lit("shared-"), expr("doc_id div 10").cast("string")))
+        .otherwise(col("text")).as("content_str"))
+      .select(col("doc_id"), col("media_type"),
+        octet_length(col("content_str")).cast("long").as("n_bytes"),
+        col("content_str").cast("binary").as("content"))
+
+  /** Video-modality clips fixture (see multimodal_videohash_pairs):
+    * per doc < 40 with ≥ 256 chars, clip A = 8 fixed 32-char text
+    * chunks packed as container frames, clip B (id + 100000) = the same
+    * clip re-cut with the last frame dropped.
+    */
+  private def videoClipsFixture(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 40 && col("n_chars") >= 256)
+      .select(col("doc_id"),
+        array((0 until 8).map(i =>
+          substring(col("text"), i * 32 + 1, 32)): _*).as("frames"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, fs) =>
+          val bytes = fs.map(_.getBytes("UTF-8"))
+          val a = Multimodal.packFrames(bytes)
+          val b = Multimodal.packFrames(bytes.take(7)) // re-cut: drop last
+          Seq(Multimodal.MediaRow(id, "video/gfv", a.length.toLong, a),
+            Multimodal.MediaRow(id + 100000L, "video/gfv",
+              b.length.toLong, b))
+        }
+      }.toDF()
+  }
+
+  /** Audio-modality clips fixture (see multimodal_audiohash_pairs):
+    * per doc < 40, an injective checksum-coded PCM WAV melody
+    * (Multimodal.fixtureMelody) and its exactly-half-gain twin
+    * (id + 100000) — the twin fingerprints bit-identically, distinct
+    * melodies sit ≥ 8 Hamming bits apart (spec-pinned).
+    */
+  private def audioClipsFixture(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val rate = 8000
+          val samples = Multimodal.fixtureMelody(id, rate = rate)
+          val half = samples.map(v => (v / 2).toShort)
+          val a = Multimodal.packWav(samples, rate)
+          val b = Multimodal.packWav(half, rate)
+          Seq(Multimodal.MediaRow(id, "audio/wav", a.length.toLong, a),
+            Multimodal.MediaRow(id + 100000L, "audio/wav",
+              b.length.toLong, b))
+        }
+      }.toDF()
+  }
+
+  /** The on-disk IVF-PQ serving index for `similarity_ann_serve_pq`:
+    * built + persisted ONCE per corpus dir (write-if-absent — production
+    * serves from a long-lived index, not a per-request rebuild; bench
+    * reps and repeated Verify calls reuse the artifact). The
+    * build_census `_SUCCESS` is [[graft.sinks.Sink.writeIvfPqIndex]]'s
+    * LAST write, so its presence marks a complete layout; a torn
+    * half-write (crash mid-build) is rebuilt on the next call.
+    */
+  private def persistedPqServeDir(s: SparkSession, dir: String): String = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_servepq_v1_${new java.io.File(dir).getName}").toString
+    if (!new java.io.File(s"$path/build_census/_SUCCESS").exists()) {
+      val emb = Tables.embeddings(s, dir)
+      val index = Similarity.IndexCache.ivfExact(emb, nlist = 16)
+      val model = Similarity.IndexCache.pq(emb, m = 8, k = 64, iters = 2)
+      Sink.writeIvfPqIndex(index, model.cents, model.codes, path)
+    }
+    path
+  }
 
   private def slicedCoPurchasePairs(
       s: SparkSession, dir: String): DataFrame = {
@@ -3227,6 +3417,21 @@ object SparkEntry {
         |       TRUE AS post_drift_zero, TRUE AS query_parity
         |FROM embeddings""".stripMargin,
 
+    // the PQ lifecycle claims are the booleans; the corpus-derived value
+    // is the post-rebuild index size (500-vector slice + 300 skew adds)
+    "embedding_pq_drift_rebuild" ->
+      """SELECT CAST(count(*) + 300 AS BIGINT) AS n_total,
+        |       TRUE AS drift_exceeded, TRUE AS rebuilt,
+        |       TRUE AS post_drift_zero, TRUE AS query_parity
+        |FROM embeddings WHERE vec_id < 500""".stripMargin,
+
+    // clones share all 16 of the source's band buckets and nothing else
+    // grows; the census must survive compaction bit for bit
+    "embedding_lsh_bucket_drift" ->
+      """SELECT CAST(16 AS BIGINT) AS n_buckets_grown,
+        |       TRUE AS grown_eq_bands, TRUE AS growth_exceeds,
+        |       TRUE AS census_stable_across_compaction""".stripMargin,
+
     "embedding_occupancy_drift" -> {
       val splitCase = Assembly.hashSplitOracleCase(
         "vec_id", Seq("train" -> 0.5, "live" -> 0.5), "drift")
@@ -4214,13 +4419,16 @@ object SparkEntry {
         |  FROM v JOIN q ON v.vec_id <> q.query_id) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // the decode pass on a no-codec corpus: NULL dims + decoded=false
+    // everywhere — the oracle pins that no fabricated dimension survives
     "multimodal_metadata" ->
       """SELECT doc_id, 'text/plain' AS media_type,
         |       CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS checksum,
-        |       CAST((strlen(text) % 640) + 1 AS INT) AS width,
-        |       CAST(((strlen(text) * 7) % 480) + 1 AS INT) AS height,
-        |       CAST((strlen(text) // 128) + 1 AS INT) AS n_frames
+        |       CAST(NULL AS INT) AS width,
+        |       CAST(NULL AS INT) AS height,
+        |       CAST(NULL AS INT) AS n_frames,
+        |       FALSE AS decoded
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "multimodal_resize_plan" ->
@@ -4313,6 +4521,79 @@ object SparkEntry {
         |       0 AS hamming
         |FROM documents WHERE doc_id < 40
         |ORDER BY 1, 2""".stripMargin,
+
+    // the three modality pair sets (each replayed exactly as its own
+    // oracle replays it), namespaced clip_id*4 + modality, unioned, and
+    // closed under recursive reachability — every media item labeled
+    // with its duplicate-cluster minimum, singletons included
+    "multimodal_dup_clusters" -> {
+      s"""WITH RECURSIVE im AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 IN (6, 7)
+         |              THEN 'shared-' || CAST(doc_id // 10 AS VARCHAR)
+         |              ELSE text END AS content
+         |  FROM documents),
+         |ih AS (
+         |  SELECT doc_id,
+         |         ${md5PrefixLongSql("content")} AS ph
+         |  FROM im),
+         |ipairs AS (
+         |  SELECT a.doc_id * 4 AS u, b.doc_id * 4 AS v
+         |  FROM ih a JOIN ih b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+         |vd AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 40 AND n_chars >= 256),
+         |vfr AS (
+         |  SELECT vd.doc_id, g.i,
+         |         ${md5PrefixLongSql(
+              "substr(text, CAST(i*32+1 AS BIGINT), 32)")}
+         |           AS fh
+         |  FROM vd CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 7)) AS i) g),
+         |vclips AS (
+         |  SELECT doc_id AS clip, fh FROM vfr GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS clip, fh FROM vfr WHERE i < 7
+         |  GROUP BY 1, 2),
+         |vsizes AS (SELECT clip, count(*) AS n FROM vclips GROUP BY clip),
+         |vinter AS (
+         |  SELECT a.clip AS ca, b.clip AS cb, count(*) AS ni
+         |  FROM vclips a JOIN vclips b ON a.fh = b.fh AND a.clip < b.clip
+         |  GROUP BY 1, 2),
+         |vpairs AS (
+         |  SELECT ca * 4 + 1 AS u, cb * 4 + 1 AS v
+         |  FROM vinter
+         |  JOIN vsizes sa ON sa.clip = vinter.ca
+         |  JOIN vsizes sb ON sb.clip = vinter.cb
+         |  WHERE (ni * 1000000) // (sa.n + sb.n - ni) >= 700000),
+         |apairs AS (
+         |  SELECT doc_id * 4 + 2 AS u, (doc_id + 100000) * 4 + 2 AS v
+         |  FROM documents WHERE doc_id < 40),
+         |allp AS (
+         |  SELECT u, v FROM ipairs
+         |  UNION ALL SELECT u, v FROM vpairs
+         |  UNION ALL SELECT u, v FROM apairs),
+         |edges AS (SELECT u, v FROM allp UNION SELECT v, u FROM allp),
+         |reach AS (
+         |  SELECT u AS node, u AS comp FROM edges
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+         |cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+         |nodes AS (
+         |  SELECT doc_id * 4 AS node FROM documents
+         |  UNION ALL SELECT doc_id * 4 + 1 FROM vd
+         |  UNION ALL SELECT (doc_id + 100000) * 4 + 1 FROM vd
+         |  UNION ALL SELECT doc_id * 4 + 2 FROM documents WHERE doc_id < 40
+         |  UNION ALL SELECT (doc_id + 100000) * 4 + 2 FROM documents
+         |            WHERE doc_id < 40)
+         |SELECT n.node // 4 AS doc_id,
+         |       CASE n.node % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+         |            ELSE 'audio' END AS modality,
+         |       COALESCE(cc.component, n.node) AS cluster_id
+         |FROM nodes n LEFT JOIN cc ON cc.node = n.node
+         |ORDER BY modality, doc_id""".stripMargin
+    },
 
     // boundaries are computed ONCE driver-side (Assembly.splitBoundaries)
     // and compared as hex strings — neither engine does query-time float

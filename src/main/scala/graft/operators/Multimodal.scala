@@ -24,15 +24,21 @@ object Multimodal {
       n_bytes: Long,
       content: Array[Byte])
 
-  /** Extracted features (what a real decoder would produce). */
+  /** Extracted features (what a real decoder would produce). Dimensions
+    * are OPTIONAL: they exist only when the decoder actually ran
+    * (`decoded = true`); undecodable media surface null dims, never
+    * deterministic fakes — a downstream consumer must be able to tell
+    * "measured" from "made up".
+    */
   final case class MediaFeatures(
       doc_id: Long,
       media_type: String,
       n_bytes: Long,
-      width: Int,
-      height: Int,
-      n_frames: Int,
-      checksum: String)
+      width: Option[Int],
+      height: Option[Int],
+      n_frames: Option[Int],
+      checksum: String,
+      decoded: Boolean)
 
   /** Bind the documents corpus as a media table: text bytes stand in for
     * encoded media; metadata computed without touching downstream stages.
@@ -44,52 +50,46 @@ object Multimodal {
       octet_length(col("text")).cast("long").as("n_bytes"),
       col("text").cast("binary").as("content"))
 
-  /** Columnar metadata pass — blob statistics WITHOUT decoding: length,
-    * checksum, and deterministic pseudo-dimensions. Pure expressions, so
-    * parquet column pruning keeps this scan cheap and the DuckDB oracle can
-    * verify it.
+  /** Columnar metadata pass — blob statistics WITHOUT decoding: length
+    * and checksum only. Pure expressions, so parquet column pruning
+    * keeps this scan cheap and the DuckDB oracle can verify it.
+    * Dimensions deliberately do NOT appear here: a columnar pass cannot
+    * measure pixels, and earlier rounds' deterministic pseudo-dimensions
+    * let fake numbers masquerade as data — dims come from
+    * [[decodeFeatures]] (null + `decoded = false` when no codec applies).
     */
   def metadata(media: DataFrame): DataFrame =
     media.select(
       col("doc_id"),
       col("media_type"),
       col("n_bytes"),
-      md5(col("content")).as("checksum"),
-      ((col("n_bytes") % 640) + 1).cast("int").as("width"),
-      (((col("n_bytes") * 7) % 480) + 1).cast("int").as("height"),
-      // integer div (not `/`): Spark casts double→int by truncation but
-      // DuckDB by rounding — `div`/`//` sidesteps the divergence
-      (expr("n_bytes div 128") + 1).cast("int").as("n_frames"))
+      md5(col("content")).as("checksum"))
 
   /** Decoder: real image decode via the JDK's ImageIO when the blob IS an
     * image (PNG/JPEG/GIF/BMP — true width/height from the pixels);
-    * deterministic pseudo-features otherwise (standing in for the
-    * audio/video codecs this environment lacks — clearly-marked STUB
-    * branch). Everything around it (per-partition init, batch iteration,
-    * output schema) is the production shape either way.
+    * undecodable media get NULL dimensions and `decoded = false` — never
+    * deterministic fakes (earlier rounds synthesized pseudo-dims here,
+    * which let made-up numbers flow downstream as data). A real
+    * deployment swaps additional codecs into this branch. Everything
+    * around it (per-partition init, batch iteration, output schema) is
+    * the production shape either way.
     */
   private[operators] def decodeOne(codecHandle: AnyRef, row: MediaRow): MediaFeatures = {
     val _ = codecHandle
     val img = readImage(row.content)
-    val (w, h, frames) =
-      if (img != null) (img.getWidth, img.getHeight, 1)
-      else (
-        // >>> STUB: non-image media (audio/video) — deterministic fake
-        //     dimensions; a real deployment calls the codec here. <<<
-        (row.n_bytes % 640 + 1).toInt,
-        (row.n_bytes * 7 % 480 + 1).toInt,
-        (row.n_bytes / 128 + 1).toInt)
-    MediaFeatures(
-      doc_id = row.doc_id,
-      media_type = if (img != null) "image" else row.media_type,
-      n_bytes = row.n_bytes,
-      width = w,
-      height = h,
-      n_frames = frames,
-      checksum = {
-        val d = java.security.MessageDigest.getInstance("MD5")
-        d.digest(row.content).map(b => f"$b%02x").mkString
-      })
+    val checksum = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(row.content).map(b => f"$b%02x").mkString
+    }
+    if (img != null)
+      MediaFeatures(row.doc_id, "image", row.n_bytes,
+        Some(img.getWidth), Some(img.getHeight), Some(1), checksum,
+        decoded = true)
+    else
+      // no codec for these bytes in this environment — surface honest
+      // nulls (a production deploy plugs audio/video decoders in above)
+      MediaFeatures(row.doc_id, row.media_type, row.n_bytes,
+        None, None, None, checksum, decoded = false)
   }
 
   /** Decode/feature-extract via mapPartitions: the codec is initialized
@@ -133,24 +133,29 @@ object Multimodal {
           .cast("int"))
   }
 
-  /** Resized media row: original + target dims, re-encoded bytes. */
+  /** Resized media row: original + target dims, re-encoded bytes.
+    * Dims are null when no codec applied ([[MediaFeatures]]'s stance) —
+    * such rows pass through byte-identical with `resized = false`.
+    */
   final case class ResizedMedia(
       doc_id: Long,
       media_type: String,
-      orig_w: Int,
-      orig_h: Int,
-      width: Int,
-      height: Int,
+      orig_w: Option[Int],
+      orig_h: Option[Int],
+      width: Option[Int],
+      height: Option[Int],
       n_bytes: Long,
-      content: Array[Byte])
+      content: Array[Byte],
+      resized: Boolean)
 
   /** Pixel resize in the per-partition codec stage: REAL for decodable
     * images (Graphics2D bilinear scale to the aspect-fit box, PNG
-    * re-encode); STUB passthrough for non-image media (content kept,
-    * dims from the same integer plan — a real deployment calls the
-    * video/audio scaler here). The Spark-side shape — mapPartitions,
-    * one codec init per partition, fixed output schema — is production
-    * either way.
+    * re-encode); undecodable media pass through BYTE-IDENTICAL with null
+    * dims and `resized = false` (a real deployment calls the video/audio
+    * scaler here — passing fabricated dims downstream is worse than
+    * admitting the codec didn't run). The Spark-side shape —
+    * mapPartitions, one codec init per partition, fixed output schema —
+    * is production either way.
     */
   def resize(
       media: DataFrame,
@@ -181,15 +186,14 @@ object Multimodal {
           val buf = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(out, "png", buf)
           val bytes = buf.toByteArray
-          ResizedMedia(r.doc_id, "image", img.getWidth, img.getHeight,
-            tw, th, bytes.length.toLong, bytes)
+          ResizedMedia(r.doc_id, "image",
+            Some(img.getWidth), Some(img.getHeight), Some(tw), Some(th),
+            bytes.length.toLong, bytes, resized = true)
         } else {
-          // >>> STUB: non-image media — passthrough bytes, planned dims <<<
-          val ow = (r.n_bytes % 640 + 1).toInt
-          val oh = (r.n_bytes * 7 % 480 + 1).toInt
-          val (tw, th) = fit(ow.toLong, oh.toLong)
-          ResizedMedia(r.doc_id, r.media_type, ow, oh, tw, th,
-            r.n_bytes, r.content)
+          // no codec for these bytes — byte-identical passthrough,
+          // honest nulls (see scaladoc)
+          ResizedMedia(r.doc_id, r.media_type, None, None, None, None,
+            r.n_bytes, r.content, resized = false)
         }
       }
     }

@@ -346,6 +346,9 @@ object Sink {
       val rootPath = new org.apache.hadoop.fs.Path(path)
       val fs = rootPath.getFileSystem(conf)
       val oldRoot = resolveIndexRoot(spark, path)
+      require(!indexHasPq(spark, oldRoot),
+        "IVF-PQ layout: use rebuildIvfPqIndex - a coarse-only rebuild " +
+          "would strand the codes against stale codebooks")
       val cur = readIvfIndex(spark, path).celled
         .select(col("vec_id"), col("unit"))
       val fresh = graft.operators.Similarity.buildIvfIndexExact(
@@ -374,6 +377,91 @@ object Sink {
         // superseded flat layout (the gen-* dirs stay untouched)
         Seq("celled", "centroids", "build_census", "ingested").foreach {
           sub => fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+        }
+      } else {
+        fs.delete(new org.apache.hadoop.fs.Path(oldRoot), true)
+      }
+      (true, maxPpm)
+    }
+  }
+
+  /** The PQ maintenance valve — [[rebuildIvfIndex]] for the persisted
+    * IVF-PQ layout: when any cell's occupancy grew past `thresholdPpm`
+    * since build, retrain the coarse quantizer on the current index
+    * units, retrain the PQ codebooks and re-encode EVERY vector from
+    * `corpus` (the source-of-truth `(vec_id, embedding)` table — PQ
+    * trains on the original-embedding lattice and normalization is
+    * lossy, so a codebook retrain re-reads source data, exactly what a
+    * production rebuild does after heavy ingest has drifted the value
+    * distribution the codebooks were trained on), and commit the full
+    * rebuilt layout (celled + codes, centroids, codebooks, build
+    * census) as a fresh `gen-N/` generation under the single
+    * [[resolveIndexRoot]] `_SUCCESS` marker — same crash-safety story
+    * as [[rebuildIvfIndex]], no multi-rename window.
+    *
+    * Post-rebuild drift is zero by construction. Exhaustive-probe +
+    * full-rerank query answers are bit-identical across the rebuild
+    * (spec-asserted): codes and ADC order change with the codebooks,
+    * but the exact-cosine rerank over the full candidate set doesn't —
+    * the unit arrays are carried through by id, never recomputed.
+    *
+    * `corpus` must cover every vec_id in the index (base + ingested):
+    * missing rows would silently vanish in the celled ⋈ codes join, so
+    * the rebuild verifies the rebuilt row count and refuses (before the
+    * commit marker — the half-written generation stays invisible).
+    *
+    * Returns (rebuilt?, max growth_ppm observed before the decision).
+    */
+  def rebuildIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame,
+      nlist: Int = 16,
+      m: Int = 8,
+      k: Int = 16,
+      thresholdPpm: Long = 200000L,
+      iters: Int = 3,
+      pqIters: Int = 2): (Boolean, Long) = {
+    val maxPpm = ivfOccupancyDrift(spark, path)
+      .agg(max(col("growth_ppm"))).head.getLong(0)
+    if (maxPpm < thresholdPpm) (false, maxPpm)
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val rootPath = new org.apache.hadoop.fs.Path(path)
+      val fs = rootPath.getFileSystem(conf)
+      val oldRoot = resolveIndexRoot(spark, path)
+      val cur = readIvfIndex(spark, path).celled
+        .select(col("vec_id"), col("unit"))
+      val nCur = cur.count()
+      val fresh = graft.operators.Similarity.buildIvfIndexExact(
+        cur.select(col("vec_id"), col("unit").as("embedding")),
+        nlist, iters)
+      // original unit arrays carried through by id — see rebuildIvfIndex
+      val preserved = fresh.celled.select(col("vec_id"), col("cell"))
+        .join(cur, "vec_id")
+        .select(col("vec_id"), col("unit"), col("cell"))
+      val model = graft.operators.Similarity
+        .buildPqModel(corpus, m, k, pqIters)
+      val gen = committedGenerations(fs, rootPath)
+        .maxOption.getOrElse(0L) + 1
+      val genDir = s"$path/gen-$gen"
+      writeIvfPqIndex(
+        graft.operators.Similarity.IvfIndex(fresh.centroids, preserved),
+        model.cents, model.codes, genDir)
+      fresh.unpersist()
+      model.unpersist()
+      val nNew = spark.read.parquet(s"$genDir/celled").count()
+      require(nNew == nCur,
+        s"rebuild corpus covers only $nNew of $nCur index rows - corpus " +
+          "must contain every indexed vec_id (half-written generation " +
+          "left uncommitted)")
+      // COMMIT: one marker-file creation, then recoverable cleanup
+      fs.create(
+        new org.apache.hadoop.fs.Path(s"$genDir/_SUCCESS"), true).close()
+      if (oldRoot == path) {
+        Seq("celled", "centroids", "pq_codebooks", "build_census",
+          "ingested").foreach { sub =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
         }
       } else {
         fs.delete(new org.apache.hadoop.fs.Path(oldRoot), true)
@@ -412,14 +500,54 @@ object Sink {
     val centroids = spark.read.parquet(s"$root/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
-    graft.operators.Similarity.assignCells(centroids, vectors)
+    val assigned = graft.operators.Similarity
+      .assignCells(centroids, vectors)
       .withColumn("batch_id", lit(batchId))
+    // an IVF-PQ layout carries codes on every celled row; ingested rows
+    // must arrive CODED with the persisted codebooks (never retrained —
+    // FAISS-`add` semantics, like the coarse quantizer above) or the
+    // ADC candidate scan would meet null codes and silently mis-rank
+    val rows =
+      if (!indexHasPq(spark, root)) assigned
+      else {
+        val cents = readPqCodebooks(spark, root)
+        assigned.join(
+          graft.operators.Similarity.pqEncode(
+            graft.operators.Clustering.quantized(vectors), cents),
+          "vec_id")
+      }
+    rows
       // one output file per touched (cell, batch) directory
       .repartition(col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "batch_id")
       .parquet(s"$root/ingested")
+  }
+
+  /** Does the resolved index root carry a PQ layout (codebooks + codes
+    * on the celled table)?
+    */
+  private def indexHasPq(
+      spark: org.apache.spark.sql.SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/pq_codebooks")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Collect the persisted PQ codebooks as `cents(sub)(code)` — tiny
+    * (m·k rows of subDim longs).
+    */
+  private def readPqCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String): Array[Array[Array[Long]]] = {
+    val rows = spark.read.parquet(s"$root/pq_codebooks")
+      .orderBy(col("sub"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val cents = Array.ofDim[Array[Long]](m, k)
+    rows.foreach { case (s, j, c) => cents(s)(j) = c }
+    cents
   }
 
   /** Fold the [[appendIvfIndex]] `ingested/` layout back into the base
@@ -492,15 +620,24 @@ object Sink {
       .exists(ingestedDir)
     val all =
       if (!hasIngested) celled
-      else celled.unionByName(
+      else {
         // declared schema: the partition columns must come back as
         // exactly (cell INT, batch_id BIGINT) or a silent cast on the
-        // probe predicate could defeat directory pruning
-        spark.read
-          .schema("vec_id BIGINT, unit ARRAY<DOUBLE>, cell INT, batch_id BIGINT")
-          .parquet(s"$path/ingested")
-          .select(col("vec_id"), col("unit"), col("cell")),
-        allowMissingColumns = true)
+        // probe predicate could defeat directory pruning; a PQ layout's
+        // ingested rows additionally carry their codes
+        val (schema, cols) =
+          if (indexHasPq(spark, path))
+            ("vec_id BIGINT, unit ARRAY<DOUBLE>, codes ARRAY<INT>, " +
+              "cell INT, batch_id BIGINT",
+              Seq(col("vec_id"), col("unit"), col("codes"), col("cell")))
+          else
+            ("vec_id BIGINT, unit ARRAY<DOUBLE>, cell INT, batch_id BIGINT",
+              Seq(col("vec_id"), col("unit"), col("cell")))
+        celled.unionByName(
+          spark.read.schema(schema).parquet(s"$path/ingested")
+            .select(cols: _*),
+          allowMissingColumns = true)
+      }
     graft.operators.Similarity.IvfIndex(centroids, all)
   }
 
@@ -537,6 +674,11 @@ object Sink {
       yield (s, j, pqCents(s)(j).toSeq))
       .toDF("sub", "code", "centroid")
       .coalesce(1).write.mode(mode).parquet(s"$path/pq_codebooks")
+    // build-time occupancy census, the [[writeIvfIndex]] twin — the
+    // baseline the PQ drift valve ([[rebuildIvfPqIndex]]) measures from
+    index.celled.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_build"))
+      .coalesce(1).write.mode(mode).parquet(s"$path/build_census")
   }
 
   /** Reload a persisted IVF-PQ index: `(IvfIndex with codes on the celled
@@ -547,15 +689,7 @@ object Sink {
       path: String)
       : (graft.operators.Similarity.IvfIndex, Array[Array[Array[Long]]]) = {
     val base = readIvfIndex(spark, path)
-    val root = resolveIndexRoot(spark, path)
-    val rows = spark.read.parquet(s"$root/pq_codebooks")
-      .orderBy(col("sub"), col("code")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
-    val m = rows.map(_._1).max + 1
-    val k = rows.map(_._2).max + 1
-    val cents = Array.ofDim[Array[Long]](m, k)
-    rows.foreach { case (s, j, c) => cents(s)(j) = c }
-    (base, cents)
+    (base, readPqCodebooks(spark, resolveIndexRoot(spark, path)))
   }
 
   /** C6+ / similarity — persist an SRP-LSH index in its 100 TB layout
@@ -600,6 +734,57 @@ object Sink {
       .coalesce(1).write.mode(mode).parquet(s"$path/planes")
     Seq(index.bands).toDF("bands")
       .coalesce(1).write.mode(mode).parquet(s"$path/meta")
+    // build-time bucket-occupancy census (≤ bands × 2^bitsPerBand rows)
+    // — the baseline [[lshOccupancyDrift]] measures bucket-balance
+    // drift from: a skewed ingest stream piles postings into the few
+    // buckets its region hashes to, and probes into those buckets scan
+    // far past corpus/buckets
+    index.signed
+      .select(posexplode(array((0 until index.bands).map(bandBucket): _*))
+        .as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_build"))
+      .coalesce(1).write.mode(mode).parquet(s"$path/build_census")
+  }
+
+  /** Bucket-occupancy DRIFT census of a persisted LSH index — the
+    * [[ivfOccupancyDrift]] twin: per (band, bucket), build-time posting
+    * count vs live count (postings ∪ postings_ingested) and growth in
+    * ppm. SRP bucket skew is intrinsic to data concentration (clones of
+    * one vector share ALL its band buckets), so this census is the
+    * health metric that tells an operator the probe-cost contract is
+    * degrading; the remedy differs from IVF (wider banding / index
+    * resharding rather than a quantizer retrain — resampling hyperplanes
+    * cannot unskew concentrated data), which is why the census is the
+    * first-class valve here. Indexes persisted before this census
+    * existed adopt live occupancy as the baseline, like
+    * [[ivfOccupancyDrift]].
+    */
+  def lshOccupancyDrift(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val censusPath = new org.apache.hadoop.fs.Path(s"$path/build_census")
+    val fs = censusPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(censusPath)) {
+      spark.read
+        .schema("vec_id BIGINT, band INT, bucket BIGINT")
+        .parquet(s"$path/postings")
+        .groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n_build"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/build_census")
+    }
+    val live = readLshIndex(spark, path).postings
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n_now"))
+    spark.read.parquet(s"$path/build_census")
+      .join(live, Seq("band", "bucket"), "full_outer")
+      .select(col("band"), col("bucket"),
+        coalesce(col("n_build"), lit(0L)).as("n_build"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"))
+      .withColumn("growth_ppm", expr(
+        "(n_now - n_build) * 1000000 div greatest(n_build, 1)"))
+      .orderBy(col("band"), col("bucket"))
   }
 
   /** Incrementally ADD vectors to a persisted LSH index — the

@@ -147,6 +147,23 @@ class FreqCensusSpec extends SparkSpec {
       val got = Census.heavyHittersFromCensus(census, Seq(), 1L, 64)
         .select(col("item"), col("freq")).as[(String, Long)].collect().toMap
       assert(got === Map("x" -> 300L, "y" -> 50L, "z" -> 150L))
+      // single live generation on disk, like the KLL/HLL twins
+      assert(new java.io.File(table).listFiles()
+        .count(_.getName.startsWith("gen-")) === 1)
+
+      // REPLAY of a COMMITTED batch: foreachBatch redelivers batchId 0
+      // after a crash; the Misra-Gries counting algebra double-counts on
+      // an applied replay (x would read 400), so the guard alone must
+      // skip it and the census must come back IDENTICAL
+      val delta1 = Census.freqSketchTable(
+        e1.toDF("item"), "item", Seq(), 64)
+      assert(!Sink.mergeFreqCensusTable(spark, table, delta1, Seq(),
+        batchId = 0L, maxMapSize = 64))
+      val census2 = Sink.readCensusTable(spark, table).get._1
+      val got2 = Census.heavyHittersFromCensus(census2, Seq(), 1L, 64)
+        .select(col("item"), col("freq")).as[(String, Long)].collect().toMap
+      assert(got2 === got,
+        "census must be identical after a skipped replay")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
       org.apache.commons.io.FileUtils.deleteDirectory(input.toFile)

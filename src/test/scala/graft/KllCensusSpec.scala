@@ -199,6 +199,23 @@ class KllCensusSpec extends SparkSpec {
       assert(math.abs(exactRankPpm(all, p50) - 500000L) <= 40000L)
       assert(new java.io.File(table).listFiles()
         .count(_.getName.startsWith("gen-")) === 1)
+
+      // REPLAY of a COMMITTED batch: foreachBatch redelivers batchId 0
+      // after a crash; the KLL counting algebra has NO idempotence
+      // backstop (an applied replay inflates n by 5000), so the guard
+      // alone must skip it and the census must come back IDENTICAL —
+      // n exact, median unchanged
+      val delta1 = Census.quantileSketchTable(
+        epoch1.toDF("v").withColumn("g", lit(1)), "v", Seq("g"))
+      assert(!Sink.mergeKllCensusTable(spark, table, delta1, Seq("g"),
+        batchId = 0L))
+      val (census2, _) = Sink.readCensusTable(spark, table).get
+      val merged2 = census2.agg(kll_merge_agg(col("sketch")).as("s"))
+      assert(merged2.select(kll_n(col("s"))).as[Long].head() === 10000L,
+        "replayed committed batch must not double-count")
+      assert(merged2
+        .select(kll_quantile(col("s"), lit(500000L))).as[Long].head()
+        === p50, "census must be identical after a skipped replay")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
       org.apache.commons.io.FileUtils.deleteDirectory(input.toFile)

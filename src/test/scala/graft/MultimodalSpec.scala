@@ -18,16 +18,27 @@ class MultimodalSpec extends SparkSpec {
     assert(n.forall { case (a, b) => a === b })
   }
 
-  test("columnar metadata matches the mapPartitions decode stub") {
+  test("columnar metadata = honest blob stats; decode pass surfaces " +
+      "NULL dims + decoded=false where no codec applies") {
+    // the columnar pass never fabricates dimensions — only what a scan
+    // can actually measure
+    assert(Multimodal.metadata(media).columns.toSeq ===
+      Seq("doc_id", "media_type", "n_bytes", "checksum"))
     val cols = Multimodal.metadata(media)
       .orderBy("doc_id")
-      .select("doc_id", "n_bytes", "width", "height", "n_frames", "checksum")
-      .as[(Long, Long, Int, Int, Int, String)].collect()
+      .select("doc_id", "n_bytes", "checksum")
+      .as[(Long, Long, String)].collect()
     val decoded = Multimodal.decodeFeatures(media)
       .orderBy("doc_id")
-      .select("doc_id", "n_bytes", "width", "height", "n_frames", "checksum")
-      .as[(Long, Long, Int, Int, Int, String)].collect()
+      .select("doc_id", "n_bytes", "checksum")
+      .as[(Long, Long, String)].collect()
     assert(cols.toSeq === decoded.toSeq)
+    // text bytes: no codec ran, dims are null, the flag says so
+    val flags = Multimodal.decodeFeatures(media).toDF()
+      .select(col("decoded"),
+        col("width").isNull && col("height").isNull && col("n_frames").isNull)
+      .as[(Boolean, Boolean)].collect()
+    assert(flags.forall { case (dec, allNull) => !dec && allNull })
   }
 
   test("real image bytes decode to true dimensions via ImageIO") {
@@ -42,13 +53,15 @@ class MultimodalSpec extends SparkSpec {
       .toDF("doc_id", "media_type", "n_bytes")
       .withColumn("content", lit(png))
     val f: MediaFeatures = Multimodal.decodeFeatures(media).collect()(0)
-    assert((f.width, f.height, f.n_frames) === ((17, 11, 1)))
-    assert(f.media_type === "image")
-    // text bytes take the deterministic non-image path
+    assert((f.width, f.height, f.n_frames) ===
+      ((Some(17), Some(11), Some(1))))
+    assert(f.media_type === "image" && f.decoded)
+    // text bytes: honest nulls, not fabricated dims
     val t = Multimodal.decodeFeatures(
       Multimodal.asMedia(Tables.documents(spark, sf).limit(1))).collect()(0)
     assert(t.media_type === "text/plain")
-    assert(t.width === (t.n_bytes % 640 + 1).toInt)
+    assert(!t.decoded && t.width.isEmpty && t.height.isEmpty &&
+      t.n_frames.isEmpty)
   }
 
   test("resize: real PNG scaled to the aspect-fit box, re-decodable") {
@@ -62,8 +75,9 @@ class MultimodalSpec extends SparkSpec {
       .toDF("doc_id", "media_type", "n_bytes")
       .withColumn("content", lit(png))
     val r = Multimodal.resize(media).collect()(0)
-    assert((r.orig_w, r.orig_h) === ((400, 300)))
-    assert((r.width, r.height) === ((224, 168)))
+    assert((r.orig_w, r.orig_h) === ((Some(400), Some(300))))
+    assert((r.width, r.height) === ((Some(224), Some(168))))
+    assert(r.resized)
     // the emitted bytes are a real image of exactly those dimensions
     val back = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(r.content))
@@ -77,20 +91,43 @@ class MultimodalSpec extends SparkSpec {
       .toDF("doc_id", "media_type", "n_bytes")
       .withColumn("content", lit(b2.toByteArray))
     val r2 = Multimodal.resize(m2).collect()(0)
-    assert((r2.width, r2.height) === ((17, 11)))
+    assert((r2.width, r2.height) === ((Some(17), Some(11))))
+    // undecodable bytes: BYTE-IDENTICAL passthrough, null dims, flagged
+    val opaque = "not an image at all".getBytes("UTF-8")
+    val m3 = Seq((9L, "video/raw", opaque.length.toLong))
+      .toDF("doc_id", "media_type", "n_bytes")
+      .withColumn("content", lit(opaque))
+    val r3 = Multimodal.resize(m3).collect()(0)
+    assert(!r3.resized && r3.width.isEmpty && r3.orig_w.isEmpty)
+    assert(r3.content.toSeq === opaque.toSeq)
   }
 
-  test("resizePlan: columnar plan equals the codec stage's fit on stubs") {
-    val media = Multimodal.asMedia(Tables.documents(spark, sf).limit(50))
-    val plan = Multimodal.resizePlan(Multimodal.metadata(media))
+  test("resizePlan: columnar plan equals the codec stage's fit on REAL " +
+      "decoded images") {
+    // a spread of genuine PNGs across the fit cases: inside the box,
+    // width-binding, height-binding, extreme aspect
+    val dims = Seq((1L, 17, 11), (2L, 400, 300), (3L, 300, 400),
+      (4L, 900, 50), (5L, 50, 900), (6L, 224, 224))
+    val rows = dims.map { case (id, w, h) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      val png = baos.toByteArray
+      Multimodal.MediaRow(id, "image/png", png.length.toLong, png)
+    }
+    val media = rows.toDF()
+    // plan from DECODED dims (the production composition: decode once,
+    // plan columnar, resize in the codec stage)
+    val plan = Multimodal.resizePlan(
+        Multimodal.decodeFeatures(media).toDF()
+          .select($"doc_id", $"width", $"height"))
       .select($"doc_id", $"target_w", $"target_h")
       .as[(Long, Int, Int)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     val staged = Multimodal.resize(media).collect()
-      .map(r => r.doc_id -> ((r.width, r.height))).toMap
-    assert(plan.view.mapValues(identity).toMap ===
-      staged.view.mapValues(identity).toMap,
-      "plan dims must equal the mapPartitions fit")
+      .map(r => r.doc_id -> ((r.width.get, r.height.get))).toMap
+    assert(plan === staged, "plan dims must equal the mapPartitions fit")
   }
 
   test("frameSample: one row per frame, offsets stride-aligned") {
