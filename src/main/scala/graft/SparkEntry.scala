@@ -1898,6 +1898,19 @@ object SparkEntry {
       graft.operators.TextAnalysis.searchTopK(
         Tables.documents(s, dir), Seq("vector", "hash", "merge"), k = 20)),
 
+    // BM25 top-k over the PERSISTED inverted index — the standing
+    // postings deployment searchTopK's scaladoc promises, now real:
+    // bucket-partitioned postings with denormalized doc lengths
+    // (write-if-absent, like the PQ serving index), static bucket IN
+    // pruning, disjunctive Robertson BM25 on an exact integer lattice
+    // (ppm idf × milli saturation/length-norm — every div replayed by
+    // the oracle, see TextAnalysis.bm25QueryBatch). The streaming twin
+    // (StreamTextServe.bm25Writer) runs the same probe per micro-batch
+    "text_bm25_topk" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bm25TopK(
+        Sink.readTextIndex(s, persistedTextIndexDir(s, dir)),
+        Seq("vector", "hash", "merge"), k = 20)),
+
     // PII audit + redaction: the corpus carries no PII, so a
     // deterministic PII-bearing column is derived from driver data
     // (email from source, phone/IP from doc_id) and the operator's
@@ -2101,6 +2114,20 @@ object SparkEntry {
       val index = Similarity.IndexCache.ivfExact(emb, nlist = 16)
       val model = Similarity.IndexCache.pq(emb, m = 8, k = 64, iters = 2)
       Sink.writeIvfPqIndex(index, model.cents, model.codes, path)
+    }
+    path
+  }
+
+  /** The on-disk inverted index for `text_bm25_topk` — built + persisted
+    * ONCE per corpus dir (write-if-absent, the persistedPqServeDir
+    * idiom); the meta `_SUCCESS` is [[graft.sinks.Sink.writeTextIndex]]'s
+    * LAST write, so its presence marks a complete layout.
+    */
+  private def persistedTextIndexDir(s: SparkSession, dir: String): String = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_textidx_v1_${new java.io.File(dir).getName}").toString
+    if (!new java.io.File(s"$path/meta/_SUCCESS").exists()) {
+      Sink.writeTextIndex(Tables.documents(s, dir), path, buckets = 64)
     }
     path
   }
@@ -5675,6 +5702,40 @@ object SparkEntry {
         |                         * 1000000) // (df + 1))) AS BIGINT) AS score
         |  FROM w GROUP BY doc_id)
         |SELECT doc_id, score FROM s WHERE n_terms = 3
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the full BM25 lattice replayed: ppm idf, milli k1/b saturation +
+    // length normalization, every division integer (// = Spark's div),
+    // disjunctive, (score desc, doc_id) unique order. N and T replay the
+    // index meta (docs count, post-filter token count)
+    "text_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |        '\s+', ' ', 'g'), ' ')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |         (SELECT count(*) FROM toks) AS t),
+        |m AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token IN ('vector', 'hash', 'merge')
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT m.doc_id, token, tf, dl.dl,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM m JOIN dl USING (doc_id)),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(sum(
+        |           (((n - df + 1) * 1000000) // (df + 1)) * tf * (1000 + 1200)
+        |           // (tf * 1000 +
+        |              (1200 * ((1000 - 750) + (750 * dl * n) // t)) // 1000)
+        |         ) AS BIGINT) AS score
+        |  FROM w CROSS JOIN meta GROUP BY doc_id)
+        |SELECT doc_id, score FROM s
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "text_quality_gopher" ->

@@ -687,6 +687,138 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** A persisted inverted index, reloaded ([[graft.sinks.Sink
+    * .writeTextIndex]] / `readTextIndex`) — the standing-deployment
+    * postings table [[searchTopK]]'s scaladoc promises: `postings` =
+    * `(token, doc_id, tf, dl, bucket)` partitioned by
+    * `bucket = pmod(xxhash64(token), buckets)` so a term lookup reads
+    * its bucket directories only; `dl` (doc length) rides DENORMALIZED
+    * on every posting — the Lucene-norms trick: BM25's length
+    * normalization needs dl per matched row, and 8 bytes per posting
+    * beats a corpus-sized doc-length join at query time. `nDocs` /
+    * `totalTokens` are the corpus constants (avgdl = totalTokens/nDocs
+    * as an exact rational).
+    */
+  final case class TextIndex(
+      postings: DataFrame,
+      nDocs: Long,
+      totalTokens: Long,
+      buckets: Int)
+
+  /** Bucket of a query term — MUST be the same arithmetic the writer
+    * partitioned with (`pmod(xxhash64(token), buckets)`), evaluated
+    * driver-side on the probe literals.
+    */
+  private[graft] def tokenBucket(t: String, buckets: Int): Int = {
+    // seed 42 = the SQL `xxhash64` function's default seed
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        t, org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
+  /** BM25 top-k over a persisted inverted index, many queries per call —
+    * the serving form ([[graft.streaming.StreamTextServe]] runs it per
+    * micro-batch): `requests` is `(query_id, terms array<string>)`;
+    * the probe is the UNION of the batch's terms (request-batch-bounded,
+    * like the ANN serve probes), pushed as a static `bucket IN (...)`
+    * partition predicate plus the token IN-list — a batch reads its
+    * probed bucket directories, never the corpus.
+    *
+    * Scoring is Robertson–Spärck Jones BM25 on an exact integer lattice
+    * (every division is `div`, replayable bit-for-bit in the oracle):
+    *
+    *   idf(t)     = ((N − df + 1)·10⁶) div (df + 1)      — the
+    *                [[searchTopK]] lattice: monotone in the real
+    *                log-idf, so rankings transfer while scores stay
+    *                cross-engine hash-exact (a float ln cannot)
+    *   norm_milli = (1000 − b) + (b·dl·N) div T           — b = 750 ‰
+    *   score(d)   = Σ_t (idf·tf·(1000 + k1))
+    *                    div (tf·1000 + (k1·norm_milli) div 1000)
+    *                                                      — k1 = 1200 ‰
+    *
+    * k1/b ride a ‰ (milli) lattice so the worst-case product
+    * idf·tf·2200 stays ≲ 10¹⁶ at these corpus sizes (Long-safe under
+    * ANSI with 100× margin; at 10⁹ docs drop the idf lattice to 10³).
+    * Saturation and length normalization keep their BM25 shape: score
+    * is increasing-but-saturating in tf (toward idf·(1000+k1)/1000) and
+    * decreasing in dl. Disjunctive (any term matches); ties break by
+    * doc_id — (query_id, score desc, doc_id) is a unique total order.
+    *
+    * df comes from the matched postings themselves (one row per
+    * (token, doc) ⇒ count-over-token IS df), N and T are plan literals
+    * from the index meta — the per-term work after pruning is
+    * Σ df(t) posting rows, never corpus-sized.
+    */
+  def bm25QueryBatch(
+      index: TextIndex,
+      requests: DataFrame,
+      k: Int = 20,
+      k1Milli: Long = 1200L,
+      bMilli: Long = 750L): DataFrame = {
+    // pin the request batch once: the probe collect below and the score
+    // join read the SAME rows (the StreamAnnServe idiom)
+    val req = requests
+      .select(col("query_id"), explode(col("terms")).as("t"))
+      .select(col("query_id"), lower(col("t")).as("token"))
+      .distinct()
+      .localCheckpoint(true)
+    val termList = req.select(col("token")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (termList.isEmpty) {
+      return req.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
+          lit(0L).as("score"), lit(0).as("rank"))
+        .limit(0)
+    }
+    val probeBuckets = termList.map(tokenBucket(_, index.buckets))
+      .distinct.sorted
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+    val scored = index.postings
+      .filter(col("bucket").isin(probeBuckets: _*)) // static partition prune
+      .filter(col("token").isin(termList: _*))
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("idf", expr(
+        s"((${index.nDocs}L - df + 1) * 1000000L) div (df + 1)"))
+      .withColumn("norm_milli", expr(
+        s"(1000L - ${bMilli}L) + " +
+          s"(${bMilli}L * dl * ${index.nDocs}L) div ${index.totalTokens}L"))
+      .withColumn("term_score", expr(
+        s"(idf * tf * (1000L + ${k1Milli}L)) div " +
+          s"(tf * 1000L + (${k1Milli}L * norm_milli) div 1000L)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .join(broadcast(req), "token")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Single-query BM25 top-k — [[bm25QueryBatch]] with one request,
+    * returning `(doc_id, score)` in rank order.
+    */
+  def bm25TopK(
+      index: TextIndex,
+      terms: Seq[String],
+      k: Int = 20,
+      k1Milli: Long = 1200L,
+      bMilli: Long = 750L): DataFrame = {
+    require(terms.nonEmpty &&
+      terms.map(_.toLowerCase).distinct.size == terms.size,
+      "terms must be non-empty and distinct")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val req = Seq((0L, terms)).toDF("query_id", "terms")
+    bm25QueryBatch(index, req, k, k1Milli, bMilli)
+      .select(col("doc_id"), col("score"))
+  }
+
   /** Threshold-calibration sweep for a quality classifier — the
     * precision/recall table a pipeline owner reads before picking the
     * filter cut: for each candidate threshold, the confusion counts of

@@ -945,6 +945,64 @@ object Sink {
       planes, bands, signed, postings)
   }
 
+  /** C6+ / text — persist an INVERTED INDEX in its 100 TB layout (the
+    * [[writeIvfIndex]] of the text-retrieval leg, and the standing
+    * postings table `TextAnalysis.searchTopK`'s scaladoc promises):
+    * postings `(token, doc_id, tf, dl)` PARTITIONED BY
+    * `bucket = pmod(xxhash64(token), buckets)` — a term lookup reads its
+    * probed bucket directories only, never the corpus; `dl` (doc
+    * length) rides DENORMALIZED on every posting (the Lucene-norms
+    * trick — BM25's length normalization needs dl per matched row, and
+    * 8 bytes per posting beats a corpus-sized doc-length join at query
+    * time); corpus constants `(n_docs, total_tokens)` land in a 1-row
+    * meta table. Bucket count bounds the directory fan-out (vs
+    * partition-by-token's unbounded millions) while a B-term query
+    * still prunes to ≤ B directories.
+    */
+  def writeTextIndex(
+      docs: DataFrame,
+      path: String,
+      buckets: Int = 64,
+      mode: String = "overwrite"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = graft.operators.TextAnalysis.docTermCounts(docs)
+      .localCheckpoint(true) // one tokenize pass feeds postings AND meta
+    val dl = counts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    counts
+      .join(dl, "doc_id")
+      .withColumn("bucket",
+        pmod(xxhash64(col("token")), lit(buckets)).cast("int"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+        col("bucket"))
+      // one output file per bucket directory, not one per (bucket × task)
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
+    val (nDocs, totalTokens) = (docs.count(),
+      dl.agg(coalesce(sum(col("dl")), lit(0L))).head.getLong(0))
+    Seq((nDocs, totalTokens, buckets))
+      .toDF("n_docs", "total_tokens", "buckets")
+      .coalesce(1).write.mode(mode).parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted inverted index: postings as a partition-pruned
+    * parquet table (NOT cached — the point of the layout is that a
+    * query reads its probed bucket directories), meta collected (3
+    * scalars). Declared schema keeps the partition column type-exact so
+    * the static probe predicate prunes directories.
+    */
+  def readTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.operators.TextAnalysis.TextIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head
+    graft.operators.TextAnalysis.TextIndex(
+      spark.read
+        .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
+          "bucket INT")
+        .parquet(s"$path/postings"),
+      meta.getLong(0), meta.getLong(1), meta.getInt(2))
+  }
+
   /** Read the latest committed generation of a [[mergeCensusTable]]
     * census table: `(census, batchId)` of the newest `gen-<batchId>/`
     * directory that finished its write (carries `_SUCCESS`). None if no

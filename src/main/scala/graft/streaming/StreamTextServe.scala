@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.TextAnalysis
+
+/** Streaming BM25 query serving — the text leg of the serving family
+  * (IVF / IVF-PQ / LSH / text), same build-offline/serve-online split:
+  * the inverted index is built and persisted offline
+  * ([[graft.sinks.Sink.writeTextIndex]]), reloaded once at stream start,
+  * and a continuous stream of search requests `(query_id,
+  * terms array<string>)` is answered per micro-batch by
+  * [[TextAnalysis.bm25QueryBatch]] — the probe is the union of the
+  * batch's terms, pushed as a static `bucket IN (...)` partition
+  * predicate, so each batch provably reads only its probed bucket
+  * directories (≤ batch-distinct-terms of `buckets`), never the corpus.
+  *
+  * Delivery: the `emit(batchId, results)` callback receives Spark's
+  * replay-stable batch id — the same batchId-keyed idempotent-sink
+  * exactly-once contract every foreachBatch writer in this engine
+  * shares, spec-asserted with a real kill + restart in
+  * StreamTextServeSpec.
+  *
+  * 100 TB shape: the index stays on disk in its bucket-partitioned
+  * layout (the reload collects 3 meta scalars); per micro-batch work is
+  * the request-batch term collect + a scan of the probed directories
+  * (Σ df posting rows) + a broadcast join against the request batch.
+  * Index refresh is a new path + stream restart — the offline-build/
+  * online-serve split of every production search system.
+  */
+object StreamTextServe {
+
+  /** `requests` must be a STREAMING DataFrame with `(query_id,
+    * terms array<string>)` columns. Caller attaches checkpointLocation
+    * and starts.
+    */
+  def bm25Writer(
+      requests: DataFrame,
+      index: TextAnalysis.TextIndex,
+      k: Int = 20)(
+      emit: (Long, DataFrame) => Unit): DataStreamWriter[Row] =
+    requests.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        emit(batchId, TextAnalysis.bm25QueryBatch(index, batch, k))
+        ()
+      }
+}

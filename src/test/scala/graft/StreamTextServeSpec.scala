@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.TextAnalysis
+import graft.sinks.Sink
+import graft.streaming.StreamTextServe
+
+/** Streaming BM25 serving over the reloaded persisted inverted index —
+  * the text leg of the StreamAnnServeSpec family: kill/recover
+  * exactly-once by batch id, batch/streaming bit parity, and the
+  * bucket-prune receipt on the served plan.
+  */
+class StreamTextServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeRequestFile(
+      dir: Path, name: String, rows: Seq[(Long, Seq[String])]): Unit = {
+    val lines = rows.map { case (qid, terms) =>
+      s"""{"query_id":$qid,"terms":[${terms.map(t => s""""$t"""").mkString(",")}]}"""
+    }
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(name))
+  }
+
+  private def requestStream(dir: Path): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("terms", ArrayType(StringType))))
+    spark.readStream.schema(schema).json(dir.toString)
+  }
+
+  test("served BM25 stream: kill/recover exactly-once, batch parity, " +
+      "bucket-pruned probes on the reloaded index") {
+    val docs = Tables.documents(spark, sf)
+    val idxDir = Files.createTempDirectory("text_serve_idx").toString
+    val input = Files.createTempDirectory("text_serve_in")
+    val checkpoint = Files.createTempDirectory("text_serve_ckpt")
+    try {
+      Sink.writeTextIndex(docs, idxDir, buckets = 64)
+      val idx = Sink.readTextIndex(spark, idxDir)
+
+      val served =
+        TrieMap.empty[Long, (Seq[(Long, Long, Int)], String)]
+      def run(): Unit = {
+        val q = StreamTextServe.bm25Writer(
+          requestStream(input), idx, k = 5) { (bid, res) =>
+          val rows = res.select(col("query_id"), col("doc_id"), col("rank"))
+            .as[(Long, Long, Int)].collect().toSeq
+          served.put(bid, (rows, res.queryExecution.executedPlan.toString))
+          ()
+        }
+          .option("checkpointLocation", checkpoint.toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+
+      writeRequestFile(input, "batch1.json", Seq(
+        (1L, Seq("vector", "hash")), (2L, Seq("merge"))))
+      run() // epoch 1, then the driver "dies"
+
+      val epoch1 = served.toMap
+      val got1 = epoch1.values.flatMap(_._1).toSeq
+      assert(got1.nonEmpty && got1.map(_._1).toSet === Set(1L, 2L))
+
+      // batch/streaming parity: the same requests through the batch
+      // entry point yield the identical ranking
+      val batchReq = Seq((1L, Seq("vector", "hash")), (2L, Seq("merge")))
+        .toDF("query_id", "terms")
+      val parity = TextAnalysis.bm25QueryBatch(idx, batchReq, k = 5)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(got1.sorted === parity.sorted,
+        "streamed batch must equal the batch query path bit for bit")
+
+      // prune receipt: the served plan carries the static bucket IN
+      // filter, <= 3 distinct request terms -> <= 3 of 64 directories
+      val plan1 = epoch1.values.head._2
+      assert(plan1.contains("PartitionFilters: [bucket"),
+        s"expected a bucket partition filter in:\n$plan1")
+      val inList = "PartitionFilters: \\[bucket#\\d+ IN \\(([^)]+)\\)".r
+        .findFirstMatchIn(plan1)
+      assert(inList.isDefined && inList.get.group(1).split(",").length <= 3)
+
+      // epoch 2: NEW query instance, same checkpoint, one more request
+      writeRequestFile(input, "batch2.json", Seq((3L, Seq("vector"))))
+      run()
+
+      val epoch2 = served.toMap
+      epoch1.foreach { case (bid, (rows, _)) =>
+        assert(epoch2(bid)._1.sorted === rows.sorted,
+          s"replayed batch $bid must reproduce its rows")
+      }
+      val got3 = epoch2.values.flatMap(_._1).filter(_._1 == 3L).toSeq
+      assert(got3.nonEmpty, "epoch 2 must serve the new request")
+      // rank-1 doc for a single term agrees with the single-query path
+      val single = TextAnalysis.bm25TopK(idx, Seq("vector"), k = 5)
+        .as[(Long, Long)].collect().toSeq
+      assert(got3.minBy(_._3)._2 === single.head._1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idxDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(input.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(checkpoint.toFile)
+    }
+  }
+}

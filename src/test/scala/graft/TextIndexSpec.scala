@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+import graft.sinks.Sink
+
+/** The persisted inverted index + BM25 retrieval leg: layout round-trip
+  * parity against an index-free twin, the bucket-pruning receipt, and
+  * the BM25 semantics the lattice must preserve (idf ordering, tf
+  * saturation, length normalization).
+  */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("round-trip: persisted-index BM25 equals the index-free lattice " +
+      "twin on the corpus fixture") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("textidx").toString
+    try {
+      Sink.writeTextIndex(docs, dir, buckets = 64)
+      val idx = Sink.readTextIndex(spark, dir)
+      assert(idx.nDocs === docs.count())
+      val got = TextAnalysis.bm25TopK(idx,
+          Seq("vector", "hash", "merge"), k = 20)
+        .as[(Long, Long)].collect().toSeq
+
+      // index-free twin: same lattice straight from docTermCounts
+      val counts = TextAnalysis.docTermCounts(docs)
+      val dl = counts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val t = dl.agg(sum(col("dl"))).head.getLong(0)
+      val n = docs.count()
+      val wDf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("token"))
+      val want = counts
+        .filter(col("token").isin("vector", "hash", "merge"))
+        .join(dl, "doc_id")
+        .withColumn("df", count(lit(1)).over(wDf))
+        .withColumn("s", expr(
+          s"(((((${n}L - df + 1) * 1000000L) div (df + 1)) * tf * 2200L)" +
+            s" div (tf * 1000L + (1200L * (250L + " +
+            s"(750L * dl * ${n}L) div ${t}L)) div 1000L))"))
+        .groupBy(col("doc_id")).agg(sum(col("s")).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .as[(Long, Long)].collect().toSeq
+      assert(got === want, "persisted path must equal the index-free twin")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("probe reads only its bucket directories (static partition prune)") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("textidx_pr").toString
+    try {
+      Sink.writeTextIndex(docs, dir, buckets = 64)
+      val idx = Sink.readTextIndex(spark, dir)
+      val df = TextAnalysis.bm25TopK(idx, Seq("vector", "hash"), k = 5)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [bucket"),
+        s"expected a bucket partition filter in:\n$plan")
+      val inList = "PartitionFilters: \\[bucket#\\d+ IN \\(([^)]+)\\)".r
+        .findFirstMatchIn(plan)
+      assert(inList.isDefined, s"expected bucket IN (...) in:\n$plan")
+      assert(inList.get.group(1).split(",").length <= 2,
+        "2 terms must probe <= 2 of the 64 bucket directories")
+      // and the probed buckets are the writer's arithmetic
+      val want = Seq("vector", "hash")
+        .map(TextAnalysis.tokenBucket(_, 64)).distinct.sorted
+      assert(inList.get.group(1).split(",").map(_.trim.toInt).sorted
+        .toSeq === want)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("BM25 semantics on the lattice: rare-term idf dominance, tf " +
+      "saturation, length normalization, disjunctive match") {
+    // 6 docs: 'rare' in one, 'common' in five; doc 5 long, doc 6 short
+    val docs = docsDf(
+      (1L, "rare alpha beta gamma"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common common alpha beta"),
+      (4L, "common common common common common common common common " +
+        "alpha beta"),
+      (5L, "common " + Seq.fill(40)("pad").mkString(" ")),
+      (6L, "common pad"))
+    val dir = java.nio.file.Files.createTempDirectory("textidx_sem").toString
+    try {
+      Sink.writeTextIndex(docs, dir, buckets = 8)
+      val idx = Sink.readTextIndex(spark, dir)
+
+      // disjunctive: a query for (rare, common) matches all six docs,
+      // and the rare-term doc outranks every common-only doc
+      val both = TextAnalysis.bm25TopK(idx, Seq("rare", "common"), k = 10)
+        .as[(Long, Long)].collect().toSeq
+      assert(both.map(_._1).toSet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+      assert(both.head._1 === 1L, "idf must rank the rare-term doc first")
+
+      val score = TextAnalysis.bm25TopK(idx, Seq("common"), k = 10)
+        .as[(Long, Long)].collect().toMap
+      // tf saturation: 2 occurrences beat 1 (same dl), but 8 occurrences
+      // score < 4x the 2-occurrence score (sub-linear growth)
+      assert(score(3L) > score(2L))
+      assert(score(4L) < 4L * score(3L),
+        s"tf saturation must bend the curve (${score(4L)} vs 4x${score(3L)})")
+      // length normalization: same tf=1, the 2-token doc beats the
+      // 41-token doc
+      assert(score(6L) > score(5L),
+        s"shorter doc must win at equal tf (${score(6L)} vs ${score(5L)})")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("batch form: many queries share one pruned probe; empty terms " +
+      "and unknown terms degrade gracefully") {
+    val docs = docsDf(
+      (1L, "alpha beta"), (2L, "beta gamma"), (3L, "gamma alpha"))
+    val dir = java.nio.file.Files.createTempDirectory("textidx_b").toString
+    try {
+      Sink.writeTextIndex(docs, dir, buckets = 8)
+      val idx = Sink.readTextIndex(spark, dir)
+      val reqs = Seq(
+        (10L, Seq("alpha")), (11L, Seq("gamma", "zzz_unknown")),
+        (12L, Seq("ALPHA", "alpha"))) // case-folded + deduped
+        .toDF("query_id", "terms")
+      val got = TextAnalysis.bm25QueryBatch(idx, reqs, k = 5)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(got.filter(_._1 == 10L).map(_._2).toSet === Set(1L, 3L))
+      assert(got.filter(_._1 == 11L).map(_._2).toSet === Set(2L, 3L))
+      // duplicate/case variants collapse to one term - no double count
+      val q10 = got.filter(_._1 == 10L).map(x => (x._2, x._3)).sorted
+      val q12 = got.filter(_._1 == 12L).map(x => (x._2, x._3)).sorted
+      assert(q10 === q12)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
