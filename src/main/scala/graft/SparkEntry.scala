@@ -973,6 +973,38 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.asMedia(Tables.documents(s, dir)))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // header-only dims, driver-proven on REAL encoders: per doc < 40 a
+    // genuine PNG/GIF/BMP (cycling by id % 3) is encoded via ImageIO at
+    // dims planted from the id, and headerProbe recovers format + dims
+    // from the CONTAINER HEADER alone — no pixel decode (the metadata
+    // pass a 100 TB corpus can afford; a wrong parser, a wrong
+    // endianness, or a fabricated fallback all break the hash match).
+    // Torn-header and unknown-bytes nulls are spec-pinned
+    "multimodal_header_probe" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .filter(col("doc_id") < 40).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = 16 + (id % 16).toInt
+          val h = 8 + (id % 8).toInt
+          val fmt = (id % 3) match {
+            case 0 => "png"; case 1 => "gif"; case _ => "bmp"
+          }
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, baos)
+          val bytes = baos.toByteArray
+          Multimodal.MediaRow(id, s"image/$fmt", bytes.length.toLong, bytes)
+        }
+      }.toDF()
+      Multimodal.headerProbe(media).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("probed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // aspect-fit resize plan: integer-exact target dims, no bytes
     // touched (the pixel stage is resize(), spec-tested on real PNGs).
     // Input dims are an EXPLICIT synthetic fixture (n_bytes-derived) —
@@ -4445,6 +4477,17 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(v.e, q.qe) DESC, v.vec_id) AS INT) AS rank
         |  FROM v JOIN q ON v.vec_id <> q.query_id) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the planted (format, dims) schedule the real encoders wrote and
+    // the header parser must recover exactly
+    "multimodal_header_probe" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |            ELSE 'bmp' END AS format,
+        |       CAST(16 + doc_id % 16 AS INT) AS width,
+        |       CAST(8 + doc_id % 8 AS INT) AS height,
+        |       TRUE AS probed
+        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,
 
     // the decode pass on a no-codec corpus: NULL dims + decoded=false
     // everywhere — the oracle pins that no fabricated dimension survives

@@ -199,6 +199,99 @@ object Multimodal {
     }
   }
 
+  /** Parse image dimensions from the CONTAINER HEADER alone — PNG IHDR,
+    * GIF logical screen, BMP BITMAPINFOHEADER, JPEG SOF segment — no
+    * pixel decode: the metadata pass a 100 TB corpus can afford. A full
+    * `ImageIO.read` inflates every pixel to get the same two ints (the
+    * sniff receipt in [[looksLikeImage]] measured the decode path at
+    * ~2 ms/row; the header parse is a few dozen byte reads). Returns
+    * `(format, width, height)` or None for torn headers / unknown bytes
+    * — None, never a guess, the [[MediaFeatures]] honesty stance.
+    */
+  private[graft] def headerDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u16be(p: Int) = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    def u16le(p: Int) = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def i32be(p: Int) = ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+      ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+    def i32le(p: Int) = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+      ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+    if (b.length >= 24 && b(0) == 0x89.toByte && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G' && b(12) == 'I' && b(13) == 'H' &&
+        b(14) == 'D' && b(15) == 'R') {
+      val (w, h) = (i32be(16), i32be(20))
+      if (w > 0 && h > 0) Some(("png", w, h)) else None
+    } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' &&
+        b(2) == 'F' && b(3) == '8') {
+      val (w, h) = (u16le(6), u16le(8))
+      if (w > 0 && h > 0) Some(("gif", w, h)) else None
+    } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' &&
+        i32le(14) >= 40) { // BITMAPINFOHEADER and successors
+      val w = i32le(18)
+      val h = math.abs(i32le(22)) // negative = top-down row order
+      if (w > 0 && h > 0) Some(("bmp", w, h)) else None
+    } else if (b.length >= 4 && b(0) == 0xff.toByte &&
+        b(1) == 0xd8.toByte) {
+      // JPEG: walk segments to the first SOFn (C0-CF except C4/C8/CC)
+      var p = 2
+      while (p + 3 < b.length) {
+        if (b(p) != 0xff.toByte) return None // lost sync: torn stream
+        var q = p
+        while (q + 1 < b.length && b(q + 1) == 0xff.toByte) q += 1 // fill
+        val marker = b(q + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (q + 8 >= b.length) return None
+          val (h, w) = (u16be(q + 5), u16be(q + 7))
+          return if (w > 0 && h > 0) Some(("jpeg", w, h)) else None
+        } else if (marker >= 0xd0 && marker <= 0xd9) {
+          p = q + 2 // standalone marker, no length field
+        } else {
+          if (q + 3 >= b.length) return None
+          p = q + 2 + u16be(q + 2)
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Header-probe row: dims measured from the container header (real
+    * bytes, no pixel decode); `probed = false` + nulls when no known
+    * header matches.
+    */
+  final case class HeaderProbe(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      format: Option[String],
+      width: Option[Int],
+      height: Option[Int],
+      probed: Boolean)
+
+  /** The header-only metadata pass — dims for PNG/GIF/BMP/JPEG from a
+    * few dozen header bytes per blob, the scan-affordable middle ground
+    * between [[metadata]] (no dims at all) and [[decodeFeatures]]
+    * (full pixel decode): at corpus scale the metadata question
+    * ("what are the dims / is the aspect ratio sane / which resize
+    * bucket") must not inflate every pixel. Same honesty contract:
+    * unknown or torn headers surface nulls + `probed = false`, never a
+    * fabricated number.
+    */
+  def headerProbe(media: DataFrame): Dataset[HeaderProbe] = {
+    implicit val enc = Encoders.product[HeaderProbe]
+    media.as(Encoders.product[MediaRow]).mapPartitions { rows =>
+      rows.map { r =>
+        headerDims(r.content) match {
+          case Some((fmt, w, h)) =>
+            HeaderProbe(r.doc_id, r.media_type, r.n_bytes,
+              Some(fmt), Some(w), Some(h), probed = true)
+          case None =>
+            HeaderProbe(r.doc_id, r.media_type, r.n_bytes,
+              None, None, None, probed = false)
+        }
+      }
+    }
+  }
+
   /** Cheap magic-byte sniff for the formats ImageIO can decode here
     * (PNG / JPEG / GIF / BMP). Calling `ImageIO.read` on arbitrary bytes
     * costs ~2 ms per row (ImageInputStream setup + reader scan + the

@@ -130,6 +130,46 @@ class MultimodalSpec extends SparkSpec {
     assert(plan === staged, "plan dims must equal the mapPartitions fit")
   }
 
+  test("headerProbe: dims from container headers alone — PNG/GIF/BMP/" +
+      "JPEG agree with the full decode; torn and opaque bytes null out") {
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    val fixtures = Seq(
+      ("png", 17, 11), ("gif", 300, 200), ("bmp", 64, 48),
+      ("jpg", 123, 77))
+    fixtures.foreach { case (fmt, w, h) =>
+      val bytes = encode(fmt, w, h)
+      val want = if (fmt == "jpg") "jpeg" else fmt
+      assert(Multimodal.headerDims(bytes) === Some((want, w, h)),
+        s"$fmt header parse")
+      // header dims == full-decode dims (same bytes, 2 ints vs pixels)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert((img.getWidth, img.getHeight) === ((w, h)))
+      // torn header: truncation below every format's header length
+      // nulls out, never guesses (GIF's is shortest at 10 bytes)
+      assert(Multimodal.headerDims(bytes.take(8)) === None)
+    }
+    assert(Multimodal.headerDims("not an image".getBytes("UTF-8")) === None)
+    assert(Multimodal.headerDims(Array[Byte]()) === None)
+    // the Dataset pass carries the same contract
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", 0L, encode("png", 17, 11)),
+      Multimodal.MediaRow(2L, "text/plain", 4L, "text".getBytes("UTF-8")))
+      .toDF()
+    val got = Multimodal.headerProbe(rows).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(got(1L).probed && got(1L).width === Some(17) &&
+      got(1L).format === Some("png"))
+    assert(!got(2L).probed && got(2L).width.isEmpty &&
+      got(2L).format.isEmpty)
+  }
+
   test("frameSample: one row per frame, offsets stride-aligned") {
     val fs = Multimodal.frameSample(media, strideBytes = 128)
     val expected = media
