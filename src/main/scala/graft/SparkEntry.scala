@@ -1943,6 +1943,42 @@ object SparkEntry {
         Sink.readTextIndex(s, persistedTextIndexDir(s, dir)),
         Seq("vector", "hash", "merge"), k = 20)),
 
+    // the text-index INGEST lifecycle, driver-proven: build on half the
+    // corpus, ADD the other half in two batches (one of them REPLAYED —
+    // the dynamic-overwrite exactly-once guard must absorb the
+    // redelivery), query the incremental state, compact, query again.
+    // The oracle replays BM25 over the FULL corpus with no knowledge of
+    // the split: the hash match IS the proof that incremental state ≡
+    // full rebuild (N/T sum across batches, df counts the union) and
+    // that compaction changes nothing (stable_across_compaction per row)
+    "text_bm25_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_textinc_${new java.io.File(dir).getName}").toString
+      Sink.writeTextIndex(docs.filter(col("doc_id") % 2 === 0), path,
+        buckets = 64)
+      Sink.appendTextIndex(s, path,
+        docs.filter(col("doc_id") % 4 === 1), batchId = 0L)
+      Sink.appendTextIndex(s, path,
+        docs.filter(col("doc_id") % 4 === 3), batchId = 1L)
+      // a crash redelivers batch 1: the overwrite must not double-count
+      Sink.appendTextIndex(s, path,
+        docs.filter(col("doc_id") % 4 === 3), batchId = 1L)
+      val terms = Seq("vector", "hash", "merge")
+      val inc = graft.operators.TextAnalysis
+        .bm25TopK(Sink.readTextIndex(s, path), terms, k = 20)
+        .localCheckpoint(true)
+      Sink.compactTextIndex(s, path)
+      val post = graft.operators.TextAnalysis
+        .bm25TopK(Sink.readTextIndex(s, path), terms, k = 20)
+      inc.join(post.withColumn("post", lit(true)),
+          Seq("doc_id", "score"), "left")
+        .select(col("doc_id"), col("score"),
+          coalesce(col("post"), lit(false))
+            .as("stable_across_compaction"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // PII audit + redaction: the corpus carries no PII, so a
     // deterministic PII-bearing column is derived from driver data
     // (email from source, phone/IP from doc_id) and the operator's
@@ -5779,6 +5815,39 @@ object SparkEntry {
         |         ) AS BIGINT) AS score
         |  FROM w CROSS JOIN meta GROUP BY doc_id)
         |SELECT doc_id, score FROM s
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the SAME full-corpus BM25 replay — the oracle knows nothing about
+    // the base/append split or the compaction; a double-counted replay
+    // batch, a stale N/T, or a compaction change all break the match
+    "text_bm25_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |        '\s+', ' ', 'g'), ' ')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |         (SELECT count(*) FROM toks) AS t),
+        |m AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token IN ('vector', 'hash', 'merge')
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT m.doc_id, token, tf, dl.dl,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM m JOIN dl USING (doc_id)),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(sum(
+        |           (((n - df + 1) * 1000000) // (df + 1)) * tf * (1000 + 1200)
+        |           // (tf * 1000 +
+        |              (1200 * ((1000 - 750) + (750 * dl * n) // t)) // 1000)
+        |         ) AS BIGINT) AS score
+        |  FROM w CROSS JOIN meta GROUP BY doc_id)
+        |SELECT doc_id, score, TRUE AS stable_across_compaction FROM s
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "text_quality_gopher" ->

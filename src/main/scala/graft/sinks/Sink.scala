@@ -985,22 +985,142 @@ object Sink {
       .coalesce(1).write.mode(mode).parquet(s"$path/meta")
   }
 
+  /** Incrementally ADD documents to a persisted inverted index — the
+    * [[appendIvfIndex]] of the text leg: NEW docs (ids not already
+    * indexed — same contract as the ANN adds) tokenize into postings
+    * under `path/postings_ingested` partitioned by `(bucket, batch_id)`
+    * and their corpus constants into a per-batch `meta_ingested` row;
+    * queries through [[readTextIndex]] see them immediately (both
+    * layouts union in, N and T sum across base + batches, and df is
+    * counted on the unioned matched postings — so incremental state is
+    * SEMANTICALLY IDENTICAL to a full rebuild over the union, which is
+    * what the oracle pins). Exactly-once: `batch_id` is a partition
+    * level on both tables and the writes are dynamic partition
+    * overwrites, so a replayed micro-batch overwrites its own
+    * directories instead of double-counting N/T/df.
+    */
+  def appendTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      docs: DataFrame,
+      batchId: Long): Unit = {
+    import spark.implicits._
+    val buckets = spark.read.parquet(s"$path/meta").head.getInt(2)
+    val counts = graft.operators.TextAnalysis.docTermCounts(docs)
+      .localCheckpoint(true)
+    val dl = counts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    counts
+      .join(dl, "doc_id")
+      .withColumn("bucket",
+        pmod(xxhash64(col("token")), lit(buckets)).cast("int"))
+      .withColumn("batch_id", lit(batchId))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+        col("bucket"), col("batch_id"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "batch_id")
+      .parquet(s"$path/postings_ingested")
+    Seq((docs.count(),
+        dl.agg(coalesce(sum(col("dl")), lit(0L))).head.getLong(0),
+        batchId))
+      .toDF("n_docs", "total_tokens", "batch_id")
+      .coalesce(1).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$path/meta_ingested")
+  }
+
+  /** Fold the [[appendTextIndex]] ingested layout back into the base
+    * postings — the [[compactIvfIndex]] of the text leg: high ingest
+    * rates leave one file per touched (bucket, batch) directory and
+    * those small files dominate probe I/O. Rewrites postings ∪
+    * ingested (one file per bucket), rewrites meta with the summed
+    * corpus constants, swaps via rename, drops both ingested layouts —
+    * queries before and after are bit-identical (spec-asserted).
+    * Returns (posting rows after compaction, ingested files folded).
+    */
+  def compactTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val ingested = new org.apache.hadoop.fs.Path(s"$path/postings_ingested")
+    if (!fs.exists(ingested)) {
+      (spark.read.parquet(s"$path/postings").count(), 0L)
+    } else {
+      var nf = 0L
+      val it = fs.listFiles(ingested, true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) nf += 1
+      }
+      val idx = readTextIndex(spark, path)
+      idx.postings
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings_compact")
+      Seq((idx.nDocs, idx.totalTokens, idx.buckets))
+        .toDF("n_docs", "total_tokens", "buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_compact")
+      def swap(tmpName: String, liveName: String): Unit = {
+        val live = new org.apache.hadoop.fs.Path(s"$path/$liveName")
+        val old = new org.apache.hadoop.fs.Path(s"$path/${liveName}_old")
+        require(fs.rename(live, old), s"swap failed: $live -> $old")
+        require(fs.rename(
+          new org.apache.hadoop.fs.Path(s"$path/$tmpName"), live),
+          s"swap failed: $tmpName -> $liveName")
+        fs.delete(old, true)
+      }
+      val n = spark.read.parquet(s"$path/postings_compact").count()
+      swap("postings_compact", "postings")
+      swap("meta_compact", "meta")
+      fs.delete(ingested, true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta_ingested"), true)
+      (n, nf)
+    }
+  }
+
   /** Reload a persisted inverted index: postings as a partition-pruned
     * parquet table (NOT cached — the point of the layout is that a
     * query reads its probed bucket directories), meta collected (3
-    * scalars). Declared schema keeps the partition column type-exact so
-    * the static probe predicate prunes directories.
+    * scalars). Docs added after the build ([[appendTextIndex]]) union
+    * in from the ingested layout with the partition columns type-exact,
+    * and their per-batch corpus constants SUM into N and T — BM25
+    * scores over the incremental state equal a full rebuild's.
     */
   def readTextIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): graft.operators.TextAnalysis.TextIndex = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(sub: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
     val meta = spark.read.parquet(s"$path/meta").head
+    val base = spark.read
+      .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
+        "bucket INT")
+      .parquet(s"$path/postings")
+    val (postings, nDocs, totalTokens) =
+      if (!exists("postings_ingested"))
+        (base, meta.getLong(0), meta.getLong(1))
+      else {
+        val extra = spark.read.parquet(s"$path/meta_ingested")
+          .agg(coalesce(sum(col("n_docs")), lit(0L)),
+            coalesce(sum(col("total_tokens")), lit(0L))).head
+        (base.unionByName(
+          spark.read
+            .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
+              "bucket INT, batch_id BIGINT")
+            .parquet(s"$path/postings_ingested")
+            .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+              col("bucket"))),
+          meta.getLong(0) + extra.getLong(0),
+          meta.getLong(1) + extra.getLong(1))
+      }
     graft.operators.TextAnalysis.TextIndex(
-      spark.read
-        .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
-          "bucket INT")
-        .parquet(s"$path/postings"),
-      meta.getLong(0), meta.getLong(1), meta.getInt(2))
+      postings, nDocs, totalTokens, meta.getInt(2))
   }
 
   /** Read the latest committed generation of a [[mergeCensusTable]]

@@ -115,6 +115,48 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("incremental ADD: replayed batch absorbed exactly-once, " +
+      "incremental state == full rebuild, compaction bit parity") {
+    val docs = Tables.documents(spark, sf)
+    val incDir = java.nio.file.Files.createTempDirectory("textidx_i").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("textidx_f").toString
+    try {
+      Sink.writeTextIndex(docs.filter(col("doc_id") % 2 === 0), incDir)
+      Sink.appendTextIndex(spark, incDir,
+        docs.filter(col("doc_id") % 4 === 1), batchId = 0L)
+      Sink.appendTextIndex(spark, incDir,
+        docs.filter(col("doc_id") % 4 === 3), batchId = 1L)
+      // redelivered batch: dynamic overwrite must not double-count
+      Sink.appendTextIndex(spark, incDir,
+        docs.filter(col("doc_id") % 4 === 3), batchId = 1L)
+      Sink.writeTextIndex(docs, fullDir)
+
+      val incIdx = Sink.readTextIndex(spark, incDir)
+      val fullIdx = Sink.readTextIndex(spark, fullDir)
+      assert((incIdx.nDocs, incIdx.totalTokens) ===
+        ((fullIdx.nDocs, fullIdx.totalTokens)),
+        "N and T must sum across base + batches, replay-invariant")
+      val terms = Seq("vector", "hash", "merge")
+      def topk(idx: TextAnalysis.TextIndex) =
+        TextAnalysis.bm25TopK(idx, terms, k = 20)
+          .as[(Long, Long)].collect().toSeq
+      val inc = topk(incIdx)
+      assert(inc === topk(fullIdx),
+        "incremental index must score identically to a full rebuild")
+
+      val (nPost, folded) = Sink.compactTextIndex(spark, incDir)
+      assert(folded > 0L, "compaction must fold ingested files")
+      assert(!new java.io.File(s"$incDir/postings_ingested").exists())
+      val compacted = Sink.readTextIndex(spark, incDir)
+      assert(compacted.postings.count() === nPost)
+      assert(topk(compacted) === inc,
+        "queries must be bit-identical across compaction")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(incDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fullDir))
+    }
+  }
+
   test("batch form: many queries share one pruned probe; empty terms " +
       "and unknown terms degrade gracefully") {
     val docs = docsDf(
