@@ -689,6 +689,34 @@ object ScaleCheck {
         Similarity.lshIndexView(lshIdx), reqs, k = 10))
     }
 
+    // inverted-index lifecycle: the build is the tokenize pass + one
+    // bucket-partitioned write (scan-shaped, expect ~linear in corpus);
+    // the BM25 serve reads probed bucket directories only — its cost
+    // must track Σ df(term) posting rows, NOT corpus size (df grows
+    // with replication, so serve grows with matched postings, never
+    // with unmatched corpus)
+    val textIdxDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "sc_textidx").toString
+    time("text index build (postings + meta)") {
+      graft.sinks.Sink.writeTextIndex(big, textIdxDir, buckets = 64)
+      spark.read.parquet(s"$textIdxDir/postings").count()
+    }
+    time("BM25 serve x5 (persisted index)") {
+      import spark.implicits._
+      // the build probe may have been filtered out — pay it here then
+      if (!new java.io.File(s"$textIdxDir/meta").exists()) {
+        graft.sinks.Sink.writeTextIndex(big, textIdxDir, buckets = 64)
+      }
+      val idx = graft.sinks.Sink.readTextIndex(spark, textIdxDir)
+      val reqs = Seq(
+        (1L, Seq("vector", "hash")), (2L, Seq("merge", "stream")),
+        (3L, Seq("vector")), (4L, Seq("hash", "merge", "vector")),
+        (5L, Seq("stream"))).toDF("query_id", "terms")
+      force(graft.operators.TextAnalysis.bm25QueryBatch(idx, reqs, k = 20))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(textIdxDir))
+
     spark.stop()
   }
 }
