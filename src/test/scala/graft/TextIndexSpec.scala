@@ -71,6 +71,10 @@ class TextIndexSpec extends SparkSpec {
         .map(TextAnalysis.tokenBucket(_, 64)).distinct.sorted
       assert(inList.get.group(1).split(",").map(_.trim.toInt).sorted
         .toSeq === want)
+      // the token IN-list is ALSO pushed into the parquet scan (row-group
+      // stats pruning inside the probed buckets)
+      assert(plan.contains("PushedFilters: [In(token"),
+        s"expected the token IN-list pushed to parquet in:\n$plan")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
