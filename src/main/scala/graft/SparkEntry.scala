@@ -1955,11 +1955,16 @@ object SparkEntry {
     // full rebuild (N/T sum across batches, df counts the union) and
     // that compaction changes nothing (stable_across_compaction per row)
     "text_bm25_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // 1000-doc slice + 16 buckets: the lifecycle proof (exactly-once
+      // replay, rebuild-equivalence, compaction parity) is invariant in
+      // both; the cost of this query is directory churn across its 4
+      // index writes + compaction, so the small layout keeps the proof
+      // cheap — full-corpus scan cost belongs to text_bm25_topk's index
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_textinc_${new java.io.File(dir).getName}").toString
       Sink.writeTextIndex(docs.filter(col("doc_id") % 2 === 0), path,
-        buckets = 64)
+        buckets = 16)
       Sink.appendTextIndex(s, path,
         docs.filter(col("doc_id") % 4 === 1), batchId = 0L)
       Sink.appendTextIndex(s, path,
@@ -5824,15 +5829,16 @@ object SparkEntry {
     // the base/append split or the compaction; a double-counted replay
     // batch, a stale N/T, or a compaction change all break the match
     "text_bm25_incremental" ->
-      """WITH toks AS (
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |toks AS (
         |  SELECT doc_id, token FROM (
         |    SELECT doc_id,
         |      unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
         |        '\s+', ' ', 'g'), ' ')) AS token
-        |    FROM documents) WHERE token <> ''),
+        |    FROM d) WHERE token <> ''),
         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
         |meta AS (
-        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |  SELECT (SELECT count(*) FROM d) AS n,
         |         (SELECT count(*) FROM toks) AS t),
         |m AS (
         |  SELECT doc_id, token, count(*) AS tf
