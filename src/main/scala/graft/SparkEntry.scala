@@ -2174,17 +2174,32 @@ object SparkEntry {
       }.toDF()
   }
 
+  /** Staleness key for a write-if-absent on-disk index cache: md5 of
+    * the source parquet's ABSOLUTE path + length + mtime — a different
+    * corpus sharing a directory basename, or a corpus regenerated in
+    * place, gets a different cache dir instead of being served from a
+    * stale index (the IndexCache file-state keying, applied to disk).
+    */
+  private def corpusTag(dir: String, table: String): String = {
+    val f = new java.io.File(dir, s"$table.parquet")
+    val key = s"${f.getAbsolutePath}:${f.length}:${f.lastModified}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+  }
+
   /** The on-disk IVF-PQ serving index for `similarity_ann_serve_pq`:
-    * built + persisted ONCE per corpus dir (write-if-absent — production
-    * serves from a long-lived index, not a per-request rebuild; bench
-    * reps and repeated Verify calls reuse the artifact). The
-    * build_census `_SUCCESS` is [[graft.sinks.Sink.writeIvfPqIndex]]'s
-    * LAST write, so its presence marks a complete layout; a torn
-    * half-write (crash mid-build) is rebuilt on the next call.
+    * built + persisted ONCE per corpus (write-if-absent, keyed by
+    * [[corpusTag]] — production serves from a long-lived index, not a
+    * per-request rebuild; bench reps and repeated Verify calls reuse
+    * the artifact). The build_census `_SUCCESS` is
+    * [[graft.sinks.Sink.writeIvfPqIndex]]'s LAST write, so its presence
+    * marks a complete layout; a torn half-write (crash mid-build) is
+    * rebuilt on the next call.
     */
   private def persistedPqServeDir(s: SparkSession, dir: String): String = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_servepq_v1_${new java.io.File(dir).getName}").toString
+      s"graft_servepq_v1_${corpusTag(dir, "embeddings")}").toString
     if (!new java.io.File(s"$path/build_census/_SUCCESS").exists()) {
       val emb = Tables.embeddings(s, dir)
       val index = Similarity.IndexCache.ivfExact(emb, nlist = 16)
@@ -2201,7 +2216,7 @@ object SparkEntry {
     */
   private def persistedTextIndexDir(s: SparkSession, dir: String): String = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_textidx_v1_${new java.io.File(dir).getName}").toString
+      s"graft_textidx_v1_${corpusTag(dir, "documents")}").toString
     if (!new java.io.File(s"$path/meta/_SUCCESS").exists()) {
       Sink.writeTextIndex(Tables.documents(s, dir), path, buckets = 64)
     }

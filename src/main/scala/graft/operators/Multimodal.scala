@@ -237,6 +237,7 @@ object Multimodal {
         if (b(p) != 0xff.toByte) return None // lost sync: torn stream
         var q = p
         while (q + 1 < b.length && b(q + 1) == 0xff.toByte) q += 1 // fill
+        if (q + 1 >= b.length) return None // fill bytes ran to EOF: torn
         val marker = b(q + 1) & 0xff
         if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {

@@ -365,6 +365,11 @@ object Sink {
       val gen = committedGenerations(fs, rootPath)
         .maxOption.getOrElse(0L) + 1
       val genDir = s"$path/gen-$gen"
+      // a torn rebuild (possibly of the OTHER index flavor) may have
+      // left an uncommitted gen dir here — clear it, or stale subdirs
+      // (e.g. orphaned pq_codebooks) would be committed into this
+      // generation alongside the fresh layout
+      fs.delete(new org.apache.hadoop.fs.Path(genDir), true)
       writeIvfIndex(
         graft.operators.Similarity.IvfIndex(fresh.centroids, preserved),
         genDir)
@@ -445,6 +450,10 @@ object Sink {
       val gen = committedGenerations(fs, rootPath)
         .maxOption.getOrElse(0L) + 1
       val genDir = s"$path/gen-$gen"
+      // clear any torn, uncommitted generation at this number — see
+      // rebuildIvfIndex (a coarse-flavor half-write must not leak
+      // subdirs into this committed PQ generation, or vice versa)
+      fs.delete(new org.apache.hadoop.fs.Path(genDir), true)
       writeIvfPqIndex(
         graft.operators.Similarity.IvfIndex(fresh.centroids, preserved),
         model.cents, model.codes, genDir)
@@ -738,10 +747,14 @@ object Sink {
     // — the baseline [[lshOccupancyDrift]] measures bucket-balance
     // drift from: a skewed ingest stream piles postings into the few
     // buckets its region hashes to, and probes into those buckets scan
-    // far past corpus/buckets
-    index.signed
-      .select(posexplode(array((0 until index.bands).map(bandBucket): _*))
-        .as(Seq("band", "bucket")))
+    // far past corpus/buckets. Counted off the JUST-WRITTEN postings
+    // table (8-byte id rows, partition columns from directory names) —
+    // not a second bands-wide posexplode + shuffle over the signed
+    // corpus, which would double the build's explode cost for a
+    // census of at most bands × 2^bitsPerBand rows
+    spark.read
+      .schema("vec_id BIGINT, band INT, bucket BIGINT")
+      .parquet(s"$path/postings")
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n_build"))
       .coalesce(1).write.mode(mode).parquet(s"$path/build_census")
@@ -966,6 +979,8 @@ object Sink {
       mode: String = "overwrite"): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // a fresh build supersedes every compaction generation at this path
+    if (mode == "overwrite") clearGenerations(spark, path)
     val counts = graft.operators.TextAnalysis.docTermCounts(docs)
       .localCheckpoint(true) // one tokenize pass feeds postings AND meta
     val dl = counts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -998,13 +1013,21 @@ object Sink {
     * level on both tables and the writes are dynamic partition
     * overwrites, so a replayed micro-batch overwrites its own
     * directories instead of double-counting N/T/df.
+    *
+    * Crash-safety: the batch's `meta_ingested` row is written LAST and
+    * IS the commit record — [[readTextIndex]] only unions posting
+    * batches whose batch_id appears in the meta table, so a crash
+    * between the two writes leaves the half-landed batch INVISIBLE
+    * (replaying it overwrites both layouts) instead of unioning
+    * postings whose corpus constants were never counted.
     */
   def appendTextIndex(
       spark: org.apache.spark.sql.SparkSession,
-      path: String,
+      rawPath: String,
       docs: DataFrame,
       batchId: Long): Unit = {
     import spark.implicits._
+    val path = resolveIndexRoot(spark, rawPath)
     val buckets = spark.read.parquet(s"$path/meta").head.getInt(2)
     val counts = graft.operators.TextAnalysis.docTermCounts(docs)
       .localCheckpoint(true)
@@ -1021,6 +1044,7 @@ object Sink {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket", "batch_id")
       .parquet(s"$path/postings_ingested")
+    // the COMMIT record for this batch — last write, see scaladoc
     Seq((docs.count(),
         dl.agg(coalesce(sum(col("dl")), lit(0L))).head.getLong(0),
         batchId))
@@ -1032,20 +1056,28 @@ object Sink {
   }
 
   /** Fold the [[appendTextIndex]] ingested layout back into the base
-    * postings — the [[compactIvfIndex]] of the text leg: high ingest
-    * rates leave one file per touched (bucket, batch) directory and
-    * those small files dominate probe I/O. Rewrites postings ∪
-    * ingested (one file per bucket), rewrites meta with the summed
-    * corpus constants, swaps via rename, drops both ingested layouts —
-    * queries before and after are bit-identical (spec-asserted).
-    * Returns (posting rows after compaction, ingested files folded).
+    * postings — the maintenance pass of the text leg: high ingest rates
+    * leave one file per touched (bucket, batch) directory and those
+    * small files dominate probe I/O. The fold commits GENERATIONALLY
+    * ([[resolveIndexRoot]]): the full compacted index (postings + meta
+    * with the summed corpus constants) lands in a fresh `gen-N/` and one
+    * `_SUCCESS` marker publishes it — never a multi-rename window (an
+    * earlier version swapped postings and meta via sequential renames
+    * and deleted the ingested layouts after; a crash mid-sequence left
+    * the folded postings AND the ingested batches both live, silently
+    * double-counting df/tf — the exact torn-swap class the rebuild
+    * valves were hardened against). Queries before and after are
+    * bit-identical (spec-asserted). Returns (posting rows after
+    * compaction, ingested files folded).
     */
   def compactTextIndex(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): (Long, Long) = {
+      rawPath: String): (Long, Long) = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val rootPath = new org.apache.hadoop.fs.Path(rawPath)
+    val fs = rootPath.getFileSystem(conf)
+    val path = resolveIndexRoot(spark, rawPath)
     val ingested = new org.apache.hadoop.fs.Path(s"$path/postings_ingested")
     if (!fs.exists(ingested)) {
       (spark.read.parquet(s"$path/postings").count(), 0L)
@@ -1055,28 +1087,31 @@ object Sink {
       while (it.hasNext) {
         if (it.next().getPath.getName.endsWith(".parquet")) nf += 1
       }
-      val idx = readTextIndex(spark, path)
+      val idx = readTextIndex(spark, rawPath)
+      val gen = committedGenerations(fs, rootPath)
+        .maxOption.getOrElse(0L) + 1
+      val genDir = s"$rawPath/gen-$gen"
+      // clear any torn, uncommitted generation at this number
+      fs.delete(new org.apache.hadoop.fs.Path(genDir), true)
       idx.postings
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$path/postings_compact")
+        .parquet(s"$genDir/postings")
       Seq((idx.nDocs, idx.totalTokens, idx.buckets))
         .toDF("n_docs", "total_tokens", "buckets")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_compact")
-      def swap(tmpName: String, liveName: String): Unit = {
-        val live = new org.apache.hadoop.fs.Path(s"$path/$liveName")
-        val old = new org.apache.hadoop.fs.Path(s"$path/${liveName}_old")
-        require(fs.rename(live, old), s"swap failed: $live -> $old")
-        require(fs.rename(
-          new org.apache.hadoop.fs.Path(s"$path/$tmpName"), live),
-          s"swap failed: $tmpName -> $liveName")
-        fs.delete(old, true)
+        .coalesce(1).write.mode("overwrite").parquet(s"$genDir/meta")
+      val n = spark.read.parquet(s"$genDir/postings").count()
+      // COMMIT: one marker-file creation, then recoverable cleanup
+      fs.create(
+        new org.apache.hadoop.fs.Path(s"$genDir/_SUCCESS"), true).close()
+      if (path == rawPath) {
+        Seq("postings", "meta", "postings_ingested", "meta_ingested")
+          .foreach { sub =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$rawPath/$sub"), true)
+          }
+      } else {
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
       }
-      val n = spark.read.parquet(s"$path/postings_compact").count()
-      swap("postings_compact", "postings")
-      swap("meta_compact", "meta")
-      fs.delete(ingested, true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta_ingested"), true)
       (n, nf)
     }
   }
@@ -1087,11 +1122,16 @@ object Sink {
     * scalars). Docs added after the build ([[appendTextIndex]]) union
     * in from the ingested layout with the partition columns type-exact,
     * and their per-batch corpus constants SUM into N and T — BM25
-    * scores over the incremental state equal a full rebuild's.
+    * scores over the incremental state equal a full rebuild's. ONLY
+    * batches whose meta commit record landed are unioned (the batch_id
+    * IN-list prunes the ingested partition directories) — a torn append
+    * is invisible, never half-counted. Compacted generations resolve
+    * via [[resolveIndexRoot]].
     */
   def readTextIndex(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): graft.operators.TextAnalysis.TextIndex = {
+      rawPath: String): graft.operators.TextAnalysis.TextIndex = {
+    val path = resolveIndexRoot(spark, rawPath)
     val conf = spark.sparkContext.hadoopConfiguration
     def exists(sub: String) = {
       val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
@@ -1103,21 +1143,27 @@ object Sink {
         "bucket INT")
       .parquet(s"$path/postings")
     val (postings, nDocs, totalTokens) =
-      if (!exists("postings_ingested"))
+      if (!exists("postings_ingested") || !exists("meta_ingested"))
         (base, meta.getLong(0), meta.getLong(1))
       else {
-        val extra = spark.read.parquet(s"$path/meta_ingested")
-          .agg(coalesce(sum(col("n_docs")), lit(0L)),
-            coalesce(sum(col("total_tokens")), lit(0L))).head
+        // the meta rows are the batch commit records: sum the constants
+        // AND restrict the posting union to exactly those batches
+        val committed = spark.read.parquet(s"$path/meta_ingested")
+          // the partition column infers as INT from its directory name
+          .select(col("batch_id").cast("long"), col("n_docs"),
+            col("total_tokens"))
+          .collect()
+        val ids = committed.map(_.getLong(0)).toSeq
         (base.unionByName(
           spark.read
             .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
               "bucket INT, batch_id BIGINT")
             .parquet(s"$path/postings_ingested")
+            .filter(col("batch_id").isin(ids: _*))
             .select(col("token"), col("doc_id"), col("tf"), col("dl"),
               col("bucket"))),
-          meta.getLong(0) + extra.getLong(0),
-          meta.getLong(1) + extra.getLong(1))
+          meta.getLong(0) + committed.map(_.getLong(1)).sum,
+          meta.getLong(1) + committed.map(_.getLong(2)).sum)
       }
     graft.operators.TextAnalysis.TextIndex(
       postings, nDocs, totalTokens, meta.getInt(2))

@@ -157,6 +157,13 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(Multimodal.headerDims("not an image".getBytes("UTF-8")) === None)
     assert(Multimodal.headerDims(Array[Byte]()) === None)
+    // JPEG fill bytes running to EOF: the segment walk must refuse, not
+    // read past the array (SOI + 0xFF padding with no marker byte)
+    assert(Multimodal.headerDims(Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff)
+      .map(_.toByte)) === None)
+    // and a JPEG whose headers end before any SOF segment
+    assert(Multimodal.headerDims(Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04,
+      0x4a, 0x46).map(_.toByte)) === None)
     // the Dataset pass carries the same contract
     val rows = Seq(
       Multimodal.MediaRow(1L, "image/png", 0L, encode("png", 17, 11)),

@@ -148,13 +148,41 @@ class TextIndexSpec extends SparkSpec {
       assert(inc === topk(fullIdx),
         "incremental index must score identically to a full rebuild")
 
+      // TORN APPEND: postings landed but the meta commit record didn't
+      // (crash between the two writes — simulated by deleting batch 1's
+      // meta partition) — the batch must be INVISIBLE, not half-counted
+      // into df with stale N/T
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$incDir/meta_ingested/batch_id=1"))
+      val torn = Sink.readTextIndex(spark, incDir)
+      assert(torn.nDocs === fullIdx.nDocs -
+        docs.filter(col("doc_id") % 4 === 3).count(),
+        "uncommitted batch must not count into N")
+      // replaying the batch re-commits it and restores full parity
+      Sink.appendTextIndex(spark, incDir,
+        docs.filter(col("doc_id") % 4 === 3), batchId = 1L)
+      assert(topk(Sink.readTextIndex(spark, incDir)) === inc)
+
       val (nPost, folded) = Sink.compactTextIndex(spark, incDir)
       assert(folded > 0L, "compaction must fold ingested files")
+      // generational commit: one _SUCCESS marker publishes the fold —
+      // no multi-rename window, superseded flat layout cleaned up
+      assert(new java.io.File(s"$incDir/gen-1/_SUCCESS").exists())
       assert(!new java.io.File(s"$incDir/postings_ingested").exists())
+      assert(!new java.io.File(s"$incDir/postings").exists())
       val compacted = Sink.readTextIndex(spark, incDir)
       assert(compacted.postings.count() === nPost)
       assert(topk(compacted) === inc,
         "queries must be bit-identical across compaction")
+      // appends and further compactions keep working on the generation
+      Sink.appendTextIndex(spark, incDir,
+        docs.select(col("doc_id") + 900000L, col("text"))
+          .toDF("doc_id", "text").limit(5), batchId = 0L)
+      assert(Sink.readTextIndex(spark, incDir).nDocs ===
+        fullIdx.nDocs + 5)
+      val (nPost2, _) = Sink.compactTextIndex(spark, incDir)
+      assert(Sink.resolveIndexRoot(spark, incDir) === s"$incDir/gen-2")
+      assert(Sink.readTextIndex(spark, incDir).postings.count() === nPost2)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(incDir))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fullDir))
