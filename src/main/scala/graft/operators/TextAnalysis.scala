@@ -747,9 +747,16 @@ object TextAnalysis {
     * doc_id — (query_id, score desc, doc_id) is a unique total order.
     *
     * df comes from the matched postings themselves (one row per
-    * (token, doc) ⇒ count-over-token IS df), N and T are plan literals
+    * (token, doc) ⇒ count-per-token IS df), N and T are plan literals
     * from the index meta — the per-term work after pruning is
-    * Σ df(t) posting rows, never corpus-sized.
+    * Σ df(t) posting rows, never corpus-sized. df is computed as a
+    * GROUPED aggregate (map-side partial counts) broadcast-joined back
+    * — never a `count over (partition by token)` window: a window
+    * funnels each term's entire postings list through ONE partition /
+    * one task, so a single stop-word query term at corpus scale
+    * serializes its df-sized list; the grouped form reduces to a
+    * ≤ |terms|-row table that broadcasts for free (spec-asserted: no
+    * token-partitioned WindowExec in the serve plan).
     */
   def bm25QueryBatch(
       index: TextIndex,
@@ -774,12 +781,16 @@ object TextAnalysis {
     }
     val probeBuckets = termList.map(tokenBucket(_, index.buckets))
       .distinct.sorted
-    val wDf = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("token"))
-    val scored = index.postings
+    val matched = index.postings
       .filter(col("bucket").isin(probeBuckets: _*)) // static partition prune
       .filter(col("token").isin(termList: _*))
-      .withColumn("df", count(lit(1)).over(wDf))
+    // df per probed term: grouped aggregate (map-side partials) reduced
+    // to a <= |terms|-row table, broadcast back onto the postings — see
+    // scaladoc for why this must not be a token-partitioned window
+    val dfByTerm = matched.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val scored = matched
+      .join(broadcast(dfByTerm), "token")
       .withColumn("idf", expr(
         s"((${index.nDocs}L - df + 1) * 1000000L) div (df + 1)"))
       .withColumn("norm_milli", expr(

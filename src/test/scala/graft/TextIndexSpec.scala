@@ -75,6 +75,27 @@ class TextIndexSpec extends SparkSpec {
       // stats pruning inside the probed buckets)
       assert(plan.contains("PushedFilters: [In(token"),
         s"expected the token IN-list pushed to parquet in:\n$plan")
+      // df must come from a grouped aggregate + broadcast join, NEVER a
+      // token-partitioned window over the postings: a stop-word term at
+      // corpus scale would funnel its whole postings list through one
+      // window partition / one task. The only windows allowed in the
+      // serve plan are the per-query rank (partitioned by query_id)
+      val wins = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      }
+      wins.foreach { w =>
+        val parts = w match {
+          case we: org.apache.spark.sql.execution.window.WindowExec =>
+            we.partitionSpec.map(_.toString)
+          case wg: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+            wg.partitionSpec.map(_.toString)
+        }
+        assert(parts.forall(p => !p.contains("token")),
+          s"df must not be a token-partitioned window, saw: $parts")
+      }
+      assert(plan.contains("BroadcastHashJoin"),
+        s"df table must broadcast-join onto the postings:\n$plan")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
