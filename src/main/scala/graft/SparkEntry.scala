@@ -1946,6 +1946,19 @@ object SparkEntry {
         Sink.readTextIndex(s, persistedTextIndexDir(s, dir)),
         Seq("vector", "hash", "merge"), k = 20)),
 
+    // EXACT-PHRASE retrieval over the SAME persisted index — the
+    // positional-postings payload at work: candidates from the
+    // bucket-pruned term probe, adjacency by slot-shifted anchor
+    // intersection (TextAnalysis.phraseTopK), ranked by occurrence
+    // count. The oracle replays tokenization with positions and the
+    // identical anchor logic over the raw text — a wrong position
+    // array, a broken shift, or an off-by-one in the intersection all
+    // break the hash
+    "text_phrase_topk" -> ((s, dir) =>
+      graft.operators.TextAnalysis.phraseTopK(
+        Sink.readTextIndex(s, persistedTextIndexDir(s, dir)),
+        Seq("table", "hash"), k = 20)),
+
     // the text-index INGEST lifecycle, driver-proven: build on half the
     // corpus, ADD the other half in two batches (one of them REPLAYED —
     // the dynamic-overwrite exactly-once guard must absorb the
@@ -2215,8 +2228,9 @@ object SparkEntry {
     * LAST write, so its presence marks a complete layout.
     */
   private def persistedTextIndexDir(s: SparkSession, dir: String): String = {
+    // v2: postings carry the positional payload (positions ARRAY<INT>)
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_textidx_v1_${corpusTag(dir, "documents")}").toString
+      s"graft_textidx_v2_${corpusTag(dir, "documents")}").toString
     if (!new java.io.File(s"$path/meta/_SUCCESS").exists()) {
       Sink.writeTextIndex(Tables.documents(s, dir), path, buckets = 64)
     }
@@ -5839,6 +5853,35 @@ object SparkEntry {
         |  FROM w CROSS JOIN meta GROUP BY doc_id)
         |SELECT doc_id, score FROM s
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // phrase matching replayed blind to the index: tokenize with
+    // 0-based positions, shift each phrase slot's positions by -slot,
+    // and an anchor where BOTH slots land is one occurrence of the
+    // consecutive phrase — identical anchor-intersection arithmetic,
+    // straight over the raw text
+    "text_phrase_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |      '\s+', ' ', 'g'), ' ') AS lst
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lst[i] AS token, i - 1 AS pos
+        |  FROM d, LATERAL (
+        |    SELECT unnest(generate_series(1, len(lst))) AS i) u
+        |  WHERE lst[i] <> ''),
+        |slots AS (SELECT * FROM (VALUES ('table', 0), ('hash', 1))
+        |          AS s(token, slot)),
+        |anchors AS (
+        |  SELECT t.doc_id, s.slot, t.pos - s.slot AS anchor
+        |  FROM toks t JOIN slots s USING (token)
+        |  WHERE t.pos - s.slot >= 0),
+        |occ AS (
+        |  SELECT doc_id, anchor FROM anchors
+        |  GROUP BY doc_id, anchor HAVING count(*) = 2)
+        |SELECT doc_id, count(*) AS n_occurrences
+        |FROM occ GROUP BY doc_id
+        |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin,
 
     // the SAME full-corpus BM25 replay — the oracle knows nothing about
     // the base/append split or the compaction; a double-counted replay

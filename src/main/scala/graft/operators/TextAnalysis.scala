@@ -332,6 +332,25 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
 
+  /** [[docTermCounts]] plus POSITIONS: per (doc, token), tf and the
+    * sorted 0-based token positions — the postings payload a phrase /
+    * proximity query needs ([[phraseTopK]]). Same single tokenize pass
+    * and (doc_id, token) shuffle as docTermCounts; the positions array
+    * adds ~4 bytes per corpus token to the shuffle payload and the
+    * persisted postings, bounded by doc length per posting. Readers
+    * that don't select `positions` never pay for it (parquet column
+    * pruning — BM25's probe reads (token, doc_id, tf, dl) only).
+    */
+  def docTermPostings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(
+        split(graft.operators.Dedup.normText(col("text")), " "))
+        .as(Seq("position", "token")))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("position"))).as("positions"))
+
   /** Pointwise-mutual-information co-occurrence pairs (Church & Hanks
     * 1990) over document-level token presence — the word-association
     * miner behind collocation extraction, taxonomy seeding, and
@@ -828,6 +847,58 @@ object TextAnalysis {
     val req = Seq((0L, terms)).toDF("query_id", "terms")
     bm25QueryBatch(index, req, k, k1Milli, bMilli)
       .select(col("doc_id"), col("score"))
+  }
+
+  /** EXACT-PHRASE top-k over a persisted positional index — the first
+    * question a retrieval user asks after BM25: docs where `phrase`'s
+    * tokens appear CONSECUTIVELY, ranked by occurrence count (ties by
+    * doc_id). Requires an index whose postings carry the `positions`
+    * array ([[graft.sinks.Sink.writeTextIndex]] writes it on every
+    * build; [[docTermPostings]] is the payload).
+    *
+    * Mechanics: candidates come from the SAME bucket-pruned term probe
+    * as BM25 (static `bucket IN` partition prune + token IN-list pushed
+    * to parquet — a phrase reads ≤ |distinct terms| bucket dirs, never
+    * the corpus). Each phrase slot i shifts its term's positions by −i:
+    * an ANCHOR a carries a full phrase occurrence iff every slot
+    * matched at a — `count per (doc, anchor) == |phrase|` (positions
+    * within a posting are distinct, so each slot contributes at most
+    * one row per anchor; repeated phrase terms occupy distinct slots
+    * and are counted per slot). This is the position-intersection a
+    * sorted-merge would do, expressed as one (doc, anchor)-keyed
+    * aggregate with map-side partials — Σ tf(term) rows into the
+    * shuffle, never corpus-sized, no per-doc driver loop.
+    */
+  def phraseTopK(
+      index: TextIndex,
+      phrase: Seq[String],
+      k: Int = 20): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val terms = phrase.map(_.toLowerCase)
+    val distinctTerms = terms.distinct.sorted
+    val probeBuckets = distinctTerms
+      .map(tokenBucket(_, index.buckets)).distinct.sorted
+    val slots = terms.zipWithIndex.toDF("token", "slot")
+    val anchors = index.postings
+      .filter(col("bucket").isin(probeBuckets: _*)) // static partition prune
+      .filter(col("token").isin(distinctTerms: _*))
+      .select(col("token"), col("doc_id"), col("positions"))
+      .join(broadcast(slots), "token")
+      .select(col("doc_id"), col("slot"),
+        explode(col("positions")).as("pos"))
+      .select(col("doc_id"), col("slot"),
+        (col("pos") - col("slot")).as("anchor"))
+      .filter(col("anchor") >= 0)
+    anchors
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("n_slots"))
+      .filter(col("n_slots") === phrase.size)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Threshold-calibration sweep for a quality classifier — the

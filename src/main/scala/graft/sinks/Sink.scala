@@ -961,16 +961,21 @@ object Sink {
   /** C6+ / text — persist an INVERTED INDEX in its 100 TB layout (the
     * [[writeIvfIndex]] of the text-retrieval leg, and the standing
     * postings table `TextAnalysis.searchTopK`'s scaladoc promises):
-    * postings `(token, doc_id, tf, dl)` PARTITIONED BY
+    * postings `(token, doc_id, tf, dl, positions)` PARTITIONED BY
     * `bucket = pmod(xxhash64(token), buckets)` — a term lookup reads its
     * probed bucket directories only, never the corpus; `dl` (doc
     * length) rides DENORMALIZED on every posting (the Lucene-norms
     * trick — BM25's length normalization needs dl per matched row, and
     * 8 bytes per posting beats a corpus-sized doc-length join at query
-    * time); corpus constants `(n_docs, total_tokens)` land in a 1-row
-    * meta table. Bucket count bounds the directory fan-out (vs
-    * partition-by-token's unbounded millions) while a B-term query
-    * still prunes to ≤ B directories.
+    * time); `positions` is the sorted 0-based token-position array
+    * (the Lucene positional-postings payload — phrase / proximity
+    * queries need it, [[graft.operators.TextAnalysis.phraseTopK]]) and
+    * is READ LAZILY: it lives in its own parquet column, so BM25's
+    * probe — which never selects it — pays zero bytes for it (column
+    * pruning, receipt in TextIndexSpec); corpus constants `(n_docs,
+    * total_tokens)` land in a 1-row meta table. Bucket count bounds the
+    * directory fan-out (vs partition-by-token's unbounded millions)
+    * while a B-term query still prunes to ≤ B directories.
     */
   def writeTextIndex(
       docs: DataFrame,
@@ -981,7 +986,7 @@ object Sink {
     import spark.implicits._
     // a fresh build supersedes every compaction generation at this path
     if (mode == "overwrite") clearGenerations(spark, path)
-    val counts = graft.operators.TextAnalysis.docTermCounts(docs)
+    val counts = graft.operators.TextAnalysis.docTermPostings(docs)
       .localCheckpoint(true) // one tokenize pass feeds postings AND meta
     val dl = counts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     counts
@@ -989,7 +994,7 @@ object Sink {
       .withColumn("bucket",
         pmod(xxhash64(col("token")), lit(buckets)).cast("int"))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"),
-        col("bucket"))
+        col("positions"), col("bucket"))
       // one output file per bucket directory, not one per (bucket × task)
       .repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
@@ -1029,7 +1034,7 @@ object Sink {
     import spark.implicits._
     val path = resolveIndexRoot(spark, rawPath)
     val buckets = spark.read.parquet(s"$path/meta").head.getInt(2)
-    val counts = graft.operators.TextAnalysis.docTermCounts(docs)
+    val counts = graft.operators.TextAnalysis.docTermPostings(docs)
       .localCheckpoint(true)
     val dl = counts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     counts
@@ -1038,7 +1043,7 @@ object Sink {
         pmod(xxhash64(col("token")), lit(buckets)).cast("int"))
       .withColumn("batch_id", lit(batchId))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"),
-        col("bucket"), col("batch_id"))
+        col("positions"), col("bucket"), col("batch_id"))
       .repartition(col("bucket"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -1140,7 +1145,7 @@ object Sink {
     val meta = spark.read.parquet(s"$path/meta").head
     val base = spark.read
       .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
-        "bucket INT")
+        "positions ARRAY<INT>, bucket INT")
       .parquet(s"$path/postings")
     val (postings, nDocs, totalTokens) =
       if (!exists("postings_ingested") || !exists("meta_ingested"))
@@ -1157,11 +1162,11 @@ object Sink {
         (base.unionByName(
           spark.read
             .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
-              "bucket INT, batch_id BIGINT")
+              "positions ARRAY<INT>, bucket INT, batch_id BIGINT")
             .parquet(s"$path/postings_ingested")
             .filter(col("batch_id").isin(ids: _*))
             .select(col("token"), col("doc_id"), col("tf"), col("dl"),
-              col("bucket"))),
+              col("positions"), col("bucket"))),
           meta.getLong(0) + committed.map(_.getLong(1)).sum,
           meta.getLong(1) + committed.map(_.getLong(2)).sum)
       }

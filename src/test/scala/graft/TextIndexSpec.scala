@@ -210,6 +210,73 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("phrase query: consecutive-only matching on positional postings, " +
+      "occurrence ranking, repeated phrase terms, pruned probe, and " +
+      "BM25 never reads the positions column") {
+    val docs = docsDf(
+      (1L, "big table hash join"),        // 1 occurrence of "table hash"
+      (2L, "table hash table hash scan"), // 2 occurrences
+      (3L, "table scan hash"),            // both terms, NOT adjacent
+      (4L, "hash table"),                 // reversed order: no match
+      (5L, "go go go stop"),              // repeated-term phrase fixture
+      (6L, "go stop go"))
+    val dir = java.nio.file.Files.createTempDirectory("textidx_ph").toString
+    try {
+      Sink.writeTextIndex(docs, dir, buckets = 8)
+      val idx = Sink.readTextIndex(spark, dir)
+      val got = TextAnalysis.phraseTopK(idx, Seq("table", "hash"), k = 10)
+        .as[(Long, Long)].collect().toSeq
+      assert(got === Seq((2L, 2L), (1L, 1L)),
+        "adjacent-only, occurrence-ranked, doc_id tie-broken")
+      // 3-term phrase: all three slots must land on one anchor
+      assert(TextAnalysis.phraseTopK(idx, Seq("big", "table", "hash"))
+        .as[(Long, Long)].collect().toSeq === Seq((1L, 1L)))
+      // repeated term at two slots: "go go" anchors at 0 and 1 in doc 5
+      // (overlapping occurrences both count); doc 6 has no adjacent pair
+      assert(TextAnalysis.phraseTopK(idx, Seq("go", "go"))
+        .as[(Long, Long)].collect().toSeq === Seq((5L, 2L)))
+      // the phrase probe stays bucket-pruned like BM25's
+      val phrasePlan = TextAnalysis.phraseTopK(idx, Seq("table", "hash"))
+        .queryExecution.executedPlan.toString
+      assert(phrasePlan.contains("PartitionFilters: [bucket"),
+        s"phrase probe must prune bucket partitions:\n$phrasePlan")
+      // lazily-read payload: the BM25 probe's parquet scans must not
+      // touch the positions column (column pruning — the array is paid
+      // for ONLY by phrase/proximity queries)
+      val bm25Plan = TextAnalysis.bm25TopK(idx, Seq("table"), k = 5)
+        .queryExecution.executedPlan.toString
+      assert(!bm25Plan.contains("positions"),
+        s"BM25 must never read the positions column:\n$bm25Plan")
+      assert(phrasePlan.contains("positions"),
+        "phrase scan must read the positions column")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("phrase query across incremental ADD + compaction: positions " +
+      "survive the ingested union and the generational fold") {
+    val docs = docsDf(
+      (1L, "alpha beta gamma"), (2L, "beta alpha beta gamma"),
+      (3L, "gamma beta"), (4L, "alpha beta"))
+    val dir = java.nio.file.Files.createTempDirectory("textidx_phi").toString
+    try {
+      Sink.writeTextIndex(docs.filter(col("doc_id") <= 2), dir, buckets = 8)
+      Sink.appendTextIndex(spark, dir,
+        docs.filter(col("doc_id") > 2), batchId = 0L)
+      def run() = TextAnalysis.phraseTopK(
+        Sink.readTextIndex(spark, dir), Seq("alpha", "beta"), k = 10)
+        .as[(Long, Long)].collect().toSeq
+      val pre = run()
+      assert(pre === Seq((1L, 1L), (2L, 1L), (4L, 1L)),
+        "ingested docs must be phrase-searchable immediately")
+      Sink.compactTextIndex(spark, dir)
+      assert(run() === pre, "positions must survive compaction bit-exact")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("batch form: many queries share one pruned probe; empty terms " +
       "and unknown terms degrade gracefully") {
     val docs = docsDf(
