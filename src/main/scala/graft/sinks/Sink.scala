@@ -223,8 +223,13 @@ object Sink {
       .map(g => s"$path/gen-$g").getOrElse(path)
   }
 
-  /** Drop every rebuild generation at `path` — a fresh overwrite-mode
-    * build supersedes them all and must be the layout readers resolve.
+  /** Drop every rebuild generation AND every ingested layer at `path` —
+    * a fresh overwrite-mode build supersedes them all and must be the
+    * ONLY layout readers resolve. The ingested layers matter as much as
+    * the generations: a prior run's appended-but-uncompacted batches
+    * (e.g. a crashed incremental ingest at a reused path) would
+    * otherwise silently union into the new index through the readers'
+    * ingested-layout detection, corrupting N/T/df and scores.
     */
   private def clearGenerations(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
@@ -234,7 +239,36 @@ object Sink {
       fs.listStatus(root).map(_.getPath)
         .filter(_.getName.startsWith("gen-"))
         .foreach(p => fs.delete(p, true))
+      Seq("ingested", "postings_ingested", "meta_ingested",
+        "signed_ingested").foreach { sub =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+      }
     }
+  }
+
+  /** Post-commit cleanup shared by the generational maintenance valves
+    * ([[rebuildIvfIndex]] / [[rebuildIvfPqIndex]] / [[compactTextIndex]]):
+    * once `gen-<newGen>/_SUCCESS` is live, delete EVERY committed
+    * generation below it plus the named flat-layout subdirs. Deleting
+    * only the immediately-previous root would leak any generation
+    * orphaned by a crash-after-commit-before-cleanup — readers resolve
+    * the max generation so orphans are invisible, but they accumulate
+    * disk forever. All deletions here are recoverable no-ops if repeated
+    * (crash mid-cleanup just leaves fewer orphans for the next pass).
+    */
+  private def dropSupersededLayouts(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String,
+      newGen: Long,
+      flatSubdirs: Seq[String]): Unit = {
+    flatSubdirs.foreach { sub =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+    }
+    committedGenerations(fs, new org.apache.hadoop.fs.Path(path))
+      .filter(_ < newGen)
+      .foreach { g =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/gen-$g"), true)
+      }
   }
 
   def writeIvfIndex(
@@ -378,14 +412,8 @@ object Sink {
       // the new generation; everything below is recoverable cleanup
       fs.create(
         new org.apache.hadoop.fs.Path(s"$genDir/_SUCCESS"), true).close()
-      if (oldRoot == path) {
-        // superseded flat layout (the gen-* dirs stay untouched)
-        Seq("celled", "centroids", "build_census", "ingested").foreach {
-          sub => fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
-        }
-      } else {
-        fs.delete(new org.apache.hadoop.fs.Path(oldRoot), true)
-      }
+      dropSupersededLayouts(fs, path, gen,
+        Seq("celled", "centroids", "build_census", "ingested"))
       (true, maxPpm)
     }
   }
@@ -434,7 +462,6 @@ object Sink {
       val conf = spark.sparkContext.hadoopConfiguration
       val rootPath = new org.apache.hadoop.fs.Path(path)
       val fs = rootPath.getFileSystem(conf)
-      val oldRoot = resolveIndexRoot(spark, path)
       val cur = readIvfIndex(spark, path).celled
         .select(col("vec_id"), col("unit"))
       val nCur = cur.count()
@@ -467,14 +494,9 @@ object Sink {
       // COMMIT: one marker-file creation, then recoverable cleanup
       fs.create(
         new org.apache.hadoop.fs.Path(s"$genDir/_SUCCESS"), true).close()
-      if (oldRoot == path) {
+      dropSupersededLayouts(fs, path, gen,
         Seq("celled", "centroids", "pq_codebooks", "build_census",
-          "ingested").foreach { sub =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
-        }
-      } else {
-        fs.delete(new org.apache.hadoop.fs.Path(oldRoot), true)
-      }
+          "ingested"))
       (true, maxPpm)
     }
   }
@@ -499,6 +521,13 @@ object Sink {
     * Periodic [[compact]] of `ingested` back into `celled` (or a
     * centroid retrain + full rebuild when cell balance drifts) is the
     * maintenance valve, same as every write-optimized index.
+    *
+    * SINGLE MAINTAINER: appends and maintenance on one index path must
+    * not run concurrently (maintenance deletes the root an in-flight
+    * append resolved) — one owner per path runs both, and a replay
+    * whose batch was already compacted must only be redelivered from
+    * the SAME checkpoint lineage (see [[appendTextIndex]] for the full
+    * contract; the text leg additionally keeps a folded-batch ledger).
     */
   def appendIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -720,6 +749,10 @@ object Sink {
       mode: String = "overwrite"): Unit = {
     val spark = index.signed.sparkSession
     import spark.implicits._
+    // a fresh build supersedes any prior run's appended-but-uncompacted
+    // batches at this path — clear the ingested layers or readLshIndex
+    // would silently union stale vectors into the new index
+    if (mode == "overwrite") clearGenerations(spark, path)
     val bitsPerBand = index.bitsPerBand
     val mask = (1L << bitsPerBand) - 1
     // ALL signed columns persist — an index built with carryCols keeps
@@ -816,7 +849,8 @@ object Sink {
     * is a DYNAMIC partition overwrite, so a replayed micro-batch
     * overwrites its own directories instead of appending duplicates —
     * [[graft.streaming.StreamLshIngest]] relies on this, same contract
-    * as the IVF ingest path.
+    * as the IVF ingest path. Single-maintainer assumption as documented
+    * on [[appendIvfIndex]]/[[appendTextIndex]].
     */
   def appendLshIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -1025,6 +1059,24 @@ object Sink {
     * between the two writes leaves the half-landed batch INVISIBLE
     * (replaying it overwrites both layouts) instead of unioning
     * postings whose corpus constants were never counted.
+    *
+    * Exactly-once ACROSS COMPACTION: a replay of a batch that
+    * [[compactTextIndex]] already folded into the base postings (a
+    * restart from a checkpoint older than the compaction) is detected
+    * via the generation's `folded` ledger and SKIPPED — re-adding it
+    * would double-count its docs into N/T/df. This assumes one logical
+    * ingest stream per index path with monotone batch ids (exactly
+    * Spark's foreachBatch checkpoint contract); pointing a FRESH
+    * checkpoint (ids restarting at 0) at a compacted index requires a
+    * new index path.
+    *
+    * SINGLE MAINTAINER: appends and maintenance (compaction/rebuild)
+    * on one index path must not run concurrently — maintenance deletes
+    * the root an in-flight append resolved, so a concurrent append's
+    * batch can land in (and vanish with) a superseded root. One owner
+    * per index path — the streaming query's foreachBatch thread — runs
+    * both, exactly how [[graft.streaming.StreamTextIngest]] drives it;
+    * same assumption on the IVF/LSH append+maintenance pairs.
     */
   def appendTextIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -1033,6 +1085,7 @@ object Sink {
       batchId: Long): Unit = {
     import spark.implicits._
     val path = resolveIndexRoot(spark, rawPath)
+    if (foldedBatchIds(spark, path).contains(batchId)) return
     val buckets = spark.read.parquet(s"$path/meta").head.getInt(2)
     val counts = graft.operators.TextAnalysis.docTermPostings(docs)
       .localCheckpoint(true)
@@ -1072,9 +1125,44 @@ object Sink {
     * the folded postings AND the ingested batches both live, silently
     * double-counting df/tf — the exact torn-swap class the rebuild
     * valves were hardened against). Queries before and after are
-    * bit-identical (spec-asserted). Returns (posting rows after
-    * compaction, ingested files folded).
+    * bit-identical (spec-asserted). The committed generation carries a
+    * cumulative `folded` ledger of every batch id absorbed into base
+    * postings, so a post-compaction replay of an old micro-batch is
+    * skipped by [[appendTextIndex]] instead of double-counting; cleanup
+    * after the marker drops ALL superseded committed generations (not
+    * just the immediately previous root — a crash between commit and
+    * cleanup must not leak generations forever). Single-maintainer
+    * assumption as documented on [[appendTextIndex]]. Returns (posting
+    * rows after compaction, ingested files folded).
     */
+  /** Batch ids already folded into a text-index generation's base
+    * postings — read from the `folded` ledger at the RESOLVED root
+    * (empty for a never-compacted index or a pre-ledger layout).
+    */
+  private def foldedBatchIds(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/folded")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Set.empty
+    else spark.read.parquet(s"$root/folded")
+      .select(col("batch_id")).collect().map(_.getLong(0)).toSet
+  }
+
+  /** Batch ids with a landed commit record (`meta_ingested` row) at the
+    * RESOLVED root — the batches [[readTextIndex]] unions in.
+    */
+  private def committedIngestBatchIds(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/meta_ingested")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Set.empty
+    else spark.read.parquet(s"$root/meta_ingested")
+      .select(col("batch_id").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+  }
+
   def compactTextIndex(
       spark: org.apache.spark.sql.SparkSession,
       rawPath: String): (Long, Long) = {
@@ -1105,18 +1193,23 @@ object Sink {
       Seq((idx.nDocs, idx.totalTokens, idx.buckets))
         .toDF("n_docs", "total_tokens", "buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$genDir/meta")
+      // the FOLDED-BATCH ledger: ids whose docs now live in this
+      // generation's base postings (cumulative across compactions) — a
+      // micro-batch REPLAYED after its compaction (restart from an old
+      // checkpoint) must be recognized and skipped by [[appendTextIndex]],
+      // or its docs would re-enter as new data and double-count N/T/df.
+      // One 8-byte row per batch ever folded: ledger size is
+      // batches-folded, never corpus-sized
+      (foldedBatchIds(spark, path) ++ committedIngestBatchIds(spark, path))
+        .toSeq.sorted
+        .toDF("batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$genDir/folded")
       val n = spark.read.parquet(s"$genDir/postings").count()
       // COMMIT: one marker-file creation, then recoverable cleanup
       fs.create(
         new org.apache.hadoop.fs.Path(s"$genDir/_SUCCESS"), true).close()
-      if (path == rawPath) {
-        Seq("postings", "meta", "postings_ingested", "meta_ingested")
-          .foreach { sub =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$rawPath/$sub"), true)
-          }
-      } else {
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      }
+      dropSupersededLayouts(fs, rawPath, gen,
+        Seq("postings", "meta", "postings_ingested", "meta_ingested"))
       (n, nf)
     }
   }
@@ -1152,12 +1245,17 @@ object Sink {
         (base, meta.getLong(0), meta.getLong(1))
       else {
         // the meta rows are the batch commit records: sum the constants
-        // AND restrict the posting union to exactly those batches
+        // AND restrict the posting union to exactly those batches —
+        // minus any batch the folded ledger says already lives in the
+        // base postings (an append that raced a compaction; see
+        // [[appendTextIndex]]'s single-maintainer note)
+        val folded = foldedBatchIds(spark, path)
         val committed = spark.read.parquet(s"$path/meta_ingested")
           // the partition column infers as INT from its directory name
           .select(col("batch_id").cast("long"), col("n_docs"),
             col("total_tokens"))
           .collect()
+          .filterNot(r => folded.contains(r.getLong(0)))
         val ids = committed.map(_.getLong(0)).toSeq
         (base.unionByName(
           spark.read

@@ -195,15 +195,55 @@ class TextIndexSpec extends SparkSpec {
       assert(compacted.postings.count() === nPost)
       assert(topk(compacted) === inc,
         "queries must be bit-identical across compaction")
+      // exactly-once ACROSS the compaction boundary: a restart from a
+      // checkpoint older than the fold redelivers batch 1 — the folded
+      // ledger must recognize it and skip, or its docs double-count
+      Sink.appendTextIndex(spark, incDir,
+        docs.filter(col("doc_id") % 4 === 3), batchId = 1L)
+      assert(Sink.readTextIndex(spark, incDir).nDocs === fullIdx.nDocs,
+        "a batch already folded into base postings must not re-enter")
+      assert(topk(Sink.readTextIndex(spark, incDir)) === inc)
       // appends and further compactions keep working on the generation
+      // (fresh data arrives under the stream's next monotone batch id)
       Sink.appendTextIndex(spark, incDir,
         docs.select(col("doc_id") + 900000L, col("text"))
-          .toDF("doc_id", "text").limit(5), batchId = 0L)
+          .toDF("doc_id", "text").limit(5), batchId = 2L)
       assert(Sink.readTextIndex(spark, incDir).nDocs ===
         fullIdx.nDocs + 5)
       val (nPost2, _) = Sink.compactTextIndex(spark, incDir)
       assert(Sink.resolveIndexRoot(spark, incDir) === s"$incDir/gen-2")
       assert(Sink.readTextIndex(spark, incDir).postings.count() === nPost2)
+      // superseded committed generations are cleaned up, not leaked
+      assert(!new java.io.File(s"$incDir/gen-1").exists(),
+        "every committed generation below the new one must be dropped")
+      // the ledger is cumulative: batches 0..2 all skip on replay now
+      val nAfter = Sink.readTextIndex(spark, incDir).nDocs
+      Seq(0L, 1L, 2L).foreach { b =>
+        Sink.appendTextIndex(spark, incDir,
+          docs.filter(col("doc_id") % 4 === 1), batchId = b)
+      }
+      assert(Sink.readTextIndex(spark, incDir).nDocs === nAfter)
+
+      // a FRESH overwrite build at this reused path supersedes all of it
+      // — generations AND any ingested batches a crashed prior run left:
+      // nothing stale may union into the new index
+      Sink.appendTextIndex(spark, incDir,
+        docs.select(col("doc_id") + 990000L, col("text"))
+          .toDF("doc_id", "text").limit(3), batchId = 3L)
+      Sink.writeTextIndex(docs.filter(col("doc_id") < 100), incDir)
+      val rebuilt = Sink.readTextIndex(spark, incDir)
+      assert(rebuilt.nDocs === docs.filter(col("doc_id") < 100).count(),
+        "overwrite build must clear stale generations AND ingested layers")
+      // same for the FLAT layout (no generations): appended batches at
+      // the raw path must not survive a fresh overwrite build
+      Sink.appendTextIndex(spark, incDir,
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 110),
+        batchId = 0L)
+      assert(Sink.readTextIndex(spark, incDir).nDocs > rebuilt.nDocs)
+      Sink.writeTextIndex(docs.filter(col("doc_id") < 50), incDir)
+      assert(Sink.readTextIndex(spark, incDir).nDocs ===
+        docs.filter(col("doc_id") < 50).count(),
+        "flat-layout ingested batches must not survive an overwrite build")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(incDir))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fullDir))
