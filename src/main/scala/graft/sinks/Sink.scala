@@ -1214,6 +1214,49 @@ object Sink {
     }
   }
 
+  /** The hands-off maintenance valve for the text index — the
+    * [[rebuildIvfIndex]]/[[rebuildIvfPqIndex]] gate applied to
+    * compaction: fold the ingested layout back into base postings when
+    * the small-file count or the committed-batch count exceeds its
+    * threshold; below both thresholds this is a no-op census read (a
+    * file listing + the batch-id collect — never a data scan). With
+    * this, all four index families run their maintenance unattended:
+    * IVF and IVF-PQ rebuild on occupancy drift, LSH reports
+    * bucket-balance drift, and the text index compacts on ingest
+    * pressure — the operator sets thresholds, not cron entries.
+    *
+    * The thresholds target the actual failure mode: each appended batch
+    * leaves one file per touched (bucket, batch) directory, and probe
+    * I/O degrades with FILE COUNT (per-file open + footer read), not
+    * with logical row count — the LSM L0 problem. Defaults are sized so
+    * a probed bucket reads ≲ maxIngestedFiles/buckets extra files.
+    *
+    * Returns (compacted?, ingested files seen, committed batches seen).
+    */
+  def compactTextIndexIfNeeded(
+      spark: org.apache.spark.sql.SparkSession,
+      rawPath: String,
+      maxIngestedFiles: Long = 64L,
+      maxBatches: Long = 16L): (Boolean, Long, Long) = {
+    val path = resolveIndexRoot(spark, rawPath)
+    val ingested = new org.apache.hadoop.fs.Path(s"$path/postings_ingested")
+    val fs = ingested.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var nFiles = 0L
+    if (fs.exists(ingested)) {
+      val it = fs.listFiles(ingested, true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+      }
+    }
+    val nBatches = committedIngestBatchIds(spark, path).size.toLong
+    if (nFiles <= maxIngestedFiles && nBatches <= maxBatches)
+      (false, nFiles, nBatches)
+    else {
+      compactTextIndex(spark, rawPath)
+      (true, nFiles, nBatches)
+    }
+  }
+
   /** Reload a persisted inverted index: postings as a partition-pruned
     * parquet table (NOT cached — the point of the layout is that a
     * query reads its probed bucket directories), meta collected (3
