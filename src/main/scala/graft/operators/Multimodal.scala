@@ -200,13 +200,19 @@ object Multimodal {
   }
 
   /** Parse image dimensions from the CONTAINER HEADER alone — PNG IHDR,
-    * GIF logical screen, BMP BITMAPINFOHEADER, JPEG SOF segment — no
-    * pixel decode: the metadata pass a 100 TB corpus can afford. A full
+    * GIF logical screen, BMP BITMAPINFOHEADER, JPEG SOF segment, TIFF
+    * first-IFD (tags 256/257, both endiannesses) — no pixel decode: the
+    * metadata pass a 100 TB corpus can afford. A full
     * `ImageIO.read` inflates every pixel to get the same two ints (the
     * sniff receipt in [[looksLikeImage]] measured the decode path at
-    * ~2 ms/row; the header parse is a few dozen byte reads). Returns
-    * `(format, width, height)` or None for torn headers / unknown bytes
-    * — None, never a guess, the [[MediaFeatures]] honesty stance.
+    * ~2 ms/row; the header parse is a few dozen byte reads). Covers
+    * exactly the [[looksLikeImage]] sniff list, so the cheap metadata
+    * pass and the decoder can never disagree about a format again (a
+    * round-11 TIFF admitted to the decoder but not walked here returned
+    * `probed = false` next to real decode features — inconsistent).
+    * Returns `(format, width, height)` or None for torn headers /
+    * unknown bytes — None, never a guess, the [[MediaFeatures]] honesty
+    * stance.
     */
   private[graft] def headerDims(b: Array[Byte]): Option[(String, Int, Int)] = {
     def u16be(p: Int) = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
@@ -252,6 +258,42 @@ object Multimodal {
         }
       }
       None
+    } else if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && b(2) == 0x2a.toByte && b(3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2a.toByte))) {
+      // TIFF: walk the FIRST IFD only — ImageWidth (tag 256) and
+      // ImageLength (tag 257) live there as SHORT or LONG count-1
+      // entries with the value inline in the 4-byte value field (first
+      // 2 bytes for SHORT, in the file's endianness). Every offset is
+      // bounds-checked: torn streams yield None, never a guess
+      val le = b(0) == 'I'
+      def u16(p: Int) = if (le) u16le(p) else u16be(p)
+      def u32(p: Int): Long =
+        (if (le) i32le(p) else i32be(p)).toLong & 0xffffffffL
+      val ifd = u32(4)
+      if (ifd < 8L || ifd + 2L > b.length.toLong) None
+      else {
+        val base = ifd.toInt
+        val n = u16(base)
+        var (w, h) = (0L, 0L)
+        var i = 0
+        while (i < n) {
+          val e = base + 2 + i * 12
+          if (e + 12 > b.length) return None // torn entry table
+          val (tag, typ, cnt) = (u16(e), u16(e + 2), u32(e + 4))
+          if ((tag == 256 || tag == 257) && cnt == 1L) {
+            val v =
+              if (typ == 3) u16(e + 8).toLong // SHORT, inline
+              else if (typ == 4) u32(e + 8)   // LONG, inline
+              else return None // a dims tag in an unexpected type: bail
+            if (tag == 256) w = v else h = v
+          }
+          i += 1
+        }
+        if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+          Some(("tiff", w.toInt, h.toInt))
+        else None
+      }
     } else None
   }
 

@@ -131,7 +131,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("headerProbe: dims from container headers alone — PNG/GIF/BMP/" +
-      "JPEG agree with the full decode; torn and opaque bytes null out") {
+      "JPEG/TIFF agree with the full decode; torn and opaque bytes " +
+      "null out") {
     def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -141,7 +142,7 @@ class MultimodalSpec extends SparkSpec {
     }
     val fixtures = Seq(
       ("png", 17, 11), ("gif", 300, 200), ("bmp", 64, 48),
-      ("jpg", 123, 77))
+      ("jpg", 123, 77), ("tiff", 41, 29))
     fixtures.foreach { case (fmt, w, h) =>
       val bytes = encode(fmt, w, h)
       val want = if (fmt == "jpg") "jpeg" else fmt
@@ -164,6 +165,25 @@ class MultimodalSpec extends SparkSpec {
     // and a JPEG whose headers end before any SOF segment
     assert(Multimodal.headerDims(Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04,
       0x4a, 0x46).map(_.toByte)) === None)
+    // hand-built BIG-endian TIFF (ImageIO writes little-endian, so the
+    // MM branch needs its own vector): IFD at 8, two SHORT entries,
+    // 320 wide x 200 high
+    val beTiff = Array[Int](
+      'M', 'M', 0, 0x2a, 0, 0, 0, 8, // magic + IFD offset 8
+      0, 2, // 2 entries
+      0x01, 0x00, 0, 3, 0, 0, 0, 1, 0x01, 0x40, 0, 0, // 256 SHORT 320
+      0x01, 0x01, 0, 3, 0, 0, 0, 1, 0x00, 0xc8, 0, 0, // 257 SHORT 200
+      0, 0, 0, 0 // next-IFD terminator
+    ).map(_.toByte)
+    assert(Multimodal.headerDims(beTiff) === Some(("tiff", 320, 200)))
+    // torn IFD: valid magic, offset points past the bytes — refuse
+    assert(Multimodal.headerDims(beTiff.take(12)) === None)
+    // entry table truncated mid-entry — refuse, never read past the end
+    assert(Multimodal.headerDims(beTiff.take(20)) === None)
+    // a dims tag carrying a non-integer type must bail, not misread
+    val badType = beTiff.clone()
+    badType(13) = 5 // tag 256 type RATIONAL
+    assert(Multimodal.headerDims(badType) === None)
     // the Dataset pass carries the same contract
     val rows = Seq(
       Multimodal.MediaRow(1L, "image/png", 0L, encode("png", 17, 11)),
