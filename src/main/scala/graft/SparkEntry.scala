@@ -1092,6 +1092,53 @@ object SparkEntry {
         .orderBy(col("modality"), col("doc_id"))
     }),
 
+    // the pipeline owner's FINAL dup question, per DOCUMENT: "is doc X
+    // a duplicate of doc Y in ANY modality, and by which evidence?" —
+    // the three modality pair sets roll up to doc level (clip ids strip
+    // their +100000 re-encode namespace), connected components run ONCE
+    // over the unioned doc edges, and each evidenced doc reports its
+    // cluster plus the sorted modality list backing the verdict. Docs
+    // whose only evidence is a self-pair (the re-encoded twin of the
+    // SAME doc — video re-cuts, audio re-gains) are their own cluster:
+    // dup-of-itself is evidence about re-encodes, not cross-doc
+    // duplication. Only evidenced docs appear — the unevidenced corpus
+    // would add rows, not information
+    "multimodal_doc_dup_rollup" -> ((s, dir) => {
+      val img = Multimodal
+        .imageNearDupPairs(phashMediaFixture(s, dir), maxDist = 3)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"),
+          lit("image").as("modality"))
+      val vid = Multimodal.videoNearDupPairs(videoClipsFixture(s, dir),
+          minJaccardPpm = 700000L, k = 32, bands = 16, rowsPerBand = 2)
+        .select((col("doc_a") % 100000L).as("a"),
+          (col("doc_b") % 100000L).as("b"), lit("video").as("modality"))
+      val aud = Multimodal
+        .audioNearDupPairs(audioClipsFixture(s, dir), maxDist = 3)
+        .select((col("doc_a") % 100000L).as("a"),
+          (col("doc_b") % 100000L).as("b"), lit("audio").as("modality"))
+      val evidence = img.unionByName(vid).unionByName(aud)
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"), col("modality"))
+        .localCheckpoint(true) // one pair computation feeds CC AND audit
+      val edges = evidence.filter(col("u") =!= col("v"))
+        .select(col("u").as("src"), col("v").as("dst"))
+      val nodes = evidence.select(col("u").as("node"))
+        .unionByName(evidence.select(col("v").as("node")))
+        .distinct()
+      val mods = evidence
+        .select(explode(array(col("u"), col("v"))).as("node"),
+          col("modality"))
+        .distinct()
+        .groupBy(col("node"))
+        .agg(array_join(array_sort(collect_set(col("modality"))), ",")
+          .as("modalities"))
+      graft.operators.Graph.componentsFor(nodes, "node", edges)
+        .join(mods, "node")
+        .select(col("node").as("doc_id"),
+          col("component").as("cluster_id"), col("modalities"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north-star: dataset assembly (training-data pipeline) ----
     // deterministic N-way split: md5-bucket per id, stable across runs,
     // partitionings, and engines; narrow map — zero shuffle
@@ -4736,6 +4783,86 @@ object SparkEntry {
          |       COALESCE(cc.component, n.node) AS cluster_id
          |FROM nodes n LEFT JOIN cc ON cc.node = n.node
          |ORDER BY modality, doc_id""".stripMargin
+    },
+
+    // the same three pair sets rolled up to DOC level (clip ids mod
+    // 100000 strip the re-encode namespace), one recursive reachability
+    // over the doc edges, modalities as the sorted distinct evidence
+    // list per doc — self-pairs keep a doc evidenced (and clustered
+    // alone unless a cross-doc edge links it)
+    "multimodal_doc_dup_rollup" -> {
+      s"""WITH RECURSIVE im AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 IN (6, 7)
+         |              THEN 'shared-' || CAST(doc_id // 10 AS VARCHAR)
+         |              ELSE text END AS content
+         |  FROM documents),
+         |ih AS (
+         |  SELECT doc_id,
+         |         ${md5PrefixLongSql("content")} AS ph
+         |  FROM im),
+         |vd AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 40 AND n_chars >= 256),
+         |vfr AS (
+         |  SELECT vd.doc_id, g.i,
+         |         ${md5PrefixLongSql(
+              "substr(text, CAST(i*32+1 AS BIGINT), 32)")}
+         |           AS fh
+         |  FROM vd CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 7)) AS i) g),
+         |vclips AS (
+         |  SELECT doc_id AS clip, fh FROM vfr GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS clip, fh FROM vfr WHERE i < 7
+         |  GROUP BY 1, 2),
+         |vsizes AS (SELECT clip, count(*) AS n FROM vclips GROUP BY clip),
+         |vinter AS (
+         |  SELECT a.clip AS ca, b.clip AS cb, count(*) AS ni
+         |  FROM vclips a JOIN vclips b ON a.fh = b.fh AND a.clip < b.clip
+         |  GROUP BY 1, 2),
+         |evidence AS (
+         |  SELECT least(a.doc_id, b.doc_id) AS u,
+         |         greatest(a.doc_id, b.doc_id) AS v, 'image' AS modality
+         |  FROM ih a JOIN ih b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         |  UNION ALL
+         |  SELECT least(ca % 100000, cb % 100000),
+         |         greatest(ca % 100000, cb % 100000), 'video'
+         |  FROM vinter
+         |  JOIN vsizes sa ON sa.clip = vinter.ca
+         |  JOIN vsizes sb ON sb.clip = vinter.cb
+         |  WHERE (ni * 1000000) // (sa.n + sb.n - ni) >= 700000
+         |  UNION ALL
+         |  SELECT doc_id, doc_id, 'audio'
+         |  FROM documents WHERE doc_id < 40),
+         |dedges AS (
+         |  SELECT u, v FROM evidence WHERE u <> v
+         |  UNION SELECT v, u FROM evidence WHERE u <> v),
+         |reach AS (
+         |  SELECT u AS node, u AS comp FROM dedges
+         |  UNION
+         |  SELECT e.v, r.comp FROM reach r JOIN dedges e ON e.u = r.node),
+         |cc AS (SELECT node, min(comp) AS component FROM reach
+         |       GROUP BY node),
+         |nodes AS (
+         |  -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB treats a
+         |  -- non-self-referencing CTE's UNION as UNION ALL
+         |  SELECT DISTINCT node FROM (
+         |    SELECT u AS node FROM evidence
+         |    UNION ALL SELECT v FROM evidence)),
+         |mods AS (
+         |  SELECT node, string_agg(DISTINCT modality, ','
+         |                          ORDER BY modality) AS modalities
+         |  FROM (SELECT u AS node, modality FROM evidence
+         |        UNION ALL SELECT v, modality FROM evidence)
+         |  GROUP BY node)
+         |SELECT n.node AS doc_id,
+         |       COALESCE(cc.component, n.node) AS cluster_id,
+         |       m.modalities
+         |FROM nodes n LEFT JOIN cc ON cc.node = n.node
+         |JOIN mods m ON m.node = n.node
+         |ORDER BY doc_id""".stripMargin
     },
 
     // boundaries are computed ONCE driver-side (Assembly.splitBoundaries)
