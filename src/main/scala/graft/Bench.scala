@@ -22,7 +22,13 @@ import org.apache.spark.sql.SparkSession
   *     ratio isolates HOST-CLOCK DRIFT from plan changes — divide a
   *     query's ratio by the calib ratio before calling it a regression
   *     (the SCALING.md same-day-drift method, now automated in the
-  *     artifact). Per-query MIN-of-reps is emitted alongside the median
+  *     artifact). `calib_min` — the MIN of the per-rep calib medians —
+  *     is the cross-round normalization ANCHOR: a stall can only
+  *     inflate a probe, so the min is the clean-host estimate, and the
+  *     round-11 A/B/C adjudication found min-of-runs materially more
+  *     stable than the median when one rep's window is noisy (calib
+  *     medians spread 1.6× within a single bench while the mins agreed).
+  *     Per-query MIN-of-reps is emitted alongside the median
   *     in bench_full.json: the min is the noise-floor estimate (a stall
   *     can only inflate a run), so median-up + min-down = noise,
   *     median-up + min-up = a real plan change.
@@ -173,6 +179,7 @@ object Bench {
   "nqueries": ${results.size},
   "nerrors": ${errs.size},
   "calib": ${fmt(calibMed)},
+  "calib_min": ${fmt(calibRuns.min)},
   "calib_runs": ${calibRuns.map(fmt).mkString("[", ",", "]")},
   "queries": {
 $entries
@@ -192,7 +199,7 @@ $entries
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, med, _, _) => s"\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errs.size},"reps":$reps,"calib":${fmt(calibMed)},"slowest":$slowest,"full":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errs.size},"reps":$reps,"calib":${fmt(calibMed)},"calib_min":${fmt(calibRuns.min)},"slowest":$slowest,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,8 +10,8 @@ import graft.operators.Similarity
 import graft.sinks.Sink
 import graft.streaming.StreamAnnServe
 
-/** Checkpoint-footprint receipt for the three ANN serving twins
-  * (IVF / IVF-PQ / LSH): drive each `StreamAnnServe` writer through N
+/** Checkpoint-footprint receipt for the four serving twins
+  * (IVF / IVF-PQ / LSH / text BM25): drive each serving writer through N
   * sustained request micro-batches against its PERSISTED index and
   * record, per batch, the serving latency and the checkpoint directory
   * size — the serving-path analog of the census writers' generation
@@ -149,7 +149,68 @@ object ServeFootprint {
     drive("lsh")(qs => emit =>
       StreamAnnServe.servedLshWriter(qs, loadedLsh, k = 10)(emit))
 
-    Seq(ivfDir, pqDir, lshDir).foreach(d =>
+    // text: persisted bucket-partitioned inverted index, BM25 over the
+    // probed bucket directories — per-batch work must track the batch's
+    // matched postings (Σ df of its terms), never corpus size or batch
+    // count; the request stream is (query_id, terms) instead of vectors
+    val textDir = s"$tmp/sf_text_idx"
+    Sink.writeTextIndex(
+      Tables.documents(spark, sfDir), textDir, buckets = 64)
+    val textIdx = Sink.readTextIndex(spark, textDir)
+    val termPool = Seq(
+      Seq("vector", "hash"), Seq("merge", "stream"), Seq("table"),
+      Seq("scan", "filter", "join"), Seq("sort", "group"),
+      Seq("query", "batch"), Seq("key", "value"), Seq("window"),
+      Seq("fast", "slow"), Seq("customer", "order"))
+    def writeTermFile(dir: Path, name: String, batch: Int): Unit = {
+      val lines = (0 until 20).map { i =>
+        val terms = termPool((batch * 20 + i) % termPool.length)
+        s"""{"query_id":${1000000L + batch * 1000L + i},""" +
+          s""""terms":[${terms.map("\"" + _ + "\"").mkString(",")}]}"""
+      }
+      val tmpF = dir.resolve(s".$name.tmp")
+      Files.write(tmpF, String.join("\n", lines: _*).getBytes("UTF-8"))
+      Files.move(tmpF, dir.resolve(name))
+    }
+    locally {
+      val input = Files.createTempDirectory("sf_text_in")
+      val checkpoint = Files.createTempDirectory("sf_text_ckpt")
+      val schema = StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("terms", ArrayType(StringType))))
+      var servedRows = 0L
+      val q = graft.streaming.StreamTextServe.bm25Writer(
+        spark.readStream.schema(schema).json(input.toString),
+        textIdx, k = 10) { (_, res) => servedRows += res.count() }
+        .option("checkpointLocation", checkpoint.toString)
+        .start()
+      try {
+        val times = (0 until nBatches).map { b =>
+          writeTermFile(input, f"batch$b%03d.json", b)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val ckpt = dirBytes(checkpoint.toFile)
+          val state = dirBytes(checkpoint.resolve("state").toFile)
+          println(f"text   batch=$b%2d  $sec%6.2f s  " +
+            f"ckpt=$ckpt%7d B  state=$state%d B")
+          sec
+        }
+        val firstHalf = times.take(nBatches / 2).sum / (nBatches / 2)
+        val secondHalf = times.drop(nBatches / 2).sum /
+          (nBatches - nBatches / 2)
+        println(f"text   summary: served=$servedRows rows  " +
+          f"mean(first half)=$firstHalf%5.2f s  " +
+          f"mean(second half)=$secondHalf%5.2f s  " +
+          f"ckpt final=${dirBytes(checkpoint.toFile)}%d B")
+      } finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteDirectory(input.toFile)
+        org.apache.commons.io.FileUtils.deleteDirectory(checkpoint.toFile)
+      }
+    }
+
+    Seq(ivfDir, pqDir, lshDir, textDir).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     spark.stop()
   }
