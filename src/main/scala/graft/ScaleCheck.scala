@@ -716,6 +716,18 @@ object ScaleCheck {
         (5L, Seq("stream"))).toDF("query_id", "terms")
       force(graft.operators.TextAnalysis.bm25QueryBatch(idx, reqs, k = 20))
     }
+    // phrase probe: candidates from the same bucket-pruned term probe,
+    // then Σ tf anchor rows into one (doc, anchor) aggregate — cost must
+    // track the phrase terms' matched postings, never corpus size.
+    // Fallback build stays OUTSIDE the timed block (the BM25 lesson)
+    if (!new java.io.File(s"$textIdxDir/meta").exists()) {
+      graft.sinks.Sink.writeTextIndex(big, textIdxDir, buckets = 64)
+    }
+    time("phrase serve (persisted index)") {
+      val idx = graft.sinks.Sink.readTextIndex(spark, textIdxDir)
+      force(graft.operators.TextAnalysis.phraseTopK(
+        idx, Seq("table", "hash"), k = 20))
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(textIdxDir))
 

@@ -2006,6 +2006,19 @@ object SparkEntry {
         Sink.readTextIndex(s, persistedTextIndexDir(s, dir)),
         Seq("table", "hash"), k = 20)),
 
+    // PROXIMITY ranking over the same positional index — docs holding
+    // ALL terms ranked by the minimal token window covering one
+    // occurrence of each (the Lucene min-span signal between BM25's
+    // bag-of-words and exact phrase): the classic one-pass min-window
+    // as per-term running-max window functions over a per-DOC sort
+    // (doc-length-bounded partitions, unlike a per-token window).
+    // Oracle replays tokenize-with-positions + the identical
+    // running-max/least recurrence
+    "text_proximity_topk" -> ((s, dir) =>
+      graft.operators.TextAnalysis.proximityTopK(
+        Sink.readTextIndex(s, persistedTextIndexDir(s, dir)),
+        Seq("vector", "hash", "merge"), k = 20)),
+
     // the text-index INGEST lifecycle, driver-proven: build on half the
     // corpus, ADD the other half in two batches (one of them REPLAYED —
     // the dynamic-overwrite exactly-once guard must absorb the
@@ -6009,6 +6022,39 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_occurrences
         |FROM occ GROUP BY doc_id
         |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin,
+
+    // min-window proximity replayed: per doc per position, the running
+    // last-seen of each term (window max over the position order), the
+    // covering window back to the stalest, min per doc — the exact
+    // recurrence the Spark plan runs, straight over the raw text
+    "text_proximity_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |      '\s+', ' ', 'g'), ' ') AS lst
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lst[i] AS token, i - 1 AS pos
+        |  FROM d, LATERAL (
+        |    SELECT unnest(generate_series(1, len(lst))) AS i) u
+        |  WHERE lst[i] <> ''),
+        |m AS (
+        |  SELECT doc_id, token, pos FROM toks
+        |  WHERE token IN ('vector', 'hash', 'merge')),
+        |lasts AS (
+        |  SELECT doc_id, pos,
+        |    max(CASE WHEN token = 'vector' THEN pos END) OVER w AS l0,
+        |    max(CASE WHEN token = 'hash' THEN pos END) OVER w AS l1,
+        |    max(CASE WHEN token = 'merge' THEN pos END) OVER w AS l2
+        |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS UNBOUNDED PRECEDING)),
+        |wl AS (
+        |  SELECT doc_id, pos - least(l0, l1, l2) + 1 AS window_len
+        |  FROM lasts
+        |  WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL)
+        |SELECT doc_id, CAST(min(window_len) AS BIGINT) AS window_len
+        |FROM wl GROUP BY doc_id
+        |ORDER BY window_len, doc_id LIMIT 20""".stripMargin,
 
     // the SAME full-corpus BM25 replay — the oracle knows nothing about
     // the base/append split or the compaction; a double-counted replay

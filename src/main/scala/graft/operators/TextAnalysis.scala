@@ -869,6 +869,58 @@ object TextAnalysis {
     * aggregate with map-side partials — Σ tf(term) rows into the
     * shuffle, never corpus-sized, no per-doc driver loop.
     */
+  /** PROXIMITY top-k over a persisted positional index — the ranking
+    * between BM25's bag-of-words and [[phraseTopK]]'s exact adjacency:
+    * docs containing ALL query terms, ranked by the MINIMAL token
+    * window that covers one occurrence of each (smaller window = terms
+    * used together, not merely co-present; ties by doc_id). This is
+    * Lucene's sloppy-phrase/min-span signal as a deterministic integer.
+    *
+    * Mechanics: the same bucket-pruned term probe, positions exploded
+    * to `(doc, term, pos)` rows (Σ tf of the query terms), then the
+    * classic one-pass min-window — at each position, the window back to
+    * the stalest last-seen among the terms (per-term running `max(pos)`
+    * window functions over the SAME per-doc sort), minimized per doc.
+    * The window partitions by doc_id, so a partition is bounded by one
+    * doc's matched positions (doc-length-bounded) — nothing like the
+    * per-TOKEN window [[bm25QueryBatch]] had to avoid, whose partition
+    * was df-bounded (corpus-scale for stop words).
+    */
+  def proximityTopK(
+      index: TextIndex,
+      terms: Seq[String],
+      k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    val probeBuckets = distinctTerms
+      .map(tokenBucket(_, index.buckets)).distinct.sorted
+    val pts = index.postings
+      .filter(col("bucket").isin(probeBuckets: _*)) // static partition prune
+      .filter(col("token").isin(distinctTerms: _*))
+      .select(col("token"), col("doc_id"),
+        explode(col("positions")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val lasts = distinctTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === t, col("pos"))).over(w).as(s"last_$i")
+    }
+    val lastCols = distinctTerms.indices.map(i => col(s"last_$i"))
+    // least() needs two args; a one-term query's window is trivially 1
+    val stalest =
+      if (lastCols.size == 1) lastCols.head else least(lastCols: _*)
+    pts
+      .select((col("doc_id") +: col("pos") +: lasts): _*)
+      .filter(lastCols.map(_.isNotNull).reduce(_ && _))
+      .select(col("doc_id"),
+        (col("pos") - stalest + 1).cast("long").as("window_len"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("window_len")).as("window_len"))
+      .orderBy(col("window_len"), col("doc_id"))
+      .limit(k)
+  }
+
   def phraseTopK(
       index: TextIndex,
       phrase: Seq[String],

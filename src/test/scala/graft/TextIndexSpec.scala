@@ -294,6 +294,32 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("proximity query: exact minimal covering window, conjunctive, " +
+      "ranked tightest-first") {
+    val docs = docsDf(
+      (1L, "alpha beta"),                        // window 2
+      (2L, "alpha x x x beta"),                  // window 5
+      (3L, "beta x alpha"),                      // order-free: window 3
+      (4L, "alpha x x x x x x x beta x alpha"),  // min over occurrences: 3
+      (5L, "alpha alpha alpha"),                 // missing beta: excluded
+      (6L, "x alpha beta x alpha x x beta"))     // window 2 (pos 1-2)
+    val dir = java.nio.file.Files.createTempDirectory("textidx_px").toString
+    try {
+      Sink.writeTextIndex(docs, dir, buckets = 8)
+      val idx = Sink.readTextIndex(spark, dir)
+      val got = TextAnalysis.proximityTopK(idx, Seq("alpha", "beta"), k = 10)
+        .as[(Long, Long)].collect().toSeq
+      assert(got === Seq((1L, 2L), (6L, 2L), (3L, 3L), (4L, 3L), (2L, 5L)),
+        s"min-window ranking, saw $got")
+      // single-term degenerate form: every holder at window 1
+      val one = TextAnalysis.proximityTopK(idx, Seq("beta"), k = 10)
+        .as[(Long, Long)].collect().toSeq
+      assert(one === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (6L, 1L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("phrase query across incremental ADD + compaction: positions " +
       "survive the ingested union and the generational fold") {
     val docs = docsDf(
