@@ -928,29 +928,70 @@ object TextAnalysis {
     require(phrase.nonEmpty, "phrase must be non-empty")
     val spark = index.postings.sparkSession
     import spark.implicits._
-    val terms = phrase.map(_.toLowerCase)
-    val distinctTerms = terms.distinct.sorted
-    val probeBuckets = distinctTerms
-      .map(tokenBucket(_, index.buckets)).distinct.sorted
-    val slots = terms.zipWithIndex.toDF("token", "slot")
+    val req = Seq((0L, phrase)).toDF("query_id", "phrase")
+    phraseQueryBatch(index, req, k)
+      .select(col("doc_id"), col("n_occurrences"))
+  }
+
+  /** [[phraseTopK]] in its SERVING form, many phrases per call — the
+    * [[bm25QueryBatch]] twin ([[graft.streaming.StreamTextServe]] runs
+    * it per micro-batch): `requests` is `(query_id,
+    * phrase array<string>)`; the probe is the UNION of the batch's
+    * phrase terms (request-batch-bounded), pushed as the same static
+    * `bucket IN (...)` partition prune + token IN-list, and every
+    * request's slot table rides one broadcast join — a batch of phrases
+    * costs one pruned scan of the union's postings plus Σ tf anchor
+    * rows, never per-request passes. Per request: slot-shifted anchor
+    * intersection (`count per (query, doc, anchor) == |phrase|`),
+    * occurrence-ranked top-k, ties by doc_id — (query_id, rank) is a
+    * unique total order.
+    */
+  def phraseQueryBatch(
+      index: TextIndex,
+      requests: DataFrame,
+      k: Int = 20): DataFrame = {
+    // pin the request batch once: the probe collect below and the
+    // anchor join read the SAME rows (the bm25QueryBatch idiom)
+    val slots = requests
+      .select(col("query_id"), posexplode(col("phrase"))
+        .as(Seq("slot", "t")))
+      .select(col("query_id"), col("slot"), lower(col("t")).as("token"))
+      .localCheckpoint(true)
+    val termList = slots.select(col("token")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (termList.isEmpty) {
+      return slots.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
+          lit(0L).as("n_occurrences"), lit(0).as("rank"))
+        .limit(0)
+    }
+    val probeBuckets = termList.map(tokenBucket(_, index.buckets))
+      .distinct.sorted
+    val phraseLen = slots.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("phrase_len"))
     val anchors = index.postings
       .filter(col("bucket").isin(probeBuckets: _*)) // static partition prune
-      .filter(col("token").isin(distinctTerms: _*))
+      .filter(col("token").isin(termList: _*))
       .select(col("token"), col("doc_id"), col("positions"))
       .join(broadcast(slots), "token")
-      .select(col("doc_id"), col("slot"),
+      .select(col("query_id"), col("doc_id"), col("slot"),
         explode(col("positions")).as("pos"))
-      .select(col("doc_id"), col("slot"),
+      .select(col("query_id"), col("doc_id"), col("slot"),
         (col("pos") - col("slot")).as("anchor"))
       .filter(col("anchor") >= 0)
-    anchors
-      .groupBy(col("doc_id"), col("anchor"))
-      .agg(count(lit(1)).as("n_slots"))
-      .filter(col("n_slots") === phrase.size)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_occurrences"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
       .orderBy(col("n_occurrences").desc, col("doc_id"))
-      .limit(k)
+    anchors
+      .groupBy(col("query_id"), col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("n_slots"))
+      .join(broadcast(phraseLen), "query_id")
+      .filter(col("n_slots") === col("phrase_len"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Threshold-calibration sweep for a quality classifier — the

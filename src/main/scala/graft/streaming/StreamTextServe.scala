@@ -45,4 +45,24 @@ object StreamTextServe {
         emit(batchId, TextAnalysis.bm25QueryBatch(index, batch, k))
         ()
       }
+
+  /** The PHRASE serving twin — [[bm25Writer]] answering exact-phrase
+    * requests `(query_id, phrase array<string>)` per micro-batch via
+    * [[TextAnalysis.phraseQueryBatch]]: one pruned probe for the
+    * batch's term union, slot-shifted anchor intersection per request,
+    * occurrence-ranked top-k. Same delivery contract (replay-stable
+    * batchId to an idempotent `emit`) and the same 100 TB posture: the
+    * positional index stays on disk, per-batch work is bounded by the
+    * probed buckets' matched postings + Σ tf anchor rows.
+    */
+  def phraseWriter(
+      requests: DataFrame,
+      index: TextAnalysis.TextIndex,
+      k: Int = 20)(
+      emit: (Long, DataFrame) => Unit): DataStreamWriter[Row] =
+    requests.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        emit(batchId, TextAnalysis.phraseQueryBatch(index, batch, k))
+        ()
+      }
 }

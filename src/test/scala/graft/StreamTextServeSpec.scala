@@ -111,4 +111,57 @@ class StreamTextServeSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(checkpoint.toFile)
     }
   }
+
+  test("served PHRASE stream: batch parity per request, shared pruned " +
+      "probe, absent-result requests degrade gracefully") {
+    val docs = Seq(
+      (1L, "big table hash join"),
+      (2L, "table hash table hash scan"),
+      (3L, "merge group by key"),
+      (4L, "hash table merge group"))
+      .toDF("doc_id", "text")
+    val idxDir = Files.createTempDirectory("phrase_serve_idx").toString
+    val input = Files.createTempDirectory("phrase_serve_in")
+    val checkpoint = Files.createTempDirectory("phrase_serve_ckpt")
+    try {
+      Sink.writeTextIndex(docs, idxDir, buckets = 8)
+      val idx = Sink.readTextIndex(spark, idxDir)
+      val served = TrieMap.empty[Long, Seq[(Long, Long, Long, Int)]]
+      val q = StreamTextServe.phraseWriter(
+        requestStream(input).withColumnRenamed("terms", "phrase"),
+        idx, k = 5) { (bid, res) =>
+        served.put(bid,
+          res.select(col("query_id"), col("doc_id"),
+            col("n_occurrences"), col("rank"))
+            .as[(Long, Long, Long, Int)].collect().toSeq)
+        ()
+      }
+        .option("checkpointLocation", checkpoint.toString)
+        .start()
+      try {
+        writeRequestFile(input, "batch1.json", Seq(
+          (10L, Seq("table", "hash")),
+          (11L, Seq("merge", "group")),
+          (12L, Seq("zzz", "unknown"))))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = served.values.flatten.toSeq
+      // request 12 has no matching terms: absent, not an error row
+      assert(got.map(_._1).toSet === Set(10L, 11L))
+      // per-request parity with the single-phrase path
+      val one10 = TextAnalysis.phraseTopK(idx, Seq("table", "hash"), k = 5)
+        .as[(Long, Long)].collect().toSeq
+      assert(got.filter(_._1 == 10L).sortBy(_._4)
+        .map(r => (r._2, r._3)) === one10)
+      val one11 = TextAnalysis.phraseTopK(idx, Seq("merge", "group"), k = 5)
+        .as[(Long, Long)].collect().toSeq
+      assert(got.filter(_._1 == 11L).sortBy(_._4)
+        .map(r => (r._2, r._3)) === one11)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idxDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(input.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(checkpoint.toFile)
+    }
+  }
 }
