@@ -2019,6 +2019,17 @@ object SparkEntry {
         Sink.readTextIndex(s, persistedTextIndexDir(s, dir)),
         Seq("vector", "hash", "merge"), k = 20)),
 
+    // SNIPPET extraction: the k tightest docs' best covering window
+    // (lexicographic (len, start) argmin — deterministic) plus the
+    // actual token span sliced from the raw text — the highlight a
+    // search UI renders; only the k winners' text is touched (broadcast
+    // join into the corpus scan). Oracle replays argmin + slice
+    "text_snippet_topk" -> ((s, dir) =>
+      graft.operators.TextAnalysis.snippetTopK(
+        Sink.readTextIndex(s, persistedTextIndexDir(s, dir)),
+        Tables.documents(s, dir),
+        Seq("vector", "hash", "merge"), k = 20)),
+
     // the text-index INGEST lifecycle, driver-proven: build on half the
     // corpus, ADD the other half in two batches (one of them REPLAYED —
     // the dynamic-overwrite exactly-once guard must absorb the
@@ -6055,6 +6066,53 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(window_len) AS BIGINT) AS window_len
         |FROM wl GROUP BY doc_id
         |ORDER BY window_len, doc_id LIMIT 20""".stripMargin,
+
+    // best-window argmin + token-span slice replayed: the proximity
+    // recurrence keeps win_start = least(lasts), row_number picks the
+    // per-doc (len, start) lexicographic minimum, and the snippet is a
+    // 1-based inclusive list slice of the SAME normalized token list
+    "text_snippet_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |      '\s+', ' ', 'g'), ' ') AS lst
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lst[i] AS token, i - 1 AS pos
+        |  FROM d, LATERAL (
+        |    SELECT unnest(generate_series(1, len(lst))) AS i) u
+        |  WHERE lst[i] <> ''),
+        |m AS (
+        |  SELECT doc_id, token, pos FROM toks
+        |  WHERE token IN ('vector', 'hash', 'merge')),
+        |lasts AS (
+        |  SELECT doc_id, pos,
+        |    max(CASE WHEN token = 'vector' THEN pos END) OVER w AS l0,
+        |    max(CASE WHEN token = 'hash' THEN pos END) OVER w AS l1,
+        |    max(CASE WHEN token = 'merge' THEN pos END) OVER w AS l2
+        |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS UNBOUNDED PRECEDING)),
+        |cand AS (
+        |  SELECT doc_id, pos - least(l0, l1, l2) + 1 AS window_len,
+        |         least(l0, l1, l2) AS win_start
+        |  FROM lasts
+        |  WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL),
+        |best AS (
+        |  SELECT doc_id, window_len, win_start FROM (
+        |    SELECT doc_id, window_len, win_start,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY window_len, win_start) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |topk AS (
+        |  SELECT * FROM best ORDER BY window_len, doc_id LIMIT 20)
+        |SELECT t.doc_id, CAST(t.window_len AS BIGINT) AS window_len,
+        |       CAST(t.win_start AS BIGINT) AS win_start,
+        |       array_to_string(
+        |         d.lst[CAST(t.win_start + 1 AS BIGINT) :
+        |               CAST(t.win_start + t.window_len AS BIGINT)], ' ')
+        |         AS snippet
+        |FROM topk t JOIN d USING (doc_id)
+        |ORDER BY window_len, doc_id""".stripMargin,
 
     // the SAME full-corpus BM25 replay — the oracle knows nothing about
     // the base/append split or the compaction; a double-counted replay

@@ -921,6 +921,71 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** SNIPPET top-k — [[proximityTopK]] plus the evidence a human reads:
+    * for each of the k tightest docs, the BEST covering window's start
+    * position and its actual token span from the raw text (the
+    * highlight/snippet every search UI shows under a hit). "Best" =
+    * lexicographic argmin (window_len, start) per doc — deterministic:
+    * a (start, length) pair fixes the window, so no hidden tie remains.
+    *
+    * Mechanics: the same per-doc running-max min-window pass as
+    * [[proximityTopK]], keeping `start = least(lasts)` alongside the
+    * length and reducing per doc with `min(struct(len, start))`
+    * (lexicographic struct ordering IS the argmin — no second window
+    * pass); only the k SURVIVING docs join the raw corpus (broadcast of
+    * a ≤k-row table into the documents scan), where the snippet is a
+    * narrow split+slice+join over each winner's text. The corpus is
+    * touched once, for k rows' text — the index answers everything
+    * else.
+    */
+  def snippetTopK(
+      index: TextIndex,
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    val probeBuckets = distinctTerms
+      .map(tokenBucket(_, index.buckets)).distinct.sorted
+    val pts = index.postings
+      .filter(col("bucket").isin(probeBuckets: _*)) // static partition prune
+      .filter(col("token").isin(distinctTerms: _*))
+      .select(col("token"), col("doc_id"),
+        explode(col("positions")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val lasts = distinctTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === t, col("pos"))).over(w).as(s"last_$i")
+    }
+    val lastCols = distinctTerms.indices.map(i => col(s"last_$i"))
+    val stalest =
+      if (lastCols.size == 1) lastCols.head else least(lastCols: _*)
+    val best = pts
+      .select((col("doc_id") +: col("pos") +: lasts): _*)
+      .filter(lastCols.map(_.isNotNull).reduce(_ && _))
+      .select(col("doc_id"),
+        struct(
+          (col("pos") - stalest + 1).cast("long").as("window_len"),
+          stalest.cast("long").as("win_start")).as("cand"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("cand")).as("best")) // lexicographic (len, start) argmin
+      .select(col("doc_id"), col("best.window_len").as("window_len"),
+        col("best.win_start").as("win_start"))
+      .orderBy(col("window_len"), col("doc_id"))
+      .limit(k)
+    docs.select(col("doc_id"), col("text"))
+      .join(broadcast(best), Seq("doc_id")) // <=k winners into the scan
+      .select(col("doc_id"), col("window_len"), col("win_start"),
+        array_join(
+          slice(split(graft.operators.Dedup.normText(col("text")), " "),
+            (col("win_start") + 1).cast("int"),
+            col("window_len").cast("int")),
+          " ").as("snippet"))
+      .orderBy(col("window_len"), col("doc_id"))
+  }
+
   def phraseTopK(
       index: TextIndex,
       phrase: Seq[String],

@@ -320,6 +320,28 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("snippet query: best covering window is the (len, start) argmin " +
+      "and the sliced token span matches the raw text") {
+    val docs = docsDf(
+      (1L, "alpha beta x x alpha x beta"),  // best window (2, 0)
+      (2L, "x beta alpha y beta alpha"),    // len-2 tie at starts 1 and 4
+      (3L, "alpha only here"))              // missing beta: excluded
+    val dir = java.nio.file.Files.createTempDirectory("textidx_sn").toString
+    try {
+      Sink.writeTextIndex(docs, dir, buckets = 8)
+      val idx = Sink.readTextIndex(spark, dir)
+      val got = TextAnalysis.snippetTopK(idx, docs,
+          Seq("alpha", "beta"), k = 10)
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(got === Seq(
+        (1L, 2L, 0L, "alpha beta"),
+        (2L, 2L, 1L, "beta alpha")),  // tie-break: earliest start wins
+        s"argmin + slice, saw $got")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("phrase query across incremental ADD + compaction: positions " +
       "survive the ingested union and the generational fold") {
     val docs = docsDf(
