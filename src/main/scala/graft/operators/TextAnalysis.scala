@@ -932,11 +932,13 @@ object TextAnalysis {
     * [[proximityTopK]], keeping `start = least(lasts)` alongside the
     * length and reducing per doc with `min(struct(len, start))`
     * (lexicographic struct ordering IS the argmin — no second window
-    * pass); only the k SURVIVING docs join the raw corpus (broadcast of
-    * a ≤k-row table into the documents scan), where the snippet is a
-    * narrow split+slice+join over each winner's text. The corpus is
-    * touched once, for k rows' text — the index answers everything
-    * else.
+    * pass); the ≤k winners are COLLECTED (k-bounded, the probe-union
+    * idiom) and their ids pushed as a `doc_id IN (...)` parquet filter
+    * into the documents scan — at corpus scale the text read for k
+    * snippets is k rows' row groups, never a corpus pass (plan receipt
+    * in TextIndexSpec); the snippet itself is a narrow
+    * split+slice+join over each winner's text. The index answers
+    * everything else.
     */
   def snippetTopK(
       index: TextIndex,
@@ -962,7 +964,9 @@ object TextAnalysis {
     val lastCols = distinctTerms.indices.map(i => col(s"last_$i"))
     val stalest =
       if (lastCols.size == 1) lastCols.head else least(lastCols: _*)
-    val best = pts
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val winners = pts
       .select((col("doc_id") +: col("pos") +: lasts): _*)
       .filter(lastCols.map(_.isNotNull).reduce(_ && _))
       .select(col("doc_id"),
@@ -975,8 +979,14 @@ object TextAnalysis {
         col("best.win_start").as("win_start"))
       .orderBy(col("window_len"), col("doc_id"))
       .limit(k)
-    docs.select(col("doc_id"), col("text"))
-      .join(broadcast(best), Seq("doc_id")) // <=k winners into the scan
+      .as[(Long, Long, Long)].collect().toSeq // k-bounded, probe idiom
+    val best = winners.toDF("doc_id", "window_len", "win_start")
+    docs
+      // the winner ids push to the parquet scan: k snippets read k
+      // rows' row groups, never the corpus
+      .filter(col("doc_id").isin(winners.map(_._1): _*))
+      .select(col("doc_id"), col("text"))
+      .join(broadcast(best), Seq("doc_id"))
       .select(col("doc_id"), col("window_len"), col("win_start"),
         array_join(
           slice(split(graft.operators.Dedup.normText(col("text")), " "),

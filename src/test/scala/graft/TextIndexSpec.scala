@@ -337,6 +337,27 @@ class TextIndexSpec extends SparkSpec {
         (1L, 2L, 0L, "alpha beta"),
         (2L, 2L, 1L, "beta alpha")),  // tie-break: earliest start wins
         s"argmin + slice, saw $got")
+
+      // pushdown receipt against a REAL parquet source: the k winner
+      // ids must reach the documents scan as a pushed In(doc_id) filter
+      // — k snippets read k rows' row groups, never the corpus
+      val corpus = Tables.documents(spark, sf)
+      val cdir = java.nio.file.Files.createTempDirectory("textidx_snc")
+        .toString
+      try {
+        Sink.writeTextIndex(corpus.filter(col("doc_id") < 150), cdir,
+          buckets = 8)
+        val df = TextAnalysis.snippetTopK(
+          Sink.readTextIndex(spark, cdir), corpus,
+          Seq("vector", "hash"), k = 5)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("PushedFilters: [In(doc_id"),
+          s"winner ids must push to the corpus scan:\n$plan")
+        assert(df.count() === 5)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(cdir))
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
