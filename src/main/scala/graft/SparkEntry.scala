@@ -1409,6 +1409,45 @@ object SparkEntry {
           "census_stable_across_compaction")
     }),
 
+    // the TEXT-index bucket-balance census, driver-proven — completes
+    // the maintenance-census symmetry across all four index families
+    // (IVF/IVF-PQ occupancy → gated rebuild, LSH bucket balance, text
+    // bucket balance → compaction + bucket-count-at-rebuild): persist a
+    // 16-bucket inverted index, skew-ingest 300 single-token docs
+    // (every posting hashes to ONE bucket — token skew is intrinsic to
+    // the data, exactly the SRP argument), read the drift census off
+    // disk and pin: exactly one bucket grew, by exactly the 300
+    // ingested postings, and compaction folds the ingested layout back
+    // WITHOUT changing the census (the build baseline rides into the
+    // committed generation)
+    "text_index_bucket_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_textdrift_${new java.io.File(dir).getName}").toString
+      Sink.writeTextIndex(docs, path, buckets = 16)
+      val skew = s.range(2000000L, 2000300L).toDF("doc_id")
+        .withColumn("text", lit("graftdriftterm"))
+      Sink.appendTextIndex(s, path, skew, batchId = 0L)
+      val drift = Sink.textOccupancyDrift(s, path).localCheckpoint(true)
+      val nGrown = drift.filter(col("growth_ppm") > 0L).count()
+      val grownPostings = drift.filter(col("growth_ppm") > 0L)
+        .agg(coalesce(sum(col("n_now") - col("n_build")), lit(0L)))
+        .head.getLong(0)
+      val basePostings = drift
+        .agg(coalesce(sum(col("n_build")), lit(0L))).head.getLong(0)
+      Sink.compactTextIndex(s, path)
+      val drift2 = Sink.textOccupancyDrift(s, path)
+      val nStable = drift.join(drift2,
+        Seq("bucket", "n_build", "n_now", "growth_ppm")).count()
+      val nRows = drift.count()
+      import s.implicits._
+      Seq((basePostings, nGrown, nGrown == 1L, grownPostings,
+          nStable == nRows && drift2.count() == nRows))
+        .toDF("base_postings", "n_buckets_grown", "grown_is_one",
+          "grown_postings", "census_stable_across_compaction")
+    }),
+
     // cluster-vs-label agreement audit: contingency of learned cells
     // against the label column (+ per-cell majority flag) — the "do my
     // learned cells mean anything" encoder check, all integer-exact
@@ -3633,6 +3672,24 @@ object SparkEntry {
     "embedding_lsh_bucket_drift" ->
       """SELECT CAST(8 AS BIGINT) AS n_buckets_grown,
         |       TRUE AS grown_eq_bands, TRUE AS growth_exceeds,
+        |       TRUE AS census_stable_across_compaction""".stripMargin,
+
+    // the text-census lifecycle claims are the booleans; the
+    // corpus-derived value is the build-time posting total (distinct
+    // (doc, token) pairs of the base slice — the oracle recomputes it
+    // from raw text), and the 300 single-token skew docs contribute
+    // exactly 300 postings into exactly one bucket
+    "text_index_bucket_drift" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |        '\s+', ' ', 'g'), ' ')) AS token
+        |    FROM documents WHERE doc_id < 500) WHERE token <> '')
+        |SELECT (SELECT count(*) FROM toks) AS base_postings,
+        |       CAST(1 AS BIGINT) AS n_buckets_grown,
+        |       TRUE AS grown_is_one,
+        |       CAST(300 AS BIGINT) AS grown_postings,
         |       TRUE AS census_stable_across_compaction""".stripMargin,
 
     "embedding_occupancy_drift" -> {

@@ -1037,6 +1037,62 @@ object Sink {
     Seq((nDocs, totalTokens, buckets))
       .toDF("n_docs", "total_tokens", "buckets")
       .coalesce(1).write.mode(mode).parquet(s"$path/meta")
+    // build-time bucket-occupancy census (≤ buckets rows) — the
+    // baseline [[textOccupancyDrift]] measures from, the
+    // [[writeLshIndex]] build_census twin: a skewed ingest stream (one
+    // hot token family) piles postings into few bucket directories and
+    // term probes into them scan far past postings/buckets. Counted
+    // off the JUST-WRITTEN postings (partition column from directory
+    // names, no re-tokenize)
+    spark.read
+      .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
+        "positions ARRAY<INT>, bucket INT")
+      .parquet(s"$path/postings")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_build"))
+      .coalesce(1).write.mode(mode).parquet(s"$path/build_census")
+  }
+
+  /** Bucket-occupancy DRIFT census of a persisted text index — the
+    * [[lshOccupancyDrift]] twin completing the census symmetry across
+    * all four index families: per bucket, build-time posting count vs
+    * live count (postings ∪ committed ingested batches) and growth in
+    * ppm. Like SRP buckets, text-bucket skew is intrinsic to the DATA
+    * (a hot token family hashes where it hashes — re-bucketing cannot
+    * spread one token's postings), so this census is the health metric
+    * telling an operator the probe-cost contract is degrading; the
+    * remedies are compaction ([[compactTextIndexIfNeeded]] bounds the
+    * FILE side) and raising the bucket count at the next rebuild (the
+    * DIRECTORY side). Indexes persisted before this census existed
+    * adopt live base occupancy as the baseline, like
+    * [[ivfOccupancyDrift]].
+    */
+  def textOccupancyDrift(
+      spark: org.apache.spark.sql.SparkSession,
+      rawPath: String): DataFrame = {
+    val root = resolveIndexRoot(spark, rawPath)
+    val censusPath = new org.apache.hadoop.fs.Path(s"$root/build_census")
+    val fs = censusPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(censusPath)) {
+      spark.read
+        .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
+          "positions ARRAY<INT>, bucket INT")
+        .parquet(s"$root/postings")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_build"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/build_census")
+    }
+    val live = readTextIndex(spark, rawPath).postings
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_now"))
+    spark.read.parquet(s"$root/build_census")
+      .join(live, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_build"), lit(0L)).as("n_build"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"))
+      .withColumn("growth_ppm", expr(
+        "(n_now - n_build) * 1000000 div greatest(n_build, 1)"))
+      .orderBy(col("bucket"))
   }
 
   /** Incrementally ADD documents to a persisted inverted index — the
@@ -1204,12 +1260,32 @@ object Sink {
         .toSeq.sorted
         .toDF("batch_id")
         .coalesce(1).write.mode("overwrite").parquet(s"$genDir/folded")
+      // the BUILD-time occupancy baseline survives the fold — drift is
+      // measured from build, and compaction relocates files, not rows
+      // (the [[lshOccupancyDrift]] stance: census identical across
+      // compaction, spec-asserted). Pre-census layouts adopt their base
+      // occupancy first
+      val oldCensus = new org.apache.hadoop.fs.Path(s"$path/build_census")
+      if (fs.exists(oldCensus)) {
+        spark.read.parquet(s"$path/build_census")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$genDir/build_census")
+      } else {
+        spark.read
+          .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
+            "positions ARRAY<INT>, bucket INT")
+          .parquet(s"$path/postings")
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n_build"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$genDir/build_census")
+      }
       val n = spark.read.parquet(s"$genDir/postings").count()
       // COMMIT: one marker-file creation, then recoverable cleanup
       fs.create(
         new org.apache.hadoop.fs.Path(s"$genDir/_SUCCESS"), true).close()
       dropSupersededLayouts(fs, rawPath, gen,
-        Seq("postings", "meta", "postings_ingested", "meta_ingested"))
+        Seq("postings", "meta", "postings_ingested", "meta_ingested",
+          "build_census"))
       (n, nf)
     }
   }

@@ -386,6 +386,49 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("bucket census: zero drift at build, legacy layouts adopt live " +
+      "as baseline, skewed ingest grows exactly its token's bucket") {
+    val docs = docsDf(
+      (1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "delta epsilon"), (4L, "alpha epsilon zeta"))
+    val dir = java.nio.file.Files.createTempDirectory("textidx_cen").toString
+    try {
+      Sink.writeTextIndex(docs, dir, buckets = 8)
+      val d0 = Sink.textOccupancyDrift(spark, dir)
+      assert(d0.filter(col("growth_ppm") =!= 0L).count() === 0L,
+        "fresh build must census at zero drift")
+      // legacy layout (persisted before the census existed): adopt live
+      // occupancy as baseline instead of throwing, and persist it
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/build_census"))
+      val d1 = Sink.textOccupancyDrift(spark, dir)
+      assert(d1.filter(col("growth_ppm") =!= 0L).count() === 0L)
+      assert(new java.io.File(s"$dir/build_census").exists(),
+        "adopted baseline must persist")
+      // skewed ingest: one token family -> exactly one bucket grows,
+      // by exactly the ingested posting count
+      val skew = (100L until 150L).map(i => (i, "hotterm")).toSeq
+        .toDF("doc_id", "text")
+      Sink.appendTextIndex(spark, dir, skew, batchId = 0L)
+      val d2 = Sink.textOccupancyDrift(spark, dir)
+        .filter(col("growth_ppm") > 0L)
+        .select(col("n_now") - col("n_build"))
+        .as[Long].collect().toSeq
+      assert(d2 === Seq(50L),
+        s"one bucket, grown by the 50 ingested postings, saw $d2")
+      // and the baseline survives the generational fold: census
+      // identical across compaction
+      val pre = Sink.textOccupancyDrift(spark, dir)
+        .as[(Int, Long, Long, Long)].collect().toSeq
+      Sink.compactTextIndex(spark, dir)
+      val post = Sink.textOccupancyDrift(spark, dir)
+        .as[(Int, Long, Long, Long)].collect().toSeq
+      assert(post === pre, "census must be identical across compaction")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("batch form: many queries share one pruned probe; empty terms " +
       "and unknown terms degrade gracefully") {
     val docs = docsDf(
