@@ -429,6 +429,66 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("randomized: phrase / proximity / snippet agree with brute-force " +
+      "references on dense random corpora (seeded)") {
+    // 5-word alphabet over 40 short docs: collisions, repeats, and
+    // overlapping matches everywhere — the regime where an off-by-one
+    // in anchor shifting, window arithmetic, or argmin tie-breaks shows
+    // up that hand vectors can miss
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = (1L to 40L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+    val dir = java.nio.file.Files.createTempDirectory("textidx_rand").toString
+    try {
+      Sink.writeTextIndex(corpus.toDF("doc_id", "text"), dir, buckets = 8)
+      val idx = Sink.readTextIndex(spark, dir)
+      val docsDf = corpus.toDF("doc_id", "text")
+      (1 to 12).foreach { q =>
+        val phrase = Seq.fill(1 + rnd.nextInt(3))(
+          vocab(rnd.nextInt(vocab.size)))
+        // brute phrase: sliding-window equality count per doc
+        val wantPhrase = toks.toSeq.map { case (id, ts) =>
+          (id, ts.sliding(phrase.size).count(_ == phrase).toLong)
+        }.filter(_._2 > 0).sortBy { case (id, n) => (-n, id) }
+        val gotPhrase = TextAnalysis.phraseTopK(idx, phrase, k = 50)
+          .as[(Long, Long)].collect().toSeq
+        assert(gotPhrase === wantPhrase, s"q$q phrase=$phrase")
+
+        val terms = phrase.distinct
+        // brute min-window: try every token span, keep spans covering
+        // all terms; the (len, start) lexicographic argmin is snippet's
+        val bruteBest = toks.toSeq.flatMap { case (id, ts) =>
+          val spans = for {
+            i <- ts.indices; j <- i until ts.length
+            if terms.forall(t => (i to j).exists(p => ts(p) == t))
+          } yield (j - i + 1, i)
+          if (spans.isEmpty) None else Some((id, spans.min))
+        }
+        val wantProx = bruteBest.map { case (id, (len, _)) => (id, len.toLong) }
+          .sortBy { case (id, len) => (len, id) }
+        val gotProx = TextAnalysis.proximityTopK(idx, terms, k = 50)
+          .as[(Long, Long)].collect().toSeq
+        assert(gotProx === wantProx, s"q$q proximity terms=$terms")
+
+        val wantSnip = bruteBest
+          .map { case (id, (len, start)) =>
+            (id, len.toLong, start.toLong,
+              toks(id).slice(start, start + len).mkString(" "))
+          }
+          .sortBy { case (id, len, _, _) => (len, id) }
+        val gotSnip = TextAnalysis.snippetTopK(idx, docsDf, terms, k = 50)
+          .as[(Long, Long, Long, String)].collect().toSeq
+        assert(gotSnip === wantSnip, s"q$q snippet terms=$terms")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("batch form: many queries share one pruned probe; empty terms " +
       "and unknown terms degrade gracefully") {
     val docs = docsDf(
