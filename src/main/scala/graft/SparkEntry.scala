@@ -2058,6 +2058,29 @@ object SparkEntry {
         Sink.readTextIndex(s, persistedTextIndexDir(s, dir)),
         Seq("vector", "hash", "merge"), k = 20)),
 
+    // HYBRID retrieval via reciprocal-rank fusion — the standard
+    // combiner every production search stack runs over its lexical and
+    // semantic legs: BM25 top-50 from the persisted inverted index
+    // fused with exact-cosine top-50 over the embeddings (doc_id ≡
+    // vec_id in this corpus) by Σ 1e6 div (60 + rank) on the ppm
+    // lattice, union semantics, ties by doc_id. The legs carry the
+    // scale story (bucket-pruned probe, cell-prunable ANN); the fuse is
+    // a k-row full-outer join. Oracle replays both rank lists and the
+    // identical integer fusion
+    "retrieval_hybrid_rrf" -> ((s, dir) => {
+      val lex = graft.operators.TextAnalysis.bm25QueryBatch(
+        Sink.readTextIndex(s, persistedTextIndexDir(s, dir)),
+        { import s.implicits._
+          Seq((0L, Seq("vector", "hash", "merge")))
+            .toDF("query_id", "terms") },
+        k = 50)
+        .select(col("doc_id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+          queryIds = Seq(0L), k = 50)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.operators.TextAnalysis.rrfFuse(lex, sem, kConst = 60L, k = 20)
+    }),
+
     // SNIPPET extraction: the k tightest docs' best covering window
     // (lexicographic (len, start) argmin — deterministic) plus the
     // actual token span sliced from the raw text — the highlight a
@@ -6090,6 +6113,60 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_occurrences
         |FROM occ GROUP BY doc_id
         |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin,
+
+    // both rank lists replayed (the BM25 lattice + the cosine order),
+    // then the identical integer RRF: Σ 1e6 // (60 + rank), union via
+    // full outer join, (rrf desc, doc_id) top-20
+    "retrieval_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |        '\s+', ' ', 'g'), ' ')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |         (SELECT count(*) FROM toks) AS t),
+        |m AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token IN ('vector', 'hash', 'merge')
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT m.doc_id, token, tf, dl.dl,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM m JOIN dl USING (doc_id)),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(sum(
+        |           (((n - df + 1) * 1000000) // (df + 1)) * tf * (1000 + 1200)
+        |           // (tf * 1000 +
+        |              (1200 * ((1000 - 750) + (750 * dl * n) // t)) // 1000)
+        |         ) AS BIGINT) AS score
+        |  FROM w CROSS JOIN meta GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |    FROM s) WHERE rank <= 50),
+        |v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sem AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT v.vec_id AS doc_id,
+        |      CAST(ROW_NUMBER() OVER (
+        |        ORDER BY list_cosine_similarity(v.e, q.e) DESC, v.vec_id)
+        |        AS BIGINT) AS rank
+        |    FROM v CROSS JOIN (SELECT e FROM v WHERE vec_id = 0) q
+        |    WHERE v.vec_id <> 0) WHERE rank <= 50)
+        |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+        |       CAST(COALESCE(1000000 // (60 + lex.rank), 0) +
+        |            COALESCE(1000000 // (60 + sem.rank), 0) AS BIGINT)
+        |         AS rrf_ppm,
+        |       lex.rank IS NOT NULL AS in_lexical,
+        |       sem.rank IS NOT NULL AS in_semantic
+        |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin,
 
     // min-window proximity replayed: per doc per position, the running
     // last-seen of each term (window max over the position order), the

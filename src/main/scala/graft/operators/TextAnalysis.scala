@@ -921,6 +921,39 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** RECIPROCAL-RANK FUSION — the standard hybrid-retrieval combiner
+    * (Cormack/Clarke/Buettcher SIGIR'09): two ranked lists (typically
+    * the lexical [[bm25QueryBatch]] leg and a semantic ANN leg over the
+    * same ids) fuse by `Σ 1e6 div (kConst + rank)` on the integer ppm
+    * lattice — rank-based, so the legs' incomparable score scales never
+    * meet, and every cell is cross-engine hash-exact. Docs appearing in
+    * only one leg keep that leg's contribution (RRF over the union, the
+    * standard form); ties break by doc_id.
+    *
+    * 100 TB shape: both inputs are top-k tables (≤ k rows each — the
+    * LEGS carry the scale story: bucket-pruned BM25, cell-pruned ANN);
+    * the fuse itself is a k-row full-outer join — driver-trivial by
+    * construction, so hybrid retrieval costs exactly its legs.
+    */
+  def rrfFuse(
+      lexical: DataFrame,
+      semantic: DataFrame,
+      kConst: Long = 60L,
+      k: Int = 20): DataFrame = {
+    def leg(df: DataFrame, rankName: String) =
+      df.select(col("doc_id"), col("rank").cast("long").as(rankName))
+    leg(lexical, "rank_lex")
+      .join(leg(semantic, "rank_sem"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr(s"1000000L div (${kConst}L + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000L div (${kConst}L + rank_sem)"), lit(0L)))
+          .as("rrf_ppm"),
+        col("rank_lex").isNotNull.as("in_lexical"),
+        col("rank_sem").isNotNull.as("in_semantic"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** SNIPPET top-k — [[proximityTopK]] plus the evidence a human reads:
     * for each of the k tightest docs, the BEST covering window's start
     * position and its actual token span from the raw text (the

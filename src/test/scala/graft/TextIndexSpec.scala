@@ -489,6 +489,20 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: union semantics, exact ppm contributions per leg, " +
+      "doc_id tie-break") {
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((2L, 2), (4L, 1)).toDF("doc_id", "rank")
+    val got = TextAnalysis.rrfFuse(lex, sem, kConst = 60L, k = 10)
+      .as[(Long, Long, Boolean, Boolean)].collect().toSeq
+    // 1e6 div 61 = 16393, div 62 = 16129, div 63 = 15873
+    assert(got === Seq(
+      (2L, 32258L, true, true),    // both legs: 16129 + 16129
+      (1L, 16393L, true, false),   // tie at 16393 with doc 4:
+      (4L, 16393L, false, true),   //   doc_id breaks it
+      (3L, 15873L, true, false)))
+  }
+
   test("batch form: many queries share one pruned probe; empty terms " +
       "and unknown terms degrade gracefully") {
     val docs = docsDf(
