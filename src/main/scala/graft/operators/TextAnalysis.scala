@@ -921,6 +921,96 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** How many terms one proximity request may carry in
+    * [[proximityQueryBatch]] — bounds the per-slot running-max columns
+    * the dynamic form pivots through. Proximity queries are short term
+    * sets by nature; raise with a recompile if a deployment needs more.
+    */
+  val MaxProximityTerms = 8
+
+  /** [[proximityTopK]] in its SERVING form, many term-sets per call —
+    * completing the batch trio (BM25 / phrase / proximity all serve
+    * from one pruned probe per micro-batch): `requests` is `(query_id,
+    * terms array<string>)`, each set ≤ [[MaxProximityTerms]] distinct
+    * terms; the probe is the batch's term UNION pushed as the static
+    * `bucket IN (...)` prune, each request's term set rides one
+    * broadcast join, and the min-window recurrence runs per (query,
+    * doc) — the running-max windows partition by (query_id, doc_id),
+    * still doc-length-bounded.
+    *
+    * The dynamic-term-set twist: the single-set form pins one
+    * `last_<term>` column per literal term; here each (query, token)
+    * gets a SLOT (dense per query), the per-slot running maxima pivot
+    * through [[MaxProximityTerms]] fixed columns, and the per-query
+    * arithmetic reads only its first `n_terms` slots via array HOFs
+    * (`slice`/`array_min`/`exists` — all codegen'd, arrays ≤ 8 wide).
+    * A doc ranks for a request only when every slot has been seen; ties
+    * break by doc_id — (query_id, rank) is a unique total order.
+    */
+  def proximityQueryBatch(
+      index: TextIndex,
+      requests: DataFrame,
+      k: Int = 20): DataFrame = {
+    val wSlot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("token"))
+    val reqTerms = requests
+      .select(col("query_id"), explode(col("terms")).as("t"))
+      .select(col("query_id"), lower(col("t")).as("token"))
+      .distinct()
+      .withColumn("slot", row_number().over(wSlot) - 1)
+      .localCheckpoint(true) // probe collect + joins read the SAME rows
+    require(reqTerms.groupBy(col("query_id")).count()
+        .agg(coalesce(max(col("count")), lit(0L))).head.getLong(0)
+        <= MaxProximityTerms,
+      s"proximity requests carry at most $MaxProximityTerms distinct terms")
+    val termList = reqTerms.select(col("token")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (termList.isEmpty) {
+      return reqTerms.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
+          lit(0L).as("window_len"), lit(0).as("rank"))
+        .limit(0)
+    }
+    val probeBuckets = termList.map(tokenBucket(_, index.buckets))
+      .distinct.sorted
+    val nTerms = reqTerms.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("n_terms"))
+    val pts = index.postings
+      .filter(col("bucket").isin(probeBuckets: _*)) // static partition prune
+      .filter(col("token").isin(termList: _*))
+      .select(col("token"), col("doc_id"),
+        explode(col("positions")).as("pos"))
+      .join(broadcast(reqTerms), "token")
+      .join(broadcast(nTerms), "query_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val lasts = (0 until MaxProximityTerms).map { i =>
+      max(when(col("slot") === i, col("pos"))).over(w).as(s"last_$i")
+    }
+    val lastArr = array((0 until MaxProximityTerms)
+      .map(i => col(s"last_$i")): _*)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("window_len"), col("doc_id"))
+    pts
+      .select((col("query_id") +: col("doc_id") +: col("pos") +:
+        col("n_terms") +: lasts): _*)
+      // this request's live slots only: [0, n_terms)
+      .withColumn("live", slice(lastArr, lit(1), col("n_terms")))
+      // a candidate window exists only once EVERY slot has been seen
+      .filter(!exists(col("live"), _.isNull))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - array_min(col("live")) + 1).cast("long")
+          .as("window_len"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("window_len")).as("window_len"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** RECIPROCAL-RANK FUSION — the standard hybrid-retrieval combiner
     * (Cormack/Clarke/Buettcher SIGIR'09): two ranked lists (typically
     * the lexical [[bm25QueryBatch]] leg and a semantic ANN leg over the

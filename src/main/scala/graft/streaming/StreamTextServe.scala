@@ -65,4 +65,20 @@ object StreamTextServe {
         emit(batchId, TextAnalysis.phraseQueryBatch(index, batch, k))
         ()
       }
+
+  /** The PROXIMITY serving twin, completing the trio — min-window
+    * ranking per request `(query_id, terms array<string>)` via
+    * [[TextAnalysis.proximityQueryBatch]], same probe-union pruning and
+    * replay-stable-batchId delivery as the BM25 and phrase writers.
+    */
+  def proximityWriter(
+      requests: DataFrame,
+      index: TextAnalysis.TextIndex,
+      k: Int = 20)(
+      emit: (Long, DataFrame) => Unit): DataStreamWriter[Row] =
+    requests.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        emit(batchId, TextAnalysis.proximityQueryBatch(index, batch, k))
+        ()
+      }
 }

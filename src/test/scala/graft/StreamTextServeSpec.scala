@@ -157,6 +157,44 @@ class StreamTextServeSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSeq
       assert(got.filter(_._1 == 11L).sortBy(_._4)
         .map(r => (r._2, r._3)) === one11)
+
+      // the PROXIMITY serving twin on the same index: per-request
+      // parity with the single-set path, mixed term-set sizes in one
+      // batch, unmatched requests absent
+      val proxServed = TrieMap.empty[Long, Seq[(Long, Long, Long, Int)]]
+      val proxInput = Files.createTempDirectory("prox_serve_in")
+      val pq = StreamTextServe.proximityWriter(
+        requestStream(proxInput), idx, k = 5) { (bid, res) =>
+        proxServed.put(bid,
+          res.select(col("query_id"), col("doc_id"),
+            col("window_len"), col("rank"))
+            .as[(Long, Long, Long, Int)].collect().toSeq)
+        ()
+      }
+        .option("checkpointLocation",
+          Files.createTempDirectory("prox_ckpt").toString)
+        .start()
+      try {
+        writeRequestFile(proxInput, "batch1.json", Seq(
+          (20L, Seq("table", "merge")),
+          (21L, Seq("hash")),
+          (22L, Seq("zzz", "table"))))
+        pq.processAllAvailable()
+      } finally {
+        pq.stop()
+        org.apache.commons.io.FileUtils.deleteDirectory(proxInput.toFile)
+      }
+      val proxGot = proxServed.values.flatten.toSeq
+      assert(proxGot.map(_._1).toSet === Set(20L, 21L),
+        "a request missing any term ranks no docs")
+      Seq(20L -> Seq("table", "merge"), 21L -> Seq("hash")).foreach {
+        case (qid, terms) =>
+          val single = TextAnalysis.proximityTopK(idx, terms, k = 5)
+            .as[(Long, Long)].collect().toSeq
+          assert(proxGot.filter(_._1 == qid).sortBy(_._4)
+            .map(r => (r._2, r._3)) === single,
+            s"batch request $qid must equal the single-set path")
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(idxDir))

@@ -473,6 +473,13 @@ class TextIndexSpec extends SparkSpec {
         val gotProx = TextAnalysis.proximityTopK(idx, terms, k = 50)
           .as[(Long, Long)].collect().toSeq
         assert(gotProx === wantProx, s"q$q proximity terms=$terms")
+        // the dynamic-slot batch form must agree with the single-set
+        // per-literal-term form on every random term set
+        val gotBatch = TextAnalysis.proximityQueryBatch(idx,
+            Seq((7L, terms)).toDF("query_id", "terms"), k = 50)
+          .select(col("doc_id"), col("window_len"))
+          .as[(Long, Long)].collect().toSeq
+        assert(gotBatch === wantProx, s"q$q proximity batch terms=$terms")
 
         val wantSnip = bruteBest
           .map { case (id, (len, start)) =>
