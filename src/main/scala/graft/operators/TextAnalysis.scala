@@ -959,12 +959,15 @@ object TextAnalysis {
       .distinct()
       .withColumn("slot", row_number().over(wSlot) - 1)
       .localCheckpoint(true) // probe collect + joins read the SAME rows
-    require(reqTerms.groupBy(col("query_id")).count()
-        .agg(coalesce(max(col("count")), lit(0L))).head.getLong(0)
-        <= MaxProximityTerms,
+    // ONE request-batch-bounded collect feeds the cap check, the probe
+    // term union, AND the per-query term counts — no extra per-batch
+    // jobs on the serving hot path
+    val slotRows = reqTerms.collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    require(slotRows.groupBy(_._1).valuesIterator
+        .map(_.size).maxOption.getOrElse(0) <= MaxProximityTerms,
       s"proximity requests carry at most $MaxProximityTerms distinct terms")
-    val termList = reqTerms.select(col("token")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val termList = slotRows.map(_._2).distinct.sorted.toSeq
     if (termList.isEmpty) {
       return reqTerms.sparkSession.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
@@ -973,8 +976,11 @@ object TextAnalysis {
     }
     val probeBuckets = termList.map(tokenBucket(_, index.buckets))
       .distinct.sorted
-    val nTerms = reqTerms.groupBy(col("query_id"))
-      .agg(count(lit(1)).cast("int").as("n_terms"))
+    val spark = reqTerms.sparkSession
+    import spark.implicits._
+    val nTerms = slotRows.groupBy(_._1)
+      .map { case (q, ts) => (q, ts.size) }.toSeq
+      .toDF("query_id", "n_terms")
     val pts = index.postings
       .filter(col("bucket").isin(probeBuckets: _*)) // static partition prune
       .filter(col("token").isin(termList: _*))
