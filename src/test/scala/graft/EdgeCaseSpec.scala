@@ -206,6 +206,55 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextAnalysis.pmiPairs(emptyDocs).count() === 0)
   }
 
+  test("text index on degenerate corpora: empty build serves empty, " +
+      "all-empty-text docs index as zero postings, oversized phrases " +
+      "and unknown terms return empty") {
+    import graft.sinks.Sink
+    val dir = java.nio.file.Files.createTempDirectory("textidx_edge")
+      .toString
+    try {
+      // EMPTY corpus: build succeeds (N=0, T=0), every retrieval form
+      // returns empty rather than throwing — an index over a filtered-
+      // to-nothing slice is a legitimate state
+      Sink.writeTextIndex(
+        emptyDocs.select($"doc_id", $"text"), dir, buckets = 8)
+      val idx = Sink.readTextIndex(spark, dir)
+      assert(idx.nDocs === 0L && idx.totalTokens === 0L)
+      assert(TextAnalysis.bm25TopK(idx, Seq("anything")).count() === 0)
+      assert(TextAnalysis.phraseTopK(idx, Seq("a", "b")).count() === 0)
+      assert(TextAnalysis.proximityTopK(idx, Seq("a", "b")).count() === 0)
+      assert(Sink.textOccupancyDrift(spark, dir).count() === 0,
+        "empty index censuses as empty, not an exception")
+      // whitespace-only / empty text tokenizes to NOTHING: docs index
+      // with zero postings, N counts them, dl sums stay zero-guarded
+      Sink.writeTextIndex(
+        Seq((1L, ""), (2L, "   "), (3L, "real words here"))
+          .toDF("doc_id", "text"), dir, buckets = 8)
+      val idx2 = Sink.readTextIndex(spark, dir)
+      assert(idx2.nDocs === 3L && idx2.totalTokens === 3L)
+      assert(TextAnalysis.bm25TopK(idx2, Seq("real"))
+        .as[(Long, Long)].collect().map(_._1).toSeq === Seq(3L))
+      // a phrase longer than every document cannot match
+      assert(TextAnalysis.phraseTopK(idx2,
+        Seq("real", "words", "here", "overflow")).count() === 0)
+      // unknown terms: conjunctive forms return empty, not errors
+      assert(TextAnalysis.proximityTopK(idx2,
+        Seq("real", "zzz_unknown")).count() === 0)
+      assert(TextAnalysis.snippetTopK(idx2,
+        Seq((1L, ""), (2L, "   "), (3L, "real words here"))
+          .toDF("doc_id", "text"),
+        Seq("zzz_unknown")).count() === 0)
+      // snippet on a one-term hit slices exactly that token
+      val snip = TextAnalysis.snippetTopK(idx2,
+        Seq((1L, ""), (2L, "   "), (3L, "real words here"))
+          .toDF("doc_id", "text"),
+        Seq("words")).as[(Long, Long, Long, String)].collect().toSeq
+      assert(snip === Seq((3L, 1L, 1L, "words")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("PQ on a corpus smaller than the codebook clamps, does not crash") {
     // 3 vectors < kCodes=16: seeds clamp to 3 — table sizing must follow
     // the TRAINED codebook, not the parameter (the kEff contract)
