@@ -2061,12 +2061,17 @@ object SparkEntry {
     // HYBRID retrieval via reciprocal-rank fusion — the standard
     // combiner every production search stack runs over its lexical and
     // semantic legs: BM25 top-50 from the persisted inverted index
-    // fused with exact-cosine top-50 over the embeddings (doc_id ≡
+    // fused with ANN top-50 from the PERSISTED IVF index (doc_id ≡
     // vec_id in this corpus) by Σ 1e6 div (60 + rank) on the ppm
-    // lattice, union semantics, ties by doc_id. The legs carry the
-    // scale story (bucket-pruned probe, cell-prunable ANN); the fuse is
-    // a k-row full-outer join. Oracle replays both rank lists and the
-    // identical integer fusion
+    // lattice, union semantics, ties by doc_id. BOTH legs now run their
+    // production shape: the lexical probe reads only its term buckets,
+    // and the semantic leg probes 4 of 16 cells of the on-disk
+    // exact-Lloyd index via the integer-lattice probe
+    // (Similarity.ivfQueryVectorsIntProbe — cell selection in exact
+    // integer arithmetic, so the ORACLE replays Lloyd's, the probe, and
+    // the in-cell cosine order bit-exactly; HybridRetrievalSpec asserts
+    // the celled scan is partition-pruned to the probed cells). The
+    // fuse is a k-row full-outer join — it costs exactly its legs
     "retrieval_hybrid_rrf" -> ((s, dir) => {
       val lex = graft.operators.TextAnalysis.bm25QueryBatch(
         Sink.readTextIndex(s, persistedTextIndexDir(s, dir)),
@@ -2075,10 +2080,79 @@ object SparkEntry {
             .toDF("query_id", "terms") },
         k = 50)
         .select(col("doc_id"), col("rank"))
-      val sem = Similarity.bruteForceTopK(Tables.embeddings(s, dir),
-          queryIds = Seq(0L), k = 50)
+      val (loaded, _) =
+        Sink.readIvfPqIndex(s, persistedPqServeDir(s, dir))
+      val sem = Similarity.ivfQueryVectorsIntProbe(loaded,
+          Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 50, nprobe = 4)
         .select(col("vec_id").as("doc_id"), col("rank"))
       graft.operators.TextAnalysis.rrfFuse(lex, sem, kConst = 60L, k = 20)
+    }),
+
+    // hybrid retrieval in its SERVING form: a BATCH of requests, each
+    // carrying both legs' inputs (terms + query embedding), answered by
+    // rrfQueryBatch — ONE bucket-pruned BM25 probe for the batch's term
+    // union, ONE cell-pruned integer-lattice ANN probe for the batch's
+    // cell union, fused per (query_id, doc_id). The streaming twin
+    // (StreamTextServe.hybridWriter) runs the same call per micro-batch
+    // (batch-vs-stream parity spec-asserted). Oracle replays all three
+    // requests' BM25 + Lloyd/probe/cosine legs and the per-query fusion
+    "retrieval_hybrid_serve" -> ((s, dir) => {
+      import s.implicits._
+      val textIdx = Sink.readTextIndex(s, persistedTextIndexDir(s, dir))
+      val (annIdx, _) =
+        Sink.readIvfPqIndex(s, persistedPqServeDir(s, dir))
+      val reqs = Seq(
+        (0L, Seq("vector", "hash", "merge")),
+        (1L, Seq("table", "hash")),
+        (2L, Seq("merge", "vector"))).toDF("query_id", "terms")
+        .join(Tables.embeddings(s, dir)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id")
+      graft.operators.TextAnalysis.rrfQueryBatch(
+        textIdx, annIdx, reqs, kConst = 60L, k = 20)
+    }),
+
+    // MULTI-LEG fusion — real stacks fuse more than two rank lists
+    // (BM25 + a phrase boost + a proximity signal here, all three from
+    // the SAME persisted positional index, all bucket-pruned): one
+    // full-outer cascade on (query_id, doc_id) keeping per-leg ranks
+    // (NOT a fold of 2-leg fuses, which would corrupt later legs'
+    // contributions), Σ 1e6 div (60 + rank_i) over the union, n_legs
+    // evidence column. Oracle replays all three rank lists + the
+    // identical cascade
+    "retrieval_hybrid_rrf3" -> ((s, dir) => {
+      import s.implicits._
+      val idx = Sink.readTextIndex(s, persistedTextIndexDir(s, dir))
+      val lex = graft.operators.TextAnalysis.bm25QueryBatch(idx,
+        Seq((0L, Seq("vector", "hash", "merge")))
+          .toDF("query_id", "terms"), k = 50)
+      val phr = graft.operators.TextAnalysis.phraseQueryBatch(idx,
+        Seq((0L, Seq("table", "hash"))).toDF("query_id", "phrase"),
+        k = 50)
+      val prx = graft.operators.TextAnalysis.proximityQueryBatch(idx,
+        Seq((0L, Seq("vector", "hash", "merge")))
+          .toDF("query_id", "terms"), k = 50)
+      graft.operators.TextAnalysis.rrfFuseAll(
+        Seq(lex, phr, prx), kConst = 60L, k = 20)
+    }),
+
+    // snippet extraction in its SERVING form: a batch of term-set
+    // requests through snippetQueryBatch — per (query, doc) the
+    // lexicographic (len, start) argmin window, per-query top-k, ONE
+    // winner-id push-down into the documents scan for the whole batch.
+    // The streaming twin (StreamTextServe.snippetWriter) runs the same
+    // call per micro-batch. Oracle replays both requests' recurrences,
+    // argmins, and token-span slices
+    "text_snippet_serve" -> ((s, dir) => {
+      import s.implicits._
+      val idx = Sink.readTextIndex(s, persistedTextIndexDir(s, dir))
+      val reqs = Seq(
+        (0L, Seq("vector", "hash", "merge")),
+        (1L, Seq("table", "hash"))).toDF("query_id", "terms")
+      graft.operators.TextAnalysis.snippetQueryBatch(
+        idx, Tables.documents(s, dir), reqs, k = 20)
     }),
 
     // SNIPPET extraction: the k tightest docs' best covering window
@@ -2344,8 +2418,11 @@ object SparkEntry {
     * rebuilt on the next call.
     */
   private def persistedPqServeDir(s: SparkSession, dir: String): String = {
+    // v2: the layout carries the integer-lattice coarse quantizer
+    // (qcentroids) alongside the float centroids — the replayable-probe
+    // prerequisite (Similarity.ivfQueryVectorsIntProbe)
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_servepq_v1_${corpusTag(dir, "embeddings")}").toString
+      s"graft_servepq_v2_${corpusTag(dir, "embeddings")}").toString
     if (!new java.io.File(s"$path/build_census/_SUCCESS").exists()) {
       val emb = Tables.embeddings(s, dir)
       val index = Similarity.IndexCache.ivfExact(emb, nlist = 16)
@@ -6114,15 +6191,21 @@ object SparkEntry {
         |FROM occ GROUP BY doc_id
         |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin,
 
-    // both rank lists replayed (the BM25 lattice + the cosine order),
-    // then the identical integer RRF: Σ 1e6 // (60 + rank), union via
-    // full outer join, (rrf desc, doc_id) top-20
+    // both rank lists replayed BLIND TO THE INDEXES — the BM25 lattice
+    // over the raw text, and the ANN leg's ENTIRE mechanism over the raw
+    // embeddings: integer-Lloyd training (3 rounds, 16 cells — the
+    // lloydRoundSql machinery), cell assignment, the query's top-4 probe
+    // cells by exact integer distance (ties → lowest cell), cosine order
+    // WITHIN the probed cells only — then the identical integer RRF:
+    // Σ 1e6 // (60 + rank), union via full outer join, (rrf desc,
+    // doc_id) top-20. A drifted centroid, a wrong probe set, or a
+    // candidate leaking from an unprobed cell all break the hash
     "retrieval_hybrid_rrf" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, token FROM (
         |    SELECT doc_id,
         |      unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
-        |        '\s+', ' ', 'g'), ' ')) AS token
+        |        '\\s+', ' ', 'g'), ' ')) AS token
         |    FROM documents) WHERE token <> ''),
         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
         |meta AS (
@@ -6149,16 +6232,49 @@ object SparkEntry {
         |    SELECT doc_id, CAST(ROW_NUMBER() OVER (
         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         |    FROM s) WHERE rank <= 50),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |p AS (SELECT vec_id, d, q[d] AS v FROM q CROSS JOIN dims),
+        |seeds AS (
+        |  SELECT q, row_number() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        |  FROM q),
+        |c0 AS (
+        |  SELECT sd.j, dims.d, sd.q[dims.d] AS c
+        |  FROM seeds sd CROSS JOIN dims WHERE sd.j < 16),
+        |${lloydRoundSql(1)},
+        |${lloydRoundSql(2)},
+        |${lloydRoundSql(3)},
+        |fd AS (
+        |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+        |  FROM p JOIN c3 c USING (d) GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, j AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY dist, j) AS rn
+        |    FROM fd) WHERE rn = 1),
+        |probe AS (
+        |  SELECT j FROM (
+        |    SELECT j, row_number() OVER (ORDER BY dist, j) AS rn
+        |    FROM fd WHERE vec_id = 0) WHERE rn <= 4),
         |v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |sem AS (
         |  SELECT doc_id, rank FROM (
         |    SELECT v.vec_id AS doc_id,
         |      CAST(ROW_NUMBER() OVER (
-        |        ORDER BY list_cosine_similarity(v.e, q.e) DESC, v.vec_id)
+        |        ORDER BY list_cosine_similarity(v.e, q2.e) DESC, v.vec_id)
         |        AS BIGINT) AS rank
-        |    FROM v CROSS JOIN (SELECT e FROM v WHERE vec_id = 0) q
-        |    WHERE v.vec_id <> 0) WHERE rank <= 50)
+        |    FROM v
+        |    JOIN fa ON fa.vec_id = v.vec_id
+        |    CROSS JOIN (SELECT e FROM v WHERE vec_id = 0) q2
+        |    WHERE v.vec_id <> 0
+        |      AND fa.cluster IN (SELECT j FROM probe)) WHERE rank <= 50)
         |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
         |       CAST(COALESCE(1000000 // (60 + lex.rank), 0) +
         |            COALESCE(1000000 // (60 + sem.rank), 0) AS BIGINT)
@@ -6167,6 +6283,281 @@ object SparkEntry {
         |       sem.rank IS NOT NULL AS in_semantic
         |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
         |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the batch serving form replayed per request: three BM25 rank
+    // lists off ONE shared df table (df is a corpus property of the
+    // token, independent of which query asked — exactly the batch
+    // probe's shape), three Lloyd probe sets + in-cell cosine orders,
+    // per-(query_id, doc_id) fusion with ranks per query
+    "retrieval_hybrid_serve" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |        '\\s+', ' ', 'g'), ' ')) AS token
+        |    FROM documents) WHERE token <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |         (SELECT count(*) FROM toks) AS t),
+        |qterms(query_id, token) AS (
+        |  SELECT * FROM (VALUES (0, 'vector'), (0, 'hash'), (0, 'merge'),
+        |         (1, 'table'), (1, 'hash'),
+        |         (2, 'merge'), (2, 'vector')) AS qt(query_id, token)),
+        |m AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token IN (SELECT DISTINCT token FROM qterms)
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT m.doc_id, token, tf, dl.dl,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM m JOIN dl USING (doc_id)),
+        |sc AS (
+        |  SELECT qt.query_id, w.doc_id,
+        |         CAST(sum(
+        |           (((n - df + 1) * 1000000) // (df + 1)) * tf * (1000 + 1200)
+        |           // (tf * 1000 +
+        |              (1200 * ((1000 - 750) + (750 * dl * n) // t)) // 1000)
+        |         ) AS BIGINT) AS score
+        |  FROM w JOIN qterms qt USING (token) CROSS JOIN meta
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id)
+        |      AS BIGINT) AS rank
+        |    FROM sc) WHERE rank <= 50),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |p AS (SELECT vec_id, d, q[d] AS v FROM q CROSS JOIN dims),
+        |seeds AS (
+        |  SELECT q, row_number() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        |  FROM q),
+        |c0 AS (
+        |  SELECT sd.j, dims.d, sd.q[dims.d] AS c
+        |  FROM seeds sd CROSS JOIN dims WHERE sd.j < 16),
+        |${lloydRoundSql(1)},
+        |${lloydRoundSql(2)},
+        |${lloydRoundSql(3)},
+        |fd AS (
+        |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+        |  FROM p JOIN c3 c USING (d) GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, j AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY dist, j) AS rn
+        |    FROM fd) WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, j FROM (
+        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, j) AS rn
+        |    FROM fd WHERE vec_id IN (0, 1, 2)) WHERE rn <= 4),
+        |v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sem AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT pr.query_id, v.vec_id AS doc_id,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY pr.query_id
+        |        ORDER BY list_cosine_similarity(v.e, qv.e) DESC, v.vec_id)
+        |        AS BIGINT) AS rank
+        |    FROM v
+        |    JOIN fa ON fa.vec_id = v.vec_id
+        |    JOIN probe pr ON pr.j = fa.cluster
+        |    JOIN v qv ON qv.vec_id = pr.query_id
+        |    WHERE v.vec_id <> pr.query_id) WHERE rank <= 50),
+        |fused AS (
+        |  SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+        |         COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+        |         CAST(COALESCE(1000000 // (60 + lex.rank), 0) +
+        |              COALESCE(1000000 // (60 + sem.rank), 0) AS BIGINT)
+        |           AS rrf_ppm,
+        |         (CASE WHEN lex.rank IS NOT NULL THEN 1 ELSE 0 END +
+        |          CASE WHEN sem.rank IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS n_legs
+        |  FROM lex FULL OUTER JOIN sem
+        |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_ppm,
+        |       n_legs, rank
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_ppm DESC, doc_id) AS rank FROM fused)
+        |WHERE rank <= 20
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // all three text rank lists replayed over the raw corpus (the BM25
+    // lattice, the phrase anchor intersection, the proximity min-window
+    // recurrence), then the identical ONE-cascade 3-way fusion — a fold
+    // of 2-leg fuses would not match this
+    "retrieval_hybrid_rrf3" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |      '\s+', ' ', 'g'), ' ') AS lst
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lst[i] AS token, i - 1 AS pos
+        |  FROM d, LATERAL (
+        |    SELECT unnest(generate_series(1, len(lst))) AS i) u
+        |  WHERE lst[i] <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |         (SELECT count(*) FROM toks) AS t),
+        |mb AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token IN ('vector', 'hash', 'merge')
+        |  GROUP BY 1, 2),
+        |wb AS (
+        |  SELECT mb.doc_id, token, tf, dl.dl,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM mb JOIN dl USING (doc_id)),
+        |sb AS (
+        |  SELECT doc_id,
+        |         CAST(sum(
+        |           (((n - df + 1) * 1000000) // (df + 1)) * tf * (1000 + 1200)
+        |           // (tf * 1000 +
+        |              (1200 * ((1000 - 750) + (750 * dl * n) // t)) // 1000)
+        |         ) AS BIGINT) AS score
+        |  FROM wb CROSS JOIN meta GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |    FROM sb) WHERE rank <= 50),
+        |slots AS (SELECT * FROM (VALUES ('table', 0), ('hash', 1))
+        |          AS s2(token, slot)),
+        |anchors AS (
+        |  SELECT t.doc_id, s2.slot, t.pos - s2.slot AS anchor
+        |  FROM toks t JOIN slots s2 USING (token)
+        |  WHERE t.pos - s2.slot >= 0),
+        |occ AS (
+        |  SELECT doc_id, anchor FROM anchors
+        |  GROUP BY doc_id, anchor HAVING count(*) = 2),
+        |phr AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |      ORDER BY count(*) DESC, doc_id) AS BIGINT) AS rank
+        |    FROM occ GROUP BY doc_id) WHERE rank <= 50),
+        |mp AS (
+        |  SELECT doc_id, token, pos FROM toks
+        |  WHERE token IN ('vector', 'hash', 'merge')),
+        |lasts AS (
+        |  SELECT doc_id, pos,
+        |    max(CASE WHEN token = 'vector' THEN pos END) OVER w AS l0,
+        |    max(CASE WHEN token = 'hash' THEN pos END) OVER w AS l1,
+        |    max(CASE WHEN token = 'merge' THEN pos END) OVER w AS l2
+        |  FROM mp WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS UNBOUNDED PRECEDING)),
+        |wl AS (
+        |  SELECT doc_id, pos - least(l0, l1, l2) + 1 AS window_len
+        |  FROM lasts
+        |  WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL),
+        |prox AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |      ORDER BY min(window_len), doc_id) AS BIGINT) AS rank
+        |    FROM wl GROUP BY doc_id) WHERE rank <= 50),
+        |f3 AS (
+        |  SELECT COALESCE(l.doc_id, p2.doc_id, x.doc_id) AS doc_id,
+        |         CAST(COALESCE(1000000 // (60 + l.rank), 0) +
+        |              COALESCE(1000000 // (60 + p2.rank), 0) +
+        |              COALESCE(1000000 // (60 + x.rank), 0) AS BIGINT)
+        |           AS rrf_ppm,
+        |         (CASE WHEN l.rank IS NOT NULL THEN 1 ELSE 0 END +
+        |          CASE WHEN p2.rank IS NOT NULL THEN 1 ELSE 0 END +
+        |          CASE WHEN x.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_legs
+        |  FROM lex l
+        |  FULL OUTER JOIN phr p2 ON l.doc_id = p2.doc_id
+        |  FULL OUTER JOIN prox x ON COALESCE(l.doc_id, p2.doc_id) = x.doc_id)
+        |SELECT CAST(0 AS BIGINT) AS query_id, doc_id, rrf_ppm, n_legs, rank
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id) AS rank
+        |  FROM f3)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // the snippet batch serving form replayed per request: each
+    // request's min-window recurrence, (len, start) argmin, per-query
+    // (window_len, doc_id) top-20, and the token-span slice
+    "text_snippet_serve" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |      '\s+', ' ', 'g'), ' ') AS lst
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lst[i] AS token, i - 1 AS pos
+        |  FROM d, LATERAL (
+        |    SELECT unnest(generate_series(1, len(lst))) AS i) u
+        |  WHERE lst[i] <> ''),
+        |m0 AS (
+        |  SELECT doc_id, token, pos FROM toks
+        |  WHERE token IN ('vector', 'hash', 'merge')),
+        |la0 AS (
+        |  SELECT doc_id, pos,
+        |    max(CASE WHEN token = 'vector' THEN pos END) OVER w AS l0,
+        |    max(CASE WHEN token = 'hash' THEN pos END) OVER w AS l1,
+        |    max(CASE WHEN token = 'merge' THEN pos END) OVER w AS l2
+        |  FROM m0 WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS UNBOUNDED PRECEDING)),
+        |ca0 AS (
+        |  SELECT doc_id, pos - least(l0, l1, l2) + 1 AS window_len,
+        |         least(l0, l1, l2) AS win_start
+        |  FROM la0
+        |  WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL),
+        |be0 AS (
+        |  SELECT doc_id, window_len, win_start FROM (
+        |    SELECT doc_id, window_len, win_start,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY window_len, win_start) AS rn
+        |    FROM ca0) WHERE rn = 1),
+        |tk0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS query_id, doc_id, window_len,
+        |         win_start, rank FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      ORDER BY window_len, doc_id) AS rank FROM be0)
+        |  WHERE rank <= 20),
+        |m1 AS (
+        |  SELECT doc_id, token, pos FROM toks
+        |  WHERE token IN ('table', 'hash')),
+        |la1 AS (
+        |  SELECT doc_id, pos,
+        |    max(CASE WHEN token = 'table' THEN pos END) OVER w AS l0,
+        |    max(CASE WHEN token = 'hash' THEN pos END) OVER w AS l1
+        |  FROM m1 WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS UNBOUNDED PRECEDING)),
+        |ca1 AS (
+        |  SELECT doc_id, pos - least(l0, l1) + 1 AS window_len,
+        |         least(l0, l1) AS win_start
+        |  FROM la1
+        |  WHERE l0 IS NOT NULL AND l1 IS NOT NULL),
+        |be1 AS (
+        |  SELECT doc_id, window_len, win_start FROM (
+        |    SELECT doc_id, window_len, win_start,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY window_len, win_start) AS rn
+        |    FROM ca1) WHERE rn = 1),
+        |tk1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS query_id, doc_id, window_len,
+        |         win_start, rank FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      ORDER BY window_len, doc_id) AS rank FROM be1)
+        |  WHERE rank <= 20),
+        |u AS (SELECT * FROM tk0 UNION ALL SELECT * FROM tk1)
+        |SELECT u.query_id, u.doc_id,
+        |       CAST(u.window_len AS BIGINT) AS window_len,
+        |       CAST(u.win_start AS BIGINT) AS win_start, u.rank,
+        |       array_to_string(
+        |         d.lst[CAST(u.win_start + 1 AS BIGINT) :
+        |               CAST(u.win_start + u.window_len AS BIGINT)], ' ')
+        |         AS snippet
+        |FROM u JOIN d USING (doc_id)
+        |ORDER BY query_id, rank""".stripMargin,
 
     // min-window proximity replayed: per doc per position, the running
     // last-seen of each term (window max over the position order), the

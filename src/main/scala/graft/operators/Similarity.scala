@@ -87,9 +87,19 @@ object Similarity {
     * is a table written partitioned by `cell` so a probe touches nprobe
     * partitions, not the corpus.
     */
-  final case class IvfIndex(centroids: Array[Array[Double]], celled: DataFrame) {
+  final case class IvfIndex(
+      centroids: Array[Array[Double]],
+      celled: DataFrame,
+      qcents: Array[Array[Long]] = Array.empty) {
     def nlist: Int = centroids.length
     def unpersist(): Unit = { celled.unpersist(); () }
+
+    /** True when the index carries its coarse quantizer on
+      * [[graft.operators.Clustering]]'s integer lattice (an exact-Lloyd
+      * build) — the prerequisite for [[ivfQueryVectorsIntProbe]]'s
+      * cross-engine-replayable probe selection.
+      */
+    def hasQuantizedCentroids: Boolean = qcents.nonEmpty
   }
 
   /** Train the coarse quantizer on a bounded deterministic sample and
@@ -175,7 +185,11 @@ object Similarity {
         col("cluster").as("cell"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     celled.count()
-    IvfIndex(centroids, celled)
+    // keep the integer-lattice centroids alongside the float probe set:
+    // they are the cross-engine-replayable coarse quantizer (an auditor
+    // can re-derive cell assignment AND probe selection in exact integer
+    // arithmetic — [[ivfQueryVectorsIntProbe]] consumes them)
+    IvfIndex(centroids, celled, qcents)
   }
 
   private def centroidDots(centroids: Array[Array[Double]], v: Column): Seq[Column] =
@@ -322,6 +336,79 @@ object Similarity {
     index.celled
       .filter(col("cell").isin(probed: _*)) // static partition pruning
       .join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("unit"), col("q_unit")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[ivfQueryVectors]] with the probe-cell selection moved onto
+    * [[Clustering]]'s integer lattice — the CROSS-ENGINE-REPLAYABLE
+    * serving probe: requires an exact-Lloyd index
+    * ([[buildIvfIndexExact]], which carries its quantized centroids in
+    * [[IvfIndex.qcents]]). Each query vector is quantized with the
+    * training transform (`round((x + 1.0) * 4096)` — exact in IEEE
+    * double, see [[Clustering.Scale]]) and its nprobe cells are the
+    * smallest exact-integer squared-L2 distances to the quantized
+    * centroids, ties → lowest cell id (an `array_sort` over
+    * `(dist, cell)` structs — lexicographic, matching the oracle's
+    * `ORDER BY dist, j`). Candidate ranking within the probed cells is
+    * exact float cosine, identical to [[ivfQueryVectors]].
+    *
+    * Why it exists: the float probe's cell ORDER depends on
+    * normalization arithmetic (a float sum whose reduction order is
+    * engine-private), so an external auditor can verify its recall but
+    * not replay its exact candidate set. This probe's cell set is pure
+    * integer arithmetic end to end — DuckDB replays Lloyd's, the
+    * assignment, AND the probe selection bit-exactly, which is what lets
+    * a hybrid-retrieval query over a cell-pruned ANN leg be HASH-checked
+    * rather than recall-floored (`retrieval_hybrid_rrf`). Same static
+    * `cell IN (...)` partition pruning and 100 TB posture as
+    * [[ivfQueryVectors]]; corpus-member queries self-exclude by id
+    * (external ids never collide with corpus ids, so the filter is a
+    * no-op for true serving requests).
+    */
+  def ivfQueryVectorsIntProbe(
+      index: IvfIndex,
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    require(index.hasQuantizedCentroids,
+      "integer-lattice probe needs an exact-Lloyd index " +
+        "(buildIvfIndexExact / a persisted layout with qcentroids)")
+    val qLattice = transform(
+      col("embedding"),
+      x => round((x.cast("double") + lit(Clustering.Shift)) *
+        lit(Clustering.Scale)).cast("long"))
+    val cands = index.qcents.zipWithIndex.map { case (c, j) =>
+      struct(
+        graft.functions.VectorOps
+          .vec_l2sq_long(col("ql"), typedLit(c.toSeq)).as("dist"),
+        lit(j).as("cell"))
+    }
+    val probes = queries
+      .select(col("query_id").cast("long").as("query_id"),
+        normalized(col("embedding")).as("q_unit"),
+        qLattice.as("ql"))
+      .withColumn("probe_cells",
+        transform(
+          slice(array_sort(array(cands.toIndexedSeq: _*)), 1, nprobe),
+          s => s.getField("cell")))
+      .select(col("query_id"), col("q_unit"),
+        explode(col("probe_cells")).as("cell"))
+      // pin the request batch: the driver-side cell-union collect and
+      // the broadcast join side must read the SAME rows (the
+      // ivfQueryVectors idiom)
+      .localCheckpoint(true)
+    val probed: Seq[Int] = probes.select(col("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    index.celled
+      .filter(col("cell").isin(probed: _*)) // static partition pruning
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         dot(col("unit"), col("q_unit")).as("cosine"))
       .withColumn("rank", row_number().over(w))

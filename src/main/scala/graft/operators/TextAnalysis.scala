@@ -722,7 +722,24 @@ object TextAnalysis {
       postings: DataFrame,
       nDocs: Long,
       totalTokens: Long,
-      buckets: Int)
+      buckets: Int,
+      hasPositions: Boolean = true) {
+
+    /** Fail-fast guard every POSITIONAL entry point (phrase / proximity
+      * / snippet, single and batch) calls before touching `positions`:
+      * a pre-positions (v1) persisted layout — or a mixed one (v1 base +
+      * v2 appended batches) — reads back with null position arrays, and
+      * `explode(positions)` would silently drop every such row,
+      * returning empty/incomplete results instead of an error. BM25
+      * never reads the column and keeps working on any layout.
+      */
+    def requirePositions(op: String): Unit =
+      require(hasPositions,
+        s"$op needs positional postings, but this index layout predates " +
+          "them (or mixes a pre-positions base with appended batches) — " +
+          "rebuild the index with Sink.writeTextIndex; BM25 queries " +
+          "remain available on the existing layout")
+  }
 
   /** Bucket of a query term — MUST be the same arithmetic the writer
     * partitioned with (`pmod(xxhash64(token), buckets)`), evaluated
@@ -786,7 +803,8 @@ object TextAnalysis {
     // pin the request batch once: the probe collect below and the score
     // join read the SAME rows (the StreamAnnServe idiom)
     val req = requests
-      .select(col("query_id"), explode(col("terms")).as("t"))
+      .select(col("query_id").cast("long").as("query_id"),
+        explode(col("terms")).as("t"))
       .select(col("query_id"), lower(col("t")).as("token"))
       .distinct()
       .localCheckpoint(true)
@@ -805,7 +823,15 @@ object TextAnalysis {
       .filter(col("token").isin(termList: _*))
     // df per probed term: grouped aggregate (map-side partials) reduced
     // to a <= |terms|-row table, broadcast back onto the postings — see
-    // scaladoc for why this must not be a token-partitioned window
+    // scaladoc for why this must not be a token-partitioned window.
+    // DELIBERATE trade: the df subtree and the scored subtree each scan
+    // the pruned postings once (2× the probed bucket bytes) rather than
+    // pinning `matched` on the executors — the pruned probe is
+    // Σ df(term) rows, and re-reading hot parquet row groups beats
+    // materializing a stop-word term's full postings list into
+    // executor storage on every serving micro-batch (the pin would cost
+    // memory/disk proportional to the largest df in the batch; the
+    // second scan costs bounded, cache-friendly I/O)
     val dfByTerm = matched.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
     val scored = matched
@@ -891,6 +917,7 @@ object TextAnalysis {
       terms: Seq[String],
       k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
+    index.requirePositions("proximityTopK")
     val distinctTerms = terms.map(_.toLowerCase).distinct
     val probeBuckets = distinctTerms
       .map(tokenBucket(_, index.buckets)).distinct.sorted
@@ -932,11 +959,15 @@ object TextAnalysis {
     * completing the batch trio (BM25 / phrase / proximity all serve
     * from one pruned probe per micro-batch): `requests` is `(query_id,
     * terms array<string>)`, each set ≤ [[MaxProximityTerms]] distinct
-    * terms; the probe is the batch's term UNION pushed as the static
-    * `bucket IN (...)` prune, each request's term set rides one
-    * broadcast join, and the min-window recurrence runs per (query,
-    * doc) — the running-max windows partition by (query_id, doc_id),
-    * still doc-length-bounded.
+    * terms — a request over the cap is REJECTED INDIVIDUALLY (it gets
+    * no answer rows; the rest of the batch is served normally), because
+    * this form runs inside streaming foreachBatch where throwing on one
+    * bad request would wedge the serving query permanently (the restart
+    * re-reads the same poison batch). The probe is the batch's term
+    * UNION pushed as the static `bucket IN (...)` prune, each request's
+    * term set rides one broadcast join, and the min-window recurrence
+    * runs per (query, doc) — the running-max windows partition by
+    * (query_id, doc_id), still doc-length-bounded.
     *
     * The dynamic-term-set twist: the single-set form pins one
     * `last_<term>` column per literal term; here each (query, token)
@@ -951,10 +982,110 @@ object TextAnalysis {
       index: TextIndex,
       requests: DataFrame,
       k: Int = 20): DataFrame = {
+    index.requirePositions("proximityQueryBatch")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("window_len"), col("doc_id"))
+    proximityWindowCandidates(index, requests) match {
+      case None =>
+        requests.sparkSession.emptyDataFrame
+          .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
+            lit(0L).as("window_len"), lit(0).as("rank"))
+          .limit(0)
+      case Some(cands) =>
+        cands
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(min(col("window_len")).as("window_len"))
+          .withColumn("rank", row_number().over(wRank))
+          .filter(col("rank") <= k)
+          .orderBy(col("query_id"), col("rank"))
+    }
+  }
+
+  /** [[snippetTopK]] in its SERVING form, many term-sets per call — the
+    * missing fourth serving twin (BM25 / phrase / proximity / snippet):
+    * snippets are exactly what a serving stack renders per request, so
+    * the batch form exists for [[graft.streaming.StreamTextServe
+    * .snippetWriter]] to run per micro-batch. Requests are `(query_id,
+    * terms array<string>)` with the proximity term cap and per-request
+    * rejection semantics ([[proximityWindowCandidates]]); per (query,
+    * doc) the BEST window is the lexicographic `(window_len, win_start)`
+    * struct argmin; the per-query top-k winners are COLLECTED
+    * (k × |requests| bounded — the probe-union idiom) and their ids
+    * pushed as ONE `doc_id IN (...)` parquet filter into the documents
+    * scan, so a batch of snippet requests reads the winners' row groups
+    * once, never the corpus.
+    */
+  def snippetQueryBatch(
+      index: TextIndex,
+      docs: DataFrame,
+      requests: DataFrame,
+      k: Int = 20): DataFrame = {
+    index.requirePositions("snippetQueryBatch")
+    val empty = requests.sparkSession.emptyDataFrame
+      .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
+        lit(0L).as("window_len"), lit(0L).as("win_start"),
+        lit(0).as("rank"), lit("").as("snippet"))
+      .limit(0)
+    proximityWindowCandidates(index, requests) match {
+      case None => empty
+      case Some(cands) =>
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("window_len"), col("doc_id"))
+        val spark = requests.sparkSession
+        import spark.implicits._
+        val winners = cands
+          .select(col("query_id"), col("doc_id"),
+            struct(col("window_len"), col("win_start")).as("cand"))
+          .groupBy(col("query_id"), col("doc_id"))
+          // lexicographic (len, start) argmin — deterministic best window
+          .agg(min(col("cand")).as("best"))
+          .select(col("query_id"), col("doc_id"),
+            col("best.window_len").as("window_len"),
+            col("best.win_start").as("win_start"))
+          .withColumn("rank", row_number().over(wRank))
+          .filter(col("rank") <= k)
+          .as[(Long, Long, Long, Long, Int)]
+          .collect().toSeq // k × |requests| bounded, the probe idiom
+        if (winners.isEmpty) return empty
+        val best = winners
+          .toDF("query_id", "doc_id", "window_len", "win_start", "rank")
+        docs
+          // ONE id push-down for the whole batch: k × |requests| ids
+          .filter(col("doc_id").isin(winners.map(_._2).distinct: _*))
+          .select(col("doc_id"), col("text"))
+          .join(broadcast(best), Seq("doc_id"))
+          .select(col("query_id"), col("doc_id"), col("window_len"),
+            col("win_start"), col("rank"),
+            array_join(
+              slice(split(graft.operators.Dedup.normText(col("text")), " "),
+                (col("win_start") + 1).cast("int"),
+                col("window_len").cast("int")),
+              " ").as("snippet"))
+          .orderBy(col("query_id"), col("rank"))
+    }
+  }
+
+  /** The shared min-window recurrence behind [[proximityQueryBatch]]
+    * and [[snippetQueryBatch]]: per candidate position of each (query,
+    * doc), the covering-window length back to the stalest last-seen
+    * term AND that window's start. Returns None when the batch carries
+    * no usable terms. Slot mechanics, per-request cap rejection, and
+    * the single request-bounded collect are documented on
+    * [[proximityQueryBatch]].
+    */
+  private def proximityWindowCandidates(
+      index: TextIndex,
+      requests: DataFrame): Option[DataFrame] = {
     val wSlot = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("token"))
-    val reqTerms = requests
-      .select(col("query_id"), explode(col("terms")).as("t"))
+    val allReqTerms = requests
+      // cast at the boundary: an int-typed query_id must not surface as
+      // a ClassCastException deep in the serve path (the readTextIndex
+      // batch_id idiom)
+      .select(col("query_id").cast("long").as("query_id"),
+        explode(col("terms")).as("t"))
       .select(col("query_id"), lower(col("t")).as("token"))
       .distinct()
       .withColumn("slot", row_number().over(wSlot) - 1)
@@ -962,18 +1093,23 @@ object TextAnalysis {
     // ONE request-batch-bounded collect feeds the cap check, the probe
     // term union, AND the per-query term counts — no extra per-batch
     // jobs on the serving hot path
-    val slotRows = reqTerms.collect()
+    val allSlotRows = allReqTerms.collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    require(slotRows.groupBy(_._1).valuesIterator
-        .map(_.size).maxOption.getOrElse(0) <= MaxProximityTerms,
-      s"proximity requests carry at most $MaxProximityTerms distinct terms")
+    // the term cap rejects PER REQUEST, never per batch: this runs
+    // inside a streaming foreachBatch, where one oversized (or
+    // malformed) request throwing would kill the serving query for
+    // every client — and a restart from the checkpoint re-reads the
+    // same poison batch and dies again, a permanent wedge. Oversized
+    // requests simply get no answer rows (same shape as a no-match).
+    val oversized = allSlotRows.groupBy(_._1)
+      .collect { case (q, ts) if ts.size > MaxProximityTerms => q }
+      .toSet
+    val slotRows = allSlotRows.filterNot(r => oversized.contains(r._1))
+    val reqTerms =
+      if (oversized.isEmpty) allReqTerms
+      else allReqTerms.filter(!col("query_id").isin(oversized.toSeq: _*))
     val termList = slotRows.map(_._2).distinct.sorted.toSeq
-    if (termList.isEmpty) {
-      return reqTerms.sparkSession.emptyDataFrame
-        .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
-          lit(0L).as("window_len"), lit(0).as("rank"))
-        .limit(0)
-    }
+    if (termList.isEmpty) return None
     val probeBuckets = termList.map(tokenBucket(_, index.buckets))
       .distinct.sorted
     val spark = reqTerms.sparkSession
@@ -997,10 +1133,7 @@ object TextAnalysis {
     }
     val lastArr = array((0 until MaxProximityTerms)
       .map(i => col(s"last_$i")): _*)
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("window_len"), col("doc_id"))
-    pts
+    Some(pts
       .select((col("query_id") +: col("doc_id") +: col("pos") +:
         col("n_terms") +: lasts): _*)
       // this request's live slots only: [0, n_terms)
@@ -1009,12 +1142,8 @@ object TextAnalysis {
       .filter(!exists(col("live"), _.isNull))
       .select(col("query_id"), col("doc_id"),
         (col("pos") - array_min(col("live")) + 1).cast("long")
-          .as("window_len"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(min(col("window_len")).as("window_len"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+          .as("window_len"),
+        array_min(col("live")).cast("long").as("win_start")))
   }
 
   /** RECIPROCAL-RANK FUSION — the standard hybrid-retrieval combiner
@@ -1035,19 +1164,109 @@ object TextAnalysis {
       lexical: DataFrame,
       semantic: DataFrame,
       kConst: Long = 60L,
-      k: Int = 20): DataFrame = {
-    def leg(df: DataFrame, rankName: String) =
-      df.select(col("doc_id"), col("rank").cast("long").as(rankName))
-    leg(lexical, "rank_lex")
-      .join(leg(semantic, "rank_sem"), Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        (coalesce(expr(s"1000000L div (${kConst}L + rank_lex)"), lit(0L)) +
-          coalesce(expr(s"1000000L div (${kConst}L + rank_sem)"), lit(0L)))
-          .as("rrf_ppm"),
-        col("rank_lex").isNotNull.as("in_lexical"),
-        col("rank_sem").isNotNull.as("in_semantic"))
+      k: Int = 20): DataFrame =
+    // SINGLE-QUERY contract: each leg is one rank list (at most one row
+    // per doc_id — a leg from a multi-query batch form must be sliced to
+    // one query_id first, or use [[rrfQueryBatch]] which keys the fuse
+    // by (query_id, doc_id)). The fold below delegates to the multi-leg
+    // cascade under a constant query key.
+    fuseLegs(
+      Seq(lexical, semantic).map(_.withColumn("query_id", lit(0L))),
+      kConst)
+      .select(col("doc_id"), col("rrf_ppm"),
+        col("rank_0").isNotNull.as("in_lexical"),
+        col("rank_1").isNotNull.as("in_semantic"))
       .orderBy(col("rrf_ppm").desc, col("doc_id"))
       .limit(k)
+
+  /** Multi-leg RRF — real stacks fuse MORE than two rank lists (BM25 +
+    * a phrase/proximity boost + a semantic leg is the common trio).
+    * Every leg carries `(query_id, doc_id, rank)`; the fuse is ONE
+    * full-outer cascade on `(query_id, doc_id)` that keeps each leg's
+    * rank column (NOT a fold of the 2-leg form, which would re-rank
+    * between folds and corrupt the later legs' contributions), then
+    * `rrf_ppm = Σ_i 1e6 div (kConst + rank_i)` over the union, per-query
+    * `row_number` on `(rrf_ppm desc, doc_id)`, top-k per query.
+    *
+    * Output: `(query_id, doc_id, rrf_ppm, n_legs, rank)` where `n_legs`
+    * counts the legs that ranked the doc — the fusion-evidence column an
+    * operator reads before trusting a hybrid hit.
+    *
+    * 100 TB shape: each leg is a top-k-per-query table (the LEGS carry
+    * the scale story — bucket-pruned BM25/phrase/proximity, cell-pruned
+    * ANN); the cascade joins ≤ legs × k × |queries| rows — request-sized
+    * by construction, so fusion costs exactly its legs.
+    */
+  def rrfFuseAll(
+      legs: Seq[DataFrame],
+      kConst: Long = 60L,
+      k: Int = 20): DataFrame = {
+    require(legs.size >= 2, "rrfFuseAll fuses at least two legs")
+    val fused = fuseLegs(legs, kConst)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+    val presence = legs.indices
+      .map(i => when(col(s"rank_$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    fused
+      .select(col("query_id"), col("doc_id"), col("rrf_ppm"),
+        presence.as("n_legs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** HYBRID retrieval in its SERVING form — the [[bm25QueryBatch]] twin
+    * for the fused stack: each request carries BOTH its lexical terms
+    * and its query embedding (`(query_id, terms array<string>,
+    * embedding array)`), the lexical leg answers via the bucket-pruned
+    * BM25 batch probe, the semantic leg via the cell-pruned
+    * integer-lattice ANN probe
+    * ([[graft.operators.Similarity.ivfQueryVectorsIntProbe]] — requires
+    * an exact-Lloyd index), and the two top-`legK` lists fuse per
+    * `(query_id, doc_id)` through [[rrfFuseAll]].
+    * [[graft.streaming.StreamTextServe.hybridWriter]] runs this per
+    * micro-batch.
+    *
+    * Per micro-batch cost is exactly the two legs' (probed text buckets
+    * + probed ANN cells + two request-bounded collects); the fuse joins
+    * ≤ 2 × legK × |requests| rows.
+    */
+  def rrfQueryBatch(
+      textIndex: TextIndex,
+      annIndex: graft.operators.Similarity.IvfIndex,
+      requests: DataFrame,
+      kConst: Long = 60L,
+      k: Int = 20,
+      legK: Int = 50,
+      nprobe: Int = 4): DataFrame = {
+    val lex = bm25QueryBatch(
+      textIndex, requests.select(col("query_id"), col("terms")), legK)
+    val sem = graft.operators.Similarity.ivfQueryVectorsIntProbe(
+      annIndex, requests.select(col("query_id"), col("embedding")),
+      legK, nprobe)
+      .withColumnRenamed("vec_id", "doc_id")
+    rrfFuseAll(Seq(lex, sem), kConst, k)
+  }
+
+  /** The shared fusion cascade: full-outer joins on `(query_id, doc_id)`
+    * keeping per-leg `rank_i` columns, plus the summed integer-ppm RRF
+    * score. Both public forms ([[rrfFuse]], [[rrfFuseAll]]) shape their
+    * output from this.
+    */
+  private def fuseLegs(legs: Seq[DataFrame], kConst: Long): DataFrame = {
+    val named = legs.zipWithIndex.map { case (df, i) =>
+      df.select(col("query_id").cast("long").as("query_id"),
+        col("doc_id"), col("rank").cast("long").as(s"rank_$i"))
+    }
+    val joined = named.reduce(
+      _.join(_, Seq("query_id", "doc_id"), "full_outer"))
+    val score = legs.indices
+      .map(i => coalesce(
+        expr(s"1000000L div (${kConst}L + rank_$i)"), lit(0L)))
+      .reduce(_ + _)
+    joined.withColumn("rrf_ppm", score)
   }
 
   /** SNIPPET top-k — [[proximityTopK]] plus the evidence a human reads:
@@ -1075,6 +1294,7 @@ object TextAnalysis {
       terms: Seq[String],
       k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
+    index.requirePositions("snippetTopK")
     val distinctTerms = terms.map(_.toLowerCase).distinct
     val probeBuckets = distinctTerms
       .map(tokenBucket(_, index.buckets)).distinct.sorted
@@ -1154,11 +1374,12 @@ object TextAnalysis {
       index: TextIndex,
       requests: DataFrame,
       k: Int = 20): DataFrame = {
+    index.requirePositions("phraseQueryBatch")
     // pin the request batch once: the probe collect below and the
     // anchor join read the SAME rows (the bm25QueryBatch idiom)
     val slots = requests
-      .select(col("query_id"), posexplode(col("phrase"))
-        .as(Seq("slot", "t")))
+      .select(col("query_id").cast("long").as("query_id"),
+        posexplode(col("phrase")).as(Seq("slot", "t")))
       .select(col("query_id"), col("slot"), lower(col("t")).as("token"))
       .localCheckpoint(true)
     val termList = slots.select(col("token")).distinct()

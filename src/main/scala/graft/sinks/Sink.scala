@@ -290,6 +290,7 @@ object Sink {
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode(mode).parquet(s"$path/centroids")
+    writeQuantizedCentroids(index, path, mode)
     // build-time occupancy census (nlist rows): the baseline
     // [[ivfOccupancyDrift]] compares live occupancy against — the
     // "retrain when cell balance drifts" valve needs a remembered
@@ -297,6 +298,28 @@ object Sink {
     index.celled.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_build"))
       .coalesce(1).write.mode(mode).parquet(s"$path/build_census")
+  }
+
+  /** Persist the integer-lattice coarse quantizer alongside the float
+    * centroids, when the build carries one (exact-Lloyd builds —
+    * [[graft.operators.Similarity.buildIvfIndexExact]]): nlist rows of
+    * `(cell, qcentroid array<long>)`. This is what makes the persisted
+    * index's probe selection cross-engine replayable
+    * (`Similarity.ivfQueryVectorsIntProbe`); float-trained indexes skip
+    * it and keep their recall-audit contract.
+    */
+  private def writeQuantizedCentroids(
+      index: graft.operators.Similarity.IvfIndex,
+      path: String,
+      mode: String): Unit = {
+    if (index.qcents.nonEmpty) {
+      val spark = index.celled.sparkSession
+      import spark.implicits._
+      index.qcents.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "qcentroid")
+        .coalesce(1).write.mode(mode).parquet(s"$path/qcentroids")
+    }
   }
 
   /** Cell-occupancy DRIFT census of a persisted IVF index: per cell, the
@@ -651,6 +674,17 @@ object Sink {
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
+    // exact-Lloyd builds persist their integer-lattice quantizer too
+    // (nlist tiny rows) — reload it so the replayable probe
+    // (Similarity.ivfQueryVectorsIntProbe) works against the on-disk
+    // layout; float-trained layouts simply don't have the table
+    val qcPath = new org.apache.hadoop.fs.Path(s"$path/qcentroids")
+    val qcents =
+      if (!qcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(qcPath)) Array.empty[Array[Long]]
+      else spark.read.parquet(s"$path/qcentroids")
+        .orderBy(col("cell")).collect()
+        .map(_.getSeq[Long](1).toArray)
     val celled = spark.read.parquet(s"$path/celled")
     val ingestedDir = new org.apache.hadoop.fs.Path(s"$path/ingested")
     val hasIngested = ingestedDir
@@ -676,7 +710,7 @@ object Sink {
             .select(cols: _*),
           allowMissingColumns = true)
       }
-    graft.operators.Similarity.IvfIndex(centroids, all)
+    graft.operators.Similarity.IvfIndex(centroids, all, qcents)
   }
 
   /** C6+ / similarity — persist the IVF-PQ index (the full FAISS-style
@@ -708,6 +742,7 @@ object Sink {
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode(mode).parquet(s"$path/centroids")
+    writeQuantizedCentroids(index, path, mode)
     (for (s <- pqCents.indices; j <- pqCents(s).indices)
       yield (s, j, pqCents(s)(j).toSeq))
       .toDF("sub", "code", "centroid")
@@ -1355,13 +1390,27 @@ object Sink {
       p.getFileSystem(conf).exists(p)
     }
     val meta = spark.read.parquet(s"$path/meta").head
+    // FORMAT detection off the parquet footers (no version file to
+    // torn-update): a layout persisted before positional postings (v1)
+    // has no `positions` column, and the forced v2 schema below reads
+    // it back as all-null — fine for BM25 (which never selects the
+    // column) but silently EMPTY for phrase/proximity/snippet, whose
+    // explode(positions) drops every null row. The flag makes the
+    // positional entry points fail fast with a rebuild-required error
+    // instead ([[graft.operators.TextAnalysis.TextIndex.requirePositions]]).
+    // A MIXED layout (v1 base + v2 appended batches, or vice versa) is
+    // positional only if EVERY unioned table carries the column.
+    def hasPositionsCol(sub: String): Boolean =
+      spark.read.parquet(s"$path/$sub")
+        .schema.fieldNames.contains("positions")
     val base = spark.read
       .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
         "positions ARRAY<INT>, bucket INT")
       .parquet(s"$path/postings")
-    val (postings, nDocs, totalTokens) =
+    val (postings, nDocs, totalTokens, positional) =
       if (!exists("postings_ingested") || !exists("meta_ingested"))
-        (base, meta.getLong(0), meta.getLong(1))
+        (base, meta.getLong(0), meta.getLong(1),
+          hasPositionsCol("postings"))
       else {
         // the meta rows are the batch commit records: sum the constants
         // AND restrict the posting union to exactly those batches —
@@ -1385,10 +1434,12 @@ object Sink {
             .select(col("token"), col("doc_id"), col("tf"), col("dl"),
               col("positions"), col("bucket"))),
           meta.getLong(0) + committed.map(_.getLong(1)).sum,
-          meta.getLong(1) + committed.map(_.getLong(2)).sum)
+          meta.getLong(1) + committed.map(_.getLong(2)).sum,
+          hasPositionsCol("postings") &&
+            hasPositionsCol("postings_ingested"))
       }
     graft.operators.TextAnalysis.TextIndex(
-      postings, nDocs, totalTokens, meta.getInt(2))
+      postings, nDocs, totalTokens, meta.getInt(2), positional)
   }
 
   /** Read the latest committed generation of a [[mergeCensusTable]]

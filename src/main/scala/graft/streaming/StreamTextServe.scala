@@ -81,4 +81,47 @@ object StreamTextServe {
         emit(batchId, TextAnalysis.proximityQueryBatch(index, batch, k))
         ()
       }
+
+  /** The SNIPPET serving twin — requests `(query_id,
+    * terms array<string>)` answered per micro-batch by
+    * [[TextAnalysis.snippetQueryBatch]]: min-window argmin per (query,
+    * doc), one winner-id push-down into the documents scan per batch,
+    * the rendered token span per hit. Same probe-union pruning and
+    * replay-stable-batchId delivery as the other three writers.
+    */
+  def snippetWriter(
+      requests: DataFrame,
+      index: TextAnalysis.TextIndex,
+      docs: DataFrame,
+      k: Int = 20)(
+      emit: (Long, DataFrame) => Unit): DataStreamWriter[Row] =
+    requests.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        emit(batchId,
+          TextAnalysis.snippetQueryBatch(index, docs, batch, k))
+        ()
+      }
+
+  /** HYBRID serving — requests carry BOTH legs' inputs `(query_id,
+    * terms array<string>, embedding array)`, answered per micro-batch
+    * by [[TextAnalysis.rrfQueryBatch]]: the bucket-pruned BM25 leg and
+    * the cell-pruned integer-lattice ANN leg (exact-Lloyd persisted
+    * index) fused per (query_id, doc_id) by integer-ppm RRF. Delivery
+    * contract unchanged: replay-stable batchId to an idempotent `emit`.
+    */
+  def hybridWriter(
+      requests: DataFrame,
+      index: TextAnalysis.TextIndex,
+      annIndex: graft.operators.Similarity.IvfIndex,
+      k: Int = 20,
+      kConst: Long = 60L,
+      legK: Int = 50,
+      nprobe: Int = 4)(
+      emit: (Long, DataFrame) => Unit): DataStreamWriter[Row] =
+    requests.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        emit(batchId, TextAnalysis.rrfQueryBatch(
+          index, annIndex, batch, kConst, k, legK, nprobe))
+        ()
+      }
 }
