@@ -222,6 +222,23 @@ object Similarity {
         normalized(col("embedding")).as("unit"))
       .withColumn("cell", cellOf(centroids, col("unit")))
 
+  /** Malformed-request guard for the SERVING probes
+    * ([[ivfQueryVectors]], [[ivfQueryVectorsIntProbe]]): a null,
+    * wrong-dimension, null-element, or all-zero query embedding must be
+    * rejected PER REQUEST — these paths run inside streaming
+    * foreachBatch, where `normalized`'s zero-vector error (or a
+    * dimension-mismatch throw in the distance kernel) on ONE bad
+    * request would kill the serving query for every client, and a
+    * restart re-reads the same poison batch and dies again. Rejected
+    * requests simply get no answer rows, the
+    * [[graft.operators.TextAnalysis.proximityQueryBatch]] stance.
+    * `dim = 0` (an empty index) rejects everything — an empty index
+    * answers nothing either way.
+    */
+  private def servableQuery(e: Column, dim: Int): Column =
+    e.isNotNull && size(e) === dim &&
+      !exists(e, x => x.isNull) && exists(e, x => x =!= 0)
+
   /** The query's nprobe nearest cells, in descending-affinity order. */
   private def probeCells(
       centroids: Array[Array[Double]], v: Column, nprobe: Int): Column =
@@ -318,6 +335,8 @@ object Similarity {
       k: Int = 10,
       nprobe: Int = 4): DataFrame = {
     val probes = queries
+      .filter(servableQuery(col("embedding"),
+        index.centroids.headOption.map(_.length).getOrElse(0)))
       .select(col("query_id"), normalized(col("embedding")).as("q_unit"))
       .withColumn("probe_cells",
         probeCells(index.centroids, col("q_unit"), nprobe))
@@ -388,6 +407,7 @@ object Similarity {
         lit(j).as("cell"))
     }
     val probes = queries
+      .filter(servableQuery(col("embedding"), index.qcents.head.length))
       .select(col("query_id").cast("long").as("query_id"),
         normalized(col("embedding")).as("q_unit"),
         qLattice.as("ql"))

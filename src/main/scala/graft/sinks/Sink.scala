@@ -1401,8 +1401,15 @@ object Sink {
     // A MIXED layout (v1 base + v2 appended batches, or vice versa) is
     // positional only if EVERY unioned table carries the column.
     def hasPositionsCol(sub: String): Boolean =
-      spark.read.parquet(s"$path/$sub")
+      try spark.read.parquet(s"$path/$sub")
         .schema.fieldNames.contains("positions")
+      catch {
+        // a zero-postings layout (empty corpus build) has no footers to
+        // infer from — treat it as positional: every query over an
+        // empty table returns empty either way, and the current writer
+        // always emits the column once there is data
+        case _: org.apache.spark.sql.AnalysisException => true
+      }
     val base = spark.read
       .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
         "positions ARRAY<INT>, bucket INT")

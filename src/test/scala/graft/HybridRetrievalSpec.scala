@@ -1,0 +1,438 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Clustering, Similarity, TextAnalysis}
+import graft.sinks.Sink
+import graft.streaming.StreamTextServe
+
+/** The round-13 retrieval surface: the integer-lattice ANN probe that
+  * makes hybrid retrieval hash-checkable (cell-prune receipt + a
+  * driver-side replay of the probe selection), multi-leg RRF semantics,
+  * hybrid and snippet batch/stream parity, per-request rejection of
+  * oversized proximity requests, the pre-positions-layout fail-fast,
+  * and EMPTY micro-batches through the serving writers.
+  */
+class HybridRetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------ integer-lattice probe
+
+  test("intProbe: probed cells replay from the quantized centroids, " +
+      "the scan is partition-pruned, candidates never leak from " +
+      "unprobed cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+    val dir = Files.createTempDirectory("intprobe_idx").toString
+    try {
+      Sink.writeIvfIndex(idx, dir)
+      val loaded = Sink.readIvfIndex(spark, dir)
+      assert(loaded.hasQuantizedCentroids,
+        "qcentroids must survive the parquet round-trip")
+      assert(loaded.qcents.map(_.toSeq).toSeq
+        === idx.qcents.map(_.toSeq).toSeq)
+
+      val nprobe = 3
+      val queries = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val res = Similarity.ivfQueryVectorsIntProbe(
+        loaded, queries, k = 5, nprobe = nprobe)
+      val rows = res.collect()
+
+      // replay the probe selection driver-side in plain integer
+      // arithmetic — exactly what the DuckDB oracle does
+      val qvecs = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      def latt(e: Seq[Double]): Seq[Long] =
+        e.map(x => math.round((x + Clustering.Shift) * Clustering.Scale))
+      val perQueryProbe = qvecs.map { case (qid, e) =>
+        val q = latt(e)
+        val byDist = loaded.qcents.zipWithIndex.map { case (c, j) =>
+          (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+        }.sorted.take(nprobe).map(_._2).toSet
+        qid -> byDist
+      }.toMap
+
+      // the static partition filter is the probe UNION
+      val planStr = res.queryExecution.executedPlan.toString
+      val inList = "PartitionFilters: \\[cell#\\d+ IN \\(([^)]+)\\)".r
+        .findFirstMatchIn(planStr)
+      assert(inList.isDefined,
+        s"expected a static cell IN partition filter in:\n$planStr")
+      val probedCells = inList.get.group(1).split(",")
+        .map(_.trim.toInt).toSet
+      assert(probedCells === perQueryProbe.values.flatten.toSet,
+        "partition filter must be exactly the replayed probe union")
+
+      // per query: results are exactly the cosine top-k over ITS probed
+      // cells (self-excluded) — no leak from unprobed cells, no miss
+      val assign = loaded.celled.select(col("vec_id"), col("cell"))
+        .as[(Long, Int)].collect().toMap
+      for ((qid, probeSet) <- perQueryProbe) {
+        val got = rows.filter(_.getLong(0) == qid)
+          .map(r => (r.getLong(1), r.getInt(3)))
+        got.foreach { case (vid, _) =>
+          assert(probeSet.contains(assign(vid)),
+            s"candidate $vid leaked from unprobed cell ${assign(vid)}")
+        }
+        val memberIds = assign.collect {
+          case (vid, c) if probeSet.contains(c) && vid != qid => vid
+        }.toSet
+        val expect = Similarity.bruteForceTopKVectors(
+          emb.filter(col("vec_id").isin(memberIds.toSeq: _*)),
+          queries.filter(col("query_id") === qid), k = 5)
+          .select(col("vec_id"), col("rank"))
+          .as[(Long, Int)].collect().toSeq
+        assert(got.toSeq === expect,
+          s"query $qid: in-cell ranking must equal exact cosine over " +
+            "the probed members")
+      }
+    } finally {
+      idx.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("intProbe refuses a float-trained index (no quantized centroids)") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvfIndex(emb, nlist = 4)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfQueryVectorsIntProbe(idx,
+          emb.limit(1).select(col("vec_id").as("query_id"),
+            col("embedding")), k = 3)
+      }
+      assert(e.getMessage.contains("exact-Lloyd"))
+    } finally idx.unpersist()
+  }
+
+  // -------------------------------------------------------- RRF semantics
+
+  test("rrfFuseAll: one cascade keyed by (query_id, doc_id) — per-query " +
+      "isolation, n_legs evidence, and 2-leg wrapper parity") {
+    def leg(rows: (Long, Long, Long)*): DataFrame =
+      rows.toSeq.toDF("query_id", "doc_id", "rank")
+    val lex = leg((0L, 10L, 1L), (0L, 11L, 2L), (1L, 10L, 1L))
+    val phr = leg((0L, 11L, 1L), (0L, 12L, 2L))
+    val sem = leg((0L, 12L, 1L), (0L, 10L, 2L), (0L, 13L, 3L),
+      (1L, 99L, 1L))
+    val got = TextAnalysis.rrfFuseAll(Seq(lex, phr, sem), kConst = 60L,
+        k = 10)
+      .select(col("query_id"), col("doc_id"), col("rrf_ppm"),
+        col("n_legs"), col("rank"))
+      .as[(Long, Long, Long, Int, Int)].collect().toSeq
+
+    def ppm(ranks: Long*): Long = ranks.map(r => 1000000L / (60L + r)).sum
+    // query 0: all of 10/11/12 tie at ppm(1)+ppm(2); 13 trails with one leg
+    val q0 = got.filter(_._1 == 0L)
+    assert(q0.map(d => (d._2, d._3, d._4)) === Seq(
+      (10L, ppm(1, 2), 2), (11L, ppm(2, 1), 2), (12L, ppm(2, 1), 2),
+      (13L, ppm(3), 1)))
+    assert(q0.map(_._5) === Seq(1, 2, 3, 4), "per-query dense ranks")
+    // query 1 must NOT see query 0's ranks (the multi-query hazard the
+    // doc_id-only join had)
+    val q1 = got.filter(_._1 == 1L)
+    assert(q1.map(d => (d._2, d._3, d._4)) === Seq(
+      (10L, ppm(1), 1), (99L, ppm(1), 1)))
+
+    // 2-leg wrapper ≡ 2-leg cascade (flags included)
+    val l0 = lex.filter(col("query_id") === 0).drop("query_id")
+    val s0 = sem.filter(col("query_id") === 0).drop("query_id")
+    val viaWrapper = TextAnalysis.rrfFuse(l0, s0, 60L, 10)
+      .as[(Long, Long, Boolean, Boolean)].collect().toSeq
+    val viaAll = TextAnalysis.rrfFuseAll(
+      Seq(l0.withColumn("query_id", lit(0L)),
+        s0.withColumn("query_id", lit(0L))), 60L, 10)
+      .select(col("doc_id"), col("rrf_ppm")).as[(Long, Long)]
+      .collect().toSeq
+    assert(viaWrapper.map(r => (r._1, r._2)) === viaAll)
+  }
+
+  // --------------------------------------- hybrid serving: batch + stream
+
+  private def writeHybridRequestFile(
+      dir: Path, name: String,
+      rows: Seq[(Long, Seq[String], Seq[Double])]): Unit = {
+    val lines = rows.map { case (qid, terms, e) =>
+      s"""{"query_id":$qid,"terms":[${terms.map(t => s""""$t"""")
+        .mkString(",")}],"embedding":[${e.mkString(",")}]}"""
+    }
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(name))
+  }
+
+  private def hybridRequestStream(dir: Path): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("terms", ArrayType(StringType)),
+      StructField("embedding", ArrayType(DoubleType))))
+    spark.readStream.schema(schema).json(dir.toString)
+  }
+
+  test("hybrid serving: batch ≡ per-query singles ≡ streaming, and an " +
+      "EMPTY micro-batch is answered with zero rows, not a failure") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val textDir = Files.createTempDirectory("hyb_text").toString
+    val annDir = Files.createTempDirectory("hyb_ann").toString
+    val input = Files.createTempDirectory("hyb_in")
+    val ckpt = Files.createTempDirectory("hyb_ckpt")
+    val annIdx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+    try {
+      Sink.writeTextIndex(docs, textDir, buckets = 16)
+      Sink.writeIvfIndex(annIdx, annDir)
+      val textIdx = Sink.readTextIndex(spark, textDir)
+      val ann = Sink.readIvfIndex(spark, annDir)
+      val embRows = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .as[(Long, Seq[Double])].collect().toMap
+      val reqRows = Seq(
+        (0L, Seq("vector", "hash"), embRows(0L)),
+        (1L, Seq("merge"), embRows(1L)))
+      val reqs = reqRows.toDF("query_id", "terms", "embedding")
+
+      val batch = TextAnalysis.rrfQueryBatch(textIdx, ann, reqs,
+          kConst = 60L, k = 10, legK = 20, nprobe = 3)
+        .select(col("query_id"), col("doc_id"), col("rrf_ppm"),
+          col("n_legs"), col("rank"))
+        .as[(Long, Long, Long, Int, Int)].collect().toSeq
+      assert(batch.nonEmpty)
+
+      // per-query singles must agree with the batch slice — one probe
+      // for the union vs one per request changes I/O, never answers
+      for (r <- reqRows) {
+        val single = TextAnalysis.rrfQueryBatch(textIdx, ann,
+            Seq(r).toDF("query_id", "terms", "embedding"),
+            kConst = 60L, k = 10, legK = 20, nprobe = 3)
+          .select(col("query_id"), col("doc_id"), col("rrf_ppm"),
+            col("n_legs"), col("rank"))
+          .as[(Long, Long, Long, Int, Int)].collect().toSeq
+        assert(single === batch.filter(_._1 == r._1),
+          s"single-request slice for query ${r._1}")
+      }
+
+      // streaming twin: same requests through hybridWriter
+      val served = TrieMap.empty[Long, Seq[(Long, Long, Long, Int, Int)]]
+      def run(): Unit = {
+        val q = StreamTextServe.hybridWriter(
+          hybridRequestStream(input), textIdx, ann,
+          k = 10, legK = 20, nprobe = 3) { (bid, res) =>
+          served.put(bid,
+            res.select(col("query_id"), col("doc_id"), col("rrf_ppm"),
+              col("n_legs"), col("rank"))
+              .as[(Long, Long, Long, Int, Int)].collect().toSeq)
+          ()
+        }
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      writeHybridRequestFile(input, "b1.json", reqRows)
+      run()
+      assert(served.values.flatten.toSeq.sortBy(r => (r._1, r._5))
+        === batch, "stream ≡ batch")
+
+      // an EMPTY micro-batch (a zero-row file — real under triggers)
+      // and a degenerate one (empty term list + zero vector) must both
+      // produce zero/valid rows and ADVANCE the checkpoint, not fail
+      served.clear()
+      Files.write(input.resolve("b2.json"), Array.empty[Byte])
+      writeHybridRequestFile(input, "b3.json",
+        Seq((7L, Seq.empty, Seq.fill(64)(0.0))))
+      run()
+      val tail = served.values.flatten.toSeq
+      // the degenerate request is rejected on BOTH legs per request
+      // (empty term list → no lexical work; all-zero embedding → the
+      // servableQuery guard, which also keeps `normalized`'s
+      // zero-vector error from wedging the stream) — zero answer rows,
+      // zero failures
+      assert(tail.isEmpty, s"degenerate request must yield no rows: $tail")
+      // checkpoint advanced: a fresh real batch is still served
+      served.clear()
+      writeHybridRequestFile(input, "b4.json", reqRows.take(1))
+      run()
+      assert(served.values.flatten.toSeq.map(_._1).distinct === Seq(0L),
+        "writer still serves after the empty/degenerate batches")
+    } finally {
+      annIdx.unpersist()
+      Seq(textDir, annDir, input.toString, ckpt.toString).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
+  // -------------------------------------------- snippet serving + parity
+
+  test("snippet serving: batch slice ≡ single-query snippetTopK, " +
+      "streaming twin agrees, empty micro-batch is absorbed") {
+    val docs = Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("snip_idx").toString
+    val input = Files.createTempDirectory("snip_in")
+    val ckpt = Files.createTempDirectory("snip_ckpt")
+    try {
+      Sink.writeTextIndex(docs, dir, buckets = 16)
+      val idx = Sink.readTextIndex(spark, dir)
+      val terms = Seq("vector", "hash")
+      val single = TextAnalysis.snippetTopK(idx, docs, terms, k = 5)
+        .select(col("doc_id"), col("window_len"), col("win_start"),
+          col("snippet"))
+        .as[(Long, Long, Long, String)].collect().toSeq
+      val batch = TextAnalysis.snippetQueryBatch(idx, docs,
+          Seq((3L, terms)).toDF("query_id", "terms"), k = 5)
+        .select(col("query_id"), col("doc_id"), col("window_len"),
+          col("win_start"), col("snippet"))
+        .as[(Long, Long, Long, Long, String)].collect().toSeq
+      assert(batch.map(r => (r._2, r._3, r._4, r._5)) === single,
+        "batch form must reproduce the single-query snippets")
+      assert(batch.forall(_._1 == 3L))
+
+      // streaming twin + an empty micro-batch between real ones
+      val served = TrieMap.empty[Long, Seq[(Long, Long, String)]]
+      def run(): Unit = {
+        val q = StreamTextServe.snippetWriter(
+          requestStreamTerms(input), idx, docs, k = 5) { (bid, res) =>
+          served.put(bid,
+            res.select(col("query_id"), col("doc_id"), col("snippet"))
+              .as[(Long, Long, String)].collect().toSeq)
+          ()
+        }
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      writeTermsRequestFile(input, "b1.json", Seq((3L, terms)))
+      run()
+      assert(served.values.flatten.toSeq.sortBy(_._2)
+        === batch.map(r => (r._1, r._2, r._5)).sortBy(_._2))
+      served.clear()
+      Files.write(input.resolve("b2.json"), Array.empty[Byte])
+      writeTermsRequestFile(input, "b3.json", Seq((4L, terms)))
+      run()
+      assert(served.values.flatten.forall(_._1 == 4L),
+        "serving continues across the empty batch")
+    } finally {
+      Seq(dir, input.toString, ckpt.toString).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
+  private def writeTermsRequestFile(
+      dir: Path, name: String, rows: Seq[(Long, Seq[String])]): Unit = {
+    val lines = rows.map { case (qid, terms) =>
+      s"""{"query_id":$qid,"terms":[${terms.map(t => s""""$t"""")
+        .mkString(",")}]}"""
+    }
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(name))
+  }
+
+  private def requestStreamTerms(dir: Path): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("terms", ArrayType(StringType))))
+    spark.readStream.schema(schema).json(dir.toString)
+  }
+
+  // ------------------------------------- per-request cap + v1 fail-fast
+
+  test("proximity batch rejects an oversized request INDIVIDUALLY — " +
+      "the rest of the batch is served and the stream survives") {
+    val docs = Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("prox_cap_idx").toString
+    val input = Files.createTempDirectory("prox_cap_in")
+    val ckpt = Files.createTempDirectory("prox_cap_ckpt")
+    try {
+      Sink.writeTextIndex(docs, dir, buckets = 16)
+      val idx = Sink.readTextIndex(spark, dir)
+      val nine = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i")
+      assert(nine.size > TextAnalysis.MaxProximityTerms - 1)
+      val good = Seq("vector", "hash")
+      val mixed = TextAnalysis.proximityQueryBatch(idx,
+          Seq((1L, nine), (2L, good)).toDF("query_id", "terms"), k = 5)
+        .select(col("query_id"), col("doc_id"), col("window_len"))
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(mixed.nonEmpty && mixed.forall(_._1 == 2L),
+        "oversized request answered with nothing; valid one served")
+      val alone = TextAnalysis.proximityQueryBatch(idx,
+          Seq((2L, good)).toDF("query_id", "terms"), k = 5)
+        .select(col("query_id"), col("doc_id"), col("window_len"))
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(mixed === alone, "rejection must not perturb valid answers")
+
+      // the streaming writer must survive the poison batch
+      val served = TrieMap.empty[Long, Long]
+      val q = StreamTextServe.proximityWriter(
+        requestStreamTerms(input), idx, k = 5) { (bid, res) =>
+        served.put(bid, res.count()); ()
+      }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        writeTermsRequestFile(input, "b1.json",
+          Seq((1L, nine), (2L, good)))
+        q.processAllAvailable()
+        assert(q.exception.isEmpty, "one bad request must not wedge the " +
+          s"stream: ${q.exception}")
+        assert(served.values.sum > 0)
+      } finally q.stop()
+    } finally {
+      Seq(dir, input.toString, ckpt.toString).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
+  test("pre-positions (v1) layout: positional queries fail fast with a " +
+      "rebuild-required error; BM25 keeps working") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    val v2dir = Files.createTempDirectory("v2_idx").toString
+    val v1dir = Files.createTempDirectory("v1_idx").toString
+    try {
+      Sink.writeTextIndex(docs, v2dir, buckets = 8)
+      val v2 = Sink.readTextIndex(spark, v2dir)
+      assert(v2.hasPositions)
+      // fabricate the legacy layout: same postings minus the positions
+      // column (exactly what a pre-r12 index on disk looks like)
+      v2.postings
+        .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+          col("bucket"))
+        .localCheckpoint(true)
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$v1dir/postings")
+      spark.read.parquet(s"$v2dir/meta").write.parquet(s"$v1dir/meta")
+      val v1 = Sink.readTextIndex(spark, v1dir)
+      assert(!v1.hasPositions, "v1 layout must be detected off the footer")
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.phraseQueryBatch(v1,
+          Seq((0L, Seq("vector", "hash"))).toDF("query_id", "phrase"))
+      }
+      assert(e.getMessage.contains("rebuild"))
+      intercept[IllegalArgumentException] {
+        TextAnalysis.proximityTopK(v1, Seq("vector", "hash"))
+      }
+      intercept[IllegalArgumentException] {
+        TextAnalysis.snippetQueryBatch(v1, docs,
+          Seq((0L, Seq("vector"))).toDF("query_id", "terms"))
+      }
+      // BM25 never touches positions — identical answers on both layouts
+      val a = TextAnalysis.bm25TopK(v2, Seq("vector", "hash"), k = 5)
+        .as[(Long, Long)].collect().toSeq
+      val b = TextAnalysis.bm25TopK(v1, Seq("vector", "hash"), k = 5)
+        .as[(Long, Long)].collect().toSeq
+      assert(a === b && a.nonEmpty)
+    } finally {
+      Seq(v2dir, v1dir).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+}
