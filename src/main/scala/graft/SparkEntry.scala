@@ -2207,6 +2207,63 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // the text-index DELETE lifecycle, driver-proven: build, tombstone
+    // a doc subset (the retention story composing with the index at
+    // last — C5 dropped raw partitions but dead postings lived on until
+    // a full rebuild), REPLAY the delete (exactly-once: contributions
+    // must not double-count), query the logical state, compact (the
+    // tombstones fold physically and their layouts drop), query again.
+    // The oracle replays BM25 over corpus-minus-deleted BLIND to the
+    // mechanism: the hash match proves logical delete ≡ physical
+    // absence, and stable_across_compaction pins fold parity per row
+    "text_bm25_delete" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_textdel_${new java.io.File(dir).getName}").toString
+      Sink.writeTextIndex(docs, path, buckets = 16)
+      val doomed = docs.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"))
+      Sink.deleteFromTextIndex(s, path, doomed, batchId = 0L)
+      // a crash redelivers the delete batch: same numbers, no drift
+      Sink.deleteFromTextIndex(s, path, doomed, batchId = 0L)
+      val terms = Seq("vector", "hash", "merge")
+      val logical = graft.operators.TextAnalysis
+        .bm25TopK(Sink.readTextIndex(s, path), terms, k = 20)
+        .localCheckpoint(true)
+      Sink.compactTextIndex(s, path)
+      val post = graft.operators.TextAnalysis
+        .bm25TopK(Sink.readTextIndex(s, path), terms, k = 20)
+      logical.join(post.withColumn("post", lit(true)),
+          Seq("doc_id", "score"), "left")
+        .select(col("doc_id"), col("score"),
+          coalesce(col("post"), lit(false))
+            .as("stable_across_compaction"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // the vector-index DELETE twin: tombstone a vec subset on the
+    // persisted exact-Lloyd IVF index, replay the delete, serve through
+    // the integer-lattice probe. The oracle replays the FULL mechanism
+    // (Lloyd training on the ORIGINAL corpus — deletion filters
+    // candidates, never retrains — probe selection, in-cell cosine)
+    // over corpus-minus-deleted, blind to tombstones
+    "embedding_index_delete" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivfdel_${new java.io.File(dir).getName}").toString
+      val built = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+      Sink.writeIvfIndex(built, path)
+      built.unpersist()
+      val doomed = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      Sink.deleteFromIvfIndex(s, path, doomed, batchId = 0L)
+      Sink.deleteFromIvfIndex(s, path, doomed, batchId = 0L) // replay
+      Similarity.ivfQueryVectorsIntProbe(Sink.readIvfIndex(s, path),
+          emb.filter(col("vec_id") === 1)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 20, nprobe = 3)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+    }),
+
     // PII audit + redaction: the corpus carries no PII, so a
     // deterministic PII-bearing column is derived from driver data
     // (email from source, phone/IP from doc_id) and the operator's
@@ -6672,6 +6729,90 @@ object SparkEntry {
         |  FROM w CROSS JOIN meta GROUP BY doc_id)
         |SELECT doc_id, score, TRUE AS stable_across_compaction FROM s
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // BM25 over corpus-minus-deleted, BLIND to the tombstone mechanism:
+    // the corpus constants (n, t) and df all re-derive from the
+    // remaining docs — a stale N/T, a surviving posting, or a
+    // double-counted replayed delete all break the hash
+    "text_bm25_delete" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id < 1000 AND doc_id % 10 <> 7),
+        |toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |        '\s+', ' ', 'g'), ' ')) AS token
+        |    FROM d) WHERE token <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (
+        |  SELECT (SELECT count(*) FROM d) AS n,
+        |         (SELECT count(*) FROM toks) AS t),
+        |m AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token IN ('vector', 'hash', 'merge')
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT m.doc_id, token, tf, dl.dl,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM m JOIN dl USING (doc_id)),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(sum(
+        |           (((n - df + 1) * 1000000) // (df + 1)) * tf * (1000 + 1200)
+        |           // (tf * 1000 +
+        |              (1200 * ((1000 - 750) + (750 * dl * n) // t)) // 1000)
+        |         ) AS BIGINT) AS score
+        |  FROM w CROSS JOIN meta GROUP BY doc_id)
+        |SELECT doc_id, score, TRUE AS stable_across_compaction FROM s
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the vector DELETE replayed blind to tombstones: Lloyd training on
+    // the ORIGINAL corpus (2 rounds, 8 cells — deletion never retrains),
+    // the query's top-3 probe cells by exact integer distance, cosine
+    // rank within the probed cells over corpus-minus-deleted
+    "embedding_index_delete" ->
+      s"""WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |p AS (SELECT vec_id, d, q[d] AS v FROM q CROSS JOIN dims),
+        |seeds AS (
+        |  SELECT q, row_number() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        |  FROM q),
+        |c0 AS (
+        |  SELECT sd.j, dims.d, sd.q[dims.d] AS c
+        |  FROM seeds sd CROSS JOIN dims WHERE sd.j < 8),
+        |${lloydRoundSql(1)},
+        |${lloydRoundSql(2)},
+        |fd AS (
+        |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+        |  FROM p JOIN c2 c USING (d) GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, j AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY dist, j) AS rn
+        |    FROM fd) WHERE rn = 1),
+        |probe AS (
+        |  SELECT j FROM (
+        |    SELECT j, row_number() OVER (ORDER BY dist, j) AS rn
+        |    FROM fd WHERE vec_id = 1) WHERE rn <= 3),
+        |v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT CAST(1 AS BIGINT) AS query_id, vec_id, rank FROM (
+        |  SELECT v.vec_id,
+        |    ROW_NUMBER() OVER (
+        |      ORDER BY list_cosine_similarity(v.e, qv.e) DESC, v.vec_id)
+        |      AS rank
+        |  FROM v
+        |  JOIN fa ON fa.vec_id = v.vec_id
+        |  CROSS JOIN (SELECT e FROM v WHERE vec_id = 1) qv
+        |  WHERE v.vec_id <> 1 AND v.vec_id % 7 <> 3
+        |    AND fa.cluster IN (SELECT j FROM probe))
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "text_quality_gopher" ->
       """WITH f AS (

@@ -256,6 +256,21 @@ object Sink {
     * disk forever. All deletions here are recoverable no-ops if repeated
     * (crash mid-cleanup just leaves fewer orphans for the next pass).
     */
+  /** Drop the named incremental-layer subdirs under `path` — the
+    * fresh-overwrite-build companion of [[clearGenerations]] (all
+    * deletions are idempotent no-ops when absent).
+    */
+  private def clearIncrementalLayers(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      subs: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    subs.foreach { sub =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+    }
+  }
+
   private def dropSupersededLayouts(
       fs: org.apache.hadoop.fs.FileSystem,
       path: String,
@@ -280,8 +295,15 @@ object Sink {
     // a FRESH build supersedes every rebuild generation at this path —
     // clear them first so the flat layout written below is the one
     // readers resolve (crash mid-write re-exposes at worst a torn flat
-    // build, the exposure any overwrite-mode write always had)
-    if (mode == "overwrite") clearGenerations(spark, path)
+    // build, the exposure any overwrite-mode write always had) — and
+    // every incremental layer (ingested batches, tombstones) a prior
+    // lifecycle left: a stale tombstone surviving an overwrite build
+    // would silently delete freshly-indexed vectors
+    if (mode == "overwrite") {
+      clearGenerations(spark, path)
+      clearIncrementalLayers(spark, path,
+        Seq("ingested", "tombstones", "tombstones_meta"))
+    }
     index.celled
       // one output file per cell directory, not one per (cell × task)
       .repartition(col("cell"))
@@ -428,15 +450,19 @@ object Sink {
       // generation alongside the fresh layout
       fs.delete(new org.apache.hadoop.fs.Path(genDir), true)
       writeIvfIndex(
-        graft.operators.Similarity.IvfIndex(fresh.centroids, preserved),
+        graft.operators.Similarity.IvfIndex(
+          fresh.centroids, preserved, fresh.qcents),
         genDir)
       fresh.unpersist()
       // COMMIT: one marker-file creation — from here on readers resolve
       // the new generation; everything below is recoverable cleanup
       fs.create(
         new org.apache.hadoop.fs.Path(s"$genDir/_SUCCESS"), true).close()
+      // the rebuild read the tombstone-applied view, so deletes fold
+      // physically with it and the layouts drop here
       dropSupersededLayouts(fs, path, gen,
-        Seq("celled", "centroids", "build_census", "ingested"))
+        Seq("celled", "centroids", "qcentroids", "build_census",
+          "ingested", "tombstones", "tombstones_meta"))
       (true, maxPpm)
     }
   }
@@ -505,7 +531,8 @@ object Sink {
       // subdirs into this committed PQ generation, or vice versa)
       fs.delete(new org.apache.hadoop.fs.Path(genDir), true)
       writeIvfPqIndex(
-        graft.operators.Similarity.IvfIndex(fresh.centroids, preserved),
+        graft.operators.Similarity.IvfIndex(
+          fresh.centroids, preserved, fresh.qcents),
         model.cents, model.codes, genDir)
       fresh.unpersist()
       model.unpersist()
@@ -517,9 +544,10 @@ object Sink {
       // COMMIT: one marker-file creation, then recoverable cleanup
       fs.create(
         new org.apache.hadoop.fs.Path(s"$genDir/_SUCCESS"), true).close()
+      // tombstones folded with the rebuild, as in [[rebuildIvfIndex]]
       dropSupersededLayouts(fs, path, gen,
-        Seq("celled", "centroids", "pq_codebooks", "build_census",
-          "ingested"))
+        Seq("celled", "centroids", "qcentroids", "pq_codebooks",
+          "build_census", "ingested", "tombstones", "tombstones_meta"))
       (true, maxPpm)
     }
   }
@@ -632,14 +660,18 @@ object Sink {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     val ingestedDir = new org.apache.hadoop.fs.Path(s"$path/ingested")
-    if (!fs.exists(ingestedDir)) {
+    val tombsDir = new org.apache.hadoop.fs.Path(s"$path/tombstones_meta")
+    // a delete-only state still folds; only the clean state is a no-op
+    if (!fs.exists(ingestedDir) && !fs.exists(tombsDir)) {
       (spark.read.parquet(s"$path/celled").count(), 0L)
     } else {
-      val nIngestedFiles = fs.listFiles(ingestedDir, true)
       var nf = 0L
-      while (nIngestedFiles.hasNext) {
-        if (nIngestedFiles.next().getPath.getName.endsWith(".parquet"))
-          nf += 1
+      if (fs.exists(ingestedDir)) {
+        val nIngestedFiles = fs.listFiles(ingestedDir, true)
+        while (nIngestedFiles.hasNext) {
+          if (nIngestedFiles.next().getPath.getName.endsWith(".parquet"))
+            nf += 1
+        }
       }
       val merged = readIvfIndex(spark, path).celled
       val n = merged.count()
@@ -655,6 +687,12 @@ object Sink {
         "swap failed: celled_compact -> celled")
       fs.delete(old, true)
       fs.delete(ingestedDir, true)
+      // merged came from the tombstone-applied view: deletes are now
+      // physically folded, so drop their layouts (a later replayed
+      // delete re-tombstones already-absent ids — a harmless no-op)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/tombstones_meta"), true)
       (n, nf)
     }
   }
@@ -710,7 +748,16 @@ object Sink {
             .select(cols: _*),
           allowMissingColumns = true)
       }
-    graft.operators.Similarity.IvfIndex(centroids, all, qcents)
+    // committed tombstones ([[deleteFromIvfIndex]]) anti-join the whole
+    // view broadcast — every probe path (batch/serving/streaming/ADC)
+    // stops returning deleted vectors immediately; rebuilds and
+    // [[compactIvfIndex]] fold them physically
+    val live = committedTombstones(spark, path, "vec_id") match {
+      case None => all
+      case Some((tIds, _, _)) =>
+        all.join(broadcast(tIds), Seq("vec_id"), "left_anti")
+    }
+    graft.operators.Similarity.IvfIndex(centroids, live, qcents)
   }
 
   /** C6+ / similarity — persist the IVF-PQ index (the full FAISS-style
@@ -732,7 +779,11 @@ object Sink {
       mode: String = "overwrite"): Unit = {
     val spark = index.celled.sparkSession
     import spark.implicits._
-    if (mode == "overwrite") clearGenerations(spark, path)
+    if (mode == "overwrite") {
+      clearGenerations(spark, path)
+      clearIncrementalLayers(spark, path,
+        Seq("ingested", "tombstones", "tombstones_meta"))
+    }
     index.celled
       .join(codes, "vec_id")
       .select(col("vec_id"), col("unit"), col("codes"), col("cell"))
@@ -786,8 +837,14 @@ object Sink {
     import spark.implicits._
     // a fresh build supersedes any prior run's appended-but-uncompacted
     // batches at this path — clear the ingested layers or readLshIndex
-    // would silently union stale vectors into the new index
-    if (mode == "overwrite") clearGenerations(spark, path)
+    // would silently union stale vectors into the new index (and stale
+    // tombstones would silently delete fresh ones)
+    if (mode == "overwrite") {
+      clearGenerations(spark, path)
+      clearIncrementalLayers(spark, path,
+        Seq("signed_ingested", "postings_ingested",
+          "tombstones", "tombstones_meta"))
+    }
     val bitsPerBand = index.bitsPerBand
     val mask = (1L << bitsPerBand) - 1
     // ALL signed columns persist — an index built with carryCols keeps
@@ -945,7 +1002,9 @@ object Sink {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val signedIn = new org.apache.hadoop.fs.Path(s"$path/signed_ingested")
     val postIn = new org.apache.hadoop.fs.Path(s"$path/postings_ingested")
-    if (!fs.exists(signedIn) && !fs.exists(postIn)) {
+    val tombsIn = new org.apache.hadoop.fs.Path(s"$path/tombstones_meta")
+    if (!fs.exists(signedIn) && !fs.exists(postIn) &&
+        !fs.exists(tombsIn)) {
       (spark.read.parquet(s"$path/signed").count(), 0L)
     } else {
       var nf = 0L
@@ -975,6 +1034,11 @@ object Sink {
       swap("postings_compact", "postings")
       fs.delete(signedIn, true)
       fs.delete(postIn, true)
+      // both rewrites came from the tombstone-applied view — deletes
+      // are physically folded, drop their layouts
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/tombstones_meta"), true)
       (n, nf)
     }
   }
@@ -1023,8 +1087,18 @@ object Sink {
           .schema("vec_id BIGINT, band INT, bucket BIGINT, batch_id BIGINT")
           .parquet(s"$path/postings_ingested")
           .select(col("vec_id"), col("band"), col("bucket")))
+    // committed tombstones ([[deleteFromLshIndex]]) anti-join BOTH
+    // sides: postings (probes stop surfacing the ids) AND signed (the
+    // rerank must not resurrect them) — broadcast, deletion-rate-sized
+    val (liveSigned, livePostings) =
+      committedTombstones(spark, path, "vec_id") match {
+        case None => (signed, postings)
+        case Some((tIds, _, _)) => (
+          signed.join(broadcast(tIds), Seq("vec_id"), "left_anti"),
+          postings.join(broadcast(tIds), Seq("vec_id"), "left_anti"))
+      }
     graft.operators.Similarity.PersistedLshIndex(
-      planes, bands, signed, postings)
+      planes, bands, liveSigned, livePostings)
   }
 
   /** C6+ / text — persist an INVERTED INDEX in its 100 TB layout (the
@@ -1054,7 +1128,18 @@ object Sink {
     val spark = docs.sparkSession
     import spark.implicits._
     // a fresh build supersedes every compaction generation at this path
-    if (mode == "overwrite") clearGenerations(spark, path)
+    // AND every incremental layer (ingested batches, tombstones) a prior
+    // lifecycle left behind — a stale tombstone surviving an overwrite
+    // build would silently delete freshly-indexed docs
+    if (mode == "overwrite") {
+      clearGenerations(spark, path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("postings_ingested", "meta_ingested",
+        "tombstones", "tombstones_meta").foreach { sub =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+      }
+    }
     val counts = graft.operators.TextAnalysis.docTermPostings(docs)
       .localCheckpoint(true) // one tokenize pass feeds postings AND meta
     val dl = counts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -1240,6 +1325,173 @@ object Sink {
       .select(col("batch_id")).collect().map(_.getLong(0)).toSet
   }
 
+  // ============================================== document/vector DELETE
+
+  /** Committed tombstones at an index root: the deleted-id table
+    * (restricted to batches whose commit record landed, optionally only
+    * batches BELOW `beforeBatch`) plus the summed meta adjustments
+    * `(Σ n_ids, Σ adj)`. None when no committed tombstone batch exists.
+    *
+    * Layout (shared by all four index families): `tombstones/
+    * batch_id=K/` holds the 8-byte id rows, `tombstones_meta/
+    * batch_id=K/` one `(n_ids, adj, batch_id)` row written LAST — the
+    * commit record, exactly the [[appendTextIndex]] meta_ingested
+    * protocol, so a crash between the two writes leaves the half-landed
+    * delete INVISIBLE. For the text index `n_ids`/`adj` are the deleted
+    * docs' (count, Σ dl) corpus-constant adjustments; the vector
+    * families carry `(count, 0)` — they have no corpus constants.
+    *
+    * Size: tombstones are DELETION-RATE-sized, never corpus-sized —
+    * that is what makes the read-side anti-join a broadcast.
+    */
+  private def committedTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      idCol: String,
+      beforeBatch: Option[Long] = None): Option[(DataFrame, Long, Long)] = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$root/tombstones_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) return None
+    val committed = spark.read.parquet(s"$root/tombstones_meta")
+      .select(col("batch_id").cast("long"), col("n_ids"), col("adj"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(t => beforeBatch.forall(t._1 < _))
+    if (committed.isEmpty) return None
+    val ids = spark.read
+      .schema(s"$idCol BIGINT, batch_id BIGINT")
+      .parquet(s"$root/tombstones")
+      .filter(col("batch_id").isin(committed.map(_._1).toSeq: _*))
+      .select(col(idCol)).distinct()
+    Some((ids, committed.map(_._2).sum, committed.map(_._3).sum))
+  }
+
+  /** Write one tombstone batch (ids + commit record) under `root` —
+    * the shared write half of every `deleteFrom*Index`: ids land under
+    * `tombstones/batch_id=K` via dynamic partition overwrite
+    * (replay-idempotent), the meta row lands LAST and IS the commit.
+    */
+  private def writeTombstoneBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      ids: DataFrame,
+      nIds: Long,
+      adj: Long,
+      batchId: Long): Unit = {
+    import spark.implicits._
+    ids
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1) // deletion-batch-sized: one file per batch directory
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$root/tombstones")
+    Seq((nIds, adj, batchId)).toDF("n_ids", "adj", "batch_id")
+      .coalesce(1).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$root/tombstones_meta")
+  }
+
+  /** DELETE documents from a persisted inverted index — the retention
+    * story (C5) finally composing with the index lifecycles: dropping a
+    * raw partition never removed its docs from a persisted index, so a
+    * 30-day-retention corpus accumulated dead postings until a full
+    * rebuild. Tombstones close that: the delete lands as an 8-byte-id
+    * batch + a commit record, [[readTextIndex]] (and therefore every
+    * batch/streaming serve path) anti-joins it BROADCAST
+    * (deletion-rate-sized) and subtracts the deleted docs' (count, Σ dl)
+    * from the corpus constants — so BM25 over the logical state is
+    * bit-identical to a rebuild over corpus-minus-deleted (the oracle
+    * pins exactly that, blind to the mechanism). Compaction
+    * ([[compactTextIndex]]) folds tombstones PHYSICALLY: the committed
+    * generation's postings no longer contain the rows, its meta carries
+    * the adjusted constants, and the tombstone layouts are dropped.
+    *
+    * Exactly-once under replay, WITHOUT a ledger: the corpus-constant
+    * contribution is recomputed against the view with every EARLIER
+    * tombstone batch applied and this batch (and any later one) ignored
+    * — a replayed batch K re-derives exactly the numbers K computed the
+    * first time (monotone foreachBatch ids), and a replay arriving
+    * AFTER a compaction folded K finds its docs physically absent and
+    * correctly contributes zero on a base whose meta already carries
+    * K's adjustment. Both writes are dynamic partition overwrites.
+    *
+    * Cost note: the contribution count joins the deletion ids against
+    * the postings' `(doc_id, dl)` projection — doc_id is NOT the layout
+    * key, so this is one column-pruned scan of the probed index per
+    * delete batch, the honest price of deleting by doc from a
+    * token-partitioned layout (the scan is also exactly what the
+    * physical fold pays at compaction). Deletion is TERMINAL for a
+    * doc_id within a generation: re-ingesting a tombstoned id is
+    * invisible until a compaction folds the tombstone away — document
+    * re-adds as delete → compact → append.
+    *
+    * SINGLE MAINTAINER, same as [[appendTextIndex]]: deletes share the
+    * append stream's batch-id lineage and must not race maintenance.
+    */
+  def deleteFromTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      rawPath: String,
+      docIds: DataFrame,
+      batchId: Long): Unit = {
+    val path = resolveIndexRoot(spark, rawPath)
+    val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    val raw = readTextIndexRaw(spark, path)
+    val view = committedTombstones(spark, path, "doc_id",
+        beforeBatch = Some(batchId)) match {
+      case Some((tIds, _, _)) =>
+        raw.postings.join(broadcast(tIds), Seq("doc_id"), "left_anti")
+      case None => raw.postings
+    }
+    // (doc_id, dl) rides denormalized on every posting: one
+    // column-pruned pass dedups to per-doc rows, so already-deleted or
+    // never-indexed ids contribute 0 — the replay-idempotence anchor
+    val agg = view.join(broadcast(ids), Seq("doc_id"))
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("t"))
+      .head
+    writeTombstoneBatch(spark, path, ids,
+      agg.getLong(0), agg.getLong(1), batchId)
+  }
+
+  /** DELETE vectors from a persisted IVF / IVF-PQ index — the
+    * [[deleteFromTextIndex]] twin for the vector families: tombstoned
+    * vec_ids are anti-joined out of celled ∪ ingested by
+    * [[readIvfIndex]] (broadcast — deletion-rate-sized), so every probe
+    * path (batch, serving, streaming, ADC) stops returning them
+    * immediately; the drift-gated rebuilds and [[compactIvfIndex]] fold
+    * them physically and drop the layouts. No corpus constants exist
+    * here, so replays are idempotent by the dynamic overwrite alone.
+    */
+  def deleteFromIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      rawPath: String,
+      vecIds: DataFrame,
+      batchId: Long): Unit = {
+    val root = resolveIndexRoot(spark, rawPath)
+    val ids = vecIds.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct().localCheckpoint(true)
+    writeTombstoneBatch(spark, root, ids, ids.count(), 0L, batchId)
+  }
+
+  /** DELETE vectors from a persisted LSH index — tombstones anti-join
+    * BOTH sides of the layout ([[readLshIndex]]): the postings (so
+    * probes stop surfacing the ids) and the signed table (so the rerank
+    * never resurrects them). [[compactLshIndex]] folds physically.
+    */
+  def deleteFromLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      vecIds: DataFrame,
+      batchId: Long): Unit = {
+    val ids = vecIds.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct().localCheckpoint(true)
+    writeTombstoneBatch(spark, path, ids, ids.count(), 0L, batchId)
+  }
+
   /** Batch ids with a landed commit record (`meta_ingested` row) at the
     * RESOLVED root — the batches [[readTextIndex]] unions in.
     */
@@ -1263,13 +1515,18 @@ object Sink {
     val fs = rootPath.getFileSystem(conf)
     val path = resolveIndexRoot(spark, rawPath)
     val ingested = new org.apache.hadoop.fs.Path(s"$path/postings_ingested")
-    if (!fs.exists(ingested)) {
+    val tombs = new org.apache.hadoop.fs.Path(s"$path/tombstones_meta")
+    // a delete-only state (tombstones, no appended batches) still has
+    // physical work to fold — only the fully-clean state is a no-op
+    if (!fs.exists(ingested) && !fs.exists(tombs)) {
       (spark.read.parquet(s"$path/postings").count(), 0L)
     } else {
       var nf = 0L
-      val it = fs.listFiles(ingested, true)
-      while (it.hasNext) {
-        if (it.next().getPath.getName.endsWith(".parquet")) nf += 1
+      if (fs.exists(ingested)) {
+        val it = fs.listFiles(ingested, true)
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) nf += 1
+        }
       }
       val idx = readTextIndex(spark, rawPath)
       val gen = committedGenerations(fs, rootPath)
@@ -1318,9 +1575,14 @@ object Sink {
       // COMMIT: one marker-file creation, then recoverable cleanup
       fs.create(
         new org.apache.hadoop.fs.Path(s"$genDir/_SUCCESS"), true).close()
+      // tombstones fold PHYSICALLY here: the generation's postings were
+      // written from the tombstone-applied view and its meta carries the
+      // adjusted constants, so the layouts drop with the rest — a
+      // replayed delete finds its docs absent and contributes zero
+      // ([[deleteFromTextIndex]]'s replay rule)
       dropSupersededLayouts(fs, rawPath, gen,
         Seq("postings", "meta", "postings_ingested", "meta_ingested",
-          "build_census"))
+          "build_census", "tombstones", "tombstones_meta"))
       (n, nf)
     }
   }
@@ -1360,7 +1622,14 @@ object Sink {
       }
     }
     val nBatches = committedIngestBatchIds(spark, path).size.toLong
-    if (nFiles <= maxIngestedFiles && nBatches <= maxBatches)
+    // tombstone batches count against the SAME valve: each one is a
+    // broadcast anti-join + meta adjustment on every read until a
+    // compaction folds it physically
+    val nTombBatches = committedTombstones(spark, path, "doc_id")
+      .map(_ => spark.read.parquet(s"$path/tombstones_meta").count())
+      .getOrElse(0L)
+    if (nFiles <= maxIngestedFiles && nBatches <= maxBatches &&
+        nTombBatches <= maxBatches)
       (false, nFiles, nBatches)
     else {
       compactTextIndex(spark, rawPath)
@@ -1384,6 +1653,30 @@ object Sink {
       spark: org.apache.spark.sql.SparkSession,
       rawPath: String): graft.operators.TextAnalysis.TextIndex = {
     val path = resolveIndexRoot(spark, rawPath)
+    val raw = readTextIndexRaw(spark, path)
+    // committed tombstones apply to the WHOLE view (base + ingested):
+    // a broadcast anti-join on the postings plus the summed
+    // corpus-constant adjustments — BM25 over the logical state equals
+    // a rebuild over corpus-minus-deleted ([[deleteFromTextIndex]])
+    committedTombstones(spark, path, "doc_id") match {
+      case None => raw
+      case Some((tIds, nDel, tDel)) =>
+        raw.copy(
+          postings = raw.postings
+            .join(broadcast(tIds), Seq("doc_id"), "left_anti"),
+          nDocs = raw.nDocs - nDel,
+          totalTokens = raw.totalTokens - tDel)
+    }
+  }
+
+  /** [[readTextIndex]] BEFORE tombstone application, at an already
+    * RESOLVED root — the view [[deleteFromTextIndex]] counts its
+    * contributions against (it applies only the EARLIER tombstone
+    * batches itself; see its replay rule).
+    */
+  private def readTextIndexRaw(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.operators.TextAnalysis.TextIndex = {
     val conf = spark.sparkContext.hadoopConfiguration
     def exists(sub: String) = {
       val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
