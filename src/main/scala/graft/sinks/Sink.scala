@@ -256,6 +256,26 @@ object Sink {
     * disk forever. All deletions here are recoverable no-ops if repeated
     * (crash mid-cleanup just leaves fewer orphans for the next pass).
     */
+  /** Distribution for every index build/append/compaction write: hash
+    * on (directory key + a high-cardinality row key) across the
+    * session's shuffle parallelism — NOT on the directory key alone.
+    * `repartition(col(dirKey))` capped write tasks at the
+    * bucket/cell/band count AND serialized each hot directory (a
+    * stop-word text bucket, a ballooned IVF cell) into ONE task — at
+    * 100 TB a 64-bucket compaction ran ≤ 64 tasks with its largest
+    * bucket single-threaded. `partitionBy` still lays out the same
+    * directories; hot ones just emit up to numShufflePartitions files,
+    * a file census the compaction gates' own file-count valves already
+    * manage. Queries are unaffected either way (the read side prunes on
+    * the directory key — that is the point of the layout); this is
+    * maintenance-job latency.
+    */
+  private def writeDistribution(
+      df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
+
   /** Drop the named incremental-layer subdirs under `path` — the
     * fresh-overwrite-build companion of [[clearGenerations]] (all
     * deletions are idempotent no-ops when absent).
@@ -304,9 +324,9 @@ object Sink {
       clearIncrementalLayers(spark, path,
         Seq("ingested", "tombstones", "tombstones_meta"))
     }
-    index.celled
-      // one output file per cell directory, not one per (cell × task)
-      .repartition(col("cell"))
+    // n-way write distribution (see writeDistribution): hot cells
+    // parallelize instead of serializing into one task each
+    writeDistribution(index.celled, col("cell"), col("vec_id"))
       .write.mode(mode).partitionBy("cell").parquet(s"$path/celled")
     index.centroids.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
@@ -605,9 +625,7 @@ object Sink {
             graft.operators.Clustering.quantized(vectors), cents),
           "vec_id")
       }
-    rows
-      // one output file per touched (cell, batch) directory
-      .repartition(col("cell"))
+    writeDistribution(rows, col("cell"), col("vec_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "batch_id")
@@ -675,8 +693,7 @@ object Sink {
       }
       val merged = readIvfIndex(spark, path).celled
       val n = merged.count()
-      merged
-        .repartition(col("cell"))
+      writeDistribution(merged, col("cell"), col("vec_id"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$path/celled_compact")
       val celled = new org.apache.hadoop.fs.Path(s"$path/celled")
@@ -784,10 +801,11 @@ object Sink {
       clearIncrementalLayers(spark, path,
         Seq("ingested", "tombstones", "tombstones_meta"))
     }
-    index.celled
-      .join(codes, "vec_id")
-      .select(col("vec_id"), col("unit"), col("codes"), col("cell"))
-      .repartition(col("cell"))
+    writeDistribution(
+      index.celled
+        .join(codes, "vec_id")
+        .select(col("vec_id"), col("unit"), col("codes"), col("cell")),
+      col("cell"), col("vec_id"))
       .write.mode(mode).partitionBy("cell").parquet(s"$path/celled")
     index.centroids.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
@@ -857,9 +875,9 @@ object Sink {
       .select(col("vec_id"),
         posexplode(array((0 until index.bands).map(bandBucket): _*))
           .as(Seq("band", "bucket")))
-      // one write task per (band, bucket) group, not one file per
-      // (directory × task)
-      .repartition(col("band"), col("bucket"))
+      // n-way write distribution (see writeDistribution)
+      .transform(writeDistribution(_, col("band"), col("bucket"),
+        col("vec_id")))
       .write.mode(mode).partitionBy("band", "bucket")
       .parquet(s"$path/postings")
     index.planes.toSeq.zipWithIndex
@@ -974,8 +992,9 @@ object Sink {
       .select(col("vec_id"), col("batch_id"),
         posexplode(array((0 until bands).map(bandBucket): _*))
           .as(Seq("band", "bucket")))
-      // one write task per touched (band, bucket) directory
-      .repartition(col("band"), col("bucket"))
+      // n-way write distribution (see writeDistribution)
+      .transform(writeDistribution(_, col("band"), col("bucket"),
+        col("vec_id")))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("band", "bucket", "batch_id")
@@ -1026,8 +1045,8 @@ object Sink {
       }
       merged.signed.write.mode("overwrite").parquet(s"$path/signed_compact")
       val n = spark.read.parquet(s"$path/signed_compact").count()
-      merged.postings
-        .repartition(col("band"), col("bucket"))
+      writeDistribution(merged.postings,
+          col("band"), col("bucket"), col("vec_id"))
         .write.mode("overwrite").partitionBy("band", "bucket")
         .parquet(s"$path/postings_compact")
       swap("signed_compact", "signed")
@@ -1149,8 +1168,9 @@ object Sink {
         pmod(xxhash64(col("token")), lit(buckets)).cast("int"))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"),
         col("positions"), col("bucket"))
-      // one output file per bucket directory, not one per (bucket × task)
-      .repartition(col("bucket"))
+      // n-way write distribution (see writeDistribution): a stop-word
+      // bucket parallelizes across tasks instead of serializing in one
+      .transform(writeDistribution(_, col("bucket"), col("token")))
       .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
     val (nDocs, totalTokens) = (docs.count(),
       dl.agg(coalesce(sum(col("dl")), lit(0L))).head.getLong(0))
@@ -1273,7 +1293,7 @@ object Sink {
       .withColumn("batch_id", lit(batchId))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"),
         col("positions"), col("bucket"), col("batch_id"))
-      .repartition(col("bucket"))
+      .transform(writeDistribution(_, col("bucket"), col("token")))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket", "batch_id")
@@ -1534,8 +1554,7 @@ object Sink {
       val genDir = s"$rawPath/gen-$gen"
       // clear any torn, uncommitted generation at this number
       fs.delete(new org.apache.hadoop.fs.Path(genDir), true)
-      idx.postings
-        .repartition(col("bucket"))
+      writeDistribution(idx.postings, col("bucket"), col("token"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$genDir/postings")
       Seq((idx.nDocs, idx.totalTokens, idx.buckets))
