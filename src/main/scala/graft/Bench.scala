@@ -69,7 +69,162 @@ object Bench {
       case c => c.toString
     }
 
+  // ------------------------------------------------------------ A/B mode
+
+  /** Parse per-query MIN seconds out of a bench_full.json (the format
+    * this file writes — no JSON lib on the classpath, the shape is
+    * ours).
+    */
+  def parseBenchFullMins(text: String): Map[String, Double] =
+    """"([A-Za-z0-9_]+)": \{"median":[0-9.]+,"min":([0-9.]+)""".r
+      .findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** `--against <git-rev>`: the DECISIVE cross-round perf comparison —
+    * the host clock here swings up to ~2× between runs, so raw
+    * round-over-round seconds (and even calib-normalized ratios, whose
+    * two anchors disagreed by 2.2× in round 12) cannot detect a real
+    * 1.2× regression. This mode builds `<rev>` in a git worktree and
+    * INTERLEAVES B/A/B/A subprocess bench runs (each its own JVM +
+    * session, reps=1, full warmup — symmetric by construction) in ONE
+    * host window, then scores `ab_ratio` = Σ min-of-reps(HEAD) /
+    * Σ min-of-reps(rev) over the SHARED query set. The result lands in
+    * `.ab/ab_latest.json`, which normal bench runs embed (with
+    * provenance) into their output line — so BENCH_r{N}.json carries
+    * the last measured A/B verdict even though the driver never passes
+    * flags.
+    */
+  private def runAgainst(rev: String): Unit = {
+    def sh(cmd: Seq[String], cwd: String): Int = {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.directory(new java.io.File(cwd))
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes())
+      val code = p.waitFor()
+      if (code != 0) System.err.println(out.takeRight(2000))
+      code
+    }
+    val headRev = {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .start()
+      val r = new String(p.getInputStream.readAllBytes()).trim
+      p.waitFor(); r
+    }
+    val wt = s"/tmp/graft_ab_$rev"
+    if (!new java.io.File(s"$wt/build.sbt").exists()) {
+      require(sh(Seq("git", "worktree", "add", "--detach", wt, rev),
+        ".") == 0, s"worktree add failed for $rev")
+    }
+    val wtClasses = s"$wt/target/scala-2.13/classes"
+    if (!new java.io.File(wtClasses + "/graft/Bench.class").exists()) {
+      println(s"[ab] compiling $rev in $wt ...")
+      require(sh(Seq("sbt", "-batch", "compile"), wt) == 0,
+        s"sbt compile failed in $wt")
+    }
+    val headClasses = "target/scala-2.13/classes"
+    val jdkOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def benchOnce(classes: String, out: String): Unit = {
+      val cmd = Seq("java") ++ jdkOpens ++ Seq(
+        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", s"$classes:/opt/spark/jars/*", "graft.Bench")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_REPS", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
+      sys.env.get("SPARK_GRAFT_SF_DIR").foreach(
+        pb.environment().put("SPARK_GRAFT_SF_DIR", _))
+      sys.env.get("SPARK_GRAFT_CPUS").foreach(
+        pb.environment().put("SPARK_GRAFT_CPUS", _))
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val outBytes = new String(p.getInputStream.readAllBytes())
+      require(p.waitFor() == 0,
+        s"bench subprocess failed:\n${outBytes.takeRight(2000)}")
+    }
+    val abReps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_AB_REPS", "2").toInt)
+    val (aMins, bMins) =
+      (collection.mutable.ArrayBuffer.empty[Map[String, Double]],
+        collection.mutable.ArrayBuffer.empty[Map[String, Double]])
+    for (r <- 1 to abReps) {
+      // B first, then A, every rep — alternation keeps any slow drift
+      // of the host clock symmetric across the two sides
+      println(s"[ab] rep $r/$abReps: B ($rev) ...")
+      benchOnce(wtClasses, s"/tmp/ab_B_$r.json")
+      bMins += parseBenchFullMins(
+        scala.io.Source.fromFile(s"/tmp/ab_B_$r.json").mkString)
+      println(s"[ab] rep $r/$abReps: A (HEAD $headRev) ...")
+      benchOnce(headClasses, s"/tmp/ab_A_$r.json")
+      aMins += parseBenchFullMins(
+        scala.io.Source.fromFile(s"/tmp/ab_A_$r.json").mkString)
+    }
+    def minOver(ms: Seq[Map[String, Double]], q: String): Double =
+      ms.flatMap(_.get(q)).min
+    val shared = aMins.flatMap(_.keySet).toSet
+      .intersect(bMins.flatMap(_.keySet).toSet).toSeq.sorted
+    val aTot = shared.map(minOver(aMins.toSeq, _)).sum
+    val bTot = shared.map(minOver(bMins.toSeq, _)).sum
+    val ratio = aTot / bTot
+    val perQuery = shared.map { q =>
+      val r = minOver(aMins.toSeq, q) / minOver(bMins.toSeq, q)
+      s""""$q":${String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(r))}"""
+    }.mkString("{", ",", "}")
+    new java.io.File(".ab").mkdirs()
+    val json =
+      s"""{
+  "ab_ratio": ${String.format(java.util.Locale.ROOT, "%.4f",
+        Double.box(ratio))},
+  "ab_against": "$rev",
+  "ab_head": "$headRev",
+  "ab_reps": $abReps,
+  "shared_queries": ${shared.size},
+  "a_total_minsum": ${String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(aTot))},
+  "b_total_minsum": ${String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(bTot))},
+  "per_query_ratio": $perQuery
+}
+"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(".ab/ab_latest.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"ab","ab_ratio":$ratio,"against":"$rev","head":"$headRev","shared":${shared.size},"a_minsum":$aTot,"b_minsum":$bTot}""")
+  }
+
+  /** The last `--against` verdict, embedded (with provenance) into
+    * normal bench output so BENCH_r{N}.json carries it.
+    */
+  def abFields(): String = {
+    val f = new java.io.File(".ab/ab_latest.json")
+    if (!f.exists()) return ""
+    val text = scala.io.Source.fromFile(f).mkString
+    def field(name: String): Option[String] =
+      (s""""$name": "?([^",\\n}]+)"?""").r.findFirstMatchIn(text)
+        .map(_.group(1))
+    (for {
+      ratio <- field("ab_ratio")
+      against <- field("ab_against")
+      head <- field("ab_head")
+    } yield s""","ab_ratio":$ratio,"ab_against":"$against","ab_measured_at":"$head"""")
+      .getOrElse("")
+  }
+
   def main(args: Array[String]): Unit = {
+    args.indexOf("--against") match {
+      case i if i >= 0 && i + 1 < args.length =>
+        runAgainst(args(i + 1)); return
+      case _ => ()
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1,
@@ -164,12 +319,21 @@ object Bench {
     // Complete evidence to a FILE (committed alongside BENCH_r{N}): every
     // query, every run, the median, and any error — immune to stdout-tail
     // truncation and auditable after a noisy run.
+    // the last --against A/B verdict (see runAgainst): the PREFERRED
+    // cross-round comparator — same-window interleaved, immune to the
+    // host-clock drift that makes raw and calib-normalized ratios
+    // ambiguous. ab_measured_at names the HEAD it was measured on.
+    val ab = abFields()
     val fileJson = {
       val entries = results.map { case (k, med, runs, err) =>
         val runsJson = runs.map(fmt).mkString("[", ",", "]")
         val errJson = err.map(e => s""","err":"${jsonEscape(e)}"""").getOrElse("")
         s"""    "$k": {"median":${fmt(med)},"min":${fmt(runs.min)},"runs":$runsJson$errJson}"""
       }.mkString(",\n")
+      val abLine =
+        if (ab.isEmpty) ""
+        else "\n  " + ab.stripPrefix(",").split(",")
+          .mkString("", ",\n  ", ",").replace(":", ": ")
       s"""{
   "metric": "total",
   "value": ${fmt(total)},
@@ -177,7 +341,7 @@ object Bench {
   "sf": "$sfDir",
   "reps": $reps,
   "nqueries": ${results.size},
-  "nerrors": ${errs.size},
+  "nerrors": ${errs.size},$abLine
   "calib": ${fmt(calibMed)},
   "calib_min": ${fmt(calibRuns.min)},
   "calib_runs": ${calibRuns.map(fmt).mkString("[", ",", "]")},

@@ -96,6 +96,8 @@ object ScaleCheck {
     // the serving path: request-shaped external vectors against the
     // prebuilt index — cost must track probed cells, not corpus size
     time("IVF serve x5 (external vectors)") {
+      // the build probe may have been filtered out — pay it here then
+      if (ivfIdx == null) ivfIdx = Similarity.buildIvfIndex(bigEmb, nlist = 64)
       val reqs = emb.filter(col("vec_id") < 5)
         .select((col("vec_id") + 9000000L).as("query_id"), col("embedding"))
       force(Similarity.ivfQueryVectors(ivfIdx, reqs, k = 10, nprobe = 4))
@@ -728,8 +730,74 @@ object ScaleCheck {
       force(graft.operators.TextAnalysis.phraseTopK(
         idx, Seq("table", "hash"), k = 20))
     }
+    // DELETE lifecycle at scale: the tombstone write is one
+    // column-pruned (doc_id, dl) pass (doc_id is not the layout key —
+    // the honest cost, same as what the fold pays), the serve overhead
+    // is one broadcast anti-join, and the compaction fold runs the
+    // n-way write distribution (not bucket-count-capped)
+    if (!new java.io.File(s"$textIdxDir/meta").exists()) {
+      graft.sinks.Sink.writeTextIndex(big, textIdxDir, buckets = 64)
+    }
+    time("text delete (tombstone batch write)") {
+      graft.sinks.Sink.deleteFromTextIndex(spark, textIdxDir,
+        big.filter(col("doc_id") % 10 === 7).select(col("doc_id")),
+        batchId = 0L)
+      1L
+    }
+    time("BM25 serve (tombstoned index)") {
+      import spark.implicits._
+      val idx = graft.sinks.Sink.readTextIndex(spark, textIdxDir)
+      val reqs = Seq(
+        (1L, Seq("vector", "hash")), (2L, Seq("merge", "stream")),
+        (3L, Seq("vector")), (4L, Seq("hash", "merge", "vector")),
+        (5L, Seq("stream"))).toDF("query_id", "terms")
+      force(graft.operators.TextAnalysis.bm25QueryBatch(idx, reqs, k = 20))
+    }
+    time("text compaction (delete fold, n-way)") {
+      graft.sinks.Sink.compactTextIndex(spark, textIdxDir)._1
+    }
+
+    // HYBRID serve: both legs pruned (term buckets of the just-compacted
+    // text index + integer-lattice probe cells of the persisted
+    // exact-Lloyd index); the fuse is a request-sized cascade — hybrid
+    // must cost ~the sum of its legs. Builds stay OUTSIDE the timed
+    // serve block (the BM25 lesson above)
+    val hybDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "sc_hybidx").toString
+    time("IVF exact build + persist") {
+      val built = Similarity.buildIvfIndexExact(bigEmb, nlist = 16,
+        iters = 2)
+      graft.sinks.Sink.writeIvfIndex(built, hybDir)
+      built.unpersist()
+      spark.read.parquet(s"$hybDir/celled").count()
+    }
+    if (!new java.io.File(s"$hybDir/centroids").exists()) {
+      val built = Similarity.buildIvfIndexExact(bigEmb, nlist = 16,
+        iters = 2)
+      graft.sinks.Sink.writeIvfIndex(built, hybDir)
+      built.unpersist()
+    }
+    if (!new java.io.File(s"$textIdxDir/meta").exists() &&
+        !new java.io.File(textIdxDir).exists()) {
+      graft.sinks.Sink.writeTextIndex(big, textIdxDir, buckets = 64)
+    }
+    time("hybrid serve (2 pruned legs, 3 requests)") {
+      import spark.implicits._
+      val tIdx = graft.sinks.Sink.readTextIndex(spark, textIdxDir)
+      val aIdx = graft.sinks.Sink.readIvfIndex(spark, hybDir)
+      val embQ = bigEmb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val reqs = Seq(
+        (0L, Seq("vector", "hash")), (1L, Seq("merge")),
+        (2L, Seq("table", "hash"))).toDF("query_id", "terms")
+        .join(embQ, "query_id")
+      force(graft.operators.TextAnalysis.rrfQueryBatch(
+        tIdx, aIdx, reqs, k = 20, legK = 50, nprobe = 4))
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(textIdxDir))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(hybDir))
 
     spark.stop()
   }

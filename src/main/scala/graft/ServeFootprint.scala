@@ -172,34 +172,40 @@ object ServeFootprint {
       Files.write(tmpF, String.join("\n", lines: _*).getBytes("UTF-8"))
       Files.move(tmpF, dir.resolve(name))
     }
-    locally {
-      val input = Files.createTempDirectory("sf_text_in")
-      val checkpoint = Files.createTempDirectory("sf_text_ckpt")
-      val schema = StructType(Seq(
-        StructField("query_id", LongType),
-        StructField("terms", ArrayType(StringType))))
+    /** [[drive]] for non-vector request shapes (terms, hybrid): the
+      * same timing/footprint loop over a caller-shaped request schema
+      * and per-batch file writer.
+      */
+    def driveCustom(flavor: String, schema: StructType)(
+        writeBatch: (Path, Int) => Unit)(
+        mkWriter: DataFrame => ((Long, DataFrame) => Unit) =>
+          org.apache.spark.sql.streaming.DataStreamWriter[
+            org.apache.spark.sql.Row]): Unit = {
+      val input = Files.createTempDirectory(s"sf_${flavor}_in")
+      val checkpoint = Files.createTempDirectory(s"sf_${flavor}_ckpt")
       var servedRows = 0L
-      val q = graft.streaming.StreamTextServe.bm25Writer(
-        spark.readStream.schema(schema).json(input.toString),
-        textIdx, k = 10) { (_, res) => servedRows += res.count() }
+      val q = mkWriter(
+        spark.readStream.schema(schema).json(input.toString)) {
+        (_, res) => servedRows += res.count()
+      }
         .option("checkpointLocation", checkpoint.toString)
         .start()
       try {
         val times = (0 until nBatches).map { b =>
-          writeTermFile(input, f"batch$b%03d.json", b)
+          writeBatch(input, b)
           val t0 = System.nanoTime()
           q.processAllAvailable()
           val sec = (System.nanoTime() - t0) / 1e9
           val ckpt = dirBytes(checkpoint.toFile)
           val state = dirBytes(checkpoint.resolve("state").toFile)
-          println(f"text   batch=$b%2d  $sec%6.2f s  " +
+          println(f"$flavor%-7s batch=$b%2d  $sec%6.2f s  " +
             f"ckpt=$ckpt%7d B  state=$state%d B")
           sec
         }
         val firstHalf = times.take(nBatches / 2).sum / (nBatches / 2)
         val secondHalf = times.drop(nBatches / 2).sum /
           (nBatches - nBatches / 2)
-        println(f"text   summary: served=$servedRows rows  " +
+        println(f"$flavor%-7s summary: served=$servedRows rows  " +
           f"mean(first half)=$firstHalf%5.2f s  " +
           f"mean(second half)=$secondHalf%5.2f s  " +
           f"ckpt final=${dirBytes(checkpoint.toFile)}%d B")
@@ -209,6 +215,50 @@ object ServeFootprint {
         org.apache.commons.io.FileUtils.deleteDirectory(checkpoint.toFile)
       }
     }
+
+    val termSchema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("terms", ArrayType(StringType))))
+    driveCustom("text", termSchema)(
+      (dir, b) => writeTermFile(dir, f"batch$b%03d.json", b))(
+      qs => emit =>
+        graft.streaming.StreamTextServe.bm25Writer(qs, textIdx, k = 10)(
+          emit))
+
+    // snippet: the fourth text serving twin — per-batch work is the
+    // min-window recurrence over the probed postings plus ONE
+    // winner-id push-down read of the documents table
+    val docsTable = Tables.documents(spark, sfDir)
+    driveCustom("snippet", termSchema)(
+      (dir, b) => writeTermFile(dir, f"batch$b%03d.json", b))(
+      qs => emit =>
+        graft.streaming.StreamTextServe.snippetWriter(
+          qs, textIdx, docsTable, k = 10)(emit))
+
+    // hybrid: both legs per micro-batch — the bucket-pruned BM25 probe
+    // + the cell-pruned integer-lattice ANN probe + the request-sized
+    // fuse; latency must track the SUM of the two serving flavors
+    val hybridSchema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("terms", ArrayType(StringType)),
+      StructField("embedding", ArrayType(FloatType))))
+    def writeHybridFile(dir: Path, name: String, batch: Int): Unit = {
+      val lines = (0 until 20).map { i =>
+        val terms = termPool((batch * 20 + i) % termPool.length)
+        val (_, e) = reqPool((batch * 20 + i) % reqPool.length)
+        s"""{"query_id":${1000000L + batch * 1000L + i},""" +
+          s""""terms":[${terms.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""embedding":[${e.mkString(",")}]}"""
+      }
+      val tmpF = dir.resolve(s".$name.tmp")
+      Files.write(tmpF, String.join("\n", lines: _*).getBytes("UTF-8"))
+      Files.move(tmpF, dir.resolve(name))
+    }
+    driveCustom("hybrid", hybridSchema)(
+      (dir, b) => writeHybridFile(dir, f"batch$b%03d.json", b))(
+      qs => emit =>
+        graft.streaming.StreamTextServe.hybridWriter(
+          qs, textIdx, loadedIvf, k = 10, legK = 20, nprobe = 4)(emit))
 
     Seq(ivfDir, pqDir, lshDir, textDir).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))

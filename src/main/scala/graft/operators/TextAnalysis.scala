@@ -723,7 +723,14 @@ object TextAnalysis {
       nDocs: Long,
       totalTokens: Long,
       buckets: Int,
-      hasPositions: Boolean = true) {
+      positionsCheck: () => Boolean = () => true) {
+
+    /** Does the layout carry positional postings? LAZY: the check reads
+      * parquet footers (per-layout schema inference), so BM25-only
+      * paths — which never touch `positions` — never pay it; the
+      * positional entry points force it once per reload.
+      */
+    lazy val hasPositions: Boolean = positionsCheck()
 
     /** Fail-fast guard every POSITIONAL entry point (phrase / proximity
       * / snippet, single and batch) calls before touching `positions`:

@@ -1711,7 +1711,9 @@ object Sink {
     // positional entry points fail fast with a rebuild-required error
     // instead ([[graft.operators.TextAnalysis.TextIndex.requirePositions]]).
     // A MIXED layout (v1 base + v2 appended batches, or vice versa) is
-    // positional only if EVERY unioned table carries the column.
+    // positional only if EVERY unioned table carries the column. The
+    // detection is wrapped in a THUNK: schema inference reads footers,
+    // and BM25-only readers must not pay that per reload
     def hasPositionsCol(sub: String): Boolean =
       try spark.read.parquet(s"$path/$sub")
         .schema.fieldNames.contains("positions")
@@ -1729,7 +1731,7 @@ object Sink {
     val (postings, nDocs, totalTokens, positional) =
       if (!exists("postings_ingested") || !exists("meta_ingested"))
         (base, meta.getLong(0), meta.getLong(1),
-          hasPositionsCol("postings"))
+          () => hasPositionsCol("postings"))
       else {
         // the meta rows are the batch commit records: sum the constants
         // AND restrict the posting union to exactly those batches —
@@ -1754,7 +1756,7 @@ object Sink {
               col("positions"), col("bucket"))),
           meta.getLong(0) + committed.map(_.getLong(1)).sum,
           meta.getLong(1) + committed.map(_.getLong(2)).sum,
-          hasPositionsCol("postings") &&
+          () => hasPositionsCol("postings") &&
             hasPositionsCol("postings_ingested"))
       }
     graft.operators.TextAnalysis.TextIndex(

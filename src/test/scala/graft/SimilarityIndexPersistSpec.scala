@@ -154,11 +154,15 @@ class SimilarityIndexPersistSpec extends SparkSpec {
       val scan = scansOf(df.queryExecution.executedPlan)
         .find(_.metadata.get("Location").exists(_.contains("postings")))
       assert(scan.isDefined, "postings scan must be a FileSourceScan")
-      val filesRead = scan.get.metrics("numFiles").value
-      assert(filesRead <= 80L,
-        s"probe must read <= 80 bucket dirs, read $filesRead")
-      assert(filesRead < allPairs,
-        s"pruning must skip buckets ($filesRead read of $allPairs on disk)")
+      // the prune contract is on DIRECTORIES (the (band, bucket)
+      // partitions), not files: index writes are n-way distributed so
+      // a bucket dir may hold several files — selectedPartitions is
+      // the partition count the static predicate let through
+      val dirsRead = scan.get.selectedPartitions.partitionCount
+      assert(dirsRead <= 80,
+        s"probe must read <= 80 bucket dirs, read $dirsRead")
+      assert(dirsRead < allPairs,
+        s"pruning must skip buckets ($dirsRead read of $allPairs on disk)")
     } finally {
       idx.unpersist()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

@@ -135,11 +135,17 @@ class StreamAnnIngestSpec extends SparkSpec {
         k = 3, nprobe = 2).collect().toSeq
       assert(after === before,
         "compaction must not change any query result")
-      // one file per cell directory afterward
+      // bounded files per cell directory afterward: the compaction
+      // rewrite is N-WAY distributed (hash on (cell, vec_id) across the
+      // session parallelism — a hot cell must not serialize into one
+      // task), so a dir holds up to numShufflePartitions files, never
+      // one per (cell × input file)
+      val maxFiles = spark.sessionState.conf.numShufflePartitions
       new java.io.File(s"$idxDir/celled").listFiles()
         .filter(_.getName.startsWith("cell=")).foreach { d =>
           val files = d.listFiles().count(_.getName.endsWith(".parquet"))
-          assert(files === 1, s"${d.getName}: $files files after compact")
+          assert(files >= 1 && files <= maxFiles,
+            s"${d.getName}: $files files after compact (cap $maxFiles)")
         }
       // compacting an already-compact index is a no-op report
       assert(Sink.compactIvfIndex(spark, idxDir) === ((nBase + 10, 0L)))

@@ -331,4 +331,59 @@ class StreamAnnServeSpec extends SparkSpec {
       assert(audit.forall(_._3), s"recall floor violated: $audit")
     } finally idx.unpersist()
   }
+
+  test("served stream absorbs EMPTY and poison micro-batches: a " +
+      "zero-row file, a zero vector, and a wrong-dimension request " +
+      "produce no rows and never kill the query") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+    val idxDir = Files.createTempDirectory("ann_empty_idx").toString
+    val input = Files.createTempDirectory("ann_empty_in")
+    val checkpoint = Files.createTempDirectory("ann_empty_ckpt")
+    try {
+      Sink.writeIvfIndex(idx, idxDir)
+      val loaded = Sink.readIvfIndex(spark, idxDir)
+      val served = scala.collection.concurrent.TrieMap
+        .empty[Long, Seq[(Long, Long)]]
+      val q = StreamAnnServe.servedWriter(
+        queryStream(input), loaded, k = 5, nprobe = 4) { (bid, res) =>
+        served.put(bid, res.select(col("query_id"), col("vec_id"))
+          .as[(Long, Long)].collect().toSeq)
+        ()
+      }
+        .option("checkpointLocation", checkpoint.toString)
+        .start()
+      try {
+        // an EMPTY micro-batch (zero-row file — real under triggers)
+        Files.write(input.resolve("b1.json"), Array.empty[Byte])
+        q.processAllAvailable()
+        // poison requests: all-zero vector (normalized() would throw)
+        // and a wrong-dimension vector (the distance kernel would) —
+        // both rejected PER REQUEST by the servableQuery guard
+        writeQueryFile(input, "b2.json", Seq(
+          (50L, Seq.fill(64)(0.0f)), (51L, Seq(1.0f, 2.0f))))
+        q.processAllAvailable()
+        assert(q.exception.isEmpty,
+          s"poison batch must not kill the stream: ${q.exception}")
+        assert(served.values.flatten.isEmpty,
+          "no rows for empty/poison batches")
+        // the stream still serves real requests afterwards
+        val v0 = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<float>"))
+          .as[Seq[Float]].head
+        writeQueryFile(input, "b3.json", Seq((52L, v0)))
+        q.processAllAvailable()
+        assert(q.exception.isEmpty)
+        val rows = served.values.flatten.toSeq
+        assert(rows.nonEmpty && rows.forall(_._1 == 52L),
+          "serving resumes after the absorbed batches")
+      } finally q.stop()
+    } finally {
+      idx.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idxDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(input.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(checkpoint.toFile)
+    }
+  }
 }
