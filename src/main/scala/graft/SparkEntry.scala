@@ -2080,8 +2080,9 @@ object SparkEntry {
             .toDF("query_id", "terms") },
         k = 50)
         .select(col("doc_id"), col("rank"))
-      val (loaded, _) =
-        Sink.readIvfPqIndex(s, persistedPqServeDir(s, dir))
+      // readIvfIndex, not readIvfPqIndex: the hybrid leg never touches
+      // the PQ codebooks — skip their collect on the serve path
+      val loaded = Sink.readIvfIndex(s, persistedPqServeDir(s, dir))
       val sem = Similarity.ivfQueryVectorsIntProbe(loaded,
           Tables.embeddings(s, dir).filter(col("vec_id") === 0)
             .select(col("vec_id").as("query_id"), col("embedding")),
@@ -2101,8 +2102,7 @@ object SparkEntry {
     "retrieval_hybrid_serve" -> ((s, dir) => {
       import s.implicits._
       val textIdx = Sink.readTextIndex(s, persistedTextIndexDir(s, dir))
-      val (annIdx, _) =
-        Sink.readIvfPqIndex(s, persistedPqServeDir(s, dir))
+      val annIdx = Sink.readIvfIndex(s, persistedPqServeDir(s, dir))
       val reqs = Seq(
         (0L, Seq("vector", "hash", "merge")),
         (1L, Seq("table", "hash")),

@@ -256,25 +256,28 @@ object Sink {
     * disk forever. All deletions here are recoverable no-ops if repeated
     * (crash mid-cleanup just leaves fewer orphans for the next pass).
     */
-  /** Distribution for every index build/append/compaction write: hash
-    * on (directory key + a high-cardinality row key) across the
-    * session's shuffle parallelism — NOT on the directory key alone.
-    * `repartition(col(dirKey))` capped write tasks at the
-    * bucket/cell/band count AND serialized each hot directory (a
-    * stop-word text bucket, a ballooned IVF cell) into ONE task — at
-    * 100 TB a 64-bucket compaction ran ≤ 64 tasks with its largest
-    * bucket single-threaded. `partitionBy` still lays out the same
-    * directories; hot ones just emit up to numShufflePartitions files,
-    * a file census the compaction gates' own file-count valves already
-    * manage. Queries are unaffected either way (the read side prunes on
-    * the directory key — that is the point of the layout); this is
-    * maintenance-job latency.
+  /** Distribution for every index build/append/compaction write:
+    * AQE REBALANCE on the directory key(s). `repartition(col(dirKey))`
+    * capped write tasks at the bucket/cell/band count AND serialized
+    * each hot directory (a stop-word text bucket, a ballooned IVF cell)
+    * into ONE task — at 100 TB a 64-bucket compaction ran ≤ 64 tasks
+    * with its largest bucket single-threaded. A fixed
+    * `repartition(n, dirKey, rowKey)` uncaps that but over-fragments
+    * SMALL maintenance jobs (every task writes a sliver file into every
+    * directory it touches — measured 4.8× on the LSH drift lifecycle at
+    * sf0.1, pure file-churn). REBALANCE is the write-shaped middle:
+    * AQE coalesces small partitions to the advisory size (tiny job →
+    * one file per directory, the old behavior) and SPLITS skewed ones
+    * (`optimizeSkewsInRebalancePartitions`, on by default) so a hot
+    * directory past the advisory size fans out across tasks at scale.
+    * `partitionBy` still lays out the same directories; queries are
+    * unaffected either way (the read side prunes on the directory key —
+    * that is the point of the layout).
     */
   private def writeDistribution(
       df: DataFrame,
       keys: org.apache.spark.sql.Column*): DataFrame =
-    df.repartition(
-      df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
+    df.hint("rebalance", keys: _*)
 
   /** Drop the named incremental-layer subdirs under `path` — the
     * fresh-overwrite-build companion of [[clearGenerations]] (all
@@ -326,7 +329,7 @@ object Sink {
     }
     // n-way write distribution (see writeDistribution): hot cells
     // parallelize instead of serializing into one task each
-    writeDistribution(index.celled, col("cell"), col("vec_id"))
+    writeDistribution(index.celled, col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(s"$path/celled")
     index.centroids.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
@@ -625,7 +628,7 @@ object Sink {
             graft.operators.Clustering.quantized(vectors), cents),
           "vec_id")
       }
-    writeDistribution(rows, col("cell"), col("vec_id"))
+    writeDistribution(rows, col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "batch_id")
@@ -693,7 +696,7 @@ object Sink {
       }
       val merged = readIvfIndex(spark, path).celled
       val n = merged.count()
-      writeDistribution(merged, col("cell"), col("vec_id"))
+      writeDistribution(merged, col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$path/celled_compact")
       val celled = new org.apache.hadoop.fs.Path(s"$path/celled")
@@ -805,7 +808,7 @@ object Sink {
       index.celled
         .join(codes, "vec_id")
         .select(col("vec_id"), col("unit"), col("codes"), col("cell")),
-      col("cell"), col("vec_id"))
+      col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(s"$path/celled")
     index.centroids.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
@@ -876,8 +879,7 @@ object Sink {
         posexplode(array((0 until index.bands).map(bandBucket): _*))
           .as(Seq("band", "bucket")))
       // n-way write distribution (see writeDistribution)
-      .transform(writeDistribution(_, col("band"), col("bucket"),
-        col("vec_id")))
+      .transform(writeDistribution(_, col("band"), col("bucket")))
       .write.mode(mode).partitionBy("band", "bucket")
       .parquet(s"$path/postings")
     index.planes.toSeq.zipWithIndex
@@ -993,8 +995,7 @@ object Sink {
         posexplode(array((0 until bands).map(bandBucket): _*))
           .as(Seq("band", "bucket")))
       // n-way write distribution (see writeDistribution)
-      .transform(writeDistribution(_, col("band"), col("bucket"),
-        col("vec_id")))
+      .transform(writeDistribution(_, col("band"), col("bucket")))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("band", "bucket", "batch_id")
@@ -1045,8 +1046,7 @@ object Sink {
       }
       merged.signed.write.mode("overwrite").parquet(s"$path/signed_compact")
       val n = spark.read.parquet(s"$path/signed_compact").count()
-      writeDistribution(merged.postings,
-          col("band"), col("bucket"), col("vec_id"))
+      writeDistribution(merged.postings, col("band"), col("bucket"))
         .write.mode("overwrite").partitionBy("band", "bucket")
         .parquet(s"$path/postings_compact")
       swap("signed_compact", "signed")
@@ -1170,7 +1170,7 @@ object Sink {
         col("positions"), col("bucket"))
       // n-way write distribution (see writeDistribution): a stop-word
       // bucket parallelizes across tasks instead of serializing in one
-      .transform(writeDistribution(_, col("bucket"), col("token")))
+      .transform(writeDistribution(_, col("bucket")))
       .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
     val (nDocs, totalTokens) = (docs.count(),
       dl.agg(coalesce(sum(col("dl")), lit(0L))).head.getLong(0))
@@ -1293,7 +1293,7 @@ object Sink {
       .withColumn("batch_id", lit(batchId))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"),
         col("positions"), col("bucket"), col("batch_id"))
-      .transform(writeDistribution(_, col("bucket"), col("token")))
+      .transform(writeDistribution(_, col("bucket")))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket", "batch_id")
@@ -1554,7 +1554,7 @@ object Sink {
       val genDir = s"$rawPath/gen-$gen"
       // clear any torn, uncommitted generation at this number
       fs.delete(new org.apache.hadoop.fs.Path(genDir), true)
-      writeDistribution(idx.postings, col("bucket"), col("token"))
+      writeDistribution(idx.postings, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$genDir/postings")
       Seq((idx.nDocs, idx.totalTokens, idx.buckets))
