@@ -744,6 +744,13 @@ object ScaleCheck {
         batchId = 0L)
       1L
     }
+    // the delete probe may have been filtered out — pay the tombstone
+    // write OUTSIDE the timed serve block (the BM25-build lesson)
+    if (!new java.io.File(s"$textIdxDir/tombstones_meta").exists()) {
+      graft.sinks.Sink.deleteFromTextIndex(spark, textIdxDir,
+        big.filter(col("doc_id") % 10 === 7).select(col("doc_id")),
+        batchId = 0L)
+    }
     time("BM25 serve (tombstoned index)") {
       import spark.implicits._
       val idx = graft.sinks.Sink.readTextIndex(spark, textIdxDir)
