@@ -95,9 +95,11 @@ object ScaleCheck {
     }
     // the serving path: request-shaped external vectors against the
     // prebuilt index — cost must track probed cells, not corpus size
+    // the build probe may have been filtered out — pay it OUTSIDE the
+    // timed serve block (a conditional corpus-sized build inside the
+    // timing silently overstates serve cost — the BM25 lesson below)
+    if (ivfIdx == null) ivfIdx = Similarity.buildIvfIndex(bigEmb, nlist = 64)
     time("IVF serve x5 (external vectors)") {
-      // the build probe may have been filtered out — pay it here then
-      if (ivfIdx == null) ivfIdx = Similarity.buildIvfIndex(bigEmb, nlist = 64)
       val reqs = emb.filter(col("vec_id") < 5)
         .select((col("vec_id") + 9000000L).as("query_id"), col("embedding"))
       force(Similarity.ivfQueryVectors(ivfIdx, reqs, k = 10, nprobe = 4))
@@ -682,9 +684,9 @@ object ScaleCheck {
     // LSH serving with external vectors against the prebuilt index —
     // cost must track probed buckets, not corpus size (the IVF serve
     // probe's twin)
+    // fallback build OUTSIDE the timing, as above
+    if (lshIdx == null) lshIdx = Similarity.buildLshIndex(bigEmb)
     time("LSH serve x5 (external vectors)") {
-      // the build probe may have been filtered out — pay it here then
-      if (lshIdx == null) lshIdx = Similarity.buildLshIndex(bigEmb)
       val reqs = emb.filter(col("vec_id") < 5)
         .select((col("vec_id") + 9000000L).as("query_id"), col("embedding"))
       force(Similarity.lshQueryVectors(
