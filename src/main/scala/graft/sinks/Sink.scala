@@ -1485,6 +1485,10 @@ object Sink {
     * immediately; the drift-gated rebuilds and [[compactIvfIndex]] fold
     * them physically and drop the layouts. No corpus constants exist
     * here, so replays are idempotent by the dynamic overwrite alone.
+    * Like the text twin, deletion is TERMINAL for a vec_id within the
+    * current layout: re-ingesting a tombstoned id stays invisible until
+    * a compaction/rebuild folds the tombstone away (re-add = delete →
+    * compact → append).
     */
   def deleteFromIvfIndex(
       spark: org.apache.spark.sql.SparkSession,

@@ -212,6 +212,37 @@ class IndexDeleteSpec extends SparkSpec {
     }
   }
 
+  test("IVF delete composes with ingest: appended vectors delete too, " +
+      "and a fresh overwrite build clears stale vector tombstones") {
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val idx = Similarity.buildIvfIndexExact(half, nlist = 4, iters = 1)
+    val dir = tmp("vdel_ing")
+    try {
+      Sink.writeIvfIndex(idx, dir)
+      Sink.appendIvfIndex(spark, dir,
+        emb.filter(col("vec_id") % 2 === 1), batchId = 0L)
+      // the delete spans BOTH layouts: a base vector and an ingested one
+      Sink.deleteFromIvfIndex(spark, dir,
+        Seq(2L, 3L).toDF("vec_id"), batchId = 1L)
+      val loaded = Sink.readIvfIndex(spark, dir)
+      val ids = loaded.celled.select(col("vec_id")).as[Long]
+        .collect().toSet
+      assert(!ids.contains(2L) && !ids.contains(3L),
+        "delete applies across celled ∪ ingested")
+      assert(ids.size === emb.count() - 2)
+      // an overwrite REBUILD at the same path starts clean
+      val fresh = Similarity.buildIvfIndexExact(emb, nlist = 4, iters = 1)
+      Sink.writeIvfIndex(fresh, dir)
+      fresh.unpersist()
+      assert(Sink.readIvfIndex(spark, dir).celled.count() === emb.count(),
+        "stale vector tombstones cleared by the fresh build")
+    } finally {
+      idx.unpersist()
+      rm(dir)
+    }
+  }
+
   test("delete-only states still compact (no appended batches), and " +
       "the compaction gate counts tombstone batches") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
