@@ -76,7 +76,10 @@ object Bench {
     * ours).
     */
   def parseBenchFullMins(text: String): Map[String, Double] =
-    """"([A-Za-z0-9_]+)": \{"median":[0-9.]+,"min":([0-9.]+)""".r
+    // numeric pattern covers exponent forms too: fmt is fixed-decimal
+    // today, but a silently-dropped query would skew ab_ratio with no
+    // signal if that ever changed — parse what a Double can print
+    """"([A-Za-z0-9_]+)": \{"median":[0-9.Ee+-]+,"min":([0-9.Ee+-]+)""".r
       .findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 

@@ -90,7 +90,8 @@ object Similarity {
   final case class IvfIndex(
       centroids: Array[Array[Double]],
       celled: DataFrame,
-      qcents: Array[Array[Long]] = Array.empty) {
+      qcents: Array[Array[Long]] = Array.empty,
+      qcentsSpace: String = "raw") {
     def nlist: Int = centroids.length
     def unpersist(): Unit = { celled.unpersist(); () }
 
@@ -98,6 +99,15 @@ object Similarity {
       * [[graft.operators.Clustering]]'s integer lattice (an exact-Lloyd
       * build) — the prerequisite for [[ivfQueryVectorsIntProbe]]'s
       * cross-engine-replayable probe selection.
+      *
+      * `qcentsSpace` records WHICH vectors the lattice quantized:
+      * `"raw"` for a fresh [[buildIvfIndexExact]] (trained on original
+      * embeddings) or `"unit"` for a drift rebuild
+      * ([[graft.sinks.Sink.rebuildIvfIndex]] retrains on the index's
+      * stored unit vectors — the originals are gone). The probe must
+      * quantize its QUERY in the same space, or cell selection
+      * compares mismatched lattices and silently degrades the
+      * candidate set.
       */
     def hasQuantizedCentroids: Boolean = qcents.nonEmpty
   }
@@ -396,8 +406,19 @@ object Similarity {
     require(index.hasQuantizedCentroids,
       "integer-lattice probe needs an exact-Lloyd index " +
         "(buildIvfIndexExact / a persisted layout with qcentroids)")
+    // quantize the query in the lattice's TRAINING space: a fresh build
+    // trained on raw embeddings, a drift rebuild on the stored unit
+    // vectors (IvfIndex.qcentsSpace) — quantizing a raw query against a
+    // unit-trained lattice compares mismatched spaces and silently
+    // degrades probe-cell selection. The unit path normalizes first
+    // (deterministic sequential fold, replayed the same way by the
+    // oracle); the 4096-step lattice absorbs last-bit float drift
+    // everywhere short of an exact half-way rounding tie.
+    val qVec =
+      if (index.qcentsSpace == "unit") normalized(col("embedding"))
+      else col("embedding")
     val qLattice = transform(
-      col("embedding"),
+      qVec,
       x => round((x.cast("double") + lit(Clustering.Shift)) *
         lit(Clustering.Scale)).cast("long"))
     val cands = index.qcents.zipWithIndex.map { case (c, j) =>

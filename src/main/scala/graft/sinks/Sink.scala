@@ -321,11 +321,17 @@ object Sink {
     // build, the exposure any overwrite-mode write always had) — and
     // every incremental layer (ingested batches, tombstones) a prior
     // lifecycle left: a stale tombstone surviving an overwrite build
-    // would silently delete freshly-indexed vectors
+    // would silently delete freshly-indexed vectors. qcentroids clears
+    // with them: a float-trained build over a path that previously held
+    // an exact-Lloyd layout must not leave the OLD integer quantizer
+    // behind — readIvfIndex would pair the new celled/centroids with a
+    // stale (possibly different-nlist) lattice and
+    // ivfQueryVectorsIntProbe would silently probe wrong cells
     if (mode == "overwrite") {
       clearGenerations(spark, path)
       clearIncrementalLayers(spark, path,
-        Seq("ingested", "tombstones", "tombstones_meta"))
+        Seq("ingested", "tombstones", "tombstones_meta", "qcentroids",
+          "folded"))
     }
     // n-way write distribution (see writeDistribution): hot cells
     // parallelize instead of serializing into one task each
@@ -360,9 +366,12 @@ object Sink {
     if (index.qcents.nonEmpty) {
       val spark = index.celled.sparkSession
       import spark.implicits._
+      // `space` rides on every row (one tiny table — no second meta
+      // file to torn-update): the probe must quantize queries in the
+      // lattice's training space (IvfIndex.qcentsSpace)
       index.qcents.toSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }
-        .toDF("cell", "qcentroid")
+        .map { case (c, i) => (i, c.toSeq, index.qcentsSpace) }
+        .toDF("cell", "qcentroid", "space")
         .coalesce(1).write.mode(mode).parquet(s"$path/qcentroids")
     }
   }
@@ -472,11 +481,22 @@ object Sink {
       // (e.g. orphaned pq_codebooks) would be committed into this
       // generation alongside the fresh layout
       fs.delete(new org.apache.hadoop.fs.Path(genDir), true)
+      // qcentsSpace = "unit": this quantizer trained on the stored unit
+      // vectors (the raw embeddings are gone) — the persisted space tag
+      // makes ivfQueryVectorsIntProbe normalize queries before lattice
+      // quantization, keeping probe selection in the training space
       writeIvfIndex(
         graft.operators.Similarity.IvfIndex(
-          fresh.centroids, preserved, fresh.qcents),
+          fresh.centroids, preserved, fresh.qcents, qcentsSpace = "unit"),
         genDir)
       fresh.unpersist()
+      // the rebuild absorbed every ingested batch and folded every
+      // tombstone — carry their ids in the generation's `folded` ledger
+      // so post-rebuild replays are skipped (the compactIvfIndex rule)
+      writeFoldedLedger(spark, genDir,
+        foldedBatchIds(spark, oldRoot) ++
+          ingestedBatchIdsAt(spark, oldRoot) ++
+          committedTombstoneBatchIds(spark, oldRoot))
       // COMMIT: one marker-file creation — from here on readers resolve
       // the new generation; everything below is recoverable cleanup
       fs.create(
@@ -534,6 +554,7 @@ object Sink {
       val conf = spark.sparkContext.hadoopConfiguration
       val rootPath = new org.apache.hadoop.fs.Path(path)
       val fs = rootPath.getFileSystem(conf)
+      val oldRoot = resolveIndexRoot(spark, path)
       val cur = readIvfIndex(spark, path).celled
         .select(col("vec_id"), col("unit"))
       val nCur = cur.count()
@@ -553,9 +574,10 @@ object Sink {
       // rebuildIvfIndex (a coarse-flavor half-write must not leak
       // subdirs into this committed PQ generation, or vice versa)
       fs.delete(new org.apache.hadoop.fs.Path(genDir), true)
+      // unit-space quantizer — see rebuildIvfIndex
       writeIvfPqIndex(
         graft.operators.Similarity.IvfIndex(
-          fresh.centroids, preserved, fresh.qcents),
+          fresh.centroids, preserved, fresh.qcents, qcentsSpace = "unit"),
         model.cents, model.codes, genDir)
       fresh.unpersist()
       model.unpersist()
@@ -564,6 +586,11 @@ object Sink {
         s"rebuild corpus covers only $nNew of $nCur index rows - corpus " +
           "must contain every indexed vec_id (half-written generation " +
           "left uncommitted)")
+      // absorbed batch ids → the generation's ledger, as rebuildIvfIndex
+      writeFoldedLedger(spark, genDir,
+        foldedBatchIds(spark, oldRoot) ++
+          ingestedBatchIdsAt(spark, oldRoot) ++
+          committedTombstoneBatchIds(spark, oldRoot))
       // COMMIT: one marker-file creation, then recoverable cleanup
       fs.create(
         new org.apache.hadoop.fs.Path(s"$genDir/_SUCCESS"), true).close()
@@ -609,6 +636,9 @@ object Sink {
       vectors: DataFrame,
       batchId: Long): Unit = {
     val root = resolveIndexRoot(spark, path)
+    // a batch a compaction/rebuild already absorbed must not re-enter
+    // as new data (the appendTextIndex ledger rule)
+    if (foldedBatchIds(spark, root).contains(batchId)) return
     val centroids = spark.read.parquet(s"$root/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
@@ -694,6 +724,14 @@ object Sink {
             nf += 1
         }
       }
+      // batch ids this fold absorbs — collected BEFORE the layouts
+      // drop, written to the `folded` ledger so post-compaction replays
+      // of an absorbed append/delete are skipped (a replayed tombstone
+      // would otherwise mask the folded — possibly re-appended — base
+      // rows; see [[deleteFromIvfIndex]])
+      val absorbed = foldedBatchIds(spark, path) ++
+        ingestedBatchIdsAt(spark, path) ++
+        committedTombstoneBatchIds(spark, path)
       val merged = readIvfIndex(spark, path).celled
       val n = merged.count()
       writeDistribution(merged, col("cell"))
@@ -706,13 +744,19 @@ object Sink {
         new org.apache.hadoop.fs.Path(s"$path/celled_compact"), celled),
         "swap failed: celled_compact -> celled")
       fs.delete(old, true)
+      writeFoldedLedger(spark, path, absorbed)
       fs.delete(ingestedDir, true)
       // merged came from the tombstone-applied view: deletes are now
       // physically folded, so drop their layouts (a later replayed
-      // delete re-tombstones already-absent ids — a harmless no-op)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      // delete re-tombstones already-absent ids — a harmless no-op).
+      // COMMIT RECORD FIRST: a crash between the two deletes must leave
+      // the orphaned state readable (ids without meta = uncommitted =
+      // invisible; meta without ids would need the reader's
+      // missing-table tolerance — both directions are now safe, but
+      // deleting the record first keeps the invariant structural)
       fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/tombstones_meta"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
       (n, nf)
     }
   }
@@ -737,19 +781,29 @@ object Sink {
     // (Similarity.ivfQueryVectorsIntProbe) works against the on-disk
     // layout; float-trained layouts simply don't have the table
     val qcPath = new org.apache.hadoop.fs.Path(s"$path/qcentroids")
-    val qcents =
+    val (qcents, qcSpace) =
       if (!qcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(qcPath)) Array.empty[Array[Long]]
-      else spark.read.parquet(s"$path/qcentroids")
-        .orderBy(col("cell")).collect()
-        .map(_.getSeq[Long](1).toArray)
+          .exists(qcPath)) (Array.empty[Array[Long]], "raw")
+      else {
+        val qc = spark.read.parquet(s"$path/qcentroids")
+        // layouts persisted before the space column trained on raw
+        // embeddings (the only build path back then) — default "raw"
+        val hasSpace = qc.schema.fieldNames.contains("space")
+        val rows = qc.orderBy(col("cell")).collect()
+        (rows.map(_.getSeq[Long](1).toArray),
+          if (hasSpace && rows.nonEmpty)
+            rows.head.getString(rows.head.fieldIndex("space"))
+          else "raw")
+      }
     val celled = spark.read.parquet(s"$path/celled")
     val ingestedDir = new org.apache.hadoop.fs.Path(s"$path/ingested")
     val hasIngested = ingestedDir
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(ingestedDir)
+    // row_batch (−1 = base celled, else ingest batch id) keys the
+    // batch-scoped tombstone mask below
     val all =
-      if (!hasIngested) celled
+      if (!hasIngested) celled.withColumn("row_batch", lit(-1L))
       else {
         // declared schema: the partition columns must come back as
         // exactly (cell INT, batch_id BIGINT) or a silent cast on the
@@ -759,25 +813,29 @@ object Sink {
           if (indexHasPq(spark, path))
             ("vec_id BIGINT, unit ARRAY<DOUBLE>, codes ARRAY<INT>, " +
               "cell INT, batch_id BIGINT",
-              Seq(col("vec_id"), col("unit"), col("codes"), col("cell")))
+              Seq(col("vec_id"), col("unit"), col("codes"), col("cell"),
+                col("batch_id").as("row_batch")))
           else
             ("vec_id BIGINT, unit ARRAY<DOUBLE>, cell INT, batch_id BIGINT",
-              Seq(col("vec_id"), col("unit"), col("cell")))
-        celled.unionByName(
+              Seq(col("vec_id"), col("unit"), col("cell"),
+                col("batch_id").as("row_batch")))
+        celled.withColumn("row_batch", lit(-1L)).unionByName(
           spark.read.schema(schema).parquet(s"$path/ingested")
             .select(cols: _*),
           allowMissingColumns = true)
       }
-    // committed tombstones ([[deleteFromIvfIndex]]) anti-join the whole
-    // view broadcast — every probe path (batch/serving/streaming/ADC)
-    // stops returning deleted vectors immediately; rebuilds and
-    // [[compactIvfIndex]] fold them physically
+    // committed tombstones ([[deleteFromIvfIndex]]) mask the whole view
+    // broadcast and BATCH-SCOPED (`row_batch > tomb_batch` survival —
+    // a re-append after a delete resurrects the vector) — every probe
+    // path (batch/serving/streaming/ADC) stops returning deleted
+    // vectors immediately; rebuilds and [[compactIvfIndex]] fold them
+    // physically
     val live = committedTombstones(spark, path, "vec_id") match {
-      case None => all
-      case Some((tIds, _, _)) =>
-        all.join(broadcast(tIds), Seq("vec_id"), "left_anti")
+      case None => all.drop("row_batch")
+      case Some((tombs, _, _)) =>
+        maskTombstones(all, "vec_id", tombs)
     }
-    graft.operators.Similarity.IvfIndex(centroids, live, qcents)
+    graft.operators.Similarity.IvfIndex(centroids, live, qcents, qcSpace)
   }
 
   /** C6+ / similarity — persist the IVF-PQ index (the full FAISS-style
@@ -801,8 +859,12 @@ object Sink {
     import spark.implicits._
     if (mode == "overwrite") {
       clearGenerations(spark, path)
+      // qcentroids included for the same stale-quantizer reason as
+      // writeIvfIndex: a float-trained PQ build must not inherit a
+      // prior exact-Lloyd layout's integer lattice
       clearIncrementalLayers(spark, path,
-        Seq("ingested", "tombstones", "tombstones_meta"))
+        Seq("ingested", "tombstones", "tombstones_meta", "qcentroids",
+          "folded"))
     }
     writeDistribution(
       index.celled
@@ -864,7 +926,7 @@ object Sink {
       clearGenerations(spark, path)
       clearIncrementalLayers(spark, path,
         Seq("signed_ingested", "postings_ingested",
-          "tombstones", "tombstones_meta"))
+          "tombstones", "tombstones_meta", "folded"))
     }
     val bitsPerBand = index.bitsPerBand
     val mask = (1L << bitsPerBand) - 1
@@ -970,6 +1032,8 @@ object Sink {
       vectors: DataFrame,
       batchId: Long): Unit = {
     import graft.operators.Similarity
+    // folded-ledger replay guard, as appendIvfIndex
+    if (foldedBatchIds(spark, path).contains(batchId)) return
     val planes = spark.read.parquet(s"$path/planes")
       .orderBy(col("bit")).collect()
       .map(_.getSeq[Double](1).toArray)
@@ -1034,6 +1098,14 @@ object Sink {
           if (it.next().getPath.getName.endsWith(".parquet")) nf += 1
         }
       }
+      // absorbed batch ids → `folded` ledger, the compactIvfIndex twin
+      val absorbed = foldedBatchIds(spark, path) ++
+        (if (fs.exists(signedIn))
+          spark.read.parquet(s"$path/signed_ingested")
+            .select(col("batch_id").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+        else Set.empty[Long]) ++
+        committedTombstoneBatchIds(spark, path)
       val merged = readLshIndex(spark, path)
       def swap(tmpName: String, liveName: String): Unit = {
         val live = new org.apache.hadoop.fs.Path(s"$path/$liveName")
@@ -1051,13 +1123,15 @@ object Sink {
         .parquet(s"$path/postings_compact")
       swap("signed_compact", "signed")
       swap("postings_compact", "postings")
+      writeFoldedLedger(spark, path, absorbed)
       fs.delete(signedIn, true)
       fs.delete(postIn, true)
       // both rewrites came from the tombstone-applied view — deletes
-      // are physically folded, drop their layouts
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      // are physically folded, drop their layouts (commit record first,
+      // same crash-ordering stance as compactIvfIndex)
       fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/tombstones_meta"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
       (n, nf)
     }
   }
@@ -1084,9 +1158,11 @@ object Sink {
       .map(_.getSeq[Double](1).toArray)
     val bands = spark.read.parquet(s"$path/meta").head.getInt(0)
     val signedBase = spark.read.parquet(s"$path/signed")
+      .withColumn("row_batch", lit(-1L))
     // vectors added after the build ([[appendLshIndex]]) union in from
     // the ingested layouts; declared schemas keep the partition columns
-    // type-exact so static probe predicates still prune directories
+    // type-exact so static probe predicates still prune directories.
+    // row_batch (−1 = base) keys the batch-scoped tombstone mask below
     val signed =
       if (!exists("signed_ingested")) signedBase
       else signedBase.unionByName(
@@ -1094,27 +1170,32 @@ object Sink {
           .schema("vec_id BIGINT, unit ARRAY<DOUBLE>, sig BIGINT, " +
             "batch_id BIGINT")
           .parquet(s"$path/signed_ingested")
-          .select(col("vec_id"), col("unit"), col("sig")),
+          .select(col("vec_id"), col("unit"), col("sig"),
+            col("batch_id").as("row_batch")),
         allowMissingColumns = true)
     val postingsBase = spark.read
       .schema("vec_id BIGINT, band INT, bucket BIGINT")
       .parquet(s"$path/postings")
+      .withColumn("row_batch", lit(-1L))
     val postings =
       if (!exists("postings_ingested")) postingsBase
       else postingsBase.unionByName(
         spark.read
           .schema("vec_id BIGINT, band INT, bucket BIGINT, batch_id BIGINT")
           .parquet(s"$path/postings_ingested")
-          .select(col("vec_id"), col("band"), col("bucket")))
-    // committed tombstones ([[deleteFromLshIndex]]) anti-join BOTH
-    // sides: postings (probes stop surfacing the ids) AND signed (the
-    // rerank must not resurrect them) — broadcast, deletion-rate-sized
+          .select(col("vec_id"), col("band"), col("bucket"),
+            col("batch_id").as("row_batch")))
+    // committed tombstones ([[deleteFromLshIndex]]) mask BOTH sides,
+    // batch-scoped (`row_batch > tomb_batch` survival — a re-append
+    // resurrects): postings (probes stop surfacing the ids) AND signed
+    // (the rerank must not resurrect them) — broadcast,
+    // deletion-rate-sized
     val (liveSigned, livePostings) =
       committedTombstones(spark, path, "vec_id") match {
-        case None => (signed, postings)
-        case Some((tIds, _, _)) => (
-          signed.join(broadcast(tIds), Seq("vec_id"), "left_anti"),
-          postings.join(broadcast(tIds), Seq("vec_id"), "left_anti"))
+        case None => (signed.drop("row_batch"), postings.drop("row_batch"))
+        case Some((tombs, _, _)) => (
+          maskTombstones(signed, "vec_id", tombs),
+          maskTombstones(postings, "vec_id", tombs))
       }
     graft.operators.Similarity.PersistedLshIndex(
       planes, bands, liveSigned, livePostings)
@@ -1155,7 +1236,8 @@ object Sink {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       Seq("postings_ingested", "meta_ingested",
-        "tombstones", "tombstones_meta").foreach { sub =>
+        "tombstones", "tombstones_meta",
+        "doc_stats", "doc_stats_ingested").foreach { sub =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
       }
     }
@@ -1177,6 +1259,20 @@ object Sink {
     Seq((nDocs, totalTokens, buckets))
       .toDF("n_docs", "total_tokens", "buckets")
       .coalesce(1).write.mode(mode).parquet(s"$path/meta")
+    // the (doc_id, dl) SIDECAR, doc-id-bucketed: what makes
+    // [[deleteFromTextIndex]]'s corpus-constant contribution
+    // O(deletion-batch) instead of a postings scan (doc_id is not the
+    // postings layout key). LEFT join: zero-token docs get dl = 0 —
+    // they count in n_docs, so a delete must adjust N for them too
+    writeDistribution(
+      docs.select(col("doc_id").cast("long").as("doc_id"))
+        .join(dl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dl"), lit(0L)).as("dl"),
+          pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int")
+            .as("dbucket")),
+      col("dbucket"))
+      .write.mode(mode).partitionBy("dbucket").parquet(s"$path/doc_stats")
     // build-time bucket-occupancy census (≤ buckets rows) — the
     // baseline [[textOccupancyDrift]] measures from, the
     // [[writeLshIndex]] build_census twin: a skewed ingest stream (one
@@ -1236,8 +1332,12 @@ object Sink {
   }
 
   /** Incrementally ADD documents to a persisted inverted index — the
-    * [[appendIvfIndex]] of the text leg: NEW docs (ids not already
-    * indexed — same contract as the ANN adds) tokenize into postings
+    * [[appendIvfIndex]] of the text leg: NEW docs (ids not currently
+    * VISIBLE — either never indexed, or tombstoned by an earlier
+    * [[deleteFromTextIndex]] batch, in which case this append
+    * RESURRECTS the id: the batch-scoped mask keeps rows with
+    * `row_batch > tomb_batch`, so re-add = delete → append, no
+    * compaction needed) tokenize into postings
     * under `path/postings_ingested` partitioned by `(bucket, batch_id)`
     * and their corpus constants into a per-batch `meta_ingested` row;
     * queries through [[readTextIndex]] see them immediately (both
@@ -1298,6 +1398,21 @@ object Sink {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket", "batch_id")
       .parquet(s"$path/postings_ingested")
+    // the batch's doc-stats sidecar rows (see [[writeTextIndex]]) —
+    // before the commit record, same torn-batch invisibility; LEFT
+    // join so zero-token docs carry dl = 0
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(dl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dl"), lit(0L)).as("dl"),
+        pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int")
+          .as("dbucket"),
+        lit(batchId).as("batch_id"))
+      .coalesce(1) // batch-sized: one file per batch directory
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$path/doc_stats_ingested")
     // the COMMIT record for this batch — last write, see scaladoc
     Seq((docs.count(),
         dl.agg(coalesce(sum(col("dl")), lit(0L))).head.getLong(0),
@@ -1331,9 +1446,13 @@ object Sink {
     * assumption as documented on [[appendTextIndex]]. Returns (posting
     * rows after compaction, ingested files folded).
     */
-  /** Batch ids already folded into a text-index generation's base
-    * postings — read from the `folded` ledger at the RESOLVED root
-    * (empty for a never-compacted index or a pre-ledger layout).
+  /** Batch ids already folded into an index's base layout — read from
+    * the `folded` ledger at the RESOLVED root (empty for a
+    * never-compacted index or a pre-ledger layout). Text compactions
+    * write it into each generation; the in-place IVF/LSH compactions
+    * keep it at the flat root ([[writeFoldedLedger]]). Appends AND
+    * deletes consult it: a replayed batch whose effects a compaction
+    * already folded must be skipped, not re-applied.
     */
   private def foldedBatchIds(
       spark: org.apache.spark.sql.SparkSession,
@@ -1345,12 +1464,35 @@ object Sink {
       .select(col("batch_id")).collect().map(_.getLong(0)).toSet
   }
 
+  /** Persist the cumulative folded-batch ledger at `root` (no-op when
+    * empty — a ledger-less layout means "nothing ever folded").
+    */
+  private def writeFoldedLedger(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      ids: Set[Long]): Unit = {
+    import spark.implicits._
+    if (ids.nonEmpty)
+      ids.toSeq.sorted.toDF("batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/folded")
+  }
+
   // ============================================== document/vector DELETE
 
-  /** Committed tombstones at an index root: the deleted-id table
+  /** Committed tombstones at an index root: the deleted-id table as
+    * `(idCol, tomb_batch = max committed tombstone batch per id)`
     * (restricted to batches whose commit record landed, optionally only
     * batches BELOW `beforeBatch`) plus the summed meta adjustments
     * `(Σ n_ids, Σ adj)`. None when no committed tombstone batch exists.
+    *
+    * `tomb_batch` is what makes deletes BATCH-SCOPED rather than
+    * terminal: a tombstone at batch K masks only rows from batches ≤ K
+    * (readers keep a row iff `row_batch > tomb_batch`; base-layout rows
+    * predate the batch lineage and carry row_batch = −1, so any
+    * tombstone masks them), which lets delete → re-append resurrect an
+    * id WITHOUT waiting for a compaction — at 100 TB a compaction is a
+    * full-generation rewrite, and a crawl that re-fetches a
+    * previously retention-deleted URL must not pay it.
     *
     * Layout (shared by all four index families): `tombstones/
     * batch_id=K/` holds the 8-byte id rows, `tombstones_meta/
@@ -1372,6 +1514,13 @@ object Sink {
     val metaPath = new org.apache.hadoop.fs.Path(s"$root/tombstones_meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(metaPath)) return None
+    // a compaction crash can strand the commit record without its id
+    // table (the fold deletes both layouts after the rewrite): the ids
+    // are already PHYSICALLY absent from the rewritten index, so the
+    // stale record means "nothing left to mask" — treat it as empty
+    // rather than letting every subsequent read throw path-not-found
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+      return None
     val committed = spark.read.parquet(s"$root/tombstones_meta")
       .select(col("batch_id").cast("long"), col("n_ids"), col("adj"))
       .collect()
@@ -1382,9 +1531,26 @@ object Sink {
       .schema(s"$idCol BIGINT, batch_id BIGINT")
       .parquet(s"$root/tombstones")
       .filter(col("batch_id").isin(committed.map(_._1).toSeq: _*))
-      .select(col(idCol)).distinct()
+      .groupBy(col(idCol))
+      .agg(max(col("batch_id")).as("tomb_batch"))
     Some((ids, committed.map(_._2).sum, committed.map(_._3).sum))
   }
+
+  /** Apply committed tombstones to a layered table whose rows carry
+    * `row_batch` (−1 for base-layout rows, the ingest batch id for
+    * incremental rows): keep a row iff no tombstone masks it —
+    * `row_batch > tomb_batch` survival, the batch-scoped visibility
+    * rule ([[committedTombstones]]). Broadcast: tombstones are
+    * deletion-rate-sized. Drops the bookkeeping columns on the way out.
+    */
+  private def maskTombstones(
+      rows: DataFrame,
+      idCol: String,
+      tombs: DataFrame): DataFrame =
+    rows.join(broadcast(tombs), Seq(idCol), "left")
+      .filter(col("tomb_batch").isNull ||
+        col("row_batch") > col("tomb_batch"))
+      .drop("tomb_batch", "row_batch")
 
   /** Write one tombstone batch (ids + commit record) under `root` —
     * the shared write half of every `deleteFrom*Index`: ids land under
@@ -1437,15 +1603,26 @@ object Sink {
     * correctly contributes zero on a base whose meta already carries
     * K's adjustment. Both writes are dynamic partition overwrites.
     *
-    * Cost note: the contribution count joins the deletion ids against
-    * the postings' `(doc_id, dl)` projection — doc_id is NOT the layout
-    * key, so this is one column-pruned scan of the probed index per
-    * delete batch, the honest price of deleting by doc from a
-    * token-partitioned layout (the scan is also exactly what the
-    * physical fold pays at compaction). Deletion is TERMINAL for a
-    * doc_id within a generation: re-ingesting a tombstoned id is
-    * invisible until a compaction folds the tombstone away — document
-    * re-adds as delete → compact → append.
+    * Cost: O(deletion batch), NOT O(index) — the corpus-constant
+    * contribution joins the deletion ids against the `doc_stats`
+    * SIDECAR (`(doc_id, dl, dbucket)`, one row per doc, PARTITIONED BY
+    * `dbucket = pmod(xxhash64(doc_id), buckets)`), statically pruned to
+    * the deletion ids' bucket directories — the earlier implementation
+    * scanned the whole postings `(doc_id, dl)` projection per batch
+    * because doc_id is not the postings layout key. Layouts persisted
+    * before the sidecar existed ADOPT one on first delete (one
+    * column-pruned postings pass, then O(batch) forever; zero-token
+    * docs are unrecoverable from postings — adopted sidecars count
+    * them as the old scan did).
+    *
+    * Deletion is BATCH-SCOPED, not terminal: the tombstone masks only
+    * rows from batches ≤ `batchId` ([[committedTombstones]]), so a
+    * later [[appendTextIndex]] of the same doc_id RESURRECTS it with no
+    * compaction needed — re-add = delete → append. A replay of a batch
+    * that a compaction already folded physically is skipped via the
+    * generation's `folded` ledger (exactly the [[appendTextIndex]]
+    * guard; without it the replayed tombstone would mask the folded —
+    * possibly re-appended — base rows).
     *
     * SINGLE MAINTAINER, same as [[appendTextIndex]]: deletes share the
     * append stream's batch-id lineage and must not race maintenance.
@@ -1456,25 +1633,123 @@ object Sink {
       docIds: DataFrame,
       batchId: Long): Unit = {
     val path = resolveIndexRoot(spark, rawPath)
+    if (foldedBatchIds(spark, path).contains(batchId)) return
     val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
-    val raw = readTextIndexRaw(spark, path)
-    val view = committedTombstones(spark, path, "doc_id",
+    val buckets = spark.read.parquet(s"$path/meta").head.getInt(2)
+    // the deletion ids' sidecar buckets: a deletion-batch-sized collect
+    // (the probe-union idiom) that turns the stats lookup into a static
+    // partition prune
+    val probed: Seq[Int] = ids
+      .select(pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int")
+        .as("dbucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val stats = docStatsLayers(spark, path, buckets,
+        beforeBatch = Some(batchId))
+      .filter(col("dbucket").isin(probed: _*)) // static partition prune
+      .join(broadcast(ids), Seq("doc_id"))
+    // batch-scoped visibility at delete time: rows from batches BELOW
+    // this one (docStatsLayers applied that), minus rows earlier
+    // tombstone batches already mask — a replayed batch K re-derives
+    // exactly the numbers K computed the first time, whatever appended
+    // or deleted after it
+    val visible = committedTombstones(spark, path, "doc_id",
         beforeBatch = Some(batchId)) match {
-      case Some((tIds, _, _)) =>
-        raw.postings.join(broadcast(tIds), Seq("doc_id"), "left_anti")
-      case None => raw.postings
+      case Some((tombs, _, _)) =>
+        stats.join(broadcast(tombs), Seq("doc_id"), "left")
+          .filter(col("tomb_batch").isNull ||
+            col("row_batch") > col("tomb_batch"))
+      case None => stats
     }
-    // (doc_id, dl) rides denormalized on every posting: one
-    // column-pruned pass dedups to per-doc rows, so already-deleted or
-    // never-indexed ids contribute 0 — the replay-idempotence anchor
-    val agg = view.join(broadcast(ids), Seq("doc_id"))
-      .select(col("doc_id"), col("dl")).distinct()
+    // ≤ 1 visible row per doc (the append contract: an id is only ever
+    // re-added AFTER a delete masks its earlier rows), so plain
+    // count/sum — already-deleted or never-indexed ids contribute 0
+    val agg = visible
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("t"))
       .head
     writeTombstoneBatch(spark, path, ids,
       agg.getLong(0), agg.getLong(1), batchId)
+  }
+
+  /** The doc-stats sidecar across all committed layers, as
+    * `(doc_id, dl, dbucket, row_batch)` — base rows (row_batch = −1)
+    * from `doc_stats/` plus committed, unfolded ingest batches from
+    * `doc_stats_ingested/` (below `beforeBatch` when given, the
+    * [[deleteFromTextIndex]] replay rule). Adopts a sidecar from the
+    * postings for layouts persisted before it existed.
+    */
+  private def docStatsLayers(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      buckets: Int,
+      beforeBatch: Option[Long] = None): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(sub: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
+    if (!exists("doc_stats")) adoptDocStats(spark, path, buckets)
+    val base = spark.read
+      .schema("doc_id BIGINT, dl BIGINT, dbucket INT")
+      .parquet(s"$path/doc_stats")
+      .withColumn("row_batch", lit(-1L))
+    if (!exists("doc_stats_ingested")) base
+    else {
+      val folded = foldedBatchIds(spark, path)
+      val committed = committedIngestBatchIds(spark, path)
+        .diff(folded)
+        .filter(b => beforeBatch.forall(b < _)).toSeq
+      base.unionByName(
+        spark.read
+          .schema("doc_id BIGINT, dl BIGINT, dbucket INT, batch_id BIGINT")
+          .parquet(s"$path/doc_stats_ingested")
+          .filter(col("batch_id").isin(committed: _*))
+          .select(col("doc_id"), col("dl"), col("dbucket"),
+            col("batch_id").as("row_batch")))
+    }
+  }
+
+  /** One-time sidecar ADOPTION for a pre-sidecar layout: derive
+    * `(doc_id, dl)` per doc from the postings' column-pruned projection
+    * (base → `doc_stats/`, committed ingest batches →
+    * `doc_stats_ingested/`) and persist in the doc-bucketed layout.
+    * Zero-token docs never reached the postings, so an adopted sidecar
+    * cannot know them — identical to what the old postings scan
+    * counted; sidecars written at build time cover them.
+    */
+  private def adoptDocStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      buckets: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(sub: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
+    val dbucket = pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int")
+      .as("dbucket")
+    writeDistribution(
+      spark.read
+        .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
+          "positions ARRAY<INT>, bucket INT")
+        .parquet(s"$path/postings")
+        .select(col("doc_id"), col("dl")).distinct()
+        .select(col("doc_id"), col("dl"), dbucket),
+      col("dbucket"))
+      .write.mode("overwrite").partitionBy("dbucket")
+      .parquet(s"$path/doc_stats")
+    if (exists("postings_ingested")) {
+      spark.read
+        .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
+          "positions ARRAY<INT>, bucket INT, batch_id BIGINT")
+        .parquet(s"$path/postings_ingested")
+        .select(col("doc_id"), col("dl"), col("batch_id")).distinct()
+        .select(col("doc_id"), col("dl"), dbucket, col("batch_id"))
+        .transform(writeDistribution(_, col("batch_id")))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$path/doc_stats_ingested")
+    }
   }
 
   /** DELETE vectors from a persisted IVF / IVF-PQ index — the
@@ -1485,10 +1760,12 @@ object Sink {
     * immediately; the drift-gated rebuilds and [[compactIvfIndex]] fold
     * them physically and drop the layouts. No corpus constants exist
     * here, so replays are idempotent by the dynamic overwrite alone.
-    * Like the text twin, deletion is TERMINAL for a vec_id within the
-    * current layout: re-ingesting a tombstoned id stays invisible until
-    * a compaction/rebuild folds the tombstone away (re-add = delete →
-    * compact → append).
+    * Like the text twin, deletion is BATCH-SCOPED: the tombstone masks
+    * only rows from batches ≤ `batchId`, so a later [[appendIvfIndex]]
+    * of the same vec_id resurrects it without waiting for a
+    * compaction/rebuild (re-add = delete → append). A replay of a batch
+    * a compaction/rebuild already folded is skipped via the `folded`
+    * ledger — it would otherwise mask the folded base rows.
     */
   def deleteFromIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -1496,21 +1773,25 @@ object Sink {
       vecIds: DataFrame,
       batchId: Long): Unit = {
     val root = resolveIndexRoot(spark, rawPath)
+    if (foldedBatchIds(spark, root).contains(batchId)) return
     val ids = vecIds.select(col("vec_id").cast("long").as("vec_id"))
       .distinct().localCheckpoint(true)
     writeTombstoneBatch(spark, root, ids, ids.count(), 0L, batchId)
   }
 
-  /** DELETE vectors from a persisted LSH index — tombstones anti-join
+  /** DELETE vectors from a persisted LSH index — tombstones mask
     * BOTH sides of the layout ([[readLshIndex]]): the postings (so
     * probes stop surfacing the ids) and the signed table (so the rerank
-    * never resurrects them). [[compactLshIndex]] folds physically.
+    * never resurrects them). Batch-scoped like the IVF twin: a later
+    * [[appendLshIndex]] of the same vec_id resurrects it;
+    * [[compactLshIndex]] folds physically and ledgers the batch.
     */
   def deleteFromLshIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       vecIds: DataFrame,
       batchId: Long): Unit = {
+    if (foldedBatchIds(spark, path).contains(batchId)) return
     val ids = vecIds.select(col("vec_id").cast("long").as("vec_id"))
       .distinct().localCheckpoint(true)
     writeTombstoneBatch(spark, path, ids, ids.count(), 0L, batchId)
@@ -1526,6 +1807,36 @@ object Sink {
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       Set.empty
     else spark.read.parquet(s"$root/meta_ingested")
+      .select(col("batch_id").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+  }
+
+  /** Distinct batch ids present in a vector index's `ingested/` layout
+    * (from the partition directory names) — what an in-place compaction
+    * or a rebuild absorbs into the folded ledger.
+    */
+  private def ingestedBatchIdsAt(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/ingested")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Set.empty
+    else spark.read.parquet(s"$root/ingested")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  /** Batch ids with a landed tombstone commit record at the RESOLVED
+    * root — what compaction adds to the `folded` ledger so a
+    * post-compaction delete replay is skipped, not re-applied.
+    */
+  private def committedTombstoneBatchIds(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones_meta")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Set.empty
+    else spark.read.parquet(s"$root/tombstones_meta")
       .select(col("batch_id").cast("long")).collect()
       .map(_.getLong(0)).toSet
   }
@@ -1564,14 +1875,30 @@ object Sink {
       Seq((idx.nDocs, idx.totalTokens, idx.buckets))
         .toDF("n_docs", "total_tokens", "buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$genDir/meta")
-      // the FOLDED-BATCH ledger: ids whose docs now live in this
-      // generation's base postings (cumulative across compactions) — a
+      // fold the doc-stats sidecar the same way as the postings: the
+      // surviving layers under the batch-scoped tombstone mask, laid
+      // out doc-bucketed again. Folded from the SIDECAR layers (docs-
+      // sized), not re-derived from postings — zero-token docs survive
+      val statsView = docStatsLayers(spark, path, idx.buckets)
+      val genStats = committedTombstones(spark, path, "doc_id") match {
+        case None => statsView.drop("row_batch")
+        case Some((tombs, _, _)) =>
+          maskTombstones(statsView, "doc_id", tombs)
+      }
+      writeDistribution(genStats, col("dbucket"))
+        .write.mode("overwrite").partitionBy("dbucket")
+        .parquet(s"$genDir/doc_stats")
+      // the FOLDED-BATCH ledger: ids whose effects now live in this
+      // generation's base layout (cumulative across compactions) — a
       // micro-batch REPLAYED after its compaction (restart from an old
-      // checkpoint) must be recognized and skipped by [[appendTextIndex]],
-      // or its docs would re-enter as new data and double-count N/T/df.
-      // One 8-byte row per batch ever folded: ledger size is
-      // batches-folded, never corpus-sized
-      (foldedBatchIds(spark, path) ++ committedIngestBatchIds(spark, path))
+      // checkpoint) must be recognized and skipped by [[appendTextIndex]]
+      // (docs would re-enter and double-count N/T/df) and by
+      // [[deleteFromTextIndex]] (the replayed tombstone would mask the
+      // folded — possibly re-appended — base rows and double-subtract
+      // constants). One 8-byte row per batch ever folded: ledger size
+      // is batches-folded, never corpus-sized
+      (foldedBatchIds(spark, path) ++ committedIngestBatchIds(spark, path)
+        ++ committedTombstoneBatchIds(spark, path))
         .toSeq.sorted
         .toDF("batch_id")
         .coalesce(1).write.mode("overwrite").parquet(s"$genDir/folded")
@@ -1605,7 +1932,8 @@ object Sink {
       // ([[deleteFromTextIndex]]'s replay rule)
       dropSupersededLayouts(fs, rawPath, gen,
         Seq("postings", "meta", "postings_ingested", "meta_ingested",
-          "build_census", "tombstones", "tombstones_meta"))
+          "build_census", "doc_stats", "doc_stats_ingested",
+          "tombstones", "tombstones_meta"))
       (n, nf)
     }
   }
@@ -1677,16 +2005,19 @@ object Sink {
       rawPath: String): graft.operators.TextAnalysis.TextIndex = {
     val path = resolveIndexRoot(spark, rawPath)
     val raw = readTextIndexRaw(spark, path)
-    // committed tombstones apply to the WHOLE view (base + ingested):
-    // a broadcast anti-join on the postings plus the summed
-    // corpus-constant adjustments — BM25 over the logical state equals
-    // a rebuild over corpus-minus-deleted ([[deleteFromTextIndex]])
+    // committed tombstones apply BATCH-SCOPED to the whole view (base +
+    // ingested): a broadcast mask keeping rows with
+    // `row_batch > tomb_batch` ([[maskTombstones]] — so a re-append
+    // AFTER a delete resurrects the doc), plus the summed
+    // corpus-constant adjustments — each delete batch counted exactly
+    // the docs visible to it, and each re-append's meta row adds its
+    // constants back, so BM25 over the logical state equals a rebuild
+    // over the surviving docs ([[deleteFromTextIndex]])
     committedTombstones(spark, path, "doc_id") match {
-      case None => raw
-      case Some((tIds, nDel, tDel)) =>
+      case None => raw.copy(postings = raw.postings.drop("row_batch"))
+      case Some((tombs, nDel, tDel)) =>
         raw.copy(
-          postings = raw.postings
-            .join(broadcast(tIds), Seq("doc_id"), "left_anti"),
+          postings = maskTombstones(raw.postings, "doc_id", tombs),
           nDocs = raw.nDocs - nDel,
           totalTokens = raw.totalTokens - tDel)
     }
@@ -1728,10 +2059,15 @@ object Sink {
         // always emits the column once there is data
         case _: org.apache.spark.sql.AnalysisException => true
       }
+    // row_batch rides on every row (−1 = base layout, else the ingest
+    // batch id): the batch-scoped tombstone mask ([[maskTombstones]])
+    // keys on it, and [[readTextIndex]] drops it before handing the
+    // postings out
     val base = spark.read
       .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
         "positions ARRAY<INT>, bucket INT")
       .parquet(s"$path/postings")
+      .withColumn("row_batch", lit(-1L))
     val (postings, nDocs, totalTokens, positional) =
       if (!exists("postings_ingested") || !exists("meta_ingested"))
         (base, meta.getLong(0), meta.getLong(1),
@@ -1757,7 +2093,8 @@ object Sink {
             .parquet(s"$path/postings_ingested")
             .filter(col("batch_id").isin(ids: _*))
             .select(col("token"), col("doc_id"), col("tf"), col("dl"),
-              col("positions"), col("bucket"))),
+              col("positions"), col("bucket"),
+              col("batch_id").as("row_batch"))),
           meta.getLong(0) + committed.map(_.getLong(1)).sum,
           meta.getLong(1) + committed.map(_.getLong(2)).sum,
           () => hasPositionsCol("postings") &&
