@@ -372,6 +372,15 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Above this nlist, [[ivfQueryVectorsIntProbe]] switches probe-cell
+    * selection from the inlined-expression form to the broadcast
+    * centroid-join form (bit-identical output — see the inline comment
+    * there). 128 keeps every repo-served index (nlist 8–64) on the
+    * zero-join expression path while a FAISS-normal nlist=4096 layout
+    * gets a plan that codegens.
+    */
+  val IntProbeInlineMaxNlist = 128
+
   /** [[ivfQueryVectors]] with the probe-cell selection moved onto
     * [[Clustering]]'s integer lattice — the CROSS-ENGINE-REPLAYABLE
     * serving probe: requires an exact-Lloyd index
@@ -402,7 +411,8 @@ object Similarity {
       index: IvfIndex,
       queries: DataFrame,
       k: Int = 10,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      inlineMaxNlist: Int = IntProbeInlineMaxNlist): DataFrame = {
     require(index.hasQuantizedCentroids,
       "integer-lattice probe needs an exact-Lloyd index " +
         "(buildIvfIndexExact / a persisted layout with qcentroids)")
@@ -421,23 +431,54 @@ object Similarity {
       qVec,
       x => round((x.cast("double") + lit(Clustering.Shift)) *
         lit(Clustering.Scale)).cast("long"))
-    val cands = index.qcents.zipWithIndex.map { case (c, j) =>
-      struct(
-        graft.functions.VectorOps
-          .vec_l2sq_long(col("ql"), typedLit(c.toSeq)).as("dist"),
-        lit(j).as("cell"))
-    }
-    val probes = queries
+    val base = queries
       .filter(servableQuery(col("embedding"), index.qcents.head.length))
       .select(col("query_id").cast("long").as("query_id"),
         normalized(col("embedding")).as("q_unit"),
         qLattice.as("ql"))
-      .withColumn("probe_cells",
-        transform(
-          slice(array_sort(array(cands.toIndexedSeq: _*)), 1, nprobe),
-          s => s.getField("cell")))
-      .select(col("query_id"), col("q_unit"),
-        explode(col("probe_cells")).as("cell"))
+    // Probe-cell selection has two physical forms with BIT-IDENTICAL
+    // output (exact integer distances, ties → lowest cell id):
+    //   - nlist ≤ IntProbeInlineMaxNlist: the centroids inline as
+    //     typedLit structs into ONE array_sort expression — zero joins,
+    //     whole-stage-codegen'd, the right shape at the nlist 8–64 this
+    //     repo serves;
+    //   - above it: an `array_sort` over thousands of inlined
+    //     struct(vec_l2sq_long…) nodes is a codegen bomb (FAISS-normal
+    //     nlist=4096 → a multi-thousand-node expression tree that blows
+    //     the JIT method limit and falls back to interpreted eval), so
+    //     the centroids become a BROADCAST nlist-row relation instead:
+    //     per (query, cell) one distance row, `row_number` over
+    //     (dist, cell) per query, keep rn ≤ nprobe — the same
+    //     lexicographic order the struct sort uses.
+    val probes = (if (index.qcents.length <= inlineMaxNlist) {
+      val cands = index.qcents.zipWithIndex.map { case (c, j) =>
+        struct(
+          graft.functions.VectorOps
+            .vec_l2sq_long(col("ql"), typedLit(c.toSeq)).as("dist"),
+          lit(j).as("cell"))
+      }
+      base
+        .withColumn("probe_cells",
+          transform(
+            slice(array_sort(array(cands.toIndexedSeq: _*)), 1, nprobe),
+            s => s.getField("cell")))
+        .select(col("query_id"), col("q_unit"),
+          explode(col("probe_cells")).as("cell"))
+    } else {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val centDf = index.qcents.zipWithIndex.toSeq
+        .map { case (c, j) => (j, c.toSeq) }.toDF("cell", "qc")
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("cell"))
+      base.crossJoin(broadcast(centDf))
+        .select(col("query_id"), col("q_unit"), col("cell"),
+          graft.functions.VectorOps
+            .vec_l2sq_long(col("ql"), col("qc")).as("dist"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= nprobe)
+        .select(col("query_id"), col("q_unit"), col("cell"))
+    })
       // pin the request batch: the driver-side cell-union collect and
       // the broadcast join side must read the SAME rows (the
       // ivfQueryVectors idiom)

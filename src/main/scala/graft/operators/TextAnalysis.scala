@@ -1231,14 +1231,28 @@ object TextAnalysis {
     * BM25 batch probe, the semantic leg via the cell-pruned
     * integer-lattice ANN probe
     * ([[graft.operators.Similarity.ivfQueryVectorsIntProbe]] — requires
-    * an exact-Lloyd index), and the two top-`legK` lists fuse per
+    * an exact-Lloyd index), and the top-`legK` lists fuse per
     * `(query_id, doc_id)` through [[rrfFuseAll]].
     * [[graft.streaming.StreamTextServe.hybridWriter]] runs this per
     * micro-batch.
     *
-    * Per micro-batch cost is exactly the two legs' (probed text buckets
-    * + probed ANN cells + two request-bounded collects); the fuse joins
-    * ≤ 2 × legK × |requests| rows.
+    * BOOST LEGS: requests may OPTIONALLY carry a `phrase`
+    * (`array<string>`) and/or `prox_terms` (`array<string>`) column —
+    * when the column is present, a phrase leg ([[phraseQueryBatch]])
+    * and/or a proximity leg ([[proximityQueryBatch]]) joins the fuse,
+    * the 3–4-leg stack a production ranker actually runs (BM25 recall +
+    * exact-phrase boost + tightness boost + semantic recall). Per-query
+    * nulls degrade gracefully: a request whose `phrase` is null simply
+    * gets no phrase-leg rows (the fuse is a full outer union — its
+    * other legs still score), so one batch can mix 2-, 3- and 4-leg
+    * requests. Requests WITHOUT the columns fuse exactly the original
+    * two legs — bit-identical output to the 2-leg form (`rrf_ppm` is a
+    * leg-order-independent sum and `n_legs` counts only present legs).
+    *
+    * Per micro-batch cost is exactly its legs' (probed text buckets —
+    * shared bucket-pruning across the three text legs' term unions —
+    * + probed ANN cells + request-bounded collects); the fuse joins
+    * ≤ legs × legK × |requests| rows.
     */
   def rrfQueryBatch(
       textIndex: TextIndex,
@@ -1250,11 +1264,21 @@ object TextAnalysis {
       nprobe: Int = 4): DataFrame = {
     val lex = bm25QueryBatch(
       textIndex, requests.select(col("query_id"), col("terms")), legK)
+    val phrase =
+      if (!requests.columns.contains("phrase")) None
+      else Some(phraseQueryBatch(
+        textIndex, requests.select(col("query_id"), col("phrase")), legK))
+    val prox =
+      if (!requests.columns.contains("prox_terms")) None
+      else Some(proximityQueryBatch(
+        textIndex,
+        requests.select(col("query_id"), col("prox_terms").as("terms")),
+        legK))
     val sem = graft.operators.Similarity.ivfQueryVectorsIntProbe(
       annIndex, requests.select(col("query_id"), col("embedding")),
       legK, nprobe)
       .withColumnRenamed("vec_id", "doc_id")
-    rrfFuseAll(Seq(lex, sem), kConst, k)
+    rrfFuseAll(Seq(lex) ++ phrase ++ prox ++ Seq(sem), kConst, k)
   }
 
   /** The shared fusion cascade: full-outer joins on `(query_id, doc_id)`

@@ -2324,4 +2324,87 @@ object Sink {
       }
     dropped.sorted
   }
+
+  /** Close the RETENTION → INDEX loop in ONE call — the operation a
+    * 30-day-retention corpus runs daily. [[applyRetention]] drops raw
+    * date partitions and the four `deleteFrom*Index` APIs tombstone a
+    * persisted index, but wiring them was the owner's job: hand-derive
+    * the expiring ids, call four delete APIs with a correct batch id,
+    * then drop — get the order wrong once and the indexes drift. This
+    * helper is that wiring: derive the ids living in the raw table's
+    * expiring `date=` partitions, write one tombstone batch per
+    * registered index root (text / IVF / IVF-PQ / LSH — IVF and IVF-PQ
+    * share [[deleteFromIvfIndex]]) under ONE `batchId` lineage, then
+    * drop the raw partitions. Returns the dropped dates.
+    *
+    * Ordering matters twice:
+    *   - the expiring ids are read (one column-pruned scan of ONLY the
+    *     doomed partition directories — never a corpus pass) and PINNED
+    *     (`localCheckpoint`) BEFORE anything is deleted, so the sweep
+    *     cannot race its own drops;
+    *   - every index tombstone lands BEFORE the raw drop: a crash
+    *     mid-sweep leaves raw partitions a re-run re-derives the same
+    *     ids from, whereas drop-first would strand index entries whose
+    *     raw rows are gone — exactly the dead-postings drift retention
+    *     exists to stop.
+    *
+    * Replay (a crash at ANY point, then the same call again) is
+    * exactly-once: roots where this `batchId`'s tombstone commit record
+    * already landed are SKIPPED — without that guard, a re-run after
+    * the raw drop would re-derive an EMPTY id set and overwrite the
+    * batch's tombstones with it, silently resurrecting every swept doc
+    * (the dynamic-partition-overwrite replay contract assumes identical
+    * batch content, and a swept raw table no longer yields it). Roots
+    * whose batch was already folded by a compaction are skipped by the
+    * ledger inside `deleteFrom*Index`. The sweep shares the indexes'
+    * ingest batch-id lineage (SINGLE MAINTAINER, monotone ids — the
+    * [[appendTextIndex]] contract), so a later re-crawl of a swept URL
+    * is just an append at a higher batch id: the batch-scoped tombstone
+    * does not mask it.
+    *
+    * Cost at 100 TB: O(dropped partitions) metadata ops + one id-column
+    * scan of the dropped partitions + deletion-batch-sized tombstone
+    * writes (text: plus the doc-stats sidecar join, O(batch)).
+    */
+  def retentionSweep(
+      spark: org.apache.spark.sql.SparkSession,
+      rawTablePath: String,
+      cutoffDateInclusive: String,
+      batchId: Long,
+      textIndexes: Seq[String] = Nil,
+      ivfIndexes: Seq[String] = Nil,
+      lshIndexes: Seq[String] = Nil,
+      idCol: String = "doc_id"): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(rawTablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.isDirectory(root)) return Nil
+    val doomedDirs = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("date=") &&
+          p.getName.substring("date=".length) < cutoffDateInclusive
+      }
+    if (doomedDirs.nonEmpty) {
+      // pin the expiring ids BEFORE any delete happens anywhere
+      val ids = spark.read.parquet(doomedDirs.map(_.toString): _*)
+        .select(col(idCol).cast("long").as(idCol))
+        .distinct().localCheckpoint(true)
+      def landed(path: String): Boolean = {
+        val r = resolveIndexRoot(spark, path)
+        committedTombstoneBatchIds(spark, r).contains(batchId) ||
+          foldedBatchIds(spark, r).contains(batchId)
+      }
+      textIndexes.filterNot(landed).foreach(p =>
+        deleteFromTextIndex(spark, p,
+          ids.select(col(idCol).as("doc_id")), batchId))
+      ivfIndexes.filterNot(landed).foreach(p =>
+        deleteFromIvfIndex(spark, p,
+          ids.select(col(idCol).as("vec_id")), batchId))
+      lshIndexes.filterNot(landed).foreach(p =>
+        deleteFromLshIndex(spark, p,
+          ids.select(col(idCol).as("vec_id")), batchId))
+    }
+    applyRetention(spark, rawTablePath, cutoffDateInclusive)
+  }
 }
