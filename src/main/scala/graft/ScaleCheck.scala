@@ -732,17 +732,21 @@ object ScaleCheck {
       force(graft.operators.TextAnalysis.phraseTopK(
         idx, Seq("table", "hash"), k = 20))
     }
-    // DELETE lifecycle at scale: the tombstone write is one
-    // column-pruned (doc_id, dl) pass (doc_id is not the layout key —
-    // the honest cost, same as what the fold pays), the serve overhead
-    // is one broadcast anti-join, and the compaction fold runs the
-    // n-way write distribution (not bucket-count-capped)
+    // DELETE lifecycle at scale: the tombstone write joins the deletion
+    // ids against the doc-bucketed doc_stats SIDECAR, statically pruned
+    // to the ids' bucket directories — O(deletion batch), NOT O(index).
+    // The deletion batch is FIXED at 1000 docs regardless of the
+    // replication multiplier, so the ×1 and ×10 walls of this probe
+    // must MATCH (the pre-sidecar implementation scanned the postings'
+    // (doc_id, dl) projection and tracked index size). Serve overhead
+    // is one broadcast anti-join; the compaction fold runs the n-way
+    // write distribution (not bucket-count-capped)
     if (!new java.io.File(s"$textIdxDir/meta").exists()) {
       graft.sinks.Sink.writeTextIndex(big, textIdxDir, buckets = 64)
     }
-    time("text delete (tombstone batch write)") {
+    time("text delete (fixed 1000-doc batch)") {
       graft.sinks.Sink.deleteFromTextIndex(spark, textIdxDir,
-        big.filter(col("doc_id") % 10 === 7).select(col("doc_id")),
+        big.filter(col("doc_id") < 1000).select(col("doc_id")),
         batchId = 0L)
       1L
     }
@@ -750,7 +754,7 @@ object ScaleCheck {
     // write OUTSIDE the timed serve block (the BM25-build lesson)
     if (!new java.io.File(s"$textIdxDir/tombstones_meta").exists()) {
       graft.sinks.Sink.deleteFromTextIndex(spark, textIdxDir,
-        big.filter(col("doc_id") % 10 === 7).select(col("doc_id")),
+        big.filter(col("doc_id") < 1000).select(col("doc_id")),
         batchId = 0L)
     }
     time("BM25 serve (tombstoned index)") {

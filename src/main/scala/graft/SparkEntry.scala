@@ -2264,6 +2264,181 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("rank"))
     }),
 
+    // DELETE → RE-APPEND composition on the text index — the re-crawl
+    // story: a previously retention-deleted URL is re-fetched and must
+    // serve again WITHOUT a compaction (batch-scoped tombstones: a
+    // delete at batch K masks only rows from batches ≤ K; at 100 TB a
+    // compaction is a full-generation rewrite no crawler can pay per
+    // URL). The delete replays AFTER the re-append (exactly-once in any
+    // order — it must not swallow the batch-1 rows), the state compacts
+    // (fold parity per row), and the delete replays AGAIN post-fold
+    // (ledger-skipped — it would otherwise re-mask the folded
+    // re-appended rows). Oracle replays BM25 over the final logical
+    // corpus blind to every mechanism above
+    "text_delete_readd" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_textreadd_${new java.io.File(dir).getName}").toString
+      Sink.writeTextIndex(docs, path, buckets = 16)
+      val doomed = docs.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"))
+      Sink.deleteFromTextIndex(s, path, doomed, batchId = 0L)
+      // the re-crawl: half the deleted docs come back at a later batch
+      Sink.appendTextIndex(s, path,
+        docs.filter(col("doc_id") % 20 === 7), batchId = 1L)
+      Sink.deleteFromTextIndex(s, path, doomed, batchId = 0L) // replay
+      val terms = Seq("vector", "hash", "merge")
+      val logical = graft.operators.TextAnalysis
+        .bm25TopK(Sink.readTextIndex(s, path), terms, k = 20)
+        .localCheckpoint(true)
+      Sink.compactTextIndex(s, path)
+      Sink.deleteFromTextIndex(s, path, doomed, batchId = 0L) // post-fold
+      val post = graft.operators.TextAnalysis
+        .bm25TopK(Sink.readTextIndex(s, path), terms, k = 20)
+      logical.join(post.withColumn("post", lit(true)),
+          Seq("doc_id", "score"), "left")
+        .select(col("doc_id"), col("score"),
+          coalesce(col("post"), lit(false))
+            .as("stable_across_compaction"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // the vector-family twin: tombstone on the persisted exact-Lloyd
+    // IVF index, re-append HALF the deleted vectors at a later batch
+    // (FAISS-add against the frozen quantizer), replay the delete,
+    // compact (physical fold), replay again (ledger-skipped), serve
+    // through an EXHAUSTIVE integer-lattice probe (nprobe = nlist:
+    // resurrect VISIBILITY is the claim here — cell pruning is pinned
+    // by embedding_index_delete, and the re-added copy's cell comes
+    // from the float FAISS-add assignment, deliberately not part of
+    // this row's contract). Oracle = exact cosine over the final
+    // logical corpus, blind to tombstones, appends, and folds
+    "embedding_delete_readd" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivfreadd_${new java.io.File(dir).getName}").toString
+      val built = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+      Sink.writeIvfIndex(built, path)
+      built.unpersist()
+      val doomed = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      Sink.deleteFromIvfIndex(s, path, doomed, batchId = 0L)
+      Sink.appendIvfIndex(s, path,
+        emb.filter(col("vec_id") % 14 === 3), batchId = 1L)
+      Sink.deleteFromIvfIndex(s, path, doomed, batchId = 0L) // replay
+      Sink.compactIvfIndex(s, path)
+      Sink.deleteFromIvfIndex(s, path, doomed, batchId = 0L) // post-fold
+      Similarity.ivfQueryVectorsIntProbe(Sink.readIvfIndex(s, path),
+          emb.filter(col("vec_id") === 1)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 20, nprobe = 8)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+    }),
+
+    // the RETENTION → INDEX loop closed in one call (Sink.retentionSweep
+    // — the job a 30-day-retention corpus runs daily): a date-partitioned
+    // raw corpus expires its oldest dates, the sweep derives the expiring
+    // ids from exactly those partition directories, tombstones the
+    // persisted text AND IVF indexes under one batch id, then drops the
+    // raw partitions. The sweep is then REPLAYED (the post-drop hazard:
+    // without the commit-record guard the re-run would re-derive an
+    // EMPTY id set and overwrite the tombstones, resurrecting every
+    // swept doc). Output = BM25 top-20 and the cell-pruned int-lattice
+    // ANN top-20 over the retained state; the oracle replays both legs
+    // over the retained docs blind to the mechanism
+    "retention_sweep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_retsweep_${new java.io.File(dir).getName}").toString
+      val raw = s"$base/raw"; val text = s"$base/text"
+      val ivf = s"$base/ivf"
+      docs.withColumn("date",
+          concat(lit("2024-01-0"), (col("doc_id") % 5 + 1).cast("string")))
+        .write.mode("overwrite").partitionBy("date").parquet(raw)
+      Sink.writeTextIndex(docs, text, buckets = 16)
+      val built = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+      Sink.writeIvfIndex(built, ivf)
+      built.unpersist()
+      Sink.retentionSweep(s, raw, "2024-01-03", batchId = 0L,
+        textIndexes = Seq(text), ivfIndexes = Seq(ivf))
+      // replay after the successful sweep: raw partitions are gone, the
+      // tombstone commit records must keep the batch intact
+      Sink.retentionSweep(s, raw, "2024-01-03", batchId = 0L,
+        textIndexes = Seq(text), ivfIndexes = Seq(ivf))
+      val bmRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val bm = graft.operators.TextAnalysis
+        .bm25TopK(Sink.readTextIndex(s, text),
+          Seq("vector", "hash", "merge"), k = 20)
+        .withColumn("rank", row_number().over(bmRank).cast("long"))
+        .select(lit("bm25").as("leg"), col("doc_id").as("id"), col("rank"))
+      val ann = Similarity.ivfQueryVectorsIntProbe(
+          Sink.readIvfIndex(s, ivf),
+          emb.filter(col("vec_id") === 2)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 20, nprobe = 3)
+        .select(lit("ann").as("leg"), col("vec_id").as("id"),
+          col("rank").cast("long").as("rank"))
+      bm.unionByName(ann).orderBy(col("leg"), col("rank"))
+    }),
+
+    // hybrid SERVING with the full 4-leg production stack: each request
+    // carries lexical terms, an exact-phrase boost, a proximity boost,
+    // and its query embedding — rrfQueryBatch detects the optional
+    // phrase/prox_terms columns and fuses BM25 + phrase + proximity +
+    // cell-pruned int-lattice ANN through the ONE-cascade rrfFuseAll
+    // (2-leg requests stay bit-identical — retrieval_hybrid_serve pins
+    // that). All three text legs serve off the same persisted positional
+    // index, bucket-pruned; the oracle replays all four rank lists per
+    // request and the identical fusion
+    "retrieval_hybrid_serve3" -> ((s, dir) => {
+      import s.implicits._
+      val textIdx = Sink.readTextIndex(s, persistedTextIndexDir(s, dir))
+      val annIdx = Sink.readIvfIndex(s, persistedPqServeDir(s, dir))
+      val reqs = Seq(
+        (0L, Seq("vector", "hash", "merge"), Seq("table", "hash"),
+          Seq("vector", "hash", "merge")),
+        (1L, Seq("table", "hash"), Seq("vector", "hash"),
+          Seq("table", "hash")))
+        .toDF("query_id", "terms", "phrase", "prox_terms")
+        .join(Tables.embeddings(s, dir)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id")
+      graft.operators.TextAnalysis.rrfQueryBatch(
+        textIdx, annIdx, reqs, kConst = 60L, k = 20)
+    }),
+
+    // DELETE × HYBRID composition: tombstone the SAME docs on both the
+    // text and the IVF roots, then serve the fused stack over the
+    // tombstoned state — proves no leg resurrects a deleted doc through
+    // the fuse's full-outer union (each leg masks independently; the
+    // fuse sees only surviving rows). Oracle replays both legs + fusion
+    // over corpus-minus-deleted, blind to tombstones
+    "retrieval_hybrid_delete" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_hybdel_${new java.io.File(dir).getName}").toString
+      val text = s"$base/text"; val ivf = s"$base/ivf"
+      Sink.writeTextIndex(docs, text, buckets = 16)
+      val built = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+      Sink.writeIvfIndex(built, ivf)
+      built.unpersist()
+      val doomed = docs.filter(col("doc_id") % 9 === 4).select(col("doc_id"))
+      Sink.deleteFromTextIndex(s, text, doomed, batchId = 0L)
+      Sink.deleteFromIvfIndex(s, ivf,
+        doomed.select(col("doc_id").as("vec_id")), batchId = 0L)
+      val reqs = Seq(
+        (0L, Seq("vector", "hash", "merge")),
+        (1L, Seq("table", "hash"))).toDF("query_id", "terms")
+        .join(emb.select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id")
+      graft.operators.TextAnalysis.rrfQueryBatch(
+        Sink.readTextIndex(s, text), Sink.readIvfIndex(s, ivf), reqs,
+        kConst = 60L, k = 20)
+    }),
+
     // PII audit + redaction: the corpus carries no PII, so a
     // deterministic PII-bearing column is derived from driver data
     // (email from source, phone/IP from doc_id) and the operator's
@@ -6813,6 +6988,413 @@ object SparkEntry {
         |  WHERE v.vec_id <> 1 AND v.vec_id % 7 <> 3
         |    AND fa.cluster IN (SELECT j FROM probe))
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // BM25 over the FINAL logical corpus after delete → re-append →
+    // delete-replay → compaction → post-fold delete-replay: deleted =
+    // doc_id % 10 == 7, re-appended = doc_id % 20 == 7, so gone-forever
+    // = doc_id % 20 == 17. The oracle knows none of that mechanism —
+    // a swallowed resurrect, a double-counted N/T, or a post-fold
+    // re-mask all break the hash
+    "text_delete_readd" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id % 20 <> 17),
+        |toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |        '\s+', ' ', 'g'), ' ')) AS token
+        |    FROM d) WHERE token <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (
+        |  SELECT (SELECT count(*) FROM d) AS n,
+        |         (SELECT count(*) FROM toks) AS t),
+        |m AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token IN ('vector', 'hash', 'merge')
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT m.doc_id, token, tf, dl.dl,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM m JOIN dl USING (doc_id)),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(sum(
+        |           (((n - df + 1) * 1000000) // (df + 1)) * tf * (1000 + 1200)
+        |           // (tf * 1000 +
+        |              (1200 * ((1000 - 750) + (750 * dl * n) // t)) // 1000)
+        |         ) AS BIGINT) AS score
+        |  FROM w CROSS JOIN meta GROUP BY doc_id)
+        |SELECT doc_id, score, TRUE AS stable_across_compaction FROM s
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the vector re-add replayed blind: deleted = vec_id % 7 == 3,
+    // re-appended = vec_id % 14 == 3 ⇒ gone-forever = vec_id % 14 == 10.
+    // The serve probe is exhaustive (nprobe = nlist), so the oracle is
+    // plain exact cosine over the final logical corpus — a vector that
+    // failed to resurrect, or resurrected twice, breaks rows AND hash
+    "embedding_delete_readd" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT CAST(1 AS BIGINT) AS query_id, vec_id, rank FROM (
+        |  SELECT v.vec_id,
+        |    ROW_NUMBER() OVER (
+        |      ORDER BY list_cosine_similarity(v.e, qv.e) DESC, v.vec_id)
+        |      AS rank
+        |  FROM v
+        |  CROSS JOIN (SELECT e FROM v WHERE vec_id = 1) qv
+        |  WHERE v.vec_id <> 1 AND v.vec_id % 14 <> 10)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // the retention sweep replayed blind to EVERYTHING: dates 01/02
+    // expire ⇒ docs with doc_id % 5 < 2 leave both indexes. The BM25
+    // leg re-derives N/T/df over the retained docs; the ANN leg replays
+    // Lloyd on the ORIGINAL corpus (the sweep never retrains), vec 2's
+    // top-3 probe cells, and in-cell cosine over the retained vectors.
+    // A resurrect-by-replay (the post-drop empty-id-set hazard) would
+    // put swept docs back into both legs and break the hash
+    "retention_sweep" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id % 5 >= 2),
+        |toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |        '\\s+', ' ', 'g'), ' ')) AS token
+        |    FROM d) WHERE token <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (
+        |  SELECT (SELECT count(*) FROM d) AS n,
+        |         (SELECT count(*) FROM toks) AS t),
+        |m AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token IN ('vector', 'hash', 'merge')
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT m.doc_id, token, tf, dl.dl,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM m JOIN dl USING (doc_id)),
+        |sb AS (
+        |  SELECT doc_id,
+        |         CAST(sum(
+        |           (((n - df + 1) * 1000000) // (df + 1)) * tf * (1000 + 1200)
+        |           // (tf * 1000 +
+        |              (1200 * ((1000 - 750) + (750 * dl * n) // t)) // 1000)
+        |         ) AS BIGINT) AS score
+        |  FROM w CROSS JOIN meta GROUP BY doc_id),
+        |bm AS (
+        |  SELECT doc_id AS id, rank FROM (
+        |    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |    FROM sb) WHERE rank <= 20),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |p AS (SELECT vec_id, d, q[d] AS v FROM q CROSS JOIN dims),
+        |seeds AS (
+        |  SELECT q, row_number() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        |  FROM q),
+        |c0 AS (
+        |  SELECT sd.j, dims.d, sd.q[dims.d] AS c
+        |  FROM seeds sd CROSS JOIN dims WHERE sd.j < 8),
+        |${lloydRoundSql(1)},
+        |${lloydRoundSql(2)},
+        |fd AS (
+        |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+        |  FROM p JOIN c2 c USING (d) GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, j AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY dist, j) AS rn
+        |    FROM fd) WHERE rn = 1),
+        |probe AS (
+        |  SELECT j FROM (
+        |    SELECT j, row_number() OVER (ORDER BY dist, j) AS rn
+        |    FROM fd WHERE vec_id = 2) WHERE rn <= 3),
+        |v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ann AS (
+        |  SELECT vec_id AS id, CAST(rank AS BIGINT) AS rank FROM (
+        |    SELECT v.vec_id,
+        |      ROW_NUMBER() OVER (
+        |        ORDER BY list_cosine_similarity(v.e, qv.e) DESC, v.vec_id)
+        |        AS rank
+        |    FROM v
+        |    JOIN fa ON fa.vec_id = v.vec_id
+        |    CROSS JOIN (SELECT e FROM v WHERE vec_id = 2) qv
+        |    WHERE v.vec_id <> 2 AND v.vec_id % 5 >= 2
+        |      AND fa.cluster IN (SELECT j FROM probe))
+        |  WHERE rank <= 20)
+        |SELECT 'bm25' AS leg, id, rank FROM bm
+        |UNION ALL
+        |SELECT 'ann' AS leg, id, rank FROM ann
+        |ORDER BY leg, rank""".stripMargin,
+
+    // the 4-leg serving stack replayed per request: BM25 off one shared
+    // df table, a GENERIC per-query phrase-anchor intersection, a
+    // GENERIC per-query min-window recurrence (a non-equi last-position
+    // join — the oracle's O(occ²) form of the running max), the Lloyd
+    // probe + in-cell cosine, then the fusion as a UNION-ALL + GROUP BY
+    // (each leg contributes ≤ 1 row per (query, doc), so the grouped sum
+    // IS the full-outer cascade)
+    "retrieval_hybrid_serve3" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |      '\\s+', ' ', 'g'), ' ') AS lst
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lst[i] AS token, i - 1 AS pos
+        |  FROM d, LATERAL (
+        |    SELECT unnest(generate_series(1, len(lst))) AS i) u
+        |  WHERE lst[i] <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |         (SELECT count(*) FROM toks) AS t),
+        |qterms(query_id, token) AS (
+        |  SELECT * FROM (VALUES (0, 'vector'), (0, 'hash'), (0, 'merge'),
+        |         (1, 'table'), (1, 'hash')) AS qt(query_id, token)),
+        |m AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token IN (SELECT DISTINCT token FROM qterms)
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT m.doc_id, token, tf, dl.dl,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM m JOIN dl USING (doc_id)),
+        |sc AS (
+        |  SELECT qt.query_id, w.doc_id,
+        |         CAST(sum(
+        |           (((n - df + 1) * 1000000) // (df + 1)) * tf * (1000 + 1200)
+        |           // (tf * 1000 +
+        |              (1200 * ((1000 - 750) + (750 * dl * n) // t)) // 1000)
+        |         ) AS BIGINT) AS score
+        |  FROM w JOIN qterms qt USING (token) CROSS JOIN meta
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id)
+        |      AS BIGINT) AS rank
+        |    FROM sc) WHERE rank <= 50),
+        |qphrase(query_id, token, slot) AS (
+        |  SELECT * FROM (VALUES (0, 'table', 0), (0, 'hash', 1),
+        |         (1, 'vector', 0), (1, 'hash', 1))
+        |    AS qp(query_id, token, slot)),
+        |plen AS (SELECT query_id, count(*) AS phrase_len
+        |         FROM qphrase GROUP BY 1),
+        |panchor AS (
+        |  SELECT q.query_id, t.doc_id, t.pos - q.slot AS anchor
+        |  FROM toks t JOIN qphrase q USING (token)
+        |  WHERE t.pos - q.slot >= 0),
+        |pocc AS (
+        |  SELECT query_id, doc_id, anchor, count(*) AS n_slots
+        |  FROM panchor GROUP BY 1, 2, 3),
+        |phr AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT o.query_id, o.doc_id, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY o.query_id ORDER BY count(*) DESC, o.doc_id)
+        |      AS BIGINT) AS rank
+        |    FROM pocc o JOIN plen USING (query_id)
+        |    WHERE o.n_slots = plen.phrase_len
+        |    GROUP BY o.query_id, o.doc_id) WHERE rank <= 50),
+        |qprox(query_id, token) AS (
+        |  SELECT * FROM (VALUES (0, 'vector'), (0, 'hash'), (0, 'merge'),
+        |         (1, 'table'), (1, 'hash')) AS qx(query_id, token)),
+        |xpts AS (
+        |  SELECT q.query_id, t.doc_id, t.pos, t.token
+        |  FROM toks t JOIN qprox q USING (token)),
+        |xanchor AS (SELECT DISTINCT query_id, doc_id, pos FROM xpts),
+        |xlast AS (
+        |  SELECT a.query_id, a.doc_id, a.pos, q.token,
+        |         max(t2.pos) AS last_pos
+        |  FROM xanchor a
+        |  JOIN qprox q ON q.query_id = a.query_id
+        |  LEFT JOIN xpts t2 ON t2.query_id = a.query_id
+        |    AND t2.doc_id = a.doc_id AND t2.token = q.token
+        |    AND t2.pos <= a.pos
+        |  GROUP BY 1, 2, 3, 4),
+        |xwl AS (
+        |  SELECT query_id, doc_id, pos - min(last_pos) + 1 AS window_len
+        |  FROM xlast GROUP BY query_id, doc_id, pos
+        |  HAVING count(last_pos) = count(*)),
+        |prox AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY min(window_len), doc_id)
+        |      AS BIGINT) AS rank
+        |    FROM xwl GROUP BY query_id, doc_id) WHERE rank <= 50),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |p AS (SELECT vec_id, d, q[d] AS v FROM q CROSS JOIN dims),
+        |seeds AS (
+        |  SELECT q, row_number() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        |  FROM q),
+        |c0 AS (
+        |  SELECT sd.j, dims.d, sd.q[dims.d] AS c
+        |  FROM seeds sd CROSS JOIN dims WHERE sd.j < 16),
+        |${lloydRoundSql(1)},
+        |${lloydRoundSql(2)},
+        |${lloydRoundSql(3)},
+        |fd AS (
+        |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+        |  FROM p JOIN c3 c USING (d) GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, j AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY dist, j) AS rn
+        |    FROM fd) WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, j FROM (
+        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, j) AS rn
+        |    FROM fd WHERE vec_id IN (0, 1)) WHERE rn <= 4),
+        |v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sem AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT pr.query_id, v.vec_id AS doc_id,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY pr.query_id
+        |        ORDER BY list_cosine_similarity(v.e, qv.e) DESC, v.vec_id)
+        |        AS BIGINT) AS rank
+        |    FROM v
+        |    JOIN fa ON fa.vec_id = v.vec_id
+        |    JOIN probe pr ON pr.j = fa.cluster
+        |    JOIN v qv ON qv.vec_id = pr.query_id
+        |    WHERE v.vec_id <> pr.query_id) WHERE rank <= 50),
+        |legs AS (
+        |  SELECT query_id, doc_id, rank FROM lex
+        |  UNION ALL SELECT query_id, doc_id, rank FROM phr
+        |  UNION ALL SELECT query_id, doc_id, rank FROM prox
+        |  UNION ALL SELECT query_id, doc_id, rank FROM sem),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+        |         count(*) AS n_legs
+        |  FROM legs GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_ppm,
+        |       n_legs, rank
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_ppm DESC, doc_id) AS rank FROM fused)
+        |WHERE rank <= 20
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the delete × hybrid composition replayed blind to tombstones:
+    // both legs re-derive over corpus-minus-deleted (doc_id % 9 <> 4) —
+    // the BM25 constants and df over the retained docs, Lloyd on the
+    // ORIGINAL corpus (deletes never retrain) with candidates filtered,
+    // then the identical per-(query, doc) fusion. A doc either leg
+    // resurrects through the fuse's union breaks the hash
+    "retrieval_hybrid_delete" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id % 9 <> 4),
+        |toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |        '\\s+', ' ', 'g'), ' ')) AS token
+        |    FROM d) WHERE token <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (
+        |  SELECT (SELECT count(*) FROM d) AS n,
+        |         (SELECT count(*) FROM toks) AS t),
+        |qterms(query_id, token) AS (
+        |  SELECT * FROM (VALUES (0, 'vector'), (0, 'hash'), (0, 'merge'),
+        |         (1, 'table'), (1, 'hash')) AS qt(query_id, token)),
+        |m AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token IN (SELECT DISTINCT token FROM qterms)
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT m.doc_id, token, tf, dl.dl,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM m JOIN dl USING (doc_id)),
+        |sc AS (
+        |  SELECT qt.query_id, w.doc_id,
+        |         CAST(sum(
+        |           (((n - df + 1) * 1000000) // (df + 1)) * tf * (1000 + 1200)
+        |           // (tf * 1000 +
+        |              (1200 * ((1000 - 750) + (750 * dl * n) // t)) // 1000)
+        |         ) AS BIGINT) AS score
+        |  FROM w JOIN qterms qt USING (token) CROSS JOIN meta
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id)
+        |      AS BIGINT) AS rank
+        |    FROM sc) WHERE rank <= 50),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |p AS (SELECT vec_id, d, q[d] AS v FROM q CROSS JOIN dims),
+        |seeds AS (
+        |  SELECT q, row_number() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        |  FROM q),
+        |c0 AS (
+        |  SELECT sd.j, dims.d, sd.q[dims.d] AS c
+        |  FROM seeds sd CROSS JOIN dims WHERE sd.j < 8),
+        |${lloydRoundSql(1)},
+        |${lloydRoundSql(2)},
+        |fd AS (
+        |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+        |  FROM p JOIN c2 c USING (d) GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, j AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY dist, j) AS rn
+        |    FROM fd) WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, j FROM (
+        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, j) AS rn
+        |    FROM fd WHERE vec_id IN (0, 1)) WHERE rn <= 4),
+        |v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sem AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT pr.query_id, v.vec_id AS doc_id,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY pr.query_id
+        |        ORDER BY list_cosine_similarity(v.e, qv.e) DESC, v.vec_id)
+        |        AS BIGINT) AS rank
+        |    FROM v
+        |    JOIN fa ON fa.vec_id = v.vec_id
+        |    JOIN probe pr ON pr.j = fa.cluster
+        |    JOIN v qv ON qv.vec_id = pr.query_id
+        |    WHERE v.vec_id <> pr.query_id AND v.vec_id % 9 <> 4)
+        |  WHERE rank <= 50),
+        |legs AS (
+        |  SELECT query_id, doc_id, rank FROM lex
+        |  UNION ALL SELECT query_id, doc_id, rank FROM sem),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+        |         count(*) AS n_legs
+        |  FROM legs GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_ppm,
+        |       n_legs, rank
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_ppm DESC, doc_id) AS rank FROM fused)
+        |WHERE rank <= 20
+        |ORDER BY query_id, rank""".stripMargin,
 
     "text_quality_gopher" ->
       """WITH f AS (

@@ -271,6 +271,121 @@ class HybridRetrievalSpec extends SparkSpec {
     }
   }
 
+  private def writeHybridRequestFile4(
+      dir: Path, name: String,
+      rows: Seq[(Long, Seq[String], Option[Seq[String]],
+        Option[Seq[String]], Seq[Double])]): Unit = {
+    def arr(ts: Seq[String]) =
+      s"[${ts.map(t => s""""$t"""").mkString(",")}]"
+    val lines = rows.map { case (qid, terms, phrase, prox, e) =>
+      val optional = phrase.map(p => s""","phrase":${arr(p)}""").getOrElse("") +
+        prox.map(p => s""","prox_terms":${arr(p)}""").getOrElse("")
+      s"""{"query_id":$qid,"terms":${arr(terms)}$optional,""" +
+        s""""embedding":[${e.mkString(",")}]}"""
+    }
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(name))
+  }
+
+  private def hybridRequestStream4(dir: Path): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("terms", ArrayType(StringType)),
+      StructField("phrase", ArrayType(StringType)),
+      StructField("prox_terms", ArrayType(StringType)),
+      StructField("embedding", ArrayType(DoubleType))))
+    spark.readStream.schema(schema).json(dir.toString)
+  }
+
+  test("hybrid serving BOOST LEGS: phrase/prox_terms columns fuse 3–4 " +
+      "legs, per-query nulls degrade to the 2-leg answer, 2-column " +
+      "requests stay bit-identical, and batch ≡ streaming") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val textDir = Files.createTempDirectory("hyb4_text").toString
+    val annDir = Files.createTempDirectory("hyb4_ann").toString
+    val input = Files.createTempDirectory("hyb4_in")
+    val ckpt = Files.createTempDirectory("hyb4_ckpt")
+    val annIdx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+    try {
+      Sink.writeTextIndex(docs, textDir, buckets = 16)
+      Sink.writeIvfIndex(annIdx, annDir)
+      val textIdx = Sink.readTextIndex(spark, textDir)
+      val ann = Sink.readIvfIndex(spark, annDir)
+      val embRows = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .as[(Long, Seq[Double])].collect().toMap
+      // q0: full 4-leg request; q1: boost columns NULL — a mixed batch
+      val reqRows = Seq(
+        (0L, Seq("vector", "hash", "merge"),
+          Some(Seq("table", "hash")), Some(Seq("vector", "hash")),
+          embRows(0L)),
+        (1L, Seq("table", "hash"), None, None, embRows(1L)))
+      val reqs = reqRows.toDF(
+        "query_id", "terms", "phrase", "prox_terms", "embedding")
+
+      def rows5(df: DataFrame): Seq[(Long, Long, Long, Int, Int)] =
+        df.select(col("query_id"), col("doc_id"), col("rrf_ppm"),
+            col("n_legs"), col("rank"))
+          .as[(Long, Long, Long, Int, Int)].collect().toSeq
+      val got = rows5(TextAnalysis.rrfQueryBatch(textIdx, ann, reqs,
+        kConst = 60L, k = 10, legK = 50, nprobe = 3))
+      assert(got.nonEmpty)
+
+      // q0 must show boost-leg evidence: at least one doc ranked by
+      // 3+ legs (phrase "table hash" and the proximity trio both match
+      // this corpus — a silent column-detection failure caps n_legs at 2)
+      assert(got.filter(_._1 == 0L).exists(_._4 >= 3),
+        s"q0 must fuse boost legs: $got")
+
+      // the hand-composed 4-leg fuse — pins the wiring end to end
+      val lex = TextAnalysis.bm25QueryBatch(textIdx,
+        reqs.select(col("query_id"), col("terms")), k = 50)
+      val phr = TextAnalysis.phraseQueryBatch(textIdx,
+        reqs.select(col("query_id"), col("phrase")), k = 50)
+      val prx = TextAnalysis.proximityQueryBatch(textIdx,
+        reqs.select(col("query_id"), col("prox_terms").as("terms")), k = 50)
+      val sem = Similarity.ivfQueryVectorsIntProbe(ann,
+          reqs.select(col("query_id"), col("embedding")), k = 50,
+          nprobe = 3)
+        .withColumnRenamed("vec_id", "doc_id")
+      val want = rows5(TextAnalysis.rrfFuseAll(
+        Seq(lex, phr, prx, sem), kConst = 60L, k = 10))
+      assert(got === want, "rrfQueryBatch ≡ hand-composed 4-leg fuse")
+
+      // q1's null boost columns must degrade to EXACTLY the 2-leg
+      // answer — same rows as a request batch without the columns
+      val got2 = rows5(TextAnalysis.rrfQueryBatch(textIdx, ann,
+        Seq((1L, Seq("table", "hash"), embRows(1L)))
+          .toDF("query_id", "terms", "embedding"),
+        kConst = 60L, k = 10, legK = 50, nprobe = 3))
+      assert(got.filter(_._1 == 1L) === got2,
+        "null boost columns ≡ the 2-leg fuse for that query")
+
+      // streaming twin over the extended schema
+      val served =
+        TrieMap.empty[Long, Seq[(Long, Long, Long, Int, Int)]]
+      writeHybridRequestFile4(input, "b1.json", reqRows)
+      val q = StreamTextServe.hybridWriter(
+        hybridRequestStream4(input), textIdx, ann,
+        k = 10, legK = 50, nprobe = 3) { (bid, res) =>
+        served.put(bid, rows5(res))
+        ()
+      }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(served.values.flatten.toSeq.sortBy(r => (r._1, r._5))
+        === got, "4-leg stream ≡ batch")
+    } finally {
+      annIdx.unpersist()
+      Seq(textDir, annDir, input.toString, ckpt.toString).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   // -------------------------------------------- snippet serving + parity
 
   test("snippet serving: batch slice ≡ single-query snippetTopK, " +

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextAnalysis}
+import graft.sinks.Sink
+
+/** The retention → index loop closed in one call ([[Sink.retentionSweep]]):
+  * expiring raw date partitions tombstone every registered index root
+  * under one batch-id lineage, THEN drop. Pins the equivalence
+  * (swept state ≡ rebuild on retained docs, all three index families),
+  * the replay guards (a re-run after the drop must not overwrite the
+  * tombstone batch with the now-empty id set; a PARTIAL-drop re-run must
+  * not overwrite it with the subset), and the lineage composition
+  * (a re-crawl of a swept URL is an append at a later batch id —
+  * batch-scoped tombstones do not mask it).
+  */
+class RetentionSweepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def rm(dirs: String*): Unit = dirs.foreach(d =>
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+
+  private def bm25(path: String): Seq[(Long, Long)] =
+    TextAnalysis.bm25TopK(Sink.readTextIndex(spark, path),
+        Seq("vector", "hash", "merge"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+
+  test("sweep: expiring partitions tombstone text + IVF + LSH under one " +
+      "batch id, then drop; swept state ≡ rebuild on retained; post-drop " +
+      "replay keeps the batch; a later append resurrects a swept id") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val raw = tmp("sweep_raw")
+    val text = tmp("sweep_text")
+    val ivf = tmp("sweep_ivf")
+    val lsh = tmp("sweep_lsh")
+    val refText = tmp("sweep_ref")
+    try {
+      docs.withColumn("date",
+          concat(lit("2024-01-0"), (col("doc_id") % 5 + 1).cast("string")))
+        .write.mode("overwrite").partitionBy("date").parquet(raw)
+      Sink.writeTextIndex(docs, text, buckets = 8)
+      val ivfIdx = Similarity.buildIvfIndexExact(emb, nlist = 4, iters = 1)
+      Sink.writeIvfIndex(ivfIdx, ivf)
+      ivfIdx.unpersist()
+      val lshIdx = Similarity.buildLshIndex(emb, nBits = 32, bands = 8)
+      Sink.writeLshIndex(lshIdx, lsh)
+      lshIdx.unpersist()
+
+      val dropped = Sink.retentionSweep(spark, raw, "2024-01-03",
+        batchId = 0L, textIndexes = Seq(text), ivfIndexes = Seq(ivf),
+        lshIndexes = Seq(lsh))
+      assert(dropped === Seq("2024-01-01", "2024-01-02"))
+      assert(!new java.io.File(s"$raw/date=2024-01-01").exists(),
+        "raw partitions dropped after the tombstones landed")
+
+      // text: swept logical state ≡ a fresh build over the retained docs
+      Sink.writeTextIndex(docs.filter(col("doc_id") % 5 >= 2), refText,
+        buckets = 8)
+      assert(bm25(text) === bm25(refText), "sweep ≡ rebuild-on-retained")
+      val sweptN = Sink.readTextIndex(spark, text).nDocs
+      assert(sweptN === docs.filter(col("doc_id") % 5 >= 2).count())
+
+      // vector families: no swept id serves from either layout
+      val sweptIds = docs.filter(col("doc_id") % 5 < 2)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val ivfIds = Sink.readIvfIndex(spark, ivf).celled
+        .select(col("vec_id")).as[Long].collect().toSet
+      assert(ivfIds.intersect(sweptIds).isEmpty, "IVF hides swept ids")
+      val lshLoaded = Sink.readLshIndex(spark, lsh)
+      assert(lshLoaded.signed.filter(
+        col("vec_id").isin(sweptIds.toSeq: _*)).count() === 0,
+        "LSH hides swept ids on the rerank side")
+
+      // REPLAY after the successful sweep: the raw partitions are gone,
+      // so a naive re-run would re-derive an EMPTY id set and overwrite
+      // the tombstone batch — resurrecting every swept doc. The commit
+      // record guard must keep the batch intact.
+      Sink.retentionSweep(spark, raw, "2024-01-03", batchId = 0L,
+        textIndexes = Seq(text), ivfIndexes = Seq(ivf),
+        lshIndexes = Seq(lsh))
+      assert(bm25(text) === bm25(refText), "post-drop replay: no drift")
+      assert(Sink.readIvfIndex(spark, ivf).celled
+        .select(col("vec_id")).as[Long].collect().toSet
+        .intersect(sweptIds).isEmpty)
+
+      // PARTIAL-drop replay: one doomed partition reappears (simulating
+      // a crash mid-drop — or mid-sweep before the drop began), carrying
+      // only a SUBSET of the originally swept ids. The re-run must SKIP
+      // the tombstone write on every landed root (an overwrite with the
+      // subset would resurrect the rest) and finish the drop.
+      docs.filter(col("doc_id") % 5 === 0).withColumn("date",
+          lit("2024-01-01"))
+        .write.mode("append").partitionBy("date").parquet(raw)
+      Sink.retentionSweep(spark, raw, "2024-01-03", batchId = 0L,
+        textIndexes = Seq(text), ivfIndexes = Seq(ivf),
+        lshIndexes = Seq(lsh))
+      assert(!new java.io.File(s"$raw/date=2024-01-01").exists(),
+        "the re-run finishes the partial drop")
+      assert(bm25(text) === bm25(refText),
+        "subset replay must not shrink the tombstone batch")
+
+      // lineage composition: a swept URL is re-crawled later — an
+      // append at batch 1 resurrects it (batch-scoped tombstones)
+      val recrawled = docs.filter(col("doc_id") === 5) // % 5 == 0: swept
+      Sink.appendTextIndex(spark, text, recrawled, batchId = 1L)
+      val withReadd = Sink.readTextIndex(spark, text)
+      assert(withReadd.nDocs === sweptN + 1,
+        "re-crawl after sweep: the doc is visible again, no compaction")
+    } finally rm(raw, text, ivf, lsh, refText)
+  }
+
+  test("sweep with no expiring partitions is a no-op; sweep on a " +
+      "missing raw table returns empty") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+    val raw = tmp("sweep_noop")
+    val text = tmp("sweep_noop_text")
+    try {
+      docs.withColumn("date", lit("2024-06-01"))
+        .write.mode("overwrite").partitionBy("date").parquet(raw)
+      Sink.writeTextIndex(docs, text, buckets = 8)
+      val dropped = Sink.retentionSweep(spark, raw, "2024-01-01",
+        batchId = 0L, textIndexes = Seq(text))
+      assert(dropped.isEmpty)
+      assert(!new java.io.File(s"$text/tombstones").exists(),
+        "nothing expired → no tombstone batch")
+      assert(Sink.retentionSweep(spark, s"$raw/__absent__", "2024-01-01",
+        batchId = 1L) === Nil)
+    } finally rm(raw, text)
+  }
+}
