@@ -260,6 +260,39 @@ object ServeFootprint {
         graft.streaming.StreamTextServe.hybridWriter(
           qs, textIdx, loadedIvf, k = 10, legK = 20, nprobe = 4)(emit))
 
+    // hybrid4: the 4-leg request shape (terms + phrase + prox_terms +
+    // embedding) — the boost legs ride the SAME bucket-pruned probe
+    // family as BM25, so per-batch latency must track the text legs'
+    // matched postings plus the ANN leg, never corpus size, and the
+    // no-state/flat-checkpoint contract is identical
+    val hybrid4Schema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("terms", ArrayType(StringType)),
+      StructField("phrase", ArrayType(StringType)),
+      StructField("prox_terms", ArrayType(StringType)),
+      StructField("embedding", ArrayType(FloatType))))
+    def writeHybrid4File(dir: Path, name: String, batch: Int): Unit = {
+      def arr(ts: Seq[String]) =
+        s"[${ts.map("\"" + _ + "\"").mkString(",")}]"
+      val lines = (0 until 20).map { i =>
+        val terms = termPool((batch * 20 + i) % termPool.length)
+        val phrase = termPool((batch * 20 + i + 1) % termPool.length)
+        val prox = termPool((batch * 20 + i + 2) % termPool.length)
+        val (_, e) = reqPool((batch * 20 + i) % reqPool.length)
+        s"""{"query_id":${1000000L + batch * 1000L + i},""" +
+          s""""terms":${arr(terms)},"phrase":${arr(phrase)},""" +
+          s""""prox_terms":${arr(prox)},"embedding":[${e.mkString(",")}]}"""
+      }
+      val tmpF = dir.resolve(s".$name.tmp")
+      Files.write(tmpF, String.join("\n", lines: _*).getBytes("UTF-8"))
+      Files.move(tmpF, dir.resolve(name))
+    }
+    driveCustom("hybrid4", hybrid4Schema)(
+      (dir, b) => writeHybrid4File(dir, f"batch$b%03d.json", b))(
+      qs => emit =>
+        graft.streaming.StreamTextServe.hybridWriter(
+          qs, textIdx, loadedIvf, k = 10, legK = 20, nprobe = 4)(emit))
+
     Seq(ivfDir, pqDir, lshDir, textDir).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     spark.stop()
