@@ -181,6 +181,45 @@ class IndexReaddSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: delete masks the CODED layout on the ADC path; " +
+      "re-append resurrects with codes; compaction folds") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 400)
+    val idx = Similarity.buildIvfIndexExact(emb, nlist = 4, iters = 2)
+    val model = Similarity.buildPqModel(emb, m = 8, k = 16, iters = 1)
+    val dir = tmp("vreadd_pq")
+    try {
+      Sink.writeIvfPqIndex(idx, model.cents, model.codes, dir)
+      Sink.deleteFromIvfIndex(spark, dir,
+        Seq(2L, 4L).toDF("vec_id"), batchId = 0L)
+      Sink.appendIvfIndex(spark, dir,
+        emb.filter(col("vec_id") === 2), batchId = 1L)
+      val queries = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      def served(): Set[Long] = {
+        val (loaded, cents) = Sink.readIvfPqIndex(spark, dir)
+        Similarity.ivfPqQueryVectors(loaded, cents, queries,
+            nprobe = 4, rerank = 1000000, k = emb.count().toInt)
+          .select(col("vec_id")).as[Long].collect().toSet
+      }
+      val got = served()
+      assert(got.contains(2L),
+        "re-appended vector serves through ADC (coded ingest)")
+      assert(!got.contains(4L), "deleted vector is masked on the ADC path")
+      // the resurrected copy carries codes (appendIvfIndex re-encodes
+      // with the persisted codebooks — a null code would mis-rank)
+      val (loaded, _) = Sink.readIvfPqIndex(spark, dir)
+      val copy = loaded.celled.filter(col("vec_id") === 2)
+        .select(col("codes")).collect()
+      assert(copy.length === 1 && !copy.head.isNullAt(0))
+
+      Sink.compactIvfIndex(spark, dir)
+      assert(served() === got, "fold parity on the coded layout")
+    } finally {
+      idx.unpersist()
+      rm(dir)
+    }
+  }
+
   test("doc-stats sidecar ADOPTION: a legacy layout (no doc_stats) " +
       "derives one on first delete and matches build-time numbers") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
