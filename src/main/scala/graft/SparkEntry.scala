@@ -2439,6 +2439,29 @@ object SparkEntry {
         kConst = 60L, k = 20)
     }),
 
+    // the SEARCH-RESULTS-PAGE query: hybrid fusion + snippet evidence
+    // in ONE serving call (rrfSnippetQueryBatch) — fused top-k per
+    // request (bucket-pruned BM25 leg + cell-pruned int-lattice ANN
+    // leg), each winner annotated with the best covering window of the
+    // request's terms and its rendered token span; a winner surfaced by
+    // the semantic leg alone carries NULL evidence and no text is read
+    // for it. Oracle replays both legs, the fusion, the per-winner
+    // min-window argmin, and the slice
+    "retrieval_hybrid_snippet" -> ((s, dir) => {
+      import s.implicits._
+      val textIdx = Sink.readTextIndex(s, persistedTextIndexDir(s, dir))
+      val annIdx = Sink.readIvfIndex(s, persistedPqServeDir(s, dir))
+      val reqs = Seq(
+        (0L, Seq("vector", "hash", "merge")),
+        (1L, Seq("table", "hash"))).toDF("query_id", "terms")
+        .join(Tables.embeddings(s, dir)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id")
+      graft.operators.TextAnalysis.rrfSnippetQueryBatch(
+        textIdx, annIdx, Tables.documents(s, dir), reqs,
+        kConst = 60L, k = 20)
+    }),
+
     // PII audit + redaction: the corpus carries no PII, so a
     // deterministic PII-bearing column is derived from driver data
     // (email from source, phone/IP from doc_id) and the operator's
@@ -7395,6 +7418,151 @@ object SparkEntry {
         |    ORDER BY rrf_ppm DESC, doc_id) AS rank FROM fused)
         |WHERE rank <= 20
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the results-page replay: both legs + fusion (the serve oracle's
+    // shape, 2 requests), then per fused winner the GENERIC min-window
+    // recurrence over the request's terms — LEFT joined, so a
+    // semantic-only hit carries NULL evidence — and the token-span
+    // slice for window-bearing winners only
+    "retrieval_hybrid_snippet" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |      '\\s+', ' ', 'g'), ' ') AS lst
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lst[i] AS token, i - 1 AS pos
+        |  FROM d, LATERAL (
+        |    SELECT unnest(generate_series(1, len(lst))) AS i) u
+        |  WHERE lst[i] <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |         (SELECT count(*) FROM toks) AS t),
+        |qterms(query_id, token) AS (
+        |  SELECT * FROM (VALUES (0, 'vector'), (0, 'hash'), (0, 'merge'),
+        |         (1, 'table'), (1, 'hash')) AS qt(query_id, token)),
+        |m AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token IN (SELECT DISTINCT token FROM qterms)
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT m.doc_id, token, tf, dl.dl,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM m JOIN dl USING (doc_id)),
+        |sc AS (
+        |  SELECT qt.query_id, w.doc_id,
+        |         CAST(sum(
+        |           (((n - df + 1) * 1000000) // (df + 1)) * tf * (1000 + 1200)
+        |           // (tf * 1000 +
+        |              (1200 * ((1000 - 750) + (750 * dl * n) // t)) // 1000)
+        |         ) AS BIGINT) AS score
+        |  FROM w JOIN qterms qt USING (token) CROSS JOIN meta
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id)
+        |      AS BIGINT) AS rank
+        |    FROM sc) WHERE rank <= 50),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |p AS (SELECT vec_id, d, q[d] AS v FROM q CROSS JOIN dims),
+        |seeds AS (
+        |  SELECT q, row_number() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        |  FROM q),
+        |c0 AS (
+        |  SELECT sd.j, dims.d, sd.q[dims.d] AS c
+        |  FROM seeds sd CROSS JOIN dims WHERE sd.j < 16),
+        |${lloydRoundSql(1)},
+        |${lloydRoundSql(2)},
+        |${lloydRoundSql(3)},
+        |fd AS (
+        |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+        |  FROM p JOIN c3 c USING (d) GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, j AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY dist, j) AS rn
+        |    FROM fd) WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, j FROM (
+        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, j) AS rn
+        |    FROM fd WHERE vec_id IN (0, 1)) WHERE rn <= 4),
+        |v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sem AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT pr.query_id, v.vec_id AS doc_id,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY pr.query_id
+        |        ORDER BY list_cosine_similarity(v.e, qv.e) DESC, v.vec_id)
+        |        AS BIGINT) AS rank
+        |    FROM v
+        |    JOIN fa ON fa.vec_id = v.vec_id
+        |    JOIN probe pr ON pr.j = fa.cluster
+        |    JOIN v qv ON qv.vec_id = pr.query_id
+        |    WHERE v.vec_id <> pr.query_id) WHERE rank <= 50),
+        |legs AS (
+        |  SELECT query_id, doc_id, rank FROM lex
+        |  UNION ALL SELECT query_id, doc_id, rank FROM sem),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+        |         count(*) AS n_legs
+        |  FROM legs GROUP BY 1, 2),
+        |win AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_ppm,
+        |         n_legs, rank
+        |  FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_ppm DESC, doc_id) AS rank FROM fused)
+        |  WHERE rank <= 20),
+        |xpts AS (
+        |  SELECT q.query_id, t.doc_id, t.pos, t.token
+        |  FROM toks t JOIN qterms q USING (token)),
+        |xanchor AS (SELECT DISTINCT query_id, doc_id, pos FROM xpts),
+        |xlast AS (
+        |  SELECT a.query_id, a.doc_id, a.pos, q.token,
+        |         max(t2.pos) AS last_pos
+        |  FROM xanchor a
+        |  JOIN qterms q ON q.query_id = a.query_id
+        |  LEFT JOIN xpts t2 ON t2.query_id = a.query_id
+        |    AND t2.doc_id = a.doc_id AND t2.token = q.token
+        |    AND t2.pos <= a.pos
+        |  GROUP BY 1, 2, 3, 4),
+        |xwl AS (
+        |  SELECT query_id, doc_id,
+        |         pos - min(last_pos) + 1 AS window_len,
+        |         min(last_pos) AS win_start
+        |  FROM xlast GROUP BY query_id, doc_id, pos
+        |  HAVING count(last_pos) = count(*)),
+        |bw AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(window_len AS BIGINT) AS window_len,
+        |         CAST(win_start AS BIGINT) AS win_start FROM (
+        |    SELECT query_id, doc_id, window_len, win_start,
+        |           row_number() OVER (PARTITION BY query_id, doc_id
+        |             ORDER BY window_len, win_start) AS rn
+        |    FROM xwl) WHERE rn = 1)
+        |SELECT win.query_id, win.doc_id, win.rrf_ppm, win.n_legs,
+        |       win.rank, bw.window_len, bw.win_start,
+        |       CASE WHEN bw.window_len IS NOT NULL THEN
+        |         array_to_string(
+        |           d.lst[CAST(bw.win_start + 1 AS BIGINT) :
+        |                 CAST(bw.win_start + bw.window_len AS BIGINT)], ' ')
+        |       END AS snippet
+        |FROM win
+        |LEFT JOIN bw ON bw.query_id = win.query_id
+        |  AND bw.doc_id = win.doc_id
+        |LEFT JOIN d ON d.doc_id = win.doc_id
+        |ORDER BY win.query_id, win.rank""".stripMargin,
 
     "text_quality_gopher" ->
       """WITH f AS (

@@ -1281,6 +1281,92 @@ object TextAnalysis {
     rrfFuseAll(Seq(lex) ++ phrase ++ prox ++ Seq(sem), kConst, k)
   }
 
+  /** The SEARCH-RESULTS-PAGE call: hybrid fusion + snippet evidence in
+    * ONE serving batch — [[rrfQueryBatch]]'s fused top-k per request
+    * (including any boost legs its optional columns carry), each winner
+    * annotated with the best covering window of the request's TERMS
+    * over the winner's text (the highlight a results page renders under
+    * a fused hit). A winner surfaced by the semantic leg alone need not
+    * contain every term — its window/snippet columns are NULL and no
+    * text is read for it (production behavior: show the hit, skip the
+    * highlight).
+    *
+    * Cost: the fused legs + ONE extra min-window pass over the SAME
+    * probed term buckets (the [[proximityWindowCandidates]] recurrence,
+    * pruned to the fused winners BEFORE the argmin) + bounded collects
+    * (fused winners and snippet-bearing ids are both ≤ k × |requests|)
+    * pushing one `doc_id IN (...)` filter into the documents scan.
+    * Never a corpus pass.
+    */
+  def rrfSnippetQueryBatch(
+      textIndex: TextIndex,
+      annIndex: graft.operators.Similarity.IvfIndex,
+      docs: DataFrame,
+      requests: DataFrame,
+      kConst: Long = 60L,
+      k: Int = 20,
+      legK: Int = 50,
+      nprobe: Int = 4): DataFrame = {
+    textIndex.requirePositions("rrfSnippetQueryBatch")
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val fused = rrfQueryBatch(
+        textIndex, annIndex, requests, kConst, k, legK, nprobe)
+      // winners are ≤ k × |requests| (the probe-union idiom): the
+      // collect below and the snippet joins must read the SAME rows
+      .localCheckpoint(true)
+    def withNullEvidence(df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("doc_id"), col("rrf_ppm"),
+        col("n_legs"), col("rank"),
+        lit(null).cast("long").as("window_len"),
+        lit(null).cast("long").as("win_start"),
+        lit(null).cast("string").as("snippet"))
+    val winners = fused
+      .select(col("query_id"), col("doc_id"), col("rrf_ppm"),
+        col("n_legs"), col("rank"))
+      .as[(Long, Long, Long, Int, Int)].collect().toSeq
+    if (winners.isEmpty) return withNullEvidence(fused)
+    val winnersDf = winners
+      .toDF("query_id", "doc_id", "rrf_ppm", "n_legs", "rank")
+    val bests = proximityWindowCandidates(textIndex,
+        requests.select(col("query_id"), col("terms"))) match {
+      case None => return withNullEvidence(fused)
+      case Some(cands) =>
+        cands
+          // prune the recurrence's candidates to the fused winners
+          // BEFORE the argmin — windows are only evidence for hits
+          .join(broadcast(
+              winnersDf.select(col("query_id"), col("doc_id"))),
+            Seq("query_id", "doc_id"))
+          .select(col("query_id"), col("doc_id"),
+            struct(col("window_len"), col("win_start")).as("cand"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(min(col("cand")).as("best")) // lexicographic argmin
+          .select(col("query_id"), col("doc_id"),
+            col("best.window_len").as("window_len"),
+            col("best.win_start").as("win_start"))
+          .localCheckpoint(true) // ≤ winners; feeds a collect + a join
+    }
+    val winIds = bests.select(col("doc_id")).distinct()
+      .as[Long].collect().toSeq
+    if (winIds.isEmpty) return withNullEvidence(fused)
+    val sliced = docs
+      .filter(col("doc_id").isin(winIds: _*)) // ONE batch-wide pushdown
+      .select(col("doc_id"),
+        split(graft.operators.Dedup.normText(col("text")), " ").as("lst"))
+    winnersDf
+      .join(broadcast(bests), Seq("query_id", "doc_id"), "left")
+      .join(broadcast(sliced), Seq("doc_id"), "left")
+      .select(col("query_id"), col("doc_id"), col("rrf_ppm"),
+        col("n_legs"), col("rank"), col("window_len"), col("win_start"),
+        when(col("window_len").isNotNull,
+          array_join(
+            slice(col("lst"), (col("win_start") + 1).cast("int"),
+              col("window_len").cast("int")),
+            " ")).as("snippet"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The shared fusion cascade: full-outer joins on `(query_id, doc_id)`
     * keeping per-leg `rank_i` columns, plus the summed integer-ppm RRF
     * score. Both public forms ([[rrfFuse]], [[rrfFuseAll]]) shape their

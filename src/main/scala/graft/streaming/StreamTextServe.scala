@@ -124,4 +124,28 @@ object StreamTextServe {
           index, annIndex, batch, kConst, k, legK, nprobe))
         ()
       }
+
+  /** The SEARCH-RESULTS-PAGE writer — [[hybridWriter]] plus snippet
+    * evidence per fused hit, answered per micro-batch by
+    * [[TextAnalysis.rrfSnippetQueryBatch]]: fused top-k per request,
+    * best covering window + token span for winners that carry every
+    * term, NULL evidence for semantic-only hits. Delivery contract
+    * unchanged: replay-stable batchId to an idempotent `emit`.
+    */
+  def hybridSnippetWriter(
+      requests: DataFrame,
+      index: TextAnalysis.TextIndex,
+      annIndex: graft.operators.Similarity.IvfIndex,
+      docs: DataFrame,
+      k: Int = 20,
+      kConst: Long = 60L,
+      legK: Int = 50,
+      nprobe: Int = 4)(
+      emit: (Long, DataFrame) => Unit): DataStreamWriter[Row] =
+    requests.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        emit(batchId, TextAnalysis.rrfSnippetQueryBatch(
+          index, annIndex, docs, batch, kConst, k, legK, nprobe))
+        ()
+      }
 }

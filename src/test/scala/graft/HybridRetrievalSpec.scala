@@ -386,6 +386,116 @@ class HybridRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("results-page call: fused ranking unchanged, window evidence " +
+      "matches the snippet argmin, semantic-only hits carry NULLs, " +
+      "and batch ≡ streaming") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val textDir = Files.createTempDirectory("rsp_text").toString
+    val annDir = Files.createTempDirectory("rsp_ann").toString
+    val input = Files.createTempDirectory("rsp_in")
+    val ckpt = Files.createTempDirectory("rsp_ckpt")
+    val annIdx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+    try {
+      Sink.writeTextIndex(docs, textDir, buckets = 16)
+      Sink.writeIvfIndex(annIdx, annDir)
+      val textIdx = Sink.readTextIndex(spark, textDir)
+      val ann = Sink.readIvfIndex(spark, annDir)
+      val embRows = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .as[(Long, Seq[Double])].collect().toMap
+      val reqRows = Seq(
+        (0L, Seq("vector", "hash", "merge"), embRows(0L)),
+        (1L, Seq("table", "hash"), embRows(1L)))
+      val reqs = reqRows.toDF("query_id", "terms", "embedding")
+
+      val page = TextAnalysis.rrfSnippetQueryBatch(textIdx, ann, docs,
+          reqs, kConst = 60L, k = 15, legK = 30, nprobe = 3)
+        .collect().toSeq
+      assert(page.nonEmpty)
+
+      // 1. the fused ranking is EXACTLY rrfQueryBatch's — the snippet
+      // pass annotates, never re-ranks
+      val fused = TextAnalysis.rrfQueryBatch(textIdx, ann, reqs,
+          kConst = 60L, k = 15, legK = 30, nprobe = 3)
+        .select(col("query_id"), col("doc_id"), col("rrf_ppm"),
+          col("n_legs"), col("rank"))
+        .as[(Long, Long, Long, Int, Int)].collect().toSeq
+      assert(page.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4))) === fused)
+
+      // 2. evidence semantics per winner: a doc containing EVERY
+      // request term carries a window whose snippet (a) has exactly
+      // window_len tokens and (b) contains every term; a doc missing a
+      // term carries NULL evidence (the semantic-only hit)
+      val termsByQ = reqRows.map(r => r._1 -> r._2.toSet).toMap
+      val tokensByDoc = docs
+        .filter(col("doc_id").isin(page.map(_.getLong(1)).distinct: _*))
+        .select(col("doc_id"),
+          split(graft.operators.Dedup.normText(col("text")), " ")
+            .as("toks"))
+        .as[(Long, Seq[String])].collect().toMap
+      var withWin = 0
+      var withoutWin = 0
+      page.foreach { r =>
+        val (qid, did) = (r.getLong(0), r.getLong(1))
+        val hasAll = termsByQ(qid).subsetOf(tokensByDoc(did).toSet)
+        if (hasAll) {
+          withWin += 1
+          assert(!r.isNullAt(5) && !r.isNullAt(7),
+            s"full-coverage winner ($qid,$did) must carry evidence")
+          val snip = r.getString(7).split(" ").toSeq
+          assert(snip.size === r.getLong(5).toInt,
+            "snippet spans exactly window_len tokens")
+          assert(termsByQ(qid).subsetOf(snip.toSet),
+            s"the min window must contain every term: $snip")
+        } else {
+          withoutWin += 1
+          assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7),
+            s"semantic-only winner ($qid,$did) must carry NULL evidence")
+        }
+      }
+      assert(withWin > 0, "fixture must exercise the evidence path")
+      assert(withoutWin > 0,
+        "fixture must exercise the semantic-only NULL path")
+
+      // 3. the window argmin agrees with snippetQueryBatch's (computed
+      // over ALL candidate docs, then restricted to shared pairs)
+      val snipAll = TextAnalysis.snippetQueryBatch(textIdx, docs,
+          reqs.select(col("query_id"), col("terms")), k = 10000)
+        .select(col("query_id"), col("doc_id"), col("window_len"),
+          col("win_start"), col("snippet"))
+        .as[(Long, Long, Long, Long, String)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      page.filter(!_.isNullAt(5)).foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        assert(snipAll(key) ===
+          ((r.getLong(5), r.getLong(6), r.getString(7))),
+          s"evidence for $key must equal the snippet argmin")
+      }
+
+      // 4. streaming twin
+      val served = TrieMap.empty[Long, Seq[String]]
+      writeHybridRequestFile(input, "b1.json", reqRows)
+      val q = StreamTextServe.hybridSnippetWriter(
+        hybridRequestStream(input), textIdx, ann, docs,
+        k = 15, legK = 30, nprobe = 3) { (bid, res) =>
+        served.put(bid, res.collect().toSeq.map(_.toString))
+        ()
+      }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(served.values.flatten.toSeq.sorted
+        === page.map(_.toString).sorted, "stream ≡ batch")
+    } finally {
+      annIdx.unpersist()
+      Seq(textDir, annDir, input.toString, ckpt.toString).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   // -------------------------------------------- snippet serving + parity
 
   test("snippet serving: batch slice ≡ single-query snippetTopK, " +
