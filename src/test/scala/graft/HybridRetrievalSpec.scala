@@ -12,12 +12,14 @@ import graft.operators.{Clustering, Similarity, TextAnalysis}
 import graft.sinks.Sink
 import graft.streaming.StreamTextServe
 
-/** The round-13 retrieval surface: the integer-lattice ANN probe that
+/** The retrieval-serving surface: the integer-lattice ANN probe that
   * makes hybrid retrieval hash-checkable (cell-prune receipt + a
   * driver-side replay of the probe selection), multi-leg RRF semantics,
-  * hybrid and snippet batch/stream parity, per-request rejection of
-  * oversized proximity requests, the pre-positions-layout fail-fast,
-  * and EMPTY micro-batches through the serving writers.
+  * hybrid and snippet batch/stream parity, the optional phrase/proximity
+  * BOOST legs (3–4-leg serving requests), the results-page call (fusion
+  * + snippet evidence in one batch), per-request rejection of oversized
+  * proximity requests, the pre-positions-layout fail-fast, and EMPTY
+  * micro-batches through the serving writers.
   */
 class HybridRetrievalSpec extends SparkSpec {
   import spark.implicits._
