@@ -2276,7 +2276,10 @@ object SparkEntry {
     // re-appended rows). Oracle replays BM25 over the final logical
     // corpus blind to every mechanism above
     "text_delete_readd" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // 1000-doc slice, the text_bm25_incremental rationale: the proof
+      // (batch-scoped resurrect, replay orders, fold parity) is
+      // size-invariant and the cost is the lifecycle's job count
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_textreadd_${new java.io.File(dir).getName}").toString
       Sink.writeTextIndex(docs, path, buckets = 16)
@@ -2346,7 +2349,9 @@ object SparkEntry {
     // ANN top-20 over the retained state; the oracle replays both legs
     // over the retained docs blind to the mechanism
     "retention_sweep" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      // 1000-doc raw/text slice (size-invariant proof, lifecycle-cost
+      // rationale above); the ANN side keeps the full embedding corpus
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
       val emb = Tables.embeddings(s, dir)
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_retsweep_${new java.io.File(dir).getName}").toString
@@ -2416,7 +2421,9 @@ object SparkEntry {
     // over corpus-minus-deleted, blind to tombstones
     "retrieval_hybrid_delete" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
+      // 1000-doc text slice (lifecycle-cost rationale above); the ANN
+      // side keeps the full embedding corpus
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
       val emb = Tables.embeddings(s, dir)
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_hybdel_${new java.io.File(dir).getName}").toString
@@ -7020,7 +7027,7 @@ object SparkEntry {
     // re-mask all break the hash
     "text_delete_readd" ->
       """WITH d AS (SELECT doc_id, text FROM documents
-        |           WHERE doc_id % 20 <> 17),
+        |           WHERE doc_id < 1000 AND doc_id % 20 <> 17),
         |toks AS (
         |  SELECT doc_id, token FROM (
         |    SELECT doc_id,
@@ -7077,7 +7084,7 @@ object SparkEntry {
     // put swept docs back into both legs and break the hash
     "retention_sweep" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents
-        |           WHERE doc_id % 5 >= 2),
+        |           WHERE doc_id < 1000 AND doc_id % 5 >= 2),
         |toks AS (
         |  SELECT doc_id, token FROM (
         |    SELECT doc_id,
@@ -7149,7 +7156,8 @@ object SparkEntry {
         |    FROM v
         |    JOIN fa ON fa.vec_id = v.vec_id
         |    CROSS JOIN (SELECT e FROM v WHERE vec_id = 2) qv
-        |    WHERE v.vec_id <> 2 AND v.vec_id % 5 >= 2
+        |    WHERE v.vec_id <> 2
+        |      AND NOT (v.vec_id < 1000 AND v.vec_id % 5 < 2)
         |      AND fa.cluster IN (SELECT j FROM probe))
         |  WHERE rank <= 20)
         |SELECT 'bm25' AS leg, id, rank FROM bm
@@ -7322,7 +7330,7 @@ object SparkEntry {
     // resurrects through the fuse's union breaks the hash
     "retrieval_hybrid_delete" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents
-        |           WHERE doc_id % 9 <> 4),
+        |           WHERE doc_id < 1000 AND doc_id % 9 <> 4),
         |toks AS (
         |  SELECT doc_id, token FROM (
         |    SELECT doc_id,
@@ -7401,7 +7409,8 @@ object SparkEntry {
         |    JOIN fa ON fa.vec_id = v.vec_id
         |    JOIN probe pr ON pr.j = fa.cluster
         |    JOIN v qv ON qv.vec_id = pr.query_id
-        |    WHERE v.vec_id <> pr.query_id AND v.vec_id % 9 <> 4)
+        |    WHERE v.vec_id <> pr.query_id
+        |      AND NOT (v.vec_id < 1000 AND v.vec_id % 9 = 4))
         |  WHERE rank <= 50),
         |legs AS (
         |  SELECT query_id, doc_id, rank FROM lex
