@@ -290,7 +290,15 @@ object Bench {
       median((1 to 5).map(_ => calibrateOnce()))
     }
     calibrate() // warm the calib plan like everything else
-    val names = SparkEntry.queries.keys.toSeq
+    // SORTED execution order: `queries` is a HashMap, so its iteration
+    // order depends on the full key SET — two binaries that differ only
+    // by added queries would otherwise run the SHARED queries in
+    // different relative orders, and a query's wall time is not
+    // position-independent (GC state, broadcast cleanup, code-cache).
+    // The r14 A/B measured exactly that confound: movers were
+    // overwhelmingly queries neither side's diff touched. Sorting makes
+    // cross-binary passes order-stable for every rev from here on.
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val runsByQuery = collection.mutable.LinkedHashMap(
       names.map(n => n -> Vector.empty[(Double, Option[String])]): _*)
     var calibRuns = Vector.empty[Double]
