@@ -469,10 +469,19 @@ object Similarity {
       import spark.implicits._
       val centDf = index.qcents.zipWithIndex.toSeq
         .map { case (c, j) => (j, c.toSeq) }.toDF("cell", "qc")
-      val wProbe = Window.partitionBy(col("query_id"))
+      // per-ROW window key, not query_id: the inline form above emits
+      // nprobe probe cells per input ROW, so a (malformed) batch
+      // carrying duplicate query_id rows with different embeddings must
+      // get per-row probe sets here too — partitioning by query_id
+      // alone would keep nprobe rows TOTAL for the duplicates, picked
+      // arbitrarily across their distance rows, silently breaking the
+      // two forms' bit-identity. The key is dropped before the fan-out.
+      val wProbe = Window.partitionBy(col("row_key"))
         .orderBy(col("dist"), col("cell"))
-      base.crossJoin(broadcast(centDf))
-        .select(col("query_id"), col("q_unit"), col("cell"),
+      base.withColumn("row_key", monotonically_increasing_id())
+        .crossJoin(broadcast(centDf))
+        .select(col("row_key"), col("query_id"), col("q_unit"),
+          col("cell"),
           graft.functions.VectorOps
             .vec_l2sq_long(col("ql"), col("qc")).as("dist"))
         .withColumn("rn", row_number().over(wProbe))

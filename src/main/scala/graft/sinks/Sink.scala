@@ -441,7 +441,15 @@ object Sink {
     * after it, before cleanup, leaves a superseded layout that readers
     * already ignore.
     *
-    * Returns (rebuilt?, max growth_ppm observed before the decision).
+    * Returns (rebuilt?, max |growth_ppm| observed before the decision).
+    * The gate reads the drift census as MAGNITUDE — `|growth_ppm|` —
+    * because a cell that LOST half its rows is exactly as drifted as
+    * one that doubled: committed tombstones shrink the live view
+    * ([[deleteFromIvfIndex]] masks it), so a heavily-swept corpus
+    * trips this valve and folds its deletes physically with the
+    * retrain instead of paying the broadcast mask forever. On a
+    * delete-free index |growth| == growth (cells only grow), so the
+    * r14-and-earlier behavior is unchanged.
     */
   def rebuildIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -450,7 +458,7 @@ object Sink {
       thresholdPpm: Long = 200000L,
       iters: Int = 3): (Boolean, Long) = {
     val maxPpm = ivfOccupancyDrift(spark, path)
-      .agg(max(col("growth_ppm"))).head.getLong(0)
+      .agg(max(abs(col("growth_ppm")))).head.getLong(0)
     if (maxPpm < thresholdPpm) (false, maxPpm)
     else {
       val conf = spark.sparkContext.hadoopConfiguration
@@ -535,7 +543,9 @@ object Sink {
     * the rebuild verifies the rebuilt row count and refuses (before the
     * commit marker — the half-written generation stays invisible).
     *
-    * Returns (rebuilt?, max growth_ppm observed before the decision).
+    * Returns (rebuilt?, max |growth_ppm| observed before the decision)
+    * — magnitude, not signed growth, so delete pressure trips this
+    * valve too (the [[rebuildIvfIndex]] rationale).
     */
   def rebuildIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -548,7 +558,7 @@ object Sink {
       iters: Int = 3,
       pqIters: Int = 2): (Boolean, Long) = {
     val maxPpm = ivfOccupancyDrift(spark, path)
-      .agg(max(col("growth_ppm"))).head.getLong(0)
+      .agg(max(abs(col("growth_ppm")))).head.getLong(0)
     if (maxPpm < thresholdPpm) (false, maxPpm)
     else {
       val conf = spark.sparkContext.hadoopConfiguration
@@ -758,6 +768,102 @@ object Sink {
         new org.apache.hadoop.fs.Path(s"$path/tombstones_meta"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
       (n, nf)
+    }
+  }
+
+  /** Tombstone pressure census at an index root: (committed tombstone
+    * batches, Σ masked ids across them) — read from the tiny
+    * `tombstones_meta` commit records (one row per batch), never the id
+    * tables. The inputs every `compact*IfNeeded` valve weighs delete
+    * pressure with.
+    */
+  private def tombstonePressure(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones_meta")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      (0L, 0L)
+    else {
+      val rows = spark.read.parquet(s"$root/tombstones_meta")
+        .select(col("n_ids")).collect()
+      (rows.length.toLong, rows.map(_.getLong(0)).sum)
+    }
+  }
+
+  /** Count the `.parquet` files under a layout dir — the small-file
+    * census every `compact*IfNeeded` valve reads (a file LISTING, never
+    * a data scan; at scale this is the table format's file manifest).
+    */
+  private def countParquetFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Long = {
+    if (!fs.exists(dir)) return 0L
+    var n = 0L
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  /** The hands-off maintenance valve for the IVF / IVF-PQ families under
+    * INGEST AND DELETE pressure — [[compactTextIndexIfNeeded]]'s vector
+    * twin, closing the r14 gap where only the text index self-maintained
+    * under deletes: the automatic rebuild gates watch occupancy drift,
+    * but a steady retention sweep piles up tombstone BATCHES (each one a
+    * broadcast anti-join on every probe) and masked-id MASS (eventually
+    * too big to broadcast at all) without ever moving a cell census —
+    * nothing folded them unattended, so a daily-swept corpus paid an
+    * ever-growing mask on every serve until someone hand-called
+    * [[compactIvfIndex]].
+    *
+    * Below every threshold this is a census read ONLY (a file listing +
+    * two tiny meta collects — never a data scan, never a write). Above
+    * any of them it folds via [[compactIvfIndex]]: ingested batches
+    * merge into `celled`, tombstones apply physically and their layouts
+    * drop, the `folded` ledger absorbs both — probe answers are
+    * bit-identical before/after (spec-asserted), only the file census
+    * and the mask cost change.
+    *
+    * Thresholds target the actual failure modes: `maxIngestedFiles` /
+    * `maxBatches` bound small-file probe I/O (the LSM L0 problem, same
+    * as the text valve — tombstone batches count against `maxBatches`
+    * too, each is a per-probe broadcast until folded); `maxMaskedIds`
+    * bounds the broadcast mask's ROW mass (deletion-rate-sized by
+    * design, but months of sweeps sum — fold before the broadcast
+    * stops fitting).
+    *
+    * Returns (compacted?, ingested files seen, committed batches seen
+    * (ingest + tombstone), masked ids seen).
+    */
+  def compactIvfIndexIfNeeded(
+      spark: org.apache.spark.sql.SparkSession,
+      rawPath: String,
+      maxIngestedFiles: Long = 64L,
+      maxBatches: Long = 16L,
+      maxMaskedIds: Long = 100000L): (Boolean, Long, Long, Long) = {
+    val path = resolveIndexRoot(spark, rawPath)
+    val ingested = new org.apache.hadoop.fs.Path(s"$path/ingested")
+    val fs = ingested.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = countParquetFiles(fs, ingested)
+    val (nTombBatches, maskedIds) = tombstonePressure(spark, path)
+    // distinct ingest batch ids from the partition DIRECTORY names —
+    // a pure listing (the layout is ingested/cell=X/batch_id=Y), so the
+    // below-threshold path never launches a job
+    val ingBatches: Long =
+      if (!fs.exists(ingested)) 0L
+      else fs.listStatus(ingested).toSeq.filter(_.isDirectory)
+        .flatMap(c => fs.listStatus(c.getPath).toSeq)
+        .collect { case s if s.isDirectory &&
+          s.getPath.getName.startsWith("batch_id=") => s.getPath.getName }
+        .distinct.size.toLong
+    val nBatches = ingBatches + nTombBatches
+    if (nFiles <= maxIngestedFiles && nBatches <= maxBatches &&
+        maskedIds <= maxMaskedIds)
+      (false, nFiles, nBatches, maskedIds)
+    else {
+      compactIvfIndex(spark, rawPath)
+      (true, nFiles, nBatches, maskedIds)
     }
   }
 
@@ -1136,6 +1242,51 @@ object Sink {
     }
   }
 
+  /** [[compactIvfIndexIfNeeded]] for the LSH family — the third and
+    * last vector valve, so ALL FOUR index families now self-maintain
+    * under ingest AND delete pressure (text: compaction valve; IVF /
+    * IVF-PQ: drift rebuild + this valve's IVF twin; LSH: this).
+    * Below every threshold: a census read only (file listing + the
+    * batch-count meta collects). Above any: [[compactLshIndex]] folds
+    * ingested batches into `signed`/`postings` and applies tombstones
+    * physically — probe answers bit-identical before/after.
+    * Thresholds as on the IVF valve; tombstone batches count against
+    * `maxBatches`, masked-id mass against `maxMaskedIds` (each delete
+    * batch is TWO broadcast masks here — postings and the signed
+    * rerank side — until folded).
+    *
+    * Returns (compacted?, ingested posting files seen, committed
+    * batches seen (ingest + tombstone), masked ids seen).
+    */
+  def compactLshIndexIfNeeded(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxIngestedFiles: Long = 64L,
+      maxBatches: Long = 16L,
+      maxMaskedIds: Long = 100000L): (Boolean, Long, Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val postIn = new org.apache.hadoop.fs.Path(s"$path/postings_ingested")
+    val signedIn = new org.apache.hadoop.fs.Path(s"$path/signed_ingested")
+    val nFiles = countParquetFiles(fs, postIn)
+    val (nTombBatches, maskedIds) = tombstonePressure(spark, path)
+    // signed_ingested is partitioned by batch_id at the top level —
+    // the batch census is a directory listing
+    val ingBatches: Long =
+      if (!fs.exists(signedIn)) 0L
+      else fs.listStatus(signedIn).toSeq
+        .count(s => s.isDirectory &&
+          s.getPath.getName.startsWith("batch_id=")).toLong
+    val nBatches = ingBatches + nTombBatches
+    if (nFiles <= maxIngestedFiles && nBatches <= maxBatches &&
+        maskedIds <= maxMaskedIds)
+      (false, nFiles, nBatches, maskedIds)
+    else {
+      compactLshIndex(spark, path)
+      (true, nFiles, nBatches, maskedIds)
+    }
+  }
+
   /** Reload a persisted LSH index: planes + band count collected (tiny),
     * signed corpus and postings as parquet tables (NOT cached — probes
     * are meant to read only their pruned bucket directories). The
@@ -1254,24 +1405,32 @@ object Sink {
       // bucket parallelizes across tasks instead of serializing in one
       .transform(writeDistribution(_, col("bucket")))
       .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
-    val (nDocs, totalTokens) = (docs.count(),
-      dl.agg(coalesce(sum(col("dl")), lit(0L))).head.getLong(0))
-    Seq((nDocs, totalTokens, buckets))
-      .toDF("n_docs", "total_tokens", "buckets")
-      .coalesce(1).write.mode(mode).parquet(s"$path/meta")
-    // the (doc_id, dl) SIDECAR, doc-id-bucketed: what makes
+    // the (doc_id, dl) SIDECAR rows, doc-id-bucketed: what makes
     // [[deleteFromTextIndex]]'s corpus-constant contribution
     // O(deletion-batch) instead of a postings scan (doc_id is not the
     // postings layout key). LEFT join: zero-token docs get dl = 0 —
-    // they count in n_docs, so a delete must adjust N for them too
-    writeDistribution(
-      docs.select(col("doc_id").cast("long").as("doc_id"))
-        .join(dl, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("dl"), lit(0L)).as("dl"),
-          pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int")
-            .as("dbucket")),
-      col("dbucket"))
+    // they count in n_docs, so a delete must adjust N for them too.
+    // Pinned ONCE (docs-sized): this one pass over `docs` feeds the
+    // sidecar write AND the meta constants below — n_docs is its row
+    // count and total_tokens its dl sum, so neither needs another scan
+    // of the input (the pre-r15 shape paid a docs.count() job plus a
+    // second docs scan inside the sidecar join)
+    val docStats = docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(dl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dl"), lit(0L)).as("dl"),
+        pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int")
+          .as("dbucket"))
+      .localCheckpoint(true)
+    val (nDocs, totalTokens) = {
+      val r = docStats
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    Seq((nDocs, totalTokens, buckets))
+      .toDF("n_docs", "total_tokens", "buckets")
+      .coalesce(1).write.mode(mode).parquet(s"$path/meta")
+    writeDistribution(docStats, col("dbucket"))
       .write.mode(mode).partitionBy("dbucket").parquet(s"$path/doc_stats")
     // build-time bucket-occupancy census (≤ buckets rows) — the
     // baseline [[textOccupancyDrift]] measures from, the
@@ -1400,23 +1559,30 @@ object Sink {
       .parquet(s"$path/postings_ingested")
     // the batch's doc-stats sidecar rows (see [[writeTextIndex]]) —
     // before the commit record, same torn-batch invisibility; LEFT
-    // join so zero-token docs carry dl = 0
-    docs.select(col("doc_id").cast("long").as("doc_id"))
+    // join so zero-token docs carry dl = 0. Pinned ONCE (batch-sized):
+    // this one pass over the batch feeds the sidecar write AND the
+    // commit record's corpus constants (n_docs = its row count,
+    // total_tokens = its dl sum) — the pre-r15 shape paid a separate
+    // docs scan for the sidecar join and ANOTHER for docs.count(),
+    // the append-path cost the r14 A/B flagged on text_bm25_incremental
+    val docStats = docs.select(col("doc_id").cast("long").as("doc_id"))
       .join(dl, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("dl"), lit(0L)).as("dl"),
         pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int")
           .as("dbucket"),
         lit(batchId).as("batch_id"))
+      .localCheckpoint(true)
+    docStats
       .coalesce(1) // batch-sized: one file per batch directory
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(s"$path/doc_stats_ingested")
+    val constants = docStats
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
     // the COMMIT record for this batch — last write, see scaladoc
-    Seq((docs.count(),
-        dl.agg(coalesce(sum(col("dl")), lit(0L))).head.getLong(0),
-        batchId))
+    Seq((constants.getLong(0), constants.getLong(1), batchId))
       .toDF("n_docs", "total_tokens", "batch_id")
       .coalesce(1).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -2297,6 +2463,12 @@ object Sink {
     * drop whole date partitions older than the cutoff. No data rewrite —
     * O(partitions dropped), the property that matters at 100 TB.
     *
+    * Boundary semantics: drops partitions with date STRICTLY BEFORE
+    * `firstRetainedDate`; the named date itself is the first one KEPT
+    * (the parameter's earlier name, `cutoffDateInclusive`, read as the
+    * opposite — an off-by-one-day retention bug waiting in every new
+    * call site).
+    *
     * Runs on the Hadoop `FileSystem` API (like [[compact]]), so the same
     * call works against local paths, `file:` URIs, HDFS, and S3A — the
     * filesystems a 100 TB table actually lives on. A `java.nio` walk
@@ -2305,7 +2477,7 @@ object Sink {
   def applyRetention(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      cutoffDateInclusive: String): Seq[String] = {
+      firstRetainedDate: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.isDirectory(root)) return Nil
@@ -2316,7 +2488,7 @@ object Sink {
         val name = p.getName
         if (name.startsWith("date=")) {
           val date = name.substring("date=".length)
-          if (date < cutoffDateInclusive) {
+          if (date < firstRetainedDate) {
             fs.delete(p, true) // recursive: one metadata op per partition
             Some(date)
           } else None
@@ -2354,13 +2526,37 @@ object Sink {
     * the raw drop would re-derive an EMPTY id set and overwrite the
     * batch's tombstones with it, silently resurrecting every swept doc
     * (the dynamic-partition-overwrite replay contract assumes identical
-    * batch content, and a swept raw table no longer yields it). Roots
-    * whose batch was already folded by a compaction are skipped by the
+    * batch content, and a swept raw table no longer yields it). The
+    * skip is only safe when the prior commit was THIS sweep's, so when
+    * the raw partitions still exist (ids re-derivable) the guard
+    * VERIFIES the committed batch COVERS the re-derived ids and throws
+    * on a gap (covers, not equals: a mid-drop crash legitimately
+    * re-derives a subset) — a caller reusing a batch id an unrelated
+    * delete already consumed would otherwise be silently skipped,
+    * leaving the expiring docs servable forever (exactly the
+    * dead-postings drift the sweep exists to prevent). Roots whose
+    * batch was already folded by a compaction are skipped by the
     * ledger inside `deleteFrom*Index`. The sweep shares the indexes'
     * ingest batch-id lineage (SINGLE MAINTAINER, monotone ids — the
     * [[appendTextIndex]] contract), so a later re-crawl of a swept URL
     * is just an append at a higher batch id: the batch-scoped tombstone
     * does not mask it.
+    *
+    * ID CONTRACT: `idCol` values must be UNIQUE ACROSS `date=`
+    * partitions (one partition owns a doc — the layout of a crawl
+    * corpus keyed by doc id). The sweep tombstones every id found in
+    * the DOOMED partitions; tombstones mask by ID, so if the same id
+    * also lives under a RETAINED date (from the same index build /
+    * batch lineage ≤ this sweep's `batchId`), the retained copy is
+    * masked out of every registered index too — the id is gone from
+    * serving even though its raw row survives (RetentionSweepSpec pins
+    * this straddle behavior). A copy (re-)ingested at a batch id ABOVE
+    * the sweep's survives: the mask is batch-scoped
+    * ([[committedTombstones]]), which is also why post-sweep re-crawls
+    * need no compaction.
+    *
+    * Boundary: partitions strictly BEFORE `firstRetainedDate` drop;
+    * the named date is the first one kept ([[applyRetention]]).
     *
     * Cost at 100 TB: O(dropped partitions) metadata ops + one id-column
     * scan of the dropped partitions + deletion-batch-sized tombstone
@@ -2369,7 +2565,7 @@ object Sink {
   def retentionSweep(
       spark: org.apache.spark.sql.SparkSession,
       rawTablePath: String,
-      cutoffDateInclusive: String,
+      firstRetainedDate: String,
       batchId: Long,
       textIndexes: Seq[String] = Nil,
       ivfIndexes: Seq[String] = Nil,
@@ -2383,17 +2579,42 @@ object Sink {
       .map(_.getPath)
       .filter { p =>
         p.getName.startsWith("date=") &&
-          p.getName.substring("date=".length) < cutoffDateInclusive
+          p.getName.substring("date=".length) < firstRetainedDate
       }
     if (doomedDirs.nonEmpty) {
       // pin the expiring ids BEFORE any delete happens anywhere
       val ids = spark.read.parquet(doomedDirs.map(_.toString): _*)
         .select(col(idCol).cast("long").as(idCol))
         .distinct().localCheckpoint(true)
+      // a root is skipped iff this batch already landed there — and,
+      // while raw partitions still exist to re-derive from, only after
+      // VERIFYING every currently-expiring id is already IN the
+      // committed batch (see scaladoc). Subset-direction only: a
+      // legitimate mid-crash replay re-derives the same set (crash
+      // before any drop) or a SUBSET of it (crash mid-drop — some
+      // doomed partitions already gone), so committed ⊇ expiring holds
+      // for every replay of THIS sweep; an expiring id MISSING from
+      // the commit means the batch id was consumed by something else,
+      // and skipping would leave that doc servable forever. Both sides
+      // are deletion-batch-sized; the check runs only on replay.
       def landed(path: String): Boolean = {
         val r = resolveIndexRoot(spark, path)
-        committedTombstoneBatchIds(spark, r).contains(batchId) ||
-          foldedBatchIds(spark, r).contains(batchId)
+        val inTombs = committedTombstoneBatchIds(spark, r).contains(batchId)
+        if (inTombs) {
+          val prior = spark.read.parquet(s"$r/tombstones")
+            .filter(col("batch_id") === batchId)
+          val priorIdCol = prior.columns.filterNot(_ == "batch_id").head
+          val priorIds = prior
+            .select(col(priorIdCol).cast("long").as(idCol)).distinct()
+          val nIds = ids.count()
+          val nShared = priorIds.join(ids, idCol).count()
+          require(nShared == nIds,
+            s"batch $batchId already committed on $path does NOT cover " +
+              s"the expiring ids ($nShared of $nIds covered) - a sweep " +
+              "must not reuse a batch id an unrelated delete consumed; " +
+              "skipping would leave the expiring docs servable")
+        }
+        inTombs || foldedBatchIds(spark, r).contains(batchId)
       }
       textIndexes.filterNot(landed).foreach(p =>
         deleteFromTextIndex(spark, p,
@@ -2405,6 +2626,6 @@ object Sink {
         deleteFromLshIndex(spark, p,
           ids.select(col(idCol).as("vec_id")), batchId))
     }
-    applyRetention(spark, rawTablePath, cutoffDateInclusive)
+    applyRetention(spark, rawTablePath, firstRetainedDate)
   }
 }

@@ -116,6 +116,71 @@ class RetentionSweepSpec extends SparkSpec {
     } finally rm(raw, text, ivf, lsh, refText)
   }
 
+  test("ID CONTRACT: an id straddling a doomed and a retained partition " +
+      "is masked from the index too (ids must be unique across dates); " +
+      "a re-ingest at a later batch id survives the sweep's mask") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    val raw = tmp("sweep_straddle_raw")
+    val text = tmp("sweep_straddle_text")
+    try {
+      // doc 7 deliberately violates the contract: one copy under the
+      // doomed date AND one under a retained date
+      docs.withColumn("date",
+          when(col("doc_id") === 7, lit("2024-01-01"))
+            .otherwise(lit("2024-01-05")))
+        .write.mode("overwrite").partitionBy("date").parquet(raw)
+      docs.filter(col("doc_id") === 7).withColumn("date", lit("2024-01-05"))
+        .write.mode("append").partitionBy("date").parquet(raw)
+      Sink.writeTextIndex(docs, text, buckets = 8)
+      Sink.retentionSweep(spark, raw, "2024-01-03", batchId = 0L,
+        textIndexes = Seq(text))
+      // the retained RAW copy survives, but the index masks the id:
+      // tombstones are by id and the build's rows sit at row_batch = -1
+      assert(spark.read.parquet(raw).filter(col("doc_id") === 7)
+        .count() === 1L, "the retained raw copy is untouched")
+      val masked = Sink.readTextIndex(spark, text)
+      assert(masked.postings.filter(col("doc_id") === 7).count() === 0L,
+        "the straddling id is masked from serving — the documented " +
+          "(and spec-pinned) cost of violating id-uniqueness")
+      assert(masked.nDocs === docs.count() - 1)
+      // recovery is the normal lineage: re-ingest at a batch id ABOVE
+      // the sweep's — batch-scoped masking keeps it visible
+      Sink.appendTextIndex(spark, text,
+        docs.filter(col("doc_id") === 7), batchId = 1L)
+      val readd = Sink.readTextIndex(spark, text)
+      assert(readd.postings.filter(col("doc_id") === 7).count() > 0L,
+        "a post-sweep re-ingest survives the mask")
+      assert(readd.nDocs === docs.count())
+    } finally rm(raw, text)
+  }
+
+  test("reused batch id: a sweep whose batchId an UNRELATED delete " +
+      "already consumed fails fast instead of silently skipping the " +
+      "root (which would leave expiring docs servable)") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    val raw = tmp("sweep_reuse_raw")
+    val text = tmp("sweep_reuse_text")
+    try {
+      docs.withColumn("date",
+          concat(lit("2024-01-0"), (col("doc_id") % 5 + 1).cast("string")))
+        .write.mode("overwrite").partitionBy("date").parquet(raw)
+      Sink.writeTextIndex(docs, text, buckets = 8)
+      // an unrelated delete consumes batch 0 on this root — its id set
+      // does NOT cover the dates the sweep will expire
+      Sink.deleteFromTextIndex(spark, text,
+        docs.filter(col("doc_id") === 58).select(col("doc_id")), // retained date
+        batchId = 0L)
+      val e = intercept[IllegalArgumentException] {
+        Sink.retentionSweep(spark, raw, "2024-01-03", batchId = 0L,
+          textIndexes = Seq(text))
+      }
+      assert(e.getMessage.contains("does NOT cover"),
+        "the guard names the coverage gap")
+      assert(new java.io.File(s"$raw/date=2024-01-01").exists(),
+        "fail-fast happens BEFORE any raw partition drops")
+    } finally rm(raw, text)
+  }
+
   test("sweep with no expiring partitions is a no-op; sweep on a " +
       "missing raw table returns empty") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)

@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sinks.Sink
+
+/** Tombstone-pressure maintenance valves for the VECTOR index families
+  * ([[Sink.compactIvfIndexIfNeeded]] / [[Sink.compactLshIndexIfNeeded]])
+  * — closing the r14 gap where only the text index self-maintained
+  * under delete pressure: a daily retention sweep grows the broadcast
+  * mask on every vector serve forever unless something folds it
+  * unattended. Pins, per family:
+  *   - below every threshold the valve is a CENSUS read (returns false,
+  *     tombstone layouts untouched, probe answers unchanged);
+  *   - masked-id MASS trips the fold; tombstone-BATCH count trips it
+  *     independently (each committed batch is a per-probe broadcast
+  *     anti-join until folded);
+  *   - the fold is bit-identical on every probe path (incl. the coded
+  *     ADC path of an IVF-PQ layout through the shared IVF valve) and
+  *     drops the tombstone layouts, so the post-fold valve reads zero
+  *     pressure;
+  * plus the drift-gate companion: [[Sink.rebuildIvfIndex]]'s occupancy
+  * gate now reads |growth_ppm|, so a cell that LOST half its rows to
+  * deletes trips the retrain exactly like one that doubled.
+  */
+class VectorTombstoneValveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def rm(dirs: String*): Unit = dirs.foreach(d =>
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+
+  private def ivfServed(dir: String): Seq[(Long, Long, Int)] =
+    Similarity.ivfQueryVectorsIntProbe(Sink.readIvfIndex(spark, dir),
+        Tables.embeddings(spark, sf).filter(col("vec_id") === 1)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 20, nprobe = 4)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSeq
+
+  test("IVF valve: census no-op below thresholds; masked-id mass trips " +
+      "the fold; probe bit-identical; post-fold pressure reads zero") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = tmp("valve_ivf")
+    try {
+      val built = Similarity.buildIvfIndexExact(emb, nlist = 4, iters = 1)
+      Sink.writeIvfIndex(built, dir)
+      built.unpersist()
+      Sink.deleteFromIvfIndex(spark, dir,
+        emb.filter(col("vec_id") % 11 === 3).select(col("vec_id")),
+        batchId = 0L)
+      val before = ivfServed(dir)
+
+      // below thresholds: a census read only — tombstones stay live
+      val (c0, f0, b0, m0) = Sink.compactIvfIndexIfNeeded(spark, dir)
+      assert(!c0 && f0 === 0L && b0 === 1L && m0 > 0L)
+      assert(new java.io.File(s"$dir/tombstones").exists(),
+        "no-op valve must not touch the layouts")
+      assert(ivfServed(dir) === before)
+
+      // masked mass over threshold: the valve folds physically
+      val (c1, _, _, m1) =
+        Sink.compactIvfIndexIfNeeded(spark, dir, maxMaskedIds = 1L)
+      assert(c1 && m1 === m0)
+      assert(!new java.io.File(s"$dir/tombstones").exists(),
+        "fold drops the tombstone layouts")
+      assert(ivfServed(dir) === before, "bit parity across the valve fold")
+
+      // post-fold: zero pressure → census no-op even at the tight bound
+      val (c2, _, b2, m2) =
+        Sink.compactIvfIndexIfNeeded(spark, dir, maxMaskedIds = 1L)
+      assert(!c2 && b2 === 0L && m2 === 0L)
+    } finally rm(dir)
+  }
+
+  test("IVF valve: tombstone-BATCH count trips the fold independently " +
+      "of mass; an IVF-PQ layout folds through the same valve with ADC " +
+      "parity") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 400)
+    val dir = tmp("valve_pq")
+    try {
+      val built = Similarity.buildIvfIndexExact(emb, nlist = 4, iters = 2)
+      val model = Similarity.buildPqModel(emb, m = 8, k = 16, iters = 1)
+      Sink.writeIvfPqIndex(built, model.cents, model.codes, dir)
+      built.unpersist()
+      model.unpersist()
+      // three 2-id delete batches: mass tiny, batch count = 3
+      (0 to 2).foreach(b => Sink.deleteFromIvfIndex(spark, dir,
+        Seq(2L * b, 2L * b + 1).toDF("vec_id"), batchId = b.toLong))
+      def adc(): Seq[(Long, Long)] = {
+        val (loaded, cents) = Sink.readIvfPqIndex(spark, dir)
+        Similarity.ivfPqQueryVectors(loaded, cents,
+            emb.filter(col("vec_id") === 9)
+              .select(col("vec_id").as("query_id"), col("embedding")),
+            nprobe = 4, rerank = 1000000, k = 10)
+          .select(col("vec_id"), col("rank").cast("long"))
+          .as[(Long, Long)].collect().toSeq
+      }
+      val before = adc()
+      val (c0, _, b0, _) = Sink.compactIvfIndexIfNeeded(spark, dir,
+        maxBatches = 16L, maxMaskedIds = 1000L)
+      assert(!c0 && b0 === 3L, "3 batches under maxBatches=16: no-op")
+      val (c1, _, b1, _) = Sink.compactIvfIndexIfNeeded(spark, dir,
+        maxBatches = 2L, maxMaskedIds = 1000L)
+      assert(c1 && b1 === 3L, "batch count alone trips the valve")
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      assert(adc() === before, "ADC parity across the coded-layout fold")
+      // deleted ids physically absent from the folded celled table
+      val survivors = spark.read.parquet(s"$dir/celled")
+        .select(col("vec_id")).as[Long].collect().toSet
+      assert(survivors.intersect(Set(0L, 1L, 2L, 3L, 4L, 5L)).isEmpty)
+    } finally rm(dir)
+  }
+
+  test("LSH valve: census no-op below thresholds; pressure trips the " +
+      "fold; both layout sides stay bit-identical; post-fold zero") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = tmp("valve_lsh")
+    try {
+      val built = Similarity.buildLshIndex(emb, nBits = 32, bands = 8)
+      Sink.writeLshIndex(built, dir)
+      built.unpersist()
+      Sink.deleteFromLshIndex(spark, dir,
+        emb.filter(col("vec_id") % 13 === 5).select(col("vec_id")),
+        batchId = 0L)
+      def served(): Seq[(Long, Long)] =
+        Similarity.lshQueryVectors(Sink.readLshIndex(spark, dir),
+            emb.filter(col("vec_id") === 0)
+              .select(col("vec_id").as("query_id"), col("embedding")),
+            k = 20)
+          .select(col("vec_id"), col("rank").cast("long"))
+          .as[(Long, Long)].collect().toSeq
+      val before = served()
+      val (c0, _, b0, m0) = Sink.compactLshIndexIfNeeded(spark, dir)
+      assert(!c0 && b0 === 1L && m0 > 0L)
+      assert(new java.io.File(s"$dir/tombstones").exists())
+      assert(served() === before)
+      val (c1, _, _, _) =
+        Sink.compactLshIndexIfNeeded(spark, dir, maxMaskedIds = 1L)
+      assert(c1)
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      assert(served() === before, "bit parity across the LSH valve fold")
+      val (c2, _, b2, m2) =
+        Sink.compactLshIndexIfNeeded(spark, dir, maxMaskedIds = 1L)
+      assert(!c2 && b2 === 0L && m2 === 0L)
+    } finally rm(dir)
+  }
+
+  test("drift gate sees DELETIONS: a cell emptied by deletes trips the " +
+      "|growth| rebuild gate; the rebuilt index serves without the mask") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = tmp("valve_drift")
+    try {
+      val built = Similarity.buildIvfIndexExact(emb, nlist = 4, iters = 1)
+      Sink.writeIvfIndex(built, dir)
+      built.unpersist()
+      // delete EVERY vector of one cell: growth_ppm = -1e6 there — the
+      // signed gate never saw this (deletes don't grow cells)
+      val cell0 = spark.read.parquet(s"$dir/celled")
+        .filter(col("cell") === 0).select(col("vec_id"))
+      Sink.deleteFromIvfIndex(spark, dir, cell0, batchId = 0L)
+      val drift = Sink.ivfOccupancyDrift(spark, dir)
+        .filter(col("cell") === 0).head.getLong(3)
+      assert(drift === -1000000L, "emptied cell reads -1e6 ppm")
+      val before = ivfServed(dir)
+      val (rebuilt, maxAbs) =
+        Sink.rebuildIvfIndex(spark, dir, nlist = 4, thresholdPpm = 500000L)
+      assert(rebuilt && maxAbs >= 1000000L,
+        "|growth| gate trips on pure delete pressure")
+      assert(!new java.io.File(s"$dir/tombstones").exists(),
+        "rebuild folds the tombstones physically")
+      assert(ivfServed(dir) === before,
+        "exhaustive-visibility parity: rebuild relocates rows, " +
+          "never changes the served set")
+    } finally rm(dir)
+  }
+}
