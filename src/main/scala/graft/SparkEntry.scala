@@ -2469,6 +2469,66 @@ object SparkEntry {
         kConst = 60L, k = 20)
     }),
 
+    // the results-page call with the exact-phrase BOOST: requests carry
+    // a phrase column, so the fuse runs three legs (BM25 + phrase +
+    // ANN) and the evidence pass prefers the PHRASE-ANCHOR window — a
+    // winner containing the exact phrase is highlighted at its FIRST
+    // occurrence (win_start = min anchor, window_len = phrase length);
+    // winners without a full occurrence keep the terms min-window, and
+    // semantic-only winners stay NULL. Oracle replays all three rank
+    // lists, the fusion, the phrase-anchor recurrence, the terms
+    // min-window recurrence, the COALESCE preference, and the slice
+    "retrieval_hybrid_snippet_phrase" -> ((s, dir) => {
+      import s.implicits._
+      val textIdx = Sink.readTextIndex(s, persistedTextIndexDir(s, dir))
+      val annIdx = Sink.readIvfIndex(s, persistedPqServeDir(s, dir))
+      val reqs = Seq(
+        (0L, Seq("vector", "hash", "merge"), Seq("table", "hash")),
+        (1L, Seq("table", "hash"), Seq("vector", "hash")))
+        .toDF("query_id", "terms", "phrase")
+        .join(Tables.embeddings(s, dir)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id")
+      graft.operators.TextAnalysis.rrfSnippetQueryBatch(
+        textIdx, annIdx, Tables.documents(s, dir), reqs,
+        kConst = 60L, k = 20)
+    }),
+
+    // IVF-PQ delete → re-append → ADC serve, hash-checked end to end —
+    // the CODED layout's delete lifecycle (the one family r14 left
+    // spec-pinned but without an oracle row): build the persisted
+    // IVF-PQ index, tombstone vec_id % 7 == 3, re-append half of them
+    // (% 14 == 3 — appendIvfIndex re-encodes against the PERSISTED
+    // codebooks, FAISS-add semantics), replay the delete, then serve
+    // with tombstones PRESENT (no fold) through readIvfIndex's coded
+    // path: exhaustive integer-replayable probe (nprobe = nlist), the
+    // ADC shortlist cut at rerank = 50 (ties → lowest vec_id), exact
+    // cosine top-20 last. The oracle replays PQ training (2-round
+    // int-Lloyd, md5 seeds), encoding, the ADC table, the shortlist
+    // cut AND the rerank over the final logical corpus
+    // (% 14 == 10 gone forever), blind to tombstones and batches
+    "embedding_pq_delete_readd" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_pqreadd_${new java.io.File(dir).getName}").toString
+      val idx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+      val model = Similarity.buildPqModel(emb, m = 8, k = 16, iters = 1)
+      Sink.writeIvfPqIndex(idx, model.cents, model.codes, path)
+      idx.unpersist(); model.unpersist()
+      val doomed = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      Sink.deleteFromIvfIndex(s, path, doomed, batchId = 0L)
+      Sink.appendIvfIndex(s, path,
+        emb.filter(col("vec_id") % 14 === 3), batchId = 1L)
+      Sink.deleteFromIvfIndex(s, path, doomed, batchId = 0L) // replay
+      val (loaded, cents) = Sink.readIvfPqIndex(s, path)
+      Similarity.ivfPqQueryVectors(loaded, cents,
+          emb.filter(col("vec_id") === 1)
+            .select((col("vec_id") + 2000000L).as("query_id"),
+              col("embedding")),
+          nprobe = 8, rerank = 50, k = 20)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+    }),
+
     // PII audit + redaction: the corpus carries no PII, so a
     // deterministic PII-bearing column is derived from driver data
     // (email from source, phone/IP from doc_id) and the operator's
@@ -7075,6 +7135,86 @@ object SparkEntry {
         |  WHERE v.vec_id <> 1 AND v.vec_id % 14 <> 10)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
+    // the CODED layout's delete lifecycle replayed blind: PQ training
+    // (2-round integer Lloyd, md5 seeds — the similarity_ann_pq blocks),
+    // encoding, the single-query ADC table against the final codebook,
+    // the rerank-50 shortlist cut (ties → lowest vec_id), and the exact
+    // cosine top-20 — all over the FINAL logical corpus (deleted = % 7
+    // == 3, re-added = % 14 == 3 ⇒ gone forever = % 14 == 10). The
+    // re-added vector's codes equal its build codes (frozen codebooks,
+    // same encoder), so the oracle encodes the logical corpus uniformly.
+    // The probe is exhaustive (nprobe = nlist), so no coarse replay
+    // needed; a vector that failed to resurrect, resurrected with wrong
+    // codes, or escaped its tombstone breaks rows AND hash
+    "embedding_pq_delete_readd" -> {
+      def pqRound(t: Int): String =
+        s"""pd$t AS MATERIALIZED (
+           |  SELECT p.vec_id, p.sub, c.j,
+           |         sum((p.v - c.c)*(p.v - c.c)) AS dist
+           |  FROM p JOIN c${t - 1} c USING (d) GROUP BY 1, 2, 3),
+           |pa$t AS MATERIALIZED (
+           |  SELECT vec_id, sub, j AS code FROM (
+           |    SELECT vec_id, sub, j,
+           |           row_number() OVER (PARTITION BY vec_id, sub
+           |                              ORDER BY dist, j) AS rn
+           |    FROM pd$t) WHERE rn = 1)""".stripMargin
+      def pqUpdate(t: Int): String =
+        s"""c$t AS MATERIALIZED (
+           |  SELECT o.j, o.d, COALESCE(CAST(u.s // u.n AS BIGINT), o.c) AS c
+           |  FROM c${t - 1} o LEFT JOIN (
+           |    SELECT a.code AS j, p.d, CAST(sum(p.v) AS BIGINT) AS s,
+           |           count(*) AS n
+           |    FROM p JOIN pa$t a
+           |      ON p.vec_id = a.vec_id AND p.sub = a.sub
+           |    GROUP BY 1, 2) u
+           |    ON o.j = u.j AND o.d = u.d)""".stripMargin
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE vec_id < 500),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+         |p AS MATERIALIZED (
+         |  SELECT vec_id, d, (d - 1) // 8 AS sub, qv[d] AS v
+         |  FROM q CROSS JOIN dims),
+         |seeds AS MATERIALIZED (
+         |  SELECT qv, row_number() OVER (
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+         |  FROM q),
+         |c0 AS MATERIALIZED (
+         |  SELECT s.j, dims.d, s.qv[dims.d] AS c
+         |  FROM seeds s CROSS JOIN dims WHERE s.j < 16),
+         |${pqRound(1)},
+         |${pqUpdate(1)},
+         |${pqRound(2)},
+         |dt AS MATERIALIZED (
+         |  SELECT p.sub, c.j, sum((p.v - c.c)*(p.v - c.c)) AS pd
+         |  FROM p JOIN c1 c USING (d)
+         |  WHERE p.vec_id = 1
+         |  GROUP BY 1, 2),
+         |adc AS MATERIALIZED (
+         |  SELECT a.vec_id, CAST(sum(d.pd) AS BIGINT) AS adc_dist
+         |  FROM pa2 a JOIN dt d ON a.sub = d.sub AND a.code = d.j
+         |  WHERE a.vec_id % 14 <> 10
+         |  GROUP BY 1),
+         |short AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id,
+         |           row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+         |    FROM adc) WHERE rn <= 50),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |      FROM embeddings WHERE vec_id < 500)
+         |SELECT CAST(2000001 AS BIGINT) AS query_id, vec_id, rank FROM (
+         |  SELECT v.vec_id,
+         |    ROW_NUMBER() OVER (
+         |      ORDER BY list_cosine_similarity(v.e, qv.e) DESC, v.vec_id)
+         |      AS rank
+         |  FROM v
+         |  JOIN short USING (vec_id)
+         |  CROSS JOIN (SELECT e FROM v WHERE vec_id = 1) qv)
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin
+    },
+
     // the retention sweep replayed blind to EVERYTHING: dates 01/02
     // expire ⇒ docs with doc_id % 5 < 2 leave both indexes. The BM25
     // leg re-derives N/T/df over the retained docs; the ANN leg replays
@@ -7572,6 +7712,190 @@ object SparkEntry {
         |  AND bw.doc_id = win.doc_id
         |LEFT JOIN d ON d.doc_id = win.doc_id
         |ORDER BY win.query_id, win.rank""".stripMargin,
+
+    // the results-page replay with the exact-phrase boost: THREE rank
+    // lists per request (BM25 + phrase-anchor intersection + Lloyd-probe
+    // ANN), the identical fusion, then evidence with PHRASE PREFERENCE —
+    // per winner, the first full phrase occurrence (min anchor, phrase
+    // length) where one exists, COALESCE'd over the terms min-window
+    // recurrence; semantic-only winners stay NULL; the token-span slice
+    // renders whichever window won
+    "retrieval_hybrid_snippet_phrase" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |      '\\s+', ' ', 'g'), ' ') AS lst
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lst[i] AS token, i - 1 AS pos
+        |  FROM d, LATERAL (
+        |    SELECT unnest(generate_series(1, len(lst))) AS i) u
+        |  WHERE lst[i] <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |         (SELECT count(*) FROM toks) AS t),
+        |qterms(query_id, token) AS (
+        |  SELECT * FROM (VALUES (0, 'vector'), (0, 'hash'), (0, 'merge'),
+        |         (1, 'table'), (1, 'hash')) AS qt(query_id, token)),
+        |m AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token IN (SELECT DISTINCT token FROM qterms)
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT m.doc_id, token, tf, dl.dl,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM m JOIN dl USING (doc_id)),
+        |sc AS (
+        |  SELECT qt.query_id, w.doc_id,
+        |         CAST(sum(
+        |           (((n - df + 1) * 1000000) // (df + 1)) * tf * (1000 + 1200)
+        |           // (tf * 1000 +
+        |              (1200 * ((1000 - 750) + (750 * dl * n) // t)) // 1000)
+        |         ) AS BIGINT) AS score
+        |  FROM w JOIN qterms qt USING (token) CROSS JOIN meta
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id)
+        |      AS BIGINT) AS rank
+        |    FROM sc) WHERE rank <= 50),
+        |qphrase(query_id, token, slot) AS (
+        |  SELECT * FROM (VALUES (0, 'table', 0), (0, 'hash', 1),
+        |         (1, 'vector', 0), (1, 'hash', 1))
+        |    AS qp(query_id, token, slot)),
+        |plen AS (SELECT query_id, count(*) AS phrase_len
+        |         FROM qphrase GROUP BY 1),
+        |panchor AS (
+        |  SELECT q.query_id, t.doc_id, t.pos - q.slot AS anchor
+        |  FROM toks t JOIN qphrase q USING (token)
+        |  WHERE t.pos - q.slot >= 0),
+        |pocc AS (
+        |  SELECT query_id, doc_id, anchor, count(*) AS n_slots
+        |  FROM panchor GROUP BY 1, 2, 3),
+        |phr AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT o.query_id, o.doc_id, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY o.query_id ORDER BY count(*) DESC, o.doc_id)
+        |      AS BIGINT) AS rank
+        |    FROM pocc o JOIN plen USING (query_id)
+        |    WHERE o.n_slots = plen.phrase_len
+        |    GROUP BY o.query_id, o.doc_id) WHERE rank <= 50),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |p AS (SELECT vec_id, d, q[d] AS v FROM q CROSS JOIN dims),
+        |seeds AS (
+        |  SELECT q, row_number() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        |  FROM q),
+        |c0 AS (
+        |  SELECT sd.j, dims.d, sd.q[dims.d] AS c
+        |  FROM seeds sd CROSS JOIN dims WHERE sd.j < 16),
+        |${lloydRoundSql(1)},
+        |${lloydRoundSql(2)},
+        |${lloydRoundSql(3)},
+        |fd AS (
+        |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+        |  FROM p JOIN c3 c USING (d) GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, j AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY dist, j) AS rn
+        |    FROM fd) WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, j FROM (
+        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, j) AS rn
+        |    FROM fd WHERE vec_id IN (0, 1)) WHERE rn <= 4),
+        |v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sem AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT pr.query_id, v.vec_id AS doc_id,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY pr.query_id
+        |        ORDER BY list_cosine_similarity(v.e, qv.e) DESC, v.vec_id)
+        |        AS BIGINT) AS rank
+        |    FROM v
+        |    JOIN fa ON fa.vec_id = v.vec_id
+        |    JOIN probe pr ON pr.j = fa.cluster
+        |    JOIN v qv ON qv.vec_id = pr.query_id
+        |    WHERE v.vec_id <> pr.query_id) WHERE rank <= 50),
+        |legs AS (
+        |  SELECT query_id, doc_id, rank FROM lex
+        |  UNION ALL SELECT query_id, doc_id, rank FROM phr
+        |  UNION ALL SELECT query_id, doc_id, rank FROM sem),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+        |         count(*) AS n_legs
+        |  FROM legs GROUP BY 1, 2),
+        |win AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_ppm,
+        |         n_legs, rank
+        |  FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_ppm DESC, doc_id) AS rank FROM fused)
+        |  WHERE rank <= 20),
+        |pbw AS (
+        |  SELECT o.query_id, o.doc_id,
+        |         CAST(plen.phrase_len AS BIGINT) AS window_len,
+        |         CAST(min(o.anchor) AS BIGINT) AS win_start
+        |  FROM pocc o JOIN plen USING (query_id)
+        |  WHERE o.n_slots = plen.phrase_len
+        |  GROUP BY o.query_id, o.doc_id, plen.phrase_len),
+        |xpts AS (
+        |  SELECT q.query_id, t.doc_id, t.pos, t.token
+        |  FROM toks t JOIN qterms q USING (token)),
+        |xanchor AS (SELECT DISTINCT query_id, doc_id, pos FROM xpts),
+        |xlast AS (
+        |  SELECT a.query_id, a.doc_id, a.pos, q.token,
+        |         max(t2.pos) AS last_pos
+        |  FROM xanchor a
+        |  JOIN qterms q ON q.query_id = a.query_id
+        |  LEFT JOIN xpts t2 ON t2.query_id = a.query_id
+        |    AND t2.doc_id = a.doc_id AND t2.token = q.token
+        |    AND t2.pos <= a.pos
+        |  GROUP BY 1, 2, 3, 4),
+        |xwl AS (
+        |  SELECT query_id, doc_id,
+        |         pos - min(last_pos) + 1 AS window_len,
+        |         min(last_pos) AS win_start
+        |  FROM xlast GROUP BY query_id, doc_id, pos
+        |  HAVING count(last_pos) = count(*)),
+        |bw AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(window_len AS BIGINT) AS window_len,
+        |         CAST(win_start AS BIGINT) AS win_start FROM (
+        |    SELECT query_id, doc_id, window_len, win_start,
+        |           row_number() OVER (PARTITION BY query_id, doc_id
+        |             ORDER BY window_len, win_start) AS rn
+        |    FROM xwl) WHERE rn = 1),
+        |ev AS (
+        |  SELECT win.query_id, win.doc_id, win.rrf_ppm, win.n_legs,
+        |         win.rank,
+        |         COALESCE(pbw.window_len, bw.window_len) AS window_len,
+        |         COALESCE(pbw.win_start, bw.win_start) AS win_start
+        |  FROM win
+        |  LEFT JOIN pbw ON pbw.query_id = win.query_id
+        |    AND pbw.doc_id = win.doc_id
+        |  LEFT JOIN bw ON bw.query_id = win.query_id
+        |    AND bw.doc_id = win.doc_id)
+        |SELECT ev.query_id, ev.doc_id, ev.rrf_ppm, ev.n_legs, ev.rank,
+        |       ev.window_len, ev.win_start,
+        |       CASE WHEN ev.window_len IS NOT NULL THEN
+        |         array_to_string(
+        |           d.lst[CAST(ev.win_start + 1 AS BIGINT) :
+        |                 CAST(ev.win_start + ev.window_len AS BIGINT)], ' ')
+        |       END AS snippet
+        |FROM ev
+        |LEFT JOIN d ON d.doc_id = ev.doc_id
+        |ORDER BY ev.query_id, ev.rank""".stripMargin,
 
     "text_quality_gopher" ->
       """WITH f AS (

@@ -1291,12 +1291,27 @@ object TextAnalysis {
     * text is read for it (production behavior: show the hit, skip the
     * highlight).
     *
+    * PHRASE-PREFERENTIAL evidence: when a request carries the optional
+    * `phrase` boost column ([[rrfQueryBatch]]) and a winner contains at
+    * least one FULL occurrence of it, the evidence window is the FIRST
+    * exact-phrase occurrence (`win_start` = min anchor, `window_len` =
+    * phrase length) instead of the terms min-window — a results page
+    * highlights the exact phrase preferentially when one exists. The
+    * trigger is containment, not phrase-leg RANK: a winner holding the
+    * phrase but pushed past the leg's top-legK cut still deserves (and
+    * gets) the phrase highlight. Winners without a full occurrence
+    * (and all requests without the column — bit-identical to the
+    * pre-phrase form) keep the terms window.
+    *
     * Cost: the fused legs + ONE extra min-window pass over the SAME
     * probed term buckets (the [[proximityWindowCandidates]] recurrence,
-    * pruned to the fused winners BEFORE the argmin) + bounded collects
-    * (fused winners and snippet-bearing ids are both ≤ k × |requests|)
-    * pushing one `doc_id IN (...)` filter into the documents scan.
-    * Never a corpus pass.
+    * pruned to the fused winners BEFORE the argmin), plus — only for
+    * phrase-bearing batches — one winner-pruned anchor pass over the
+    * phrase terms' probed buckets ([[phraseQueryBatch]]'s recurrence
+    * with the winner join BEFORE the positions explode), + bounded
+    * collects (fused winners and snippet-bearing ids are both
+    * ≤ k × |requests|) pushing one `doc_id IN (...)` filter into the
+    * documents scan. Never a corpus pass.
     */
   def rrfSnippetQueryBatch(
       textIndex: TextIndex,
@@ -1328,25 +1343,39 @@ object TextAnalysis {
     if (winners.isEmpty) return withNullEvidence(fused)
     val winnersDf = winners
       .toDF("query_id", "doc_id", "rrf_ppm", "n_legs", "rank")
-    val bests = proximityWindowCandidates(textIndex,
-        requests.select(col("query_id"), col("terms"))) match {
-      case None => return withNullEvidence(fused)
-      case Some(cands) =>
-        cands
-          // prune the recurrence's candidates to the fused winners
-          // BEFORE the argmin — windows are only evidence for hits
-          .join(broadcast(
-              winnersDf.select(col("query_id"), col("doc_id"))),
-            Seq("query_id", "doc_id"))
-          .select(col("query_id"), col("doc_id"),
-            struct(col("window_len"), col("win_start")).as("cand"))
-          .groupBy(col("query_id"), col("doc_id"))
-          .agg(min(col("cand")).as("best")) // lexicographic argmin
-          .select(col("query_id"), col("doc_id"),
-            col("best.window_len").as("window_len"),
-            col("best.win_start").as("win_start"))
-          .localCheckpoint(true) // ≤ winners; feeds a collect + a join
+    val winnerKeys = winnersDf.select(col("query_id"), col("doc_id"))
+    val termBests: Option[DataFrame] = proximityWindowCandidates(
+        textIndex,
+        requests.select(col("query_id"), col("terms"))).map { cands =>
+      cands
+        // prune the recurrence's candidates to the fused winners
+        // BEFORE the argmin — windows are only evidence for hits
+        .join(broadcast(winnerKeys), Seq("query_id", "doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          struct(col("window_len"), col("win_start")).as("cand"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(min(col("cand")).as("best")) // lexicographic argmin
+        .select(col("query_id"), col("doc_id"),
+          col("best.window_len").as("window_len"),
+          col("best.win_start").as("win_start"))
     }
+    val phraseBests: Option[DataFrame] =
+      if (!requests.columns.contains("phrase")) None
+      else phraseAnchorWindows(textIndex, requests, winnerKeys)
+    val bests = ((termBests, phraseBests) match {
+      case (None, None) => return withNullEvidence(fused)
+      case (Some(t), None) => t
+      case (None, Some(p)) => p
+      case (Some(t), Some(p)) =>
+        // phrase evidence wins wholesale where it exists (both columns
+        // travel together — a phrase window is never half-applied)
+        val pr = p.select(col("query_id"), col("doc_id"),
+          col("window_len").as("p_len"), col("win_start").as("p_start"))
+        t.join(pr, Seq("query_id", "doc_id"), "full_outer")
+          .select(col("query_id"), col("doc_id"),
+            coalesce(col("p_len"), col("window_len")).as("window_len"),
+            coalesce(col("p_start"), col("win_start")).as("win_start"))
+    }).localCheckpoint(true) // ≤ winners; feeds a collect + a join
     val winIds = bests.select(col("doc_id")).distinct()
       .as[Long].collect().toSeq
     if (winIds.isEmpty) return withNullEvidence(fused)
@@ -1365,6 +1394,56 @@ object TextAnalysis {
               col("window_len").cast("int")),
             " ")).as("snippet"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The phrase-evidence pass of [[rrfSnippetQueryBatch]]: per fused
+    * winner that contains at least one FULL occurrence of its request's
+    * `phrase`, the FIRST occurrence as an evidence window —
+    * `(query_id, doc_id, window_len = phrase length, win_start = min
+    * anchor)`. [[phraseQueryBatch]]'s slot-shifted anchor intersection,
+    * winner-pruned BEFORE the positions explode (evidence is only for
+    * hits, so the recurrence touches ≤ winners × phrase-term postings).
+    * Requests whose `phrase` is null contribute no slots and get no
+    * rows. None when the batch carries no usable phrase terms.
+    */
+  private def phraseAnchorWindows(
+      index: TextIndex,
+      requests: DataFrame,
+      winnerKeys: DataFrame): Option[DataFrame] = {
+    val slots = requests
+      .filter(col("phrase").isNotNull)
+      .select(col("query_id").cast("long").as("query_id"),
+        posexplode(col("phrase")).as(Seq("slot", "t")))
+      .select(col("query_id"), col("slot"), lower(col("t")).as("token"))
+      .localCheckpoint(true) // probe collect + anchor join: SAME rows
+    val termList = slots.select(col("token")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (termList.isEmpty) return None
+    val probeBuckets = termList.map(tokenBucket(_, index.buckets))
+      .distinct.sorted
+    val phraseLen = slots.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("phrase_len"))
+    val anchors = index.postings
+      .filter(col("bucket").isin(probeBuckets: _*)) // static prune
+      .filter(col("token").isin(termList: _*))
+      .select(col("token"), col("doc_id"), col("positions"))
+      .join(broadcast(slots), "token")
+      .join(broadcast(winnerKeys), Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id"), col("slot"),
+        explode(col("positions")).as("pos"))
+      .select(col("query_id"), col("doc_id"), col("slot"),
+        (col("pos") - col("slot")).as("anchor"))
+      .filter(col("anchor") >= 0)
+    Some(anchors
+      .groupBy(col("query_id"), col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("n_slots"))
+      .join(broadcast(phraseLen), "query_id")
+      .filter(col("n_slots") === col("phrase_len"))
+      .groupBy(col("query_id"), col("doc_id"), col("phrase_len"))
+      .agg(min(col("anchor")).as("win_start"))
+      .select(col("query_id"), col("doc_id"),
+        col("phrase_len").cast("long").as("window_len"),
+        col("win_start").cast("long").as("win_start")))
   }
 
   /** The shared fusion cascade: full-outer joins on `(query_id, doc_id)`

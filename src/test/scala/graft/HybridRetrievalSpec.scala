@@ -498,6 +498,134 @@ class HybridRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("results-page PHRASE evidence: a winner containing the exact " +
+      "phrase is highlighted at its FIRST occurrence; non-containing " +
+      "winners keep the terms window; null phrase degrades exactly; " +
+      "batch ≡ streaming") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val textDir = Files.createTempDirectory("rspp_text").toString
+    val annDir = Files.createTempDirectory("rspp_ann").toString
+    val input = Files.createTempDirectory("rspp_in")
+    val ckpt = Files.createTempDirectory("rspp_ckpt")
+    val annIdx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+    try {
+      Sink.writeTextIndex(docs, textDir, buckets = 16)
+      Sink.writeIvfIndex(annIdx, annDir)
+      val textIdx = Sink.readTextIndex(spark, textDir)
+      val ann = Sink.readIvfIndex(spark, annDir)
+      val embRows = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .as[(Long, Seq[Double])].collect().toMap
+      val phraseByQ = Map(0L -> Seq("table", "hash"),
+        1L -> Seq("vector", "hash"))
+      val reqRows = Seq(
+        (0L, Seq("vector", "hash", "merge"), phraseByQ(0L), embRows(0L)),
+        (1L, Seq("table", "hash"), phraseByQ(1L), embRows(1L)))
+      val reqs = reqRows.toDF("query_id", "terms", "phrase", "embedding")
+
+      val page = TextAnalysis.rrfSnippetQueryBatch(textIdx, ann, docs,
+          reqs, kConst = 60L, k = 15, legK = 30, nprobe = 3)
+        .collect().toSeq
+      assert(page.nonEmpty)
+
+      // 1. ranking is EXACTLY the 3-leg rrfQueryBatch's — evidence
+      // annotates, never re-ranks
+      val fused = TextAnalysis.rrfQueryBatch(textIdx, ann, reqs,
+          kConst = 60L, k = 15, legK = 30, nprobe = 3)
+        .select(col("query_id"), col("doc_id"), col("rrf_ppm"),
+          col("n_legs"), col("rank"))
+        .as[(Long, Long, Long, Int, Int)].collect().toSeq
+      assert(page.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4))) === fused)
+
+      // 2. per-winner evidence against hand-derived ground truth
+      val termsByQ = reqRows.map(r => r._1 -> r._2.toSet).toMap
+      val tokensByDoc = docs
+        .filter(col("doc_id").isin(page.map(_.getLong(1)).distinct: _*))
+        .select(col("doc_id"),
+          split(graft.operators.Dedup.normText(col("text")), " ")
+            .as("toks"))
+        .as[(Long, Seq[String])].collect().toMap
+      def firstPhraseStart(toks: Seq[String], ph: Seq[String]): Option[Int] =
+        toks.sliding(ph.size).zipWithIndex
+          .collectFirst { case (win, i) if win == ph => i }
+      val snipAll = TextAnalysis.snippetQueryBatch(textIdx, docs,
+          reqs.select(col("query_id"), col("terms")), k = 10000)
+        .select(col("query_id"), col("doc_id"), col("window_len"),
+          col("win_start"), col("snippet"))
+        .as[(Long, Long, Long, Long, String)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      var phraseHits = 0
+      var termHits = 0
+      var nulls = 0
+      page.foreach { r =>
+        val (qid, did) = (r.getLong(0), r.getLong(1))
+        val ph = phraseByQ(qid)
+        firstPhraseStart(tokensByDoc(did), ph) match {
+          case Some(start) =>
+            phraseHits += 1
+            assert(r.getLong(5) === ph.size.toLong &&
+              r.getLong(6) === start.toLong &&
+              r.getString(7) === ph.mkString(" "),
+              s"phrase winner ($qid,$did) must carry the FIRST " +
+                s"exact-phrase window, got (${r.get(5)},${r.get(6)}," +
+                s"${r.get(7)})")
+          case None if termsByQ(qid).subsetOf(tokensByDoc(did).toSet) =>
+            termHits += 1
+            assert(snipAll((qid, did)) ===
+              ((r.getLong(5), r.getLong(6), r.getString(7))),
+              s"non-phrase winner ($qid,$did) keeps the terms argmin")
+          case None =>
+            nulls += 1
+            assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7),
+              s"semantic-only winner ($qid,$did) must carry NULLs")
+        }
+      }
+      assert(phraseHits > 0, "fixture must exercise the phrase window")
+      assert(termHits > 0, "fixture must exercise the terms fallback")
+      assert(nulls > 0, "fixture must exercise the NULL path")
+
+      // 3. an all-null phrase column degrades to EXACTLY the
+      // phrase-less call (terms evidence only, 2-leg fuse)
+      val nullPhrase = TextAnalysis.rrfSnippetQueryBatch(textIdx, ann,
+          docs,
+          reqRows.map(r => (r._1, r._2, Option.empty[Seq[String]], r._4))
+            .toDF("query_id", "terms", "phrase", "embedding"),
+          kConst = 60L, k = 15, legK = 30, nprobe = 3)
+        .collect().toSeq.map(_.toString)
+      val noColumn = TextAnalysis.rrfSnippetQueryBatch(textIdx, ann,
+          docs,
+          reqRows.map(r => (r._1, r._2, r._4))
+            .toDF("query_id", "terms", "embedding"),
+          kConst = 60L, k = 15, legK = 30, nprobe = 3)
+        .collect().toSeq.map(_.toString)
+      assert(nullPhrase === noColumn,
+        "null phrase column ≡ the phrase-less results-page call")
+
+      // 4. streaming twin over the phrase-bearing schema
+      val served = TrieMap.empty[Long, Seq[String]]
+      writeHybridRequestFile4(input, "b1.json",
+        reqRows.map(r => (r._1, r._2, Some(r._3), None, r._4)))
+      val q = StreamTextServe.hybridSnippetWriter(
+        hybridRequestStream4(input), textIdx, ann, docs,
+        k = 15, legK = 30, nprobe = 3) { (bid, res) =>
+        served.put(bid, res.collect().toSeq.map(_.toString))
+        ()
+      }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(served.values.flatten.toSeq.sorted
+        === page.map(_.toString).sorted, "phrase-evidence stream ≡ batch")
+    } finally {
+      annIdx.unpersist()
+      Seq(textDir, annDir, input.toString, ckpt.toString).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   // -------------------------------------------- snippet serving + parity
 
   test("snippet serving: batch slice ≡ single-query snippetTopK, " +
