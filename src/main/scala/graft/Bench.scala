@@ -178,6 +178,21 @@ object Bench {
     val aTot = shared.map(minOver(aMins.toSeq, _)).sum
     val bTot = shared.map(minOver(bMins.toSeq, _)).sum
     val ratio = aTot / bTot
+    def f2(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+    // NOISE SELF-ADJUDICATION (r15): the r14 verdict needed a hand
+    // decomposition because one rep of B ran 25% hot. Emit the per-rep
+    // SHARED-QUERY sums (one number per rep per side — the raw material
+    // of any decomposition), each side's rep spread (max − min), and a
+    // verdict flag: |A − B| smaller than the larger per-rep spread means
+    // the min-sum gap is INSIDE what one side shows against itself in
+    // the same window — read the ratio as noise, not a regression.
+    val aRepSums = aMins.toSeq.map(m => shared.map(m(_)).sum)
+    val bRepSums = bMins.toSeq.map(m => shared.map(m(_)).sum)
+    val aSpread = aRepSums.max - aRepSums.min
+    val bSpread = bRepSums.max - bRepSums.min
+    val gap = math.abs(aTot - bTot)
+    val insideNoise = gap < math.max(aSpread, bSpread)
     val perQuery = shared.map { q =>
       val r = minOver(aMins.toSeq, q) / minOver(bMins.toSeq, q)
       s""""$q":${String.format(java.util.Locale.ROOT, "%.3f",
@@ -192,16 +207,20 @@ object Bench {
   "ab_head": "$headRev",
   "ab_reps": $abReps,
   "shared_queries": ${shared.size},
-  "a_total_minsum": ${String.format(java.util.Locale.ROOT, "%.2f",
-        Double.box(aTot))},
-  "b_total_minsum": ${String.format(java.util.Locale.ROOT, "%.2f",
-        Double.box(bTot))},
+  "a_total_minsum": ${f2(aTot)},
+  "b_total_minsum": ${f2(bTot)},
+  "a_rep_shared_sums": ${aRepSums.map(f2).mkString("[", ",", "]")},
+  "b_rep_shared_sums": ${bRepSums.map(f2).mkString("[", ",", "]")},
+  "a_rep_spread": ${f2(aSpread)},
+  "b_rep_spread": ${f2(bSpread)},
+  "minsum_gap": ${f2(gap)},
+  "noise_verdict": "${if (insideNoise) "inside_noise" else "outside_noise"}",
   "per_query_ratio": $perQuery
 }
 """
     java.nio.file.Files.write(java.nio.file.Paths.get(".ab/ab_latest.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"ab","ab_ratio":$ratio,"against":"$rev","head":"$headRev","shared":${shared.size},"a_minsum":$aTot,"b_minsum":$bTot}""")
+    println(s"""{"metric":"ab","ab_ratio":$ratio,"against":"$rev","head":"$headRev","shared":${shared.size},"a_minsum":$aTot,"b_minsum":$bTot,"noise_verdict":"${if (insideNoise) "inside_noise" else "outside_noise"}"}""")
   }
 
   /** The last `--against` verdict, embedded (with provenance) into

@@ -293,6 +293,38 @@ object ServeFootprint {
         graft.streaming.StreamTextServe.hybridWriter(
           qs, textIdx, loadedIvf, k = 10, legK = 20, nprobe = 4)(emit))
 
+    // page: the results-page call (fusion + snippet evidence with
+    // PHRASE preference) — per-batch cost over `hybrid` must be the
+    // winner-pruned window passes (terms min-window + phrase anchors)
+    // plus ONE winners-pushdown documents read, all request-sized; the
+    // no-state/flat-checkpoint contract is unchanged
+    val pageSchema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("terms", ArrayType(StringType)),
+      StructField("phrase", ArrayType(StringType)),
+      StructField("embedding", ArrayType(FloatType))))
+    def writePageFile(dir: Path, name: String, batch: Int): Unit = {
+      def arr(ts: Seq[String]) =
+        s"[${ts.map("\"" + _ + "\"").mkString(",")}]"
+      val lines = (0 until 20).map { i =>
+        val terms = termPool((batch * 20 + i) % termPool.length)
+        val phrase = termPool((batch * 20 + i + 1) % termPool.length)
+        val (_, e) = reqPool((batch * 20 + i) % reqPool.length)
+        s"""{"query_id":${1000000L + batch * 1000L + i},""" +
+          s""""terms":${arr(terms)},"phrase":${arr(phrase)},""" +
+          s""""embedding":[${e.mkString(",")}]}"""
+      }
+      val tmpF = dir.resolve(s".$name.tmp")
+      Files.write(tmpF, String.join("\n", lines: _*).getBytes("UTF-8"))
+      Files.move(tmpF, dir.resolve(name))
+    }
+    driveCustom("page", pageSchema)(
+      (dir, b) => writePageFile(dir, f"batch$b%03d.json", b))(
+      qs => emit =>
+        graft.streaming.StreamTextServe.hybridSnippetWriter(
+          qs, textIdx, loadedIvf, docsTable,
+          k = 10, legK = 20, nprobe = 4)(emit))
+
     Seq(ivfDir, pqDir, lshDir, textDir).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     spark.stop()

@@ -1250,10 +1250,15 @@ object Sink {
     * batch-count meta collects). Above any: [[compactLshIndex]] folds
     * ingested batches into `signed`/`postings` and applies tombstones
     * physically — probe answers bit-identical before/after.
-    * Thresholds as on the IVF valve; tombstone batches count against
-    * `maxBatches`, masked-id mass against `maxMaskedIds` (each delete
-    * batch is TWO broadcast masks here — postings and the signed
-    * rerank side — until folded).
+    * Thresholds as on the IVF valve — EXCEPT the file default: one LSH
+    * append legitimately touches up to bands × 2^bitsPerBand posting
+    * directories (the posexplode fans every vector into all its band
+    * buckets), so a 64-file bound would fold after every single batch —
+    * an O(index) rewrite per micro-batch. 1024 ≈ 8 batches of the
+    * default 8-band × 16-bucket layout; `maxBatches` is the sharper LSH
+    * gate. Tombstone batches count against `maxBatches`, masked-id mass
+    * against `maxMaskedIds` (each delete batch is TWO broadcast masks
+    * here — postings and the signed rerank side — until folded).
     *
     * Returns (compacted?, ingested posting files seen, committed
     * batches seen (ingest + tombstone), masked ids seen).
@@ -1261,7 +1266,7 @@ object Sink {
   def compactLshIndexIfNeeded(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      maxIngestedFiles: Long = 64L,
+      maxIngestedFiles: Long = 1024L,
       maxBatches: Long = 16L,
       maxMaskedIds: Long = 100000L): (Boolean, Long, Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration

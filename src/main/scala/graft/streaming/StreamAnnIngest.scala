@@ -22,20 +22,34 @@ import graft.sinks.Sink
   *
   * 100 TB shape: per batch, ONE narrow pass over the new rows (broadcast
   * centroid literals, codegen'd argmax) and one partitioned write of
-  * batch-sized data — index size never enters the ingest cost.
+  * batch-sized data — index size never enters the ingest cost; the
+  * gated valve ([[Sink.compactIvfIndexIfNeeded]], run by this writer's
+  * own foreachBatch thread — the single-maintainer contract holds by
+  * construction, exactly the [[StreamTextIngest]] stance) amortizes
+  * both the small-file debt AND tombstone pressure (a retention sweep
+  * targeting this index path lands delete batches on the same lineage;
+  * the valve folds their masks before the broadcast stops fitting).
   */
 object StreamAnnIngest {
 
   /** `vectors` must be a STREAMING DataFrame with `(vec_id, embedding)`
-    * columns; `indexPath` a [[Sink.writeIvfIndex]] layout. Caller
-    * attaches checkpointLocation and starts.
+    * columns; `indexPath` a [[Sink.writeIvfIndex]] layout. The valve
+    * fires when the ingested layout or the committed tombstones exceed
+    * any threshold (pass `Long.MaxValue` to disable and run maintenance
+    * externally). Caller attaches checkpointLocation and starts.
     */
   def ingestWriter(
       vectors: DataFrame,
-      indexPath: String): DataStreamWriter[Row] =
+      indexPath: String,
+      maxIngestedFiles: Long = 64L,
+      maxBatches: Long = 16L,
+      maxMaskedIds: Long = 100000L): DataStreamWriter[Row] =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Sink.appendIvfIndex(batch.sparkSession, indexPath, batch, batchId)
+        val spark = batch.sparkSession
+        Sink.appendIvfIndex(spark, indexPath, batch, batchId)
+        Sink.compactIvfIndexIfNeeded(
+          spark, indexPath, maxIngestedFiles, maxBatches, maxMaskedIds)
         ()
       }
 }

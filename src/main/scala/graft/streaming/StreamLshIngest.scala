@@ -24,20 +24,31 @@ import graft.sinks.Sink
   * 100 TB shape: per batch, one narrow pass over the new rows (nBits
   * broadcast hyperplane dots, codegen'd sign bits) + one bucket-
   * partitioned write of batch-sized postings — index size never enters
-  * the ingest cost.
+  * the ingest cost; the gated valve ([[Sink.compactLshIndexIfNeeded]],
+  * run by this writer's own foreachBatch thread — single-maintainer by
+  * construction) amortizes both the small-file debt and tombstone
+  * pressure at a bounded cadence, the [[StreamAnnIngest]] stance.
   */
 object StreamLshIngest {
 
   /** `vectors` must be a STREAMING DataFrame with `(vec_id, embedding)`
-    * columns; `indexPath` a [[Sink.writeLshIndex]] layout. Caller
-    * attaches checkpointLocation and starts.
+    * columns; `indexPath` a [[Sink.writeLshIndex]] layout. The valve
+    * fires when the ingested layout or the committed tombstones exceed
+    * any threshold (pass `Long.MaxValue` to disable and run maintenance
+    * externally). Caller attaches checkpointLocation and starts.
     */
   def ingestWriter(
       vectors: DataFrame,
-      indexPath: String): DataStreamWriter[Row] =
+      indexPath: String,
+      maxIngestedFiles: Long = 1024L,
+      maxBatches: Long = 16L,
+      maxMaskedIds: Long = 100000L): DataStreamWriter[Row] =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Sink.appendLshIndex(batch.sparkSession, indexPath, batch, batchId)
+        val spark = batch.sparkSession
+        Sink.appendLshIndex(spark, indexPath, batch, batchId)
+        Sink.compactLshIndexIfNeeded(
+          spark, indexPath, maxIngestedFiles, maxBatches, maxMaskedIds)
         ()
       }
 }

@@ -157,4 +157,61 @@ class StreamAnnIngestSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(checkpoint.toFile)
     }
   }
+
+  test("the ingest writer's valve folds tombstone pressure mid-stream: " +
+      "masked-id mass over threshold triggers the physical fold on the " +
+      "foreachBatch thread; serving = base − deleted + streamed") {
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") < 250)
+    val newRows = emb.filter(col("vec_id") >= 250 && col("vec_id") < 255)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val idx = Similarity.buildIvfIndexExact(half, nlist = 8, iters = 2)
+    val idxDir = Files.createTempDirectory("ann_valve_idx").toString
+    val input = Files.createTempDirectory("ann_valve_in")
+    val checkpoint = Files.createTempDirectory("ann_valve_ckpt")
+    try {
+      Sink.writeIvfIndex(idx, idxDir)
+      // retention-sweep-shaped delete pressure lands on the index's
+      // lineage (a later batch id — streamed ingest batches stay below
+      // it, and the mask is by id, so disjoint streamed ids are safe)
+      val doomed = half.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"))
+      Sink.deleteFromIvfIndex(spark, idxDir, doomed, batchId = 50L)
+      assert(new java.io.File(s"$idxDir/tombstones").exists())
+
+      writeVecFile(input, "batch1.json", newRows)
+      val q = StreamAnnIngest.ingestWriter(vecStream(input), idxDir,
+          maxMaskedIds = 1L)
+        .option("checkpointLocation", checkpoint.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+
+      // the valve fired ON THE INGEST THREAD (single-maintainer by
+      // construction): both incremental layouts folded physically
+      assert(!new java.io.File(s"$idxDir/tombstones").exists(),
+        "valve must fold the tombstones")
+      assert(!new java.io.File(s"$idxDir/ingested").exists(),
+        "valve must fold the ingested batch too")
+      // post-fold pressure reads zero even at the tight threshold
+      val (again, _, b2, m2) =
+        Sink.compactIvfIndexIfNeeded(spark, idxDir, maxMaskedIds = 1L)
+      assert(!again && b2 === 0L && m2 === 0L)
+
+      // served set = base − deleted + streamed, each exactly once
+      val served = Sink.readIvfIndex(spark, idxDir).celled
+        .select(col("vec_id")).as[Long].collect().toSeq
+      val deleted = doomed.as[Long].collect().toSet
+      val want = (half.select(col("vec_id")).as[Long].collect().toSet
+        -- deleted) ++ newRows.map(_._1)
+      assert(served.size === served.distinct.size, "no duplicates")
+      assert(served.sorted === want.toSeq.sorted)
+    } finally {
+      idx.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(idxDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(input.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(checkpoint.toFile)
+    }
+  }
 }
