@@ -83,6 +83,41 @@ object Bench {
       .findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
+  /** Per-query min across reps (a stall can only inflate a run). */
+  def minOver(ms: Seq[Map[String, Double]], q: String): Double =
+    ms.flatMap(_.get(q)).min
+
+  /** The A/B verdict, scored purely from per-rep `{query → seconds}`
+    * maps so the instrument itself is unit-testable. NOISE
+    * SELF-ADJUDICATION (r15): the r14 verdict needed a hand
+    * decomposition because one rep of B ran 25% hot — so alongside the
+    * min-of-reps totals this carries the per-rep SHARED-QUERY sums (the
+    * raw material of any decomposition), each side's rep spread
+    * (max − min), and the flag: an |A − B| gap smaller than the larger
+    * per-rep spread is INSIDE what one side shows against itself in the
+    * same window — read the ratio as noise, not a regression.
+    */
+  final case class AbScore(
+      shared: Seq[String], aTot: Double, bTot: Double, ratio: Double,
+      aRepSums: Seq[Double], bRepSums: Seq[Double],
+      aSpread: Double, bSpread: Double, gap: Double, insideNoise: Boolean)
+
+  def abScore(
+      aMins: Seq[Map[String, Double]],
+      bMins: Seq[Map[String, Double]]): AbScore = {
+    val shared = aMins.flatMap(_.keySet).toSet
+      .intersect(bMins.flatMap(_.keySet).toSet).toSeq.sorted
+    val aTot = shared.map(minOver(aMins, _)).sum
+    val bTot = shared.map(minOver(bMins, _)).sum
+    val aRepSums = aMins.map(m => shared.map(m(_)).sum)
+    val bRepSums = bMins.map(m => shared.map(m(_)).sum)
+    val aSpread = aRepSums.max - aRepSums.min
+    val bSpread = bRepSums.max - bRepSums.min
+    val gap = math.abs(aTot - bTot)
+    AbScore(shared, aTot, bTot, aTot / bTot, aRepSums, bRepSums,
+      aSpread, bSpread, gap, gap < math.max(aSpread, bSpread))
+  }
+
   /** `--against <git-rev>`: the DECISIVE cross-round perf comparison —
     * the host clock here swings up to ~2× between runs, so raw
     * round-over-round seconds (and even calib-normalized ratios, whose
@@ -171,28 +206,11 @@ object Bench {
       aMins += parseBenchFullMins(
         scala.io.Source.fromFile(s"/tmp/ab_A_$r.json").mkString)
     }
-    def minOver(ms: Seq[Map[String, Double]], q: String): Double =
-      ms.flatMap(_.get(q)).min
-    val shared = aMins.flatMap(_.keySet).toSet
-      .intersect(bMins.flatMap(_.keySet).toSet).toSeq.sorted
-    val aTot = shared.map(minOver(aMins.toSeq, _)).sum
-    val bTot = shared.map(minOver(bMins.toSeq, _)).sum
-    val ratio = aTot / bTot
+    val score = abScore(aMins.toSeq, bMins.toSeq)
+    import score.{shared, aTot, bTot, ratio, aRepSums, bRepSums,
+      aSpread, bSpread, gap, insideNoise}
     def f2(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
-    // NOISE SELF-ADJUDICATION (r15): the r14 verdict needed a hand
-    // decomposition because one rep of B ran 25% hot. Emit the per-rep
-    // SHARED-QUERY sums (one number per rep per side — the raw material
-    // of any decomposition), each side's rep spread (max − min), and a
-    // verdict flag: |A − B| smaller than the larger per-rep spread means
-    // the min-sum gap is INSIDE what one side shows against itself in
-    // the same window — read the ratio as noise, not a regression.
-    val aRepSums = aMins.toSeq.map(m => shared.map(m(_)).sum)
-    val bRepSums = bMins.toSeq.map(m => shared.map(m(_)).sum)
-    val aSpread = aRepSums.max - aRepSums.min
-    val bSpread = bRepSums.max - bRepSums.min
-    val gap = math.abs(aTot - bTot)
-    val insideNoise = gap < math.max(aSpread, bSpread)
     val perQuery = shared.map { q =>
       val r = minOver(aMins.toSeq, q) / minOver(bMins.toSeq, q)
       s""""$q":${String.format(java.util.Locale.ROOT, "%.3f",

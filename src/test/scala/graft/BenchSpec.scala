@@ -20,4 +20,30 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.jsonEscape("a\"b\nc\\d") === "a\\\"b\\nc\\\\d")
     assert(Bench.jsonEscape("ctrlx") === "ctrl\\u0001x")
   }
+
+  test("abScore: min-of-reps totals over the SHARED set only; one hot " +
+      "rep reads inside_noise; a uniform regression reads outside") {
+    // one B rep ran 50% hot (the r14 scenario): min-of-reps discards it
+    // and the remaining gap is far smaller than B's own rep spread
+    val a = Seq(Map("q1" -> 1.0, "q2" -> 2.0, "extra" -> 9.0),
+      Map("q1" -> 1.25, "q2" -> 2.0, "extra" -> 9.0))
+    val bHot = Seq(Map("q1" -> 1.5, "q2" -> 3.0),
+      Map("q1" -> 1.0, "q2" -> 2.0))
+    val s = Bench.abScore(a, bHot)
+    assert(s.shared === Seq("q1", "q2"), "unshared queries never score")
+    assert(s.aTot === 3.0 && s.bTot === 3.0 && s.ratio === 1.0)
+    assert(s.aRepSums === Seq(3.0, 3.25) && s.bRepSums === Seq(4.5, 3.0))
+    assert(s.bSpread === 1.5 && s.gap === 0.0)
+    assert(s.insideNoise, "a hot rep must not read as a regression")
+
+    // a genuine uniform 1.5x regression with tight reps: the gap dwarfs
+    // both spreads - outside noise
+    val slow = Seq(Map("q1" -> 1.5, "q2" -> 3.0),
+      Map("q1" -> 1.5, "q2" -> 3.0))
+    val tight = Seq(Map("q1" -> 1.0, "q2" -> 2.0),
+      Map("q1" -> 1.0, "q2" -> 2.0))
+    val r = Bench.abScore(slow, tight)
+    assert(r.ratio === 1.5 && !r.insideNoise,
+      "a real regression must not hide behind the noise flag")
+  }
 }
