@@ -2605,7 +2605,14 @@ object Sink {
       def landed(path: String): Boolean = {
         val r = resolveIndexRoot(spark, path)
         val inTombs = committedTombstoneBatchIds(spark, r).contains(batchId)
-        if (inTombs) {
+        // a stranded commit record (ids table gone — the physically-
+        // folded strand [[committedTombstones]] tolerates) has nothing
+        // left to verify against: the record itself proves the batch
+        // landed, so skip without the coverage check
+        val idsPath = new org.apache.hadoop.fs.Path(s"$r/tombstones")
+        if (inTombs && idsPath
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(idsPath)) {
           val prior = spark.read.parquet(s"$r/tombstones")
             .filter(col("batch_id") === batchId)
           val priorIdCol = prior.columns.filterNot(_ == "batch_id").head
