@@ -73,4 +73,28 @@ class IntProbeLargeNlistSpec extends SparkSpec {
         "real-index parity: same cells, same candidates, same ranks")
     } finally idx.unpersist()
   }
+
+  test("duplicate query_id rows with DIFFERENT embeddings: both forms " +
+      "emit per-ROW probe sets and stay bit-equal (the r14-advice " +
+      "divergence — the join form's window used to collapse them)") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+    try {
+      // one query_id, two distinct embeddings — malformed per the
+      // serving contract, but the two physical forms must still agree
+      val dup = emb.filter(col("vec_id").isin(5L, 17L))
+        .select(lit(900L).as("query_id"), col("embedding"))
+      val inline = Similarity.ivfQueryVectorsIntProbe(
+        idx, dup, k = 20, nprobe = 2)
+      val joined = Similarity.ivfQueryVectorsIntProbe(
+        idx, dup, k = 20, nprobe = 2, inlineMaxNlist = 0)
+      assert(collectRows(inline) === collectRows(joined),
+        "per-row probe sets: the forms must not diverge on duplicates")
+      // and the probe genuinely saw BOTH rows' cells: the candidate
+      // union must cover each embedding's own nearest vector
+      val served = collectRows(inline).map(_._2).toSet
+      assert(served.contains(5L) && served.contains(17L),
+        "each duplicate row's own neighborhood must be probed")
+    } finally idx.unpersist()
+  }
 }
