@@ -100,7 +100,9 @@ object Bench {
   final case class AbScore(
       shared: Seq[String], aTot: Double, bTot: Double, ratio: Double,
       aRepSums: Seq[Double], bRepSums: Seq[Double],
-      aSpread: Double, bSpread: Double, gap: Double, insideNoise: Boolean)
+      aSpread: Double, bSpread: Double, gap: Double, insideNoise: Boolean,
+      aJackSums: Seq[Double], bJackSums: Seq[Double],
+      aJackSpread: Double, bJackSpread: Double, insideNoiseStrict: Boolean)
 
   def abScore(
       aMins: Seq[Map[String, Double]],
@@ -114,8 +116,34 @@ object Bench {
     val aSpread = aRepSums.max - aRepSums.min
     val bSpread = bRepSums.max - bRepSums.min
     val gap = math.abs(aTot - bTot)
+    // STRICT criterion (r16): the loose flag compares the min-sum gap
+    // against RAW per-rep spreads, but a min over N reps varies far
+    // less than one rep does (r15: spreads ~69 s against a gap of 4 s)
+    // — a genuine multi-percent regression could systematically hide
+    // behind it. The jackknife spread measures the variability of the
+    // min-sum STATISTIC ITSELF: leave each rep out, recompute the
+    // min-sum; the spread of those totals is how much the reported
+    // total depends on any single rep. A gap under the jackknife
+    // spread is noise by the statistic's own stability; a gap BETWEEN
+    // the strict and loose thresholds is AMBIGUOUS — both flags are
+    // reported so neither adjudicates alone.
+    def jackSums(ms: Seq[Map[String, Double]]): Seq[Double] =
+      if (ms.size < 2) Seq.empty
+      else ms.indices.map { i =>
+        val rest = ms.patch(i, Nil, 1)
+        shared.map(q => rest.flatMap(_.get(q))
+          .minOption.getOrElse(minOver(ms, q))).sum
+      }
+    val aJackSums = jackSums(aMins)
+    val bJackSums = jackSums(bMins)
+    def spreadOf(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else xs.max - xs.min
+    val aJackSpread = spreadOf(aJackSums)
+    val bJackSpread = spreadOf(bJackSums)
     AbScore(shared, aTot, bTot, aTot / bTot, aRepSums, bRepSums,
-      aSpread, bSpread, gap, gap < math.max(aSpread, bSpread))
+      aSpread, bSpread, gap, gap < math.max(aSpread, bSpread),
+      aJackSums, bJackSums, aJackSpread, bJackSpread,
+      gap < math.max(aJackSpread, bJackSpread))
   }
 
   /** `--against <git-rev>`: the DECISIVE cross-round perf comparison —
@@ -208,7 +236,8 @@ object Bench {
     }
     val score = abScore(aMins.toSeq, bMins.toSeq)
     import score.{shared, aTot, bTot, ratio, aRepSums, bRepSums,
-      aSpread, bSpread, gap, insideNoise}
+      aSpread, bSpread, gap, insideNoise,
+      aJackSums, bJackSums, aJackSpread, bJackSpread, insideNoiseStrict}
     def f2(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
     val perQuery = shared.map { q =>
@@ -233,12 +262,18 @@ object Bench {
   "b_rep_spread": ${f2(bSpread)},
   "minsum_gap": ${f2(gap)},
   "noise_verdict": "${if (insideNoise) "inside_noise" else "outside_noise"}",
+  "a_jackknife_minsums": ${aJackSums.map(f2).mkString("[", ",", "]")},
+  "b_jackknife_minsums": ${bJackSums.map(f2).mkString("[", ",", "]")},
+  "a_jackknife_spread": ${f2(aJackSpread)},
+  "b_jackknife_spread": ${f2(bJackSpread)},
+  "noise_verdict_strict": "${if (insideNoiseStrict) "inside_noise"
+        else "outside_noise"}",
   "per_query_ratio": $perQuery
 }
 """
     java.nio.file.Files.write(java.nio.file.Paths.get(".ab/ab_latest.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"ab","ab_ratio":$ratio,"against":"$rev","head":"$headRev","shared":${shared.size},"a_minsum":$aTot,"b_minsum":$bTot,"noise_verdict":"${if (insideNoise) "inside_noise" else "outside_noise"}"}""")
+    println(s"""{"metric":"ab","ab_ratio":$ratio,"against":"$rev","head":"$headRev","shared":${shared.size},"a_minsum":$aTot,"b_minsum":$bTot,"noise_verdict":"${if (insideNoise) "inside_noise" else "outside_noise"}","noise_verdict_strict":"${if (insideNoiseStrict) "inside_noise" else "outside_noise"}"}""")
   }
 
   /** The last `--against` verdict, embedded (with provenance) into

@@ -745,28 +745,36 @@ object ScaleCheck {
       graft.sinks.Sink.writeTextIndex(big, textIdxDir, buckets = 64)
     }
     // fresh tombstone state (outside the timing): a rerun against a
-    // CACHED index dir (build probe filtered out) would re-issue batch 0
-    // against a ledger that already committed it, so the timer would
-    // measure the replay/skip path — and an older binary's leftover
-    // batch-0 id set would violate the identical-content replay
-    // contract. Clearing the layouts makes the probe always measure a
-    // FIRST-TIME tombstone write.
+    // CACHED index dir (build probe filtered out) would re-issue the
+    // batch against a ledger that already committed it, so the timer
+    // would measure the replay/skip path — and an older binary's
+    // leftover id set would violate the identical-content replay
+    // contract. Clear the layouts at the RESOLVED root (a prior run's
+    // compaction moved them under gen-N) and take the first batch id
+    // the folded ledger has never absorbed, so the probe always
+    // measures a FIRST-TIME tombstone write even against a compacted
+    // cache (r15 advice).
+    val textRoot = graft.sinks.Sink.resolveIndexRoot(spark, textIdxDir)
     Seq("tombstones", "tombstones_meta").foreach { sub =>
       org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(s"$textIdxDir/$sub"))
+        new java.io.File(s"$textRoot/$sub"))
     }
+    val delBatchId =
+      if (!new java.io.File(s"$textRoot/folded").exists()) 0L
+      else spark.read.parquet(s"$textRoot/folded")
+        .agg(max(col("batch_id"))).head.getLong(0) + 1L
     time("text delete (fixed 1000-doc batch)") {
       graft.sinks.Sink.deleteFromTextIndex(spark, textIdxDir,
         big.filter(col("doc_id") < 1000).select(col("doc_id")),
-        batchId = 0L)
+        batchId = delBatchId)
       1L
     }
     // the delete probe may have been filtered out — pay the tombstone
     // write OUTSIDE the timed serve block (the BM25-build lesson)
-    if (!new java.io.File(s"$textIdxDir/tombstones_meta").exists()) {
+    if (!new java.io.File(s"$textRoot/tombstones_meta").exists()) {
       graft.sinks.Sink.deleteFromTextIndex(spark, textIdxDir,
         big.filter(col("doc_id") < 1000).select(col("doc_id")),
-        batchId = 0L)
+        batchId = delBatchId)
     }
     time("BM25 serve (tombstoned index)") {
       import spark.implicits._
@@ -897,6 +905,57 @@ object ScaleCheck {
       1L
     }
 
+    // SWEEP→VALVE receipt (r16): the ARCHIVAL lineage — ingest paused,
+    // daily sweeps the only writer. Idle-valve sweeps must stay flat
+    // across ×1/×10 (each is the O(dropped)+O(batch) sweep above PLUS a
+    // listing-only valve census per root); the folding sweep is the
+    // amortized O(index) maintenance rewrite the masks were buying
+    // (reported, not claimed flat); the post-fold serve must match the
+    // clean serve — the mask cost is GONE without any ingest thread
+    // ever running.
+    val archRaw = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "sc_archraw").toString
+    if (only.forall(f => Seq(
+        "sweep-valve: idle sweep day1 (1 fixed doomed partition)",
+        "sweep-valve: idle sweep day2 (1 fixed doomed partition)",
+        "sweep-valve: folding sweep day3 (maxBatches=1)")
+      .exists(_.contains(f)))) {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(archRaw))
+      // three FIXED 500-doc doomed dates + a mult-sized retained tail
+      big.filter(col("doc_id") >= 4000 && col("doc_id") < 5500)
+        .withColumn("date", concat(lit("2024-02-0"),
+          (col("doc_id") % 3 + 1).cast("string")))
+        .write.mode("overwrite").partitionBy("date").parquet(archRaw)
+      big.filter(col("doc_id") >= 5500)
+        .withColumn("date", lit("2024-02-09"))
+        .write.mode("append").partitionBy("date").parquet(archRaw)
+      if (!new java.io.File(textIdxDir).exists()) {
+        graft.sinks.Sink.writeTextIndex(big, textIdxDir, buckets = 64)
+      }
+    }
+    time("sweep-valve: idle sweep day1 (1 fixed doomed partition)") {
+      graft.sinks.Sink.retentionSweep(spark, archRaw, "2024-02-02",
+        batchId = 8L, textIndexes = Seq(textIdxDir),
+        ivfIndexes = Seq(hybDir))
+      1L
+    }
+    time("sweep-valve: idle sweep day2 (1 fixed doomed partition)") {
+      graft.sinks.Sink.retentionSweep(spark, archRaw, "2024-02-03",
+        batchId = 9L, textIndexes = Seq(textIdxDir),
+        ivfIndexes = Seq(hybDir))
+      1L
+    }
+    time("sweep-valve: folding sweep day3 (maxBatches=1)") {
+      graft.sinks.Sink.retentionSweep(spark, archRaw, "2024-02-04",
+        batchId = 10L, textIndexes = Seq(textIdxDir),
+        ivfIndexes = Seq(hybDir), maxBatches = 1L)
+      1L
+    }
+    valveServe("post-sweep-fold")
+
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(archRaw))
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(textIdxDir))
     org.apache.commons.io.FileUtils.deleteDirectory(

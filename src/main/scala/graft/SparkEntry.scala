@@ -2494,6 +2494,33 @@ object SparkEntry {
         kConst = 60L, k = 20)
     }),
 
+    // the MAXIMAL results-page call — every optional surface of
+    // rrfSnippetQueryBatch in ONE batch: 4-leg fusion (BM25 + exact
+    // phrase + proximity + ANN, retrieval_hybrid_serve3's stack) AND
+    // the phrase-preferential evidence pass (snippet_phrase's) on the
+    // fused winners. r15 pinned the two halves separately; this row
+    // pins their composition, the call a production ranker actually
+    // makes. Oracle replays all four rank lists, the fusion, the
+    // phrase-anchor recurrence, the terms min-window recurrence, the
+    // COALESCE preference, and the snippet slice
+    "retrieval_hybrid_page4" -> ((s, dir) => {
+      import s.implicits._
+      val textIdx = Sink.readTextIndex(s, persistedTextIndexDir(s, dir))
+      val annIdx = Sink.readIvfIndex(s, persistedPqServeDir(s, dir))
+      val reqs = Seq(
+        (0L, Seq("vector", "hash", "merge"), Seq("table", "hash"),
+          Seq("vector", "hash", "merge")),
+        (1L, Seq("table", "hash"), Seq("vector", "hash"),
+          Seq("table", "hash")))
+        .toDF("query_id", "terms", "phrase", "prox_terms")
+        .join(Tables.embeddings(s, dir)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+          "query_id")
+      graft.operators.TextAnalysis.rrfSnippetQueryBatch(
+        textIdx, annIdx, Tables.documents(s, dir), reqs,
+        kConst = 60L, k = 20)
+    }),
+
     // IVF-PQ delete → re-append → ADC serve, hash-checked end to end —
     // the CODED layout's delete lifecycle (the one family r14 left
     // spec-pinned but without an oracle row): build the persisted
@@ -7868,6 +7895,196 @@ object SparkEntry {
         |         min(last_pos) AS win_start
         |  FROM xlast GROUP BY query_id, doc_id, pos
         |  HAVING count(last_pos) = count(*)),
+        |bw AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(window_len AS BIGINT) AS window_len,
+        |         CAST(win_start AS BIGINT) AS win_start FROM (
+        |    SELECT query_id, doc_id, window_len, win_start,
+        |           row_number() OVER (PARTITION BY query_id, doc_id
+        |             ORDER BY window_len, win_start) AS rn
+        |    FROM xwl) WHERE rn = 1),
+        |ev AS (
+        |  SELECT win.query_id, win.doc_id, win.rrf_ppm, win.n_legs,
+        |         win.rank,
+        |         COALESCE(pbw.window_len, bw.window_len) AS window_len,
+        |         COALESCE(pbw.win_start, bw.win_start) AS win_start
+        |  FROM win
+        |  LEFT JOIN pbw ON pbw.query_id = win.query_id
+        |    AND pbw.doc_id = win.doc_id
+        |  LEFT JOIN bw ON bw.query_id = win.query_id
+        |    AND bw.doc_id = win.doc_id)
+        |SELECT ev.query_id, ev.doc_id, ev.rrf_ppm, ev.n_legs, ev.rank,
+        |       ev.window_len, ev.win_start,
+        |       CASE WHEN ev.window_len IS NOT NULL THEN
+        |         array_to_string(
+        |           d.lst[CAST(ev.win_start + 1 AS BIGINT) :
+        |                 CAST(ev.win_start + ev.window_len AS BIGINT)], ' ')
+        |       END AS snippet
+        |FROM ev
+        |LEFT JOIN d ON d.doc_id = ev.doc_id
+        |ORDER BY ev.query_id, ev.rank""".stripMargin,
+
+    // the maximal results-page replay: serve3's four rank lists (BM25 /
+    // phrase / proximity / ANN — prox_terms == terms here, so the one
+    // min-window recurrence feeds BOTH the proximity leg and the terms
+    // evidence fallback) + the 4-way fusion, then snippet_phrase's
+    // evidence tail: phrase-anchor first-occurrence windows COALESCEd
+    // over the terms min-window, and the token-span slice
+    "retrieval_hybrid_page4" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(COALESCE(text, ''))),
+        |      '\\s+', ' ', 'g'), ' ') AS lst
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lst[i] AS token, i - 1 AS pos
+        |  FROM d, LATERAL (
+        |    SELECT unnest(generate_series(1, len(lst))) AS i) u
+        |  WHERE lst[i] <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |meta AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |         (SELECT count(*) FROM toks) AS t),
+        |qterms(query_id, token) AS (
+        |  SELECT * FROM (VALUES (0, 'vector'), (0, 'hash'), (0, 'merge'),
+        |         (1, 'table'), (1, 'hash')) AS qt(query_id, token)),
+        |m AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token IN (SELECT DISTINCT token FROM qterms)
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT m.doc_id, token, tf, dl.dl,
+        |         count(*) OVER (PARTITION BY token) AS df
+        |  FROM m JOIN dl USING (doc_id)),
+        |sc AS (
+        |  SELECT qt.query_id, w.doc_id,
+        |         CAST(sum(
+        |           (((n - df + 1) * 1000000) // (df + 1)) * tf * (1000 + 1200)
+        |           // (tf * 1000 +
+        |              (1200 * ((1000 - 750) + (750 * dl * n) // t)) // 1000)
+        |         ) AS BIGINT) AS score
+        |  FROM w JOIN qterms qt USING (token) CROSS JOIN meta
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id)
+        |      AS BIGINT) AS rank
+        |    FROM sc) WHERE rank <= 50),
+        |qphrase(query_id, token, slot) AS (
+        |  SELECT * FROM (VALUES (0, 'table', 0), (0, 'hash', 1),
+        |         (1, 'vector', 0), (1, 'hash', 1))
+        |    AS qp(query_id, token, slot)),
+        |plen AS (SELECT query_id, count(*) AS phrase_len
+        |         FROM qphrase GROUP BY 1),
+        |panchor AS (
+        |  SELECT q.query_id, t.doc_id, t.pos - q.slot AS anchor
+        |  FROM toks t JOIN qphrase q USING (token)
+        |  WHERE t.pos - q.slot >= 0),
+        |pocc AS (
+        |  SELECT query_id, doc_id, anchor, count(*) AS n_slots
+        |  FROM panchor GROUP BY 1, 2, 3),
+        |phr AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT o.query_id, o.doc_id, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY o.query_id ORDER BY count(*) DESC, o.doc_id)
+        |      AS BIGINT) AS rank
+        |    FROM pocc o JOIN plen USING (query_id)
+        |    WHERE o.n_slots = plen.phrase_len
+        |    GROUP BY o.query_id, o.doc_id) WHERE rank <= 50),
+        |xpts AS (
+        |  SELECT q.query_id, t.doc_id, t.pos, t.token
+        |  FROM toks t JOIN qterms q USING (token)),
+        |xanchor AS (SELECT DISTINCT query_id, doc_id, pos FROM xpts),
+        |xlast AS (
+        |  SELECT a.query_id, a.doc_id, a.pos, q.token,
+        |         max(t2.pos) AS last_pos
+        |  FROM xanchor a
+        |  JOIN qterms q ON q.query_id = a.query_id
+        |  LEFT JOIN xpts t2 ON t2.query_id = a.query_id
+        |    AND t2.doc_id = a.doc_id AND t2.token = q.token
+        |    AND t2.pos <= a.pos
+        |  GROUP BY 1, 2, 3, 4),
+        |xwl AS (
+        |  SELECT query_id, doc_id,
+        |         pos - min(last_pos) + 1 AS window_len,
+        |         min(last_pos) AS win_start
+        |  FROM xlast GROUP BY query_id, doc_id, pos
+        |  HAVING count(last_pos) = count(*)),
+        |prox AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY min(window_len), doc_id)
+        |      AS BIGINT) AS rank
+        |    FROM xwl GROUP BY query_id, doc_id) WHERE rank <= 50),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> CAST(round((x + 1.0) * 4096) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |p AS (SELECT vec_id, d, q[d] AS v FROM q CROSS JOIN dims),
+        |seeds AS (
+        |  SELECT q, row_number() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        |  FROM q),
+        |c0 AS (
+        |  SELECT sd.j, dims.d, sd.q[dims.d] AS c
+        |  FROM seeds sd CROSS JOIN dims WHERE sd.j < 16),
+        |${lloydRoundSql(1)},
+        |${lloydRoundSql(2)},
+        |${lloydRoundSql(3)},
+        |fd AS (
+        |  SELECT p.vec_id, c.j, sum((p.v - c.c)*(p.v - c.c)) AS dist
+        |  FROM p JOIN c3 c USING (d) GROUP BY 1, 2),
+        |fa AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, j AS cluster,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY dist, j) AS rn
+        |    FROM fd) WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, j FROM (
+        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, j) AS rn
+        |    FROM fd WHERE vec_id IN (0, 1)) WHERE rn <= 4),
+        |v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sem AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT pr.query_id, v.vec_id AS doc_id,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY pr.query_id
+        |        ORDER BY list_cosine_similarity(v.e, qv.e) DESC, v.vec_id)
+        |        AS BIGINT) AS rank
+        |    FROM v
+        |    JOIN fa ON fa.vec_id = v.vec_id
+        |    JOIN probe pr ON pr.j = fa.cluster
+        |    JOIN v qv ON qv.vec_id = pr.query_id
+        |    WHERE v.vec_id <> pr.query_id) WHERE rank <= 50),
+        |legs AS (
+        |  SELECT query_id, doc_id, rank FROM lex
+        |  UNION ALL SELECT query_id, doc_id, rank FROM phr
+        |  UNION ALL SELECT query_id, doc_id, rank FROM prox
+        |  UNION ALL SELECT query_id, doc_id, rank FROM sem),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+        |         count(*) AS n_legs
+        |  FROM legs GROUP BY 1, 2),
+        |win AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_ppm,
+        |         n_legs, rank
+        |  FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_ppm DESC, doc_id) AS rank FROM fused)
+        |  WHERE rank <= 20),
+        |pbw AS (
+        |  SELECT o.query_id, o.doc_id,
+        |         CAST(plen.phrase_len AS BIGINT) AS window_len,
+        |         CAST(min(o.anchor) AS BIGINT) AS win_start
+        |  FROM pocc o JOIN plen USING (query_id)
+        |  WHERE o.n_slots = plen.phrase_len
+        |  GROUP BY o.query_id, o.doc_id, plen.phrase_len),
         |bw AS (
         |  SELECT query_id, doc_id,
         |         CAST(window_len AS BIGINT) AS window_len,

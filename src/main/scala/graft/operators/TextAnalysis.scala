@@ -800,6 +800,14 @@ object TextAnalysis {
     * serializes its df-sized list; the grouped form reduces to a
     * ≤ |terms|-row table that broadcasts for free (spec-asserted: no
     * token-partitioned WindowExec in the serve plan).
+    *
+    * Duplicate `query_id` rows here MERGE to their term UNION (the
+    * probe dedupes on (query_id, token), and BM25's disjunctive sum
+    * over a union is the union request's answer) — well-defined but
+    * rarely intended; the phrase/proximity/hybrid entries, whose
+    * recurrences duplicates would silently corrupt instead, REJECT
+    * them ([[requireUniqueQueryIds]]). Deduplicate request ids
+    * upstream.
     */
   def bm25QueryBatch(
       index: TextIndex,
@@ -985,11 +993,37 @@ object TextAnalysis {
     * A doc ranks for a request only when every slot has been seen; ties
     * break by doc_id — (query_id, rank) is a unique total order.
     */
+  /** REQUEST CONTRACT shared by the batch serving entries whose
+    * recurrences key per-query state by `query_id` alone (phrase slot
+    * counts, proximity windows, the hybrid fuse): one row per
+    * `query_id`. A duplicated id would SILENTLY corrupt, not crash —
+    * [[phraseQueryBatch]]'s `phrase_len` is a groupBy(query_id) slot
+    * count, so two rows sharing an id with different phrases sum their
+    * lengths and match nothing — so the entries reject loudly instead
+    * (the ANN probe side went the other way in r15, per-row window
+    * keys, because its probe-set recurrence had a natural row key; the
+    * text recurrences key on (query_id, doc_id, position) state where
+    * a synthetic row key would ride every explode). One
+    * request-batch-sized agg job per serving call — bounded by the
+    * batch the caller already collected term lists from.
+    */
+  private def requireUniqueQueryIds(
+      requests: DataFrame, caller: String): Unit = {
+    val r = requests
+      .agg(count(lit(1)), countDistinct(col("query_id"))).head
+    require(r.getLong(0) == r.getLong(1),
+      s"$caller: duplicate query_id rows in the request batch " +
+        s"(${r.getLong(0)} rows, ${r.getLong(1)} distinct ids) - " +
+        "per-query recurrences key state by query_id; assign each " +
+        "request a unique id")
+  }
+
   def proximityQueryBatch(
       index: TextIndex,
       requests: DataFrame,
       k: Int = 20): DataFrame = {
     index.requirePositions("proximityQueryBatch")
+    requireUniqueQueryIds(requests, "proximityQueryBatch")
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("window_len"), col("doc_id"))
@@ -1262,6 +1296,11 @@ object TextAnalysis {
       k: Int = 20,
       legK: Int = 50,
       nprobe: Int = 4): DataFrame = {
+    // one row per query_id ([[requireUniqueQueryIds]]) — checked at the
+    // TOP of the stack so [[rrfSnippetQueryBatch]] and the legs all
+    // serve under the verified contract (the boost legs re-check their
+    // projections; request-batch-sized, negligible next to the probes)
+    requireUniqueQueryIds(requests, "rrfQueryBatch")
     val lex = bm25QueryBatch(
       textIndex, requests.select(col("query_id"), col("terms")), legK)
     val phrase =
@@ -1571,6 +1610,7 @@ object TextAnalysis {
       requests: DataFrame,
       k: Int = 20): DataFrame = {
     index.requirePositions("phraseQueryBatch")
+    requireUniqueQueryIds(requests, "phraseQueryBatch")
     // pin the request batch once: the probe collect below and the
     // anchor join read the SAME rows (the bm25QueryBatch idiom)
     val slots = requests

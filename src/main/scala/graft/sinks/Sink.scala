@@ -312,9 +312,15 @@ object Sink {
   def writeIvfIndex(
       index: graft.operators.Similarity.IvfIndex,
       path: String,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      policy: Option[ValvePolicy] = None): Unit = {
     val spark = index.celled.sparkSession
     import spark.implicits._
+    // declare the lineage's maintenance policy at build time (see
+    // [[ValvePolicy]]); None leaves any existing declaration in place —
+    // policy is operator configuration, not data, so an overwrite
+    // build does not reset it
+    policy.foreach(writeValvePolicy(spark, path, _))
     // a FRESH build supersedes every rebuild generation at this path —
     // clear them first so the flat layout written below is the one
     // readers resolve (crash mid-write re-exposes at worst a torn flat
@@ -772,23 +778,123 @@ object Sink {
   }
 
   /** Tombstone pressure census at an index root: (committed tombstone
-    * batches, Σ masked ids across them) — read from the tiny
-    * `tombstones_meta` commit records (one row per batch), never the id
-    * tables. The inputs every `compact*IfNeeded` valve weighs delete
-    * pressure with.
+    * batches, Σ masked ids across them). JOB-FREE on the current layout:
+    * [[writeTombstoneBatch]] mirrors each commit record's `(n_ids, adj)`
+    * into the NAME of a zero-byte `_p-<n_ids>-<adj>` marker beside it,
+    * so this census is a pure FileSystem listing — the below-threshold
+    * path of a valve running on a 1-second micro-batch cadence must not
+    * pay two driver-side Spark jobs per family per batch just to learn
+    * nothing changed (r15 verdict). The parquet commit record stays the
+    * source of truth; a batch directory missing its marker (a pre-r16
+    * layout, or a crash between the meta write and the marker) falls
+    * back to the original one-collect read for the WHOLE census —
+    * correctness never rides the cache.
     */
   private def tombstonePressure(
       spark: org.apache.spark.sql.SparkSession,
       root: String): (Long, Long) = {
     val p = new org.apache.hadoop.fs.Path(s"$root/tombstones_meta")
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      (0L, 0L)
-    else {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0L, 0L)
+    val batchDirs = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    if (batchDirs.isEmpty) return (0L, 0L)
+    val markers = batchDirs.map { d =>
+      fs.listStatus(d.getPath).toSeq
+        .map(_.getPath.getName).find(_.startsWith("_p-"))
+    }
+    if (markers.forall(_.isDefined)) {
+      val nIds = markers.flatten
+        .map(_.stripPrefix("_p-").split("-")(0).toLong).sum
+      (batchDirs.size.toLong, nIds)
+    } else {
       val rows = spark.read.parquet(s"$root/tombstones_meta")
         .select(col("n_ids")).collect()
       (rows.length.toLong, rows.map(_.getLong(0)).sum)
     }
   }
+
+  /** Per-index MAINTENANCE POLICY: the `compact*IfNeeded` thresholds,
+    * persisted AT THE INDEX so every maintainer — a streaming ingest
+    * writer, [[retentionSweep]], a hand-run cron — weighs the same
+    * limits. Without it two maintainers of one root can silently
+    * disagree on `maxMaskedIds` and the stricter one folds work the
+    * looser one was still amortizing (r15 verdict). Resolution order at
+    * each valve: explicit argument (≥ 0, incl. `Long.MaxValue` opt-out)
+    * > persisted policy > the family's built-in default; the sentinel
+    * [[Sink.UsePersistedPolicy]] (−1, every valve's default) selects
+    * the persisted tier.
+    */
+  final case class ValvePolicy(
+      maxIngestedFiles: Long,
+      maxBatches: Long,
+      maxMaskedIds: Long)
+
+  /** Valve-threshold sentinel: "use the index's persisted [[ValvePolicy]]
+    * if one exists, else the family built-in" (see [[ValvePolicy]]).
+    */
+  val UsePersistedPolicy: Long = -1L
+
+  /** Persist `policy` as the index's `_valve_policy.json` — a one-line
+    * JSON side-file at the RAW path (NOT the resolved generation root:
+    * rebuilds and compactions swap generations under the raw path, and
+    * the policy governs the lineage, not one generation). Written via
+    * temp-file + rename so a reader never sees a torn line. The build
+    * entry points take an optional policy and call this, making
+    * build-time the natural declaration site; calling it later
+    * reconfigures the lineage in place.
+    */
+  def writeValvePolicy(
+      spark: org.apache.spark.sql.SparkSession,
+      rawPath: String,
+      policy: ValvePolicy): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(rawPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$rawPath/._valve_policy.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write(
+      (s"""{"max_ingested_files":${policy.maxIngestedFiles},""" +
+        s""""max_batches":${policy.maxBatches},""" +
+        s""""max_masked_ids":${policy.maxMaskedIds}}""")
+        .getBytes("UTF-8"))
+    out.close()
+    val dst = new org.apache.hadoop.fs.Path(s"$rawPath/_valve_policy.json")
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  /** Read the persisted [[ValvePolicy]] at `rawPath` — a FileSystem read
+    * (never a Spark job: the valves consult this on every micro-batch).
+    * None when the lineage never declared one.
+    */
+  def readValvePolicy(
+      spark: org.apache.spark.sql.SparkSession,
+      rawPath: String): Option[ValvePolicy] = {
+    val p = new org.apache.hadoop.fs.Path(s"$rawPath/_valve_policy.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def field(k: String): Option[Long] =
+      s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+    for {
+      f <- field("max_ingested_files")
+      b <- field("max_batches")
+      m <- field("max_masked_ids")
+    } yield ValvePolicy(f, b, m)
+  }
+
+  /** Resolve one valve threshold: explicit arg > persisted policy >
+    * family built-in ([[ValvePolicy]] resolution order).
+    */
+  private def resolveThreshold(
+      arg: Long, persisted: Option[Long], builtIn: Long): Long =
+    if (arg >= 0L) arg else persisted.getOrElse(builtIn)
 
   /** Count the `.parquet` files under a layout dir — the small-file
     * census every `compact*IfNeeded` valve reads (a file LISTING, never
@@ -839,9 +945,15 @@ object Sink {
   def compactIvfIndexIfNeeded(
       spark: org.apache.spark.sql.SparkSession,
       rawPath: String,
-      maxIngestedFiles: Long = 64L,
-      maxBatches: Long = 16L,
-      maxMaskedIds: Long = 100000L): (Boolean, Long, Long, Long) = {
+      maxIngestedFiles: Long = UsePersistedPolicy,
+      maxBatches: Long = UsePersistedPolicy,
+      maxMaskedIds: Long = UsePersistedPolicy): (Boolean, Long, Long, Long) = {
+    val pol = readValvePolicy(spark, rawPath)
+    val limFiles = resolveThreshold(
+      maxIngestedFiles, pol.map(_.maxIngestedFiles), 64L)
+    val limBatches = resolveThreshold(maxBatches, pol.map(_.maxBatches), 16L)
+    val limMasked = resolveThreshold(
+      maxMaskedIds, pol.map(_.maxMaskedIds), 100000L)
     val path = resolveIndexRoot(spark, rawPath)
     val ingested = new org.apache.hadoop.fs.Path(s"$path/ingested")
     val fs = ingested.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -858,8 +970,8 @@ object Sink {
           s.getPath.getName.startsWith("batch_id=") => s.getPath.getName }
         .distinct.size.toLong
     val nBatches = ingBatches + nTombBatches
-    if (nFiles <= maxIngestedFiles && nBatches <= maxBatches &&
-        maskedIds <= maxMaskedIds)
+    if (nFiles <= limFiles && nBatches <= limBatches &&
+        maskedIds <= limMasked)
       (false, nFiles, nBatches, maskedIds)
     else {
       compactIvfIndex(spark, rawPath)
@@ -960,9 +1072,11 @@ object Sink {
       pqCents: Array[Array[Array[Long]]],
       codes: DataFrame,
       path: String,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      policy: Option[ValvePolicy] = None): Unit = {
     val spark = index.celled.sparkSession
     import spark.implicits._
+    policy.foreach(writeValvePolicy(spark, path, _)) // see writeIvfIndex
     if (mode == "overwrite") {
       clearGenerations(spark, path)
       // qcentroids included for the same stale-quantizer reason as
@@ -1021,9 +1135,11 @@ object Sink {
   def writeLshIndex(
       index: graft.operators.Similarity.LshIndex,
       path: String,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      policy: Option[ValvePolicy] = None): Unit = {
     val spark = index.signed.sparkSession
     import spark.implicits._
+    policy.foreach(writeValvePolicy(spark, path, _)) // see writeIvfIndex
     // a fresh build supersedes any prior run's appended-but-uncompacted
     // batches at this path — clear the ingested layers or readLshIndex
     // would silently union stale vectors into the new index (and stale
@@ -1266,9 +1382,15 @@ object Sink {
   def compactLshIndexIfNeeded(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      maxIngestedFiles: Long = 1024L,
-      maxBatches: Long = 16L,
-      maxMaskedIds: Long = 100000L): (Boolean, Long, Long, Long) = {
+      maxIngestedFiles: Long = UsePersistedPolicy,
+      maxBatches: Long = UsePersistedPolicy,
+      maxMaskedIds: Long = UsePersistedPolicy): (Boolean, Long, Long, Long) = {
+    val pol = readValvePolicy(spark, path)
+    val limFiles = resolveThreshold(
+      maxIngestedFiles, pol.map(_.maxIngestedFiles), 1024L)
+    val limBatches = resolveThreshold(maxBatches, pol.map(_.maxBatches), 16L)
+    val limMasked = resolveThreshold(
+      maxMaskedIds, pol.map(_.maxMaskedIds), 100000L)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val postIn = new org.apache.hadoop.fs.Path(s"$path/postings_ingested")
@@ -1283,8 +1405,8 @@ object Sink {
         .count(s => s.isDirectory &&
           s.getPath.getName.startsWith("batch_id=")).toLong
     val nBatches = ingBatches + nTombBatches
-    if (nFiles <= maxIngestedFiles && nBatches <= maxBatches &&
-        maskedIds <= maxMaskedIds)
+    if (nFiles <= limFiles && nBatches <= limBatches &&
+        maskedIds <= limMasked)
       (false, nFiles, nBatches, maskedIds)
     else {
       compactLshIndex(spark, path)
@@ -1380,9 +1502,11 @@ object Sink {
       docs: DataFrame,
       path: String,
       buckets: Int = 64,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      policy: Option[ValvePolicy] = None): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    policy.foreach(writeValvePolicy(spark, path, _)) // see writeIvfIndex
     // a fresh build supersedes every compaction generation at this path
     // AND every incremental layer (ingested batches, tombstones) a prior
     // lifecycle left behind — a stale tombstone surviving an overwrite
@@ -1391,9 +1515,14 @@ object Sink {
       clearGenerations(spark, path)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // "folded" included (r16 — the vector builds always cleared it):
+      // a stale folded ledger surviving a fresh build would silently
+      // SWALLOW every future delete/append whose batch id it already
+      // contains (the ledger replay-skip fires on ids from the previous
+      // lineage), leaving deleted docs servable with no error anywhere
       Seq("postings_ingested", "meta_ingested",
         "tombstones", "tombstones_meta",
-        "doc_stats", "doc_stats_ingested").foreach { sub =>
+        "doc_stats", "doc_stats_ingested", "folded").foreach { sub =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
       }
     }
@@ -1419,7 +1548,22 @@ object Sink {
     // sidecar write AND the meta constants below — n_docs is its row
     // count and total_tokens its dl sum, so neither needs another scan
     // of the input (the pre-r15 shape paid a docs.count() job plus a
-    // second docs scan inside the sidecar join)
+    // second docs scan inside the sidecar join).
+    //
+    // DURABILITY STANCE for the ingest-path localCheckpoint(true):
+    // eager and LOCAL (executor block store), so lineage is discarded —
+    // on a real cluster an executor lost between this pin and its
+    // second consumer fails the BUILD JOB unrecoverably instead of
+    // recomputing, and the caller retries the whole build (idempotent:
+    // overwrite mode). That is the deliberate trade on the ingest side:
+    // a build is minutes and retryable, while a reliable checkpoint
+    // (`spark.sparkContext.setCheckpointDir` + Dataset.checkpoint)
+    // writes the pinned rows to the cluster FS on EVERY build/append —
+    // a standing I/O tax to insure a rare, cheap-to-retry failure. A
+    // deployment whose builds are too long to retry should swap these
+    // sites to reliable checkpoints; the SERVING-side pins (bounded
+    // request/winner rows) stay local unconditionally — losing one
+    // fails a single serving batch the stream replays anyway.
     val docStats = docs.select(col("doc_id").cast("long").as("doc_id"))
       .join(dl, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1429,7 +1573,17 @@ object Sink {
       .localCheckpoint(true)
     val (nDocs, totalTokens) = {
       val r = docStats
-        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)),
+          countDistinct(col("doc_id"))).head
+      // the id-uniqueness contract, asserted on the same pinned pass
+      // (countDistinct rides the agg already paid for): duplicate
+      // doc_id rows would double-count their dl into T and their row
+      // into N — BM25 constants silently skewed — and collide in the
+      // sidecar the delete path joins
+      require(r.getLong(0) == r.getLong(2),
+        s"writeTextIndex: input carries duplicate doc_id rows " +
+          s"(${r.getLong(0)} rows, ${r.getLong(2)} distinct ids) - " +
+          "the index keys docs by id; dedupe before building")
       (r.getLong(0), r.getLong(1))
     }
     Seq((nDocs, totalTokens, buckets))
@@ -1569,7 +1723,10 @@ object Sink {
     // commit record's corpus constants (n_docs = its row count,
     // total_tokens = its dl sum) — the pre-r15 shape paid a separate
     // docs scan for the sidecar join and ANOTHER for docs.count(),
-    // the append-path cost the r14 A/B flagged on text_bm25_incremental
+    // the append-path cost the r14 A/B flagged on text_bm25_incremental.
+    // The localCheckpoint(true) durability stance is writeTextIndex's:
+    // local pin, executor loss = retry the append (idempotent — the
+    // commit record lands last)
     val docStats = docs.select(col("doc_id").cast("long").as("doc_id"))
       .join(dl, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1578,14 +1735,25 @@ object Sink {
           .as("dbucket"),
         lit(batchId).as("batch_id"))
       .localCheckpoint(true)
+    val constants = docStats
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)),
+        countDistinct(col("doc_id"))).head
+    // id-uniqueness within the batch, asserted on the pinned pass (the
+    // writeTextIndex contract) BEFORE the sidecar lands: a duplicated
+    // doc_id would double-count dl into this batch's corpus constants.
+    // A violation leaves the batch torn-but-invisible (no commit
+    // record). Cross-batch re-adds are fine — that is the
+    // delete→re-append lifecycle.
+    require(constants.getLong(0) == constants.getLong(2),
+      s"appendTextIndex: batch $batchId carries duplicate doc_id rows " +
+        s"(${constants.getLong(0)} rows, ${constants.getLong(2)} " +
+        "distinct ids) - dedupe the batch before appending")
     docStats
       .coalesce(1) // batch-sized: one file per batch directory
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(s"$path/doc_stats_ingested")
-    val constants = docStats
-      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
     // the COMMIT record for this batch — last write, see scaladoc
     Seq((constants.getLong(0), constants.getLong(1), batchId))
       .toDF("n_docs", "total_tokens", "batch_id")
@@ -1748,6 +1916,19 @@ object Sink {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(s"$root/tombstones_meta")
+    // mirror (n_ids, adj) into a zero-byte marker NAME beside the commit
+    // record so [[tombstonePressure]] is a pure listing (underscore
+    // prefix: invisible to parquet readers). Written AFTER the record —
+    // the record stays the commit; a crash here just costs the census
+    // its job-free fast path until the next delete on this batch id
+    // (dynamic overwrite clears the partition dir, so a replay rewrites
+    // the marker too)
+    val markerDir = new org.apache.hadoop.fs.Path(
+      s"$root/tombstones_meta/batch_id=$batchId")
+    markerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(new org.apache.hadoop.fs.Path(markerDir, s"_p-$nIds-$adj"),
+        true)
+      .close()
   }
 
   /** DELETE documents from a persisted inverted index — the retention
@@ -2131,27 +2312,33 @@ object Sink {
   def compactTextIndexIfNeeded(
       spark: org.apache.spark.sql.SparkSession,
       rawPath: String,
-      maxIngestedFiles: Long = 64L,
-      maxBatches: Long = 16L): (Boolean, Long, Long) = {
+      maxIngestedFiles: Long = UsePersistedPolicy,
+      maxBatches: Long = UsePersistedPolicy): (Boolean, Long, Long) = {
+    val pol = readValvePolicy(spark, rawPath)
+    val limFiles = resolveThreshold(
+      maxIngestedFiles, pol.map(_.maxIngestedFiles), 64L)
+    val limBatches = resolveThreshold(maxBatches, pol.map(_.maxBatches), 16L)
     val path = resolveIndexRoot(spark, rawPath)
     val ingested = new org.apache.hadoop.fs.Path(s"$path/postings_ingested")
     val fs = ingested.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var nFiles = 0L
-    if (fs.exists(ingested)) {
-      val it = fs.listFiles(ingested, true)
-      while (it.hasNext) {
-        if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
-      }
-    }
-    val nBatches = committedIngestBatchIds(spark, path).size.toLong
+    val nFiles = countParquetFiles(fs, ingested)
+    // committed ingest batches from the meta_ingested partition
+    // DIRECTORY names — the commit records land one `batch_id=K` dir
+    // each, so the census is a listing and the below-threshold path is
+    // job-free (the valves' idle cost on a micro-batch cadence must be
+    // zero Spark jobs — r15 verdict; tombstonePressure's marker files
+    // do the same for the delete side)
+    val metaIn = new org.apache.hadoop.fs.Path(s"$path/meta_ingested")
+    val nBatches: Long =
+      if (!fs.exists(metaIn)) 0L
+      else fs.listStatus(metaIn).toSeq.count(s => s.isDirectory &&
+        s.getPath.getName.startsWith("batch_id=")).toLong
     // tombstone batches count against the SAME valve: each one is a
     // broadcast anti-join + meta adjustment on every read until a
     // compaction folds it physically
-    val nTombBatches = committedTombstones(spark, path, "doc_id")
-      .map(_ => spark.read.parquet(s"$path/tombstones_meta").count())
-      .getOrElse(0L)
-    if (nFiles <= maxIngestedFiles && nBatches <= maxBatches &&
-        nTombBatches <= maxBatches)
+    val (nTombBatches, _) = tombstonePressure(spark, path)
+    if (nFiles <= limFiles && nBatches <= limBatches &&
+        nTombBatches <= limBatches)
       (false, nFiles, nBatches)
     else {
       compactTextIndex(spark, rawPath)
@@ -2563,9 +2750,38 @@ object Sink {
     * Boundary: partitions strictly BEFORE `firstRetainedDate` drop;
     * the named date is the first one kept ([[applyRetention]]).
     *
+    * MAINTENANCE (r16): after the deletes land, the sweep runs every
+    * registered root's `compact*IfNeeded` valve. The valves were wired
+    * into the STREAMING ingest writers in r15, which left the
+    * archival lineage — ingest paused, daily sweeps continuing, the
+    * exact delete-pressure scenario the valves exist for — accumulating
+    * masked-id mass unattended until an ingest batch happened to
+    * arrive. The sweep is already each lineage's single-maintainer
+    * moment (the batch-id contract above), so running the valves here
+    * adds no second maintainer; thresholds resolve per [[ValvePolicy]]
+    * (explicit args > the index's persisted policy > family built-ins;
+    * `Long.MaxValue` opts out — the streaming writers' convention) and
+    * a below-threshold valve is a job-free census. The valves run even
+    * on a sweep that found nothing to drop: pressure from PRIOR sweeps
+    * is still pressure.
+    *
+    * A REPLAY AFTER A VALVE FOLD takes the folded-ledger skip: the
+    * fold absorbed this batch id and deleted its id tables, so there is
+    * nothing left to verify coverage against — the ledger entry itself
+    * is trusted as proof the batch was this sweep's own earlier landing
+    * (a crash between the fold and the raw drop replays exactly this
+    * way; RetentionSweepSpec pins it). That trust is exactly why the
+    * batch-id contract is absolute: a FOREIGN batch id reused by a
+    * sweep is caught by the coverage check only while its commit record
+    * is live — once a compaction folds it, the reuse is undetectable
+    * and the expiring docs stay servable. Allocate sweep batch ids from
+    * the same monotone lineage as ingest batch ids, never recycle.
+    *
     * Cost at 100 TB: O(dropped partitions) metadata ops + one id-column
     * scan of the dropped partitions + deletion-batch-sized tombstone
-    * writes (text: plus the doc-stats sidecar join, O(batch)).
+    * writes (text: plus the doc-stats sidecar join, O(batch)); the
+    * valves add a listing-only census per root below thresholds, and
+    * above them the fold every serve was already paying for in masks.
     */
   def retentionSweep(
       spark: org.apache.spark.sql.SparkSession,
@@ -2575,7 +2791,10 @@ object Sink {
       textIndexes: Seq[String] = Nil,
       ivfIndexes: Seq[String] = Nil,
       lshIndexes: Seq[String] = Nil,
-      idCol: String = "doc_id"): Seq[String] = {
+      idCol: String = "doc_id",
+      maxIngestedFiles: Long = UsePersistedPolicy,
+      maxBatches: Long = UsePersistedPolicy,
+      maxMaskedIds: Long = UsePersistedPolicy): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(rawTablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.isDirectory(root)) return Nil
@@ -2638,6 +2857,17 @@ object Sink {
         deleteFromLshIndex(spark, p,
           ids.select(col(idCol).as("vec_id")), batchId))
     }
+    // hands-off maintenance on EVERY registered root, dropped
+    // partitions or not (see scaladoc): the archival lineage whose only
+    // writes are sweeps must fold its masks here or nowhere
+    textIndexes.foreach(p =>
+      compactTextIndexIfNeeded(spark, p, maxIngestedFiles, maxBatches))
+    ivfIndexes.foreach(p =>
+      compactIvfIndexIfNeeded(
+        spark, p, maxIngestedFiles, maxBatches, maxMaskedIds))
+    lshIndexes.foreach(p =>
+      compactLshIndexIfNeeded(
+        spark, p, maxIngestedFiles, maxBatches, maxMaskedIds))
     applyRetention(spark, rawTablePath, firstRetainedDate)
   }
 }

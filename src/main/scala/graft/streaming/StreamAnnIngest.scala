@@ -36,14 +36,17 @@ object StreamAnnIngest {
     * columns; `indexPath` a [[Sink.writeIvfIndex]] layout. The valve
     * fires when the ingested layout or the committed tombstones exceed
     * any threshold (pass `Long.MaxValue` to disable and run maintenance
-    * externally). Caller attaches checkpointLocation and starts.
+    * externally); thresholds default to the index's persisted
+    * [[Sink.ValvePolicy]] (else the family built-ins), so a sweep
+    * maintainer and this writer weigh the SAME limits. Caller attaches
+    * checkpointLocation and starts.
     */
   def ingestWriter(
       vectors: DataFrame,
       indexPath: String,
-      maxIngestedFiles: Long = 64L,
-      maxBatches: Long = 16L,
-      maxMaskedIds: Long = 100000L): DataStreamWriter[Row] =
+      maxIngestedFiles: Long = Sink.UsePersistedPolicy,
+      maxBatches: Long = Sink.UsePersistedPolicy,
+      maxMaskedIds: Long = Sink.UsePersistedPolicy): DataStreamWriter[Row] =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession

@@ -36,14 +36,17 @@ object StreamTextIngest {
   /** `docs` must be a STREAMING DataFrame with `(doc_id, text)` columns;
     * `indexPath` a [[Sink.writeTextIndex]] layout. Compaction fires
     * when the ingested layout exceeds either threshold (pass
-    * `Long.MaxValue` to disable and run compaction externally). Caller
-    * attaches checkpointLocation and starts.
+    * `Long.MaxValue` to disable and run compaction externally);
+    * thresholds default to the index's persisted [[Sink.ValvePolicy]]
+    * (else the family built-ins), so a sweep maintainer and this
+    * writer weigh the SAME limits. Caller attaches checkpointLocation
+    * and starts.
     */
   def ingestWriter(
       docs: DataFrame,
       indexPath: String,
-      maxIngestedFiles: Long = 64L,
-      maxBatches: Long = 16L): DataStreamWriter[Row] =
+      maxIngestedFiles: Long = Sink.UsePersistedPolicy,
+      maxBatches: Long = Sink.UsePersistedPolicy): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession

@@ -626,6 +626,170 @@ class HybridRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("MAXIMAL results page (r16): 4-leg fusion AND phrase-preferential " +
+      "evidence in one call — ranking ≡ rrfQueryBatch's 4-leg stack, " +
+      "phrase-bearing winners carry the phrase window, and the " +
+      "streaming twin is bit-identical") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val textDir = Files.createTempDirectory("page4_text").toString
+    val annDir = Files.createTempDirectory("page4_ann").toString
+    val input = Files.createTempDirectory("page4_in")
+    val ckpt = Files.createTempDirectory("page4_ckpt")
+    val annIdx = Similarity.buildIvfIndexExact(emb, nlist = 8, iters = 2)
+    try {
+      Sink.writeTextIndex(docs, textDir, buckets = 16)
+      Sink.writeIvfIndex(annIdx, annDir)
+      val textIdx = Sink.readTextIndex(spark, textDir)
+      val ann = Sink.readIvfIndex(spark, annDir)
+      val embRows = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .as[(Long, Seq[Double])].collect().toMap
+      val reqRows = Seq(
+        (0L, Seq("vector", "hash", "merge"), Seq("table", "hash"),
+          Seq("vector", "hash", "merge"), embRows(0L)),
+        (1L, Seq("table", "hash"), Seq("vector", "hash"),
+          Seq("table", "hash"), embRows(1L)))
+      val reqs = reqRows.toDF(
+        "query_id", "terms", "phrase", "prox_terms", "embedding")
+
+      val page = TextAnalysis.rrfSnippetQueryBatch(textIdx, ann, docs,
+          reqs, kConst = 60L, k = 15, legK = 30, nprobe = 3)
+        .collect().toSeq
+      assert(page.nonEmpty)
+
+      // 1. ranking ≡ the 4-leg fuse (evidence annotates, never re-ranks)
+      val fused = TextAnalysis.rrfQueryBatch(textIdx, ann, reqs,
+          kConst = 60L, k = 15, legK = 30, nprobe = 3)
+        .select(col("query_id"), col("doc_id"), col("rrf_ppm"),
+          col("n_legs"), col("rank"))
+        .as[(Long, Long, Long, Int, Int)].collect().toSeq
+      assert(page.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4))) === fused)
+      assert(fused.exists(_._4 >= 3),
+        "the fixture must genuinely fuse boost legs on this page")
+
+      // 2. evidence preference: a winner containing the FULL phrase
+      // carries window_len == |phrase| with the snippet EQUAL to the
+      // phrase; a term-covered winner without the phrase keeps the
+      // terms min-window; others are NULL
+      val phraseByQ = reqRows.map(r => r._1 -> r._3).toMap
+      val termsByQ = reqRows.map(r => r._1 -> r._2.toSet).toMap
+      val tokensByDoc = docs
+        .filter(col("doc_id").isin(page.map(_.getLong(1)).distinct: _*))
+        .select(col("doc_id"),
+          split(graft.operators.Dedup.normText(col("text")), " ")
+            .as("toks"))
+        .as[(Long, Seq[String])].collect().toMap
+      def containsPhrase(toks: Seq[String], ph: Seq[String]): Boolean =
+        toks.sliding(ph.size).contains(ph)
+      var phraseWins = 0
+      var termWins = 0
+      page.foreach { r =>
+        val (qid, did) = (r.getLong(0), r.getLong(1))
+        val toks = tokensByDoc(did)
+        val ph = phraseByQ(qid)
+        if (containsPhrase(toks, ph)) {
+          phraseWins += 1
+          assert(r.getLong(5) === ph.size.toLong &&
+            r.getString(7) === ph.mkString(" "),
+            s"phrase-bearing winner ($qid,$did) must carry the phrase " +
+              s"window, got ${r.toString}")
+        } else if (termsByQ(qid).subsetOf(toks.toSet)) {
+          termWins += 1
+          assert(!r.isNullAt(5) &&
+            termsByQ(qid).subsetOf(r.getString(7).split(" ").toSet),
+            s"term-covered winner ($qid,$did) keeps the terms window")
+        } else assert(r.isNullAt(5) && r.isNullAt(7),
+          s"uncovered winner ($qid,$did) stays NULL")
+      }
+      assert(phraseWins > 0 && termWins > 0,
+        "the fixture must exercise BOTH evidence branches on one page")
+
+      // 3. streaming twin over the full 4-column schema
+      val served = TrieMap.empty[Long, Seq[String]]
+      writeHybridRequestFile4(input, "b1.json",
+        reqRows.map(r => (r._1, r._2, Some(r._3), Some(r._4), r._5)))
+      val q = StreamTextServe.hybridSnippetWriter(
+        hybridRequestStream4(input), textIdx, ann, docs,
+        k = 15, legK = 30, nprobe = 3) { (bid, res) =>
+        served.put(bid, res.collect().toSeq.map(_.toString))
+        ()
+      }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(served.values.flatten.toSeq.sorted
+        === page.map(_.toString).sorted, "maximal page: stream ≡ batch")
+    } finally {
+      annIdx.unpersist()
+      Seq(textDir, annDir, input.toString, ckpt.toString).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
+  test("duplicate query_id rejection (r16): the phrase/proximity/hybrid " +
+      "entries throw loudly — their recurrences key per-query state by " +
+      "query_id, so a duplicated id would silently corrupt (phrase_len " +
+      "sums across rows and matches nothing)") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val emb = Tables.embeddings(spark, sf)
+    val textDir = Files.createTempDirectory("dupq_text").toString
+    val annDir = Files.createTempDirectory("dupq_ann").toString
+    val annIdx = Similarity.buildIvfIndexExact(emb, nlist = 4, iters = 1)
+    try {
+      Sink.writeTextIndex(docs, textDir, buckets = 8)
+      Sink.writeIvfIndex(annIdx, annDir)
+      val textIdx = Sink.readTextIndex(spark, textDir)
+      val ann = Sink.readIvfIndex(spark, annDir)
+
+      val dupPhrase = Seq(
+        (7L, Seq("table", "hash")), (7L, Seq("vector", "hash")))
+        .toDF("query_id", "phrase")
+      val e1 = intercept[IllegalArgumentException] {
+        TextAnalysis.phraseQueryBatch(textIdx, dupPhrase, k = 5)
+      }
+      assert(e1.getMessage.contains("duplicate query_id"))
+
+      val dupTerms = Seq(
+        (7L, Seq("table", "hash")), (7L, Seq("vector")))
+        .toDF("query_id", "terms")
+      val e2 = intercept[IllegalArgumentException] {
+        TextAnalysis.proximityQueryBatch(textIdx, dupTerms, k = 5)
+      }
+      assert(e2.getMessage.contains("duplicate query_id"))
+
+      val emb0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("e"))
+        .as[Seq[Double]].head()
+      val dupHybrid = Seq(
+        (7L, Seq("table", "hash"), emb0), (7L, Seq("vector"), emb0))
+        .toDF("query_id", "terms", "embedding")
+      val e3 = intercept[IllegalArgumentException] {
+        TextAnalysis.rrfQueryBatch(textIdx, ann, dupHybrid, k = 5)
+      }
+      assert(e3.getMessage.contains("duplicate query_id"))
+      val e4 = intercept[IllegalArgumentException] {
+        TextAnalysis.rrfSnippetQueryBatch(textIdx, ann, docs, dupHybrid,
+          k = 5)
+      }
+      assert(e4.getMessage.contains("duplicate query_id"))
+
+      // unique ids with identical CONTENT are fine — the contract is
+      // per-id, not per-payload
+      val okReqs = Seq(
+        (7L, Seq("table", "hash"), emb0), (8L, Seq("table", "hash"), emb0))
+        .toDF("query_id", "terms", "embedding")
+      assert(TextAnalysis.rrfQueryBatch(textIdx, ann, okReqs, k = 5)
+        .count() > 0)
+    } finally {
+      annIdx.unpersist()
+      Seq(textDir, annDir).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   // -------------------------------------------- snippet serving + parity
 
   test("snippet serving: batch slice ≡ single-query snippetTopK, " +

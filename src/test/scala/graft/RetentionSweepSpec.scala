@@ -181,6 +181,98 @@ class RetentionSweepSpec extends SparkSpec {
     } finally rm(raw, text)
   }
 
+  test("ARCHIVAL lineage (r16): sweeps alone trip the maintenance " +
+      "valves — no ingest thread ever runs, yet repeated sweeps fold " +
+      "the tombstone mass and serving returns to the clean layout") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val raw = tmp("sweep_arch_raw")
+    val text = tmp("sweep_arch_text")
+    val ivf = tmp("sweep_arch_ivf")
+    val refText = tmp("sweep_arch_ref")
+    try {
+      docs.withColumn("date",
+          concat(lit("2024-01-0"), (col("doc_id") % 5 + 1).cast("string")))
+        .write.mode("overwrite").partitionBy("date").parquet(raw)
+      Sink.writeTextIndex(docs, text, buckets = 8)
+      val ivfIdx = Similarity.buildIvfIndexExact(emb, nlist = 4, iters = 1)
+      Sink.writeIvfIndex(ivfIdx, ivf)
+      ivfIdx.unpersist()
+
+      // day 1: one expired date — default thresholds, pressure stays
+      Sink.retentionSweep(spark, raw, "2024-01-02", batchId = 0L,
+        textIndexes = Seq(text), ivfIndexes = Seq(ivf))
+      assert(new java.io.File(s"$text/tombstones").exists() &&
+        new java.io.File(s"$ivf/tombstones").exists(),
+        "below thresholds the sweep's valves leave the masks live")
+
+      // day 2: a second expired date pushes the batch count over a
+      // tight maxBatches — the SWEEP's own valve call must fold both
+      // roots (before r16 nothing would, ever, on this lineage)
+      Sink.retentionSweep(spark, raw, "2024-01-03", batchId = 1L,
+        textIndexes = Seq(text), ivfIndexes = Seq(ivf),
+        maxBatches = 1L)
+      val textRoot = Sink.resolveIndexRoot(spark, text)
+      assert(!new java.io.File(s"$textRoot/tombstones").exists() &&
+        !new java.io.File(s"$ivf/tombstones").exists(),
+        "the sweep-run valves folded the masks on BOTH roots")
+
+      // swept+folded state ≡ a fresh build over the retained docs
+      Sink.writeTextIndex(docs.filter(col("doc_id") % 5 >= 2), refText,
+        buckets = 8)
+      assert(bm25(text) === bm25(refText),
+        "archival fold preserves serving exactly")
+      val sweptIds = docs.filter(col("doc_id") % 5 < 2)
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(Sink.readIvfIndex(spark, ivf).celled
+        .select(col("vec_id")).as[Long].collect().toSet
+        .intersect(sweptIds).isEmpty,
+        "IVF: swept ids physically gone after the sweep-run fold")
+    } finally rm(raw, text, ivf, refText)
+  }
+
+  test("REPLAY AFTER A VALVE FOLD (r16): a sweep batch id absorbed " +
+      "into the folded ledger is trusted on replay — no coverage check " +
+      "is possible (the fold deleted the id tables) and none throws; " +
+      "the re-run just finishes the drop") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val raw = tmp("sweep_foldreplay_raw")
+    val text = tmp("sweep_foldreplay_text")
+    val refText = tmp("sweep_foldreplay_ref")
+    try {
+      docs.withColumn("date",
+          concat(lit("2024-01-0"), (col("doc_id") % 5 + 1).cast("string")))
+        .write.mode("overwrite").partitionBy("date").parquet(raw)
+      Sink.writeTextIndex(docs, text, buckets = 8)
+      // maxBatches = 0: the sweep's valve folds its OWN batch at once —
+      // the tightest sweep→fold cycle
+      Sink.retentionSweep(spark, raw, "2024-01-03", batchId = 0L,
+        textIndexes = Seq(text), maxBatches = 0L)
+      val textRoot = Sink.resolveIndexRoot(spark, text)
+      assert(!new java.io.File(s"$textRoot/tombstones").exists(),
+        "batch 0 folded in the same sweep")
+
+      // crash-before-drop replay: a doomed partition reappears (subset
+      // content), the batch id now lives ONLY in the folded ledger —
+      // the replay must take the ledger skip (nothing left to verify
+      // coverage against: the trust documented on retentionSweep),
+      // write NO new tombstones, and finish the drop
+      docs.filter(col("doc_id") % 5 === 0).withColumn("date",
+          lit("2024-01-01"))
+        .write.mode("append").partitionBy("date").parquet(raw)
+      Sink.retentionSweep(spark, raw, "2024-01-03", batchId = 0L,
+        textIndexes = Seq(text), maxBatches = Long.MaxValue)
+      assert(!new java.io.File(s"$raw/date=2024-01-01").exists(),
+        "the replay finishes the drop")
+      assert(!new java.io.File(s"$textRoot/tombstones").exists(),
+        "ledger skip: the replay writes no fresh tombstone batch")
+      Sink.writeTextIndex(docs.filter(col("doc_id") % 5 >= 2), refText,
+        buckets = 8)
+      assert(bm25(text) === bm25(refText),
+        "post-fold replay leaves serving exactly on the retained set")
+    } finally rm(raw, text, refText)
+  }
+
   test("sweep with no expiring partitions is a no-op; sweep on a " +
       "missing raw table returns empty") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)

@@ -619,4 +619,36 @@ class TextIndexSpec extends SparkSpec {
         new java.io.File(hotDir))
     }
   }
+
+  test("duplicate doc_id rejection (r16): build and append both assert " +
+      "id uniqueness on the pinned doc-stats pass — a duplicated id " +
+      "would double-count its dl into T and its row into N, silently " +
+      "skewing every BM25 score") {
+    val dir = java.nio.file.Files.createTempDirectory("textdup").toString
+    try {
+      val dup = docsDf((1L, "vector table"), (1L, "hash merge"),
+        (2L, "vector hash"))
+      val e1 = intercept[IllegalArgumentException] {
+        Sink.writeTextIndex(dup, dir, buckets = 4)
+      }
+      assert(e1.getMessage.contains("duplicate doc_id"))
+
+      Sink.writeTextIndex(
+        docsDf((1L, "vector table"), (2L, "vector hash")), dir,
+        buckets = 4)
+      val e2 = intercept[IllegalArgumentException] {
+        Sink.appendTextIndex(spark, dir,
+          docsDf((3L, "merge"), (3L, "table")), batchId = 0L)
+      }
+      assert(e2.getMessage.contains("duplicate doc_id"))
+      // the torn append stayed invisible (no commit record landed) and
+      // a CLEAN batch on the same id lands normally afterwards — the
+      // cross-batch re-add lifecycle is untouched by the per-batch check
+      assert(Sink.readTextIndex(spark, dir).nDocs === 2L)
+      Sink.appendTextIndex(spark, dir, docsDf((3L, "merge table")),
+        batchId = 0L)
+      assert(Sink.readTextIndex(spark, dir).nDocs === 3L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
 }

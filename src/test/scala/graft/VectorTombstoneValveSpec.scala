@@ -151,6 +151,142 @@ class VectorTombstoneValveSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("coded root × valve fold, TIGHT rerank (r16): delete → re-add → " +
+      "valve fold keeps ivfPqQueryVectors bit-equal on a shortlist the " +
+      "ADC table actually decides (rerank = corpus would mask a code " +
+      "corruption behind the exact-rerank pass)") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 400)
+    val dir = tmp("valve_pq_tight")
+    try {
+      val built = Similarity.buildIvfIndexExact(emb, nlist = 4, iters = 2)
+      val model = Similarity.buildPqModel(emb, m = 8, k = 16, iters = 1)
+      Sink.writeIvfPqIndex(built, model.cents, model.codes, dir)
+      built.unpersist()
+      model.unpersist()
+      Sink.deleteFromIvfIndex(spark, dir,
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+        batchId = 0L)
+      // half the deleted ids come back — their codes are RE-ENCODED
+      // against the persisted codebooks and ride the ingested layer
+      Sink.appendIvfIndex(spark, dir,
+        emb.filter(col("vec_id") % 14 === 3), batchId = 1L)
+      def adcTight(): Seq[(Long, Long)] = {
+        val (loaded, cents) = Sink.readIvfPqIndex(spark, dir)
+        Similarity.ivfPqQueryVectors(loaded, cents,
+            emb.filter(col("vec_id") === 9)
+              .select(col("vec_id").as("query_id"), col("embedding")),
+            nprobe = 4, rerank = 30, k = 10)
+          .select(col("vec_id"), col("rank").cast("long"))
+          .as[(Long, Long)].collect().toSeq
+      }
+      val before = adcTight()
+      val (c1, _, b1, _) = Sink.compactIvfIndexIfNeeded(spark, dir,
+        maxBatches = 1L, maxMaskedIds = 1000000L)
+      assert(c1 && b1 === 2L, "ingest + tombstone batches trip the fold")
+      assert(!new java.io.File(s"$dir/tombstones").exists() &&
+        !new java.io.File(s"$dir/ingested").exists(),
+        "fold absorbs BOTH incremental layers")
+      assert(adcTight() === before,
+        "tight-shortlist ADC bit-parity across the coded valve fold — " +
+          "base codes and re-encoded ingested codes both survived")
+      // the re-added ids serve; the never-re-added deleted ids do not
+      val served = spark.read.parquet(s"$dir/celled")
+        .select(col("vec_id")).as[Long].collect().toSet
+      val readded = emb.filter(col("vec_id") % 14 === 3)
+        .select(col("vec_id")).as[Long].collect().toSet
+      val goneForever = emb.filter(col("vec_id") % 14 === 10)
+        .select(col("vec_id")).as[Long].collect().toSet
+      assert(readded.subsetOf(served) && served.intersect(goneForever)
+        .isEmpty)
+    } finally rm(dir)
+  }
+
+  test("persisted ValvePolicy (r16): a no-arg valve honors the policy " +
+      "declared at build time; an explicit argument overrides it; the " +
+      "policy survives the fold") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = tmp("valve_policy")
+    try {
+      val built = Similarity.buildIvfIndexExact(emb, nlist = 4, iters = 1)
+      // declared at build: fold as soon as ANY id is masked
+      Sink.writeIvfIndex(built, dir, policy = Some(Sink.ValvePolicy(
+        maxIngestedFiles = Long.MaxValue, maxBatches = Long.MaxValue,
+        maxMaskedIds = 0L)))
+      built.unpersist()
+      assert(Sink.readValvePolicy(spark, dir).contains(Sink.ValvePolicy(
+        Long.MaxValue, Long.MaxValue, 0L)), "round-trip")
+      Sink.deleteFromIvfIndex(spark, dir,
+        emb.filter(col("vec_id") === 3).select(col("vec_id")),
+        batchId = 0L)
+      val before = ivfServed(dir)
+      val (c1, _, _, m1) = Sink.compactIvfIndexIfNeeded(spark, dir)
+      assert(c1 && m1 === 1L,
+        "the NO-ARG valve read maxMaskedIds = 0 from the index itself")
+      assert(ivfServed(dir) === before)
+      // the policy file sits at the raw root — still there post-fold
+      assert(Sink.readValvePolicy(spark, dir).isDefined)
+      // explicit argument overrides the persisted tier
+      Sink.deleteFromIvfIndex(spark, dir,
+        emb.filter(col("vec_id") === 5).select(col("vec_id")),
+        batchId = 1L)
+      val (c2, _, _, _) = Sink.compactIvfIndexIfNeeded(spark, dir,
+        maxMaskedIds = 1000000L)
+      assert(!c2, "an explicit arg wins over the persisted policy")
+      assert(new java.io.File(s"$dir/tombstones").exists())
+    } finally rm(dir)
+  }
+
+  test("IDLE valve is ZERO Spark jobs (r16): below every threshold the " +
+      "census is FileSystem listings only, for all three valve families " +
+      "— the marker-file pressure census replaced the two per-call " +
+      "meta collects") {
+    val emb = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val ivf = tmp("valve_idle_ivf")
+    val lsh = tmp("valve_idle_lsh")
+    val text = tmp("valve_idle_text")
+    try {
+      val ivfIdx = Similarity.buildIvfIndexExact(emb, nlist = 4, iters = 1)
+      Sink.writeIvfIndex(ivfIdx, ivf)
+      ivfIdx.unpersist()
+      val lshIdx = Similarity.buildLshIndex(emb, nBits = 32, bands = 8)
+      Sink.writeLshIndex(lshIdx, lsh)
+      lshIdx.unpersist()
+      Sink.writeTextIndex(docs, text, buckets = 8)
+      // live tombstone pressure on every root (the markers must carry
+      // the census; a tombstone-free root would pass vacuously)
+      Sink.deleteFromIvfIndex(spark, ivf,
+        emb.filter(col("vec_id") === 3).select(col("vec_id")), 0L)
+      Sink.deleteFromLshIndex(spark, lsh,
+        emb.filter(col("vec_id") === 3).select(col("vec_id")), 0L)
+      Sink.deleteFromTextIndex(spark, text,
+        docs.filter(col("doc_id") === 3).select(col("doc_id")), 0L)
+      val sc = spark.sparkContext
+      sc.setJobGroup("idle-valves", "below-threshold census")
+      try {
+        val (ci, _, _, mi) = Sink.compactIvfIndexIfNeeded(spark, ivf)
+        val (cl, _, _, ml) = Sink.compactLshIndexIfNeeded(spark, lsh)
+        val (ct, _, _) = Sink.compactTextIndexIfNeeded(spark, text)
+        assert(!ci && !cl && !ct && mi === 1L && ml === 1L,
+          "all three valves censused real pressure and stayed idle")
+        // sentinel job in the SAME group: once it is visible in the
+        // status store, any job the valves had launched (enqueued
+        // earlier on the same listener bus) would be visible too.
+        // RDD count = exactly ONE job (a Dataset count under AQE can
+        // split into two and would fake a valve job)
+        assert(sc.parallelize(Seq(1)).count() === 1L)
+      } finally sc.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def groupJobs(): Array[Int] =
+        sc.statusTracker.getJobIdsForGroup("idle-valves")
+      while (groupJobs().length < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(groupJobs().length === 1,
+        s"expected ONLY the sentinel job in the idle-valve group, " +
+          s"saw ${groupJobs().length} - an idle valve launched a job")
+    } finally rm(ivf, lsh, text)
+  }
+
   test("drift gate sees DELETIONS: a cell emptied by deletes trips the " +
       "|growth| rebuild gate; the rebuilt index serves without the mask") {
     val emb = Tables.embeddings(spark, sf)
