@@ -325,6 +325,19 @@ object ServeFootprint {
           qs, textIdx, loadedIvf, docsTable,
           k = 10, legK = 20, nprobe = 4)(emit))
 
+    // page4 (r16): the MAXIMAL serving call — 4-leg fusion (hybrid4's
+    // request shape) AND phrase-preferential evidence in one batch, the
+    // composition retrieval_hybrid_page4 hash-pins. Cost contract:
+    // ≈ hybrid4 (the four leg probes) + the page flavor's delta (the
+    // winner-pruned window passes + one winners-pushdown documents
+    // read); flat across sustained batches, zero state
+    driveCustom("page4", hybrid4Schema)(
+      (dir, b) => writeHybrid4File(dir, f"batch$b%03d.json", b))(
+      qs => emit =>
+        graft.streaming.StreamTextServe.hybridSnippetWriter(
+          qs, textIdx, loadedIvf, docsTable,
+          k = 10, legK = 20, nprobe = 4)(emit))
+
     Seq(ivfDir, pqDir, lshDir, textDir).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     spark.stop()
