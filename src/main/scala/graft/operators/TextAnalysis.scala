@@ -1063,6 +1063,10 @@ object TextAnalysis {
       requests: DataFrame,
       k: Int = 20): DataFrame = {
     index.requirePositions("snippetQueryBatch")
+    // same contract as the proximity entry it shares the recurrence
+    // with: duplicate ids would merge to a conjunctive window over the
+    // rows' term UNION — neither request's answer
+    requireUniqueQueryIds(requests, "snippetQueryBatch")
     val empty = requests.sparkSession.emptyDataFrame
       .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
         lit(0L).as("window_len"), lit(0L).as("win_start"),

@@ -759,6 +759,12 @@ class HybridRetrievalSpec extends SparkSpec {
         TextAnalysis.proximityQueryBatch(textIdx, dupTerms, k = 5)
       }
       assert(e2.getMessage.contains("duplicate query_id"))
+      val e2b = intercept[IllegalArgumentException] {
+        TextAnalysis.snippetQueryBatch(textIdx, docs, dupTerms, k = 5)
+      }
+      assert(e2b.getMessage.contains("duplicate query_id"),
+        "the snippet entry shares the min-window recurrence and the " +
+          "contract")
 
       val emb0 = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>").as("e"))
