@@ -803,36 +803,70 @@ object TextAnalysis {
     *
     * Duplicate `query_id` rows here MERGE to their term UNION (the
     * probe dedupes on (query_id, token), and BM25's disjunctive sum
-    * over a union is the union request's answer) — well-defined but
-    * rarely intended; the phrase/proximity/hybrid entries, whose
-    * recurrences duplicates would silently corrupt instead, REJECT
-    * them ([[requireUniqueQueryIds]]). Deduplicate request ids
-    * upstream.
+    * over a union is the union request's answer — spec-pinned:
+    * TextIndexSpec's r17 union case) — well-defined but rarely
+    * intended; the phrase/proximity/hybrid entries, whose recurrences
+    * duplicates would silently corrupt instead, REJECT them
+    * ([[requireUniqueQueryIds]]). Deduplicate request ids upstream.
     */
   def bm25QueryBatch(
       index: TextIndex,
       requests: DataFrame,
       k: Int = 20,
       k1Milli: Long = 1200L,
-      bMilli: Long = 750L): DataFrame = {
-    // pin the request batch once: the probe collect below and the score
-    // join read the SAME rows (the StreamAnnServe idiom)
-    val req = requests
-      .select(col("query_id").cast("long").as("query_id"),
-        explode(col("terms")).as("t"))
-      .select(col("query_id"), lower(col("t")).as("token"))
-      .distinct()
-      .localCheckpoint(true)
-    val termList = req.select(col("token")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      bMilli: Long = 750L): DataFrame =
+    bm25QueryBatchImpl(index, requests, k, k1Milli, bMilli,
+      rejectDuplicatesFor = None)
+
+  /** [[bm25QueryBatch]] plus an optional duplicate-`query_id`
+    * rejection on behalf of a CALLER whose downstream keys per-query
+    * state by id ([[rrfQueryBatch]] — its fuse would merge two
+    * requests' legs): the check rides the request collect this entry
+    * pays anyway, so the hybrid stack's contract costs zero extra
+    * jobs. The public entry keeps its documented union semantics.
+    */
+  private def bm25QueryBatchImpl(
+      index: TextIndex,
+      requests: DataFrame,
+      k: Int,
+      k1Milli: Long,
+      bMilli: Long,
+      rejectDuplicatesFor: Option[String]): DataFrame = {
+    val spark = requests.sparkSession
+    // ONE request-batch-bounded collect ([[collectRequests]]): the
+    // probe term union, the (query, token) score join AND the
+    // hybrid-caller contract all derive from the same driver-side
+    // rows (the StreamAnnServe idiom, minus the checkpoint pin)
+    val reqRows = collectRequests(requests, "terms")
+    rejectDuplicatesFor.foreach(caller =>
+      requireUniqueQueryIds(reqRows.map(_._1), caller))
+    // the documented MERGE: distinct (query_id, token) pairs — null
+    // ids survive here exactly as the pre-r17 column pipeline kept
+    // them (boxed, Row-built schema below)
+    val reqPairs: Seq[(java.lang.Long, String)] = reqRows.flatMap {
+      case (q, ts) =>
+        if (ts == null) Nil else ts.map(t => (q, lowerLikeSpark(t)))
+    }.distinct
+    val termList = reqPairs.map(_._2).distinct.sorted
     if (termList.isEmpty) {
-      return req.sparkSession.emptyDataFrame
+      return spark.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
           lit(0L).as("score"), lit(0).as("rank"))
         .limit(0)
     }
     val probeBuckets = termList.map(tokenBucket(_, index.buckets))
       .distinct.sorted
+    // LocalRelation for the score join — Row-built so a null query_id
+    // flows exactly as the pre-r17 column pipeline carried it
+    val req = spark.createDataFrame(
+      java.util.Arrays.asList(reqPairs.map { case (q, t) =>
+        org.apache.spark.sql.Row(q, t)
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType, nullable = true))))
     val matched = index.postings
       .filter(col("bucket").isin(probeBuckets: _*)) // static partition prune
       .filter(col("token").isin(termList: _*))
@@ -995,7 +1029,7 @@ object TextAnalysis {
     */
   /** REQUEST CONTRACT shared by the batch serving entries whose
     * recurrences key per-query state by `query_id` alone (phrase slot
-    * counts, proximity windows, the hybrid fuse): one row per
+    * counts, proximity windows, the hybrid fuse): one row per non-null
     * `query_id`. A duplicated id would SILENTLY corrupt, not crash —
     * [[phraseQueryBatch]]'s `phrase_len` is a groupBy(query_id) slot
     * count, so two rows sharing an id with different phrases sum their
@@ -1003,31 +1037,79 @@ object TextAnalysis {
     * (the ANN probe side went the other way in r15, per-row window
     * keys, because its probe-set recurrence had a natural row key; the
     * text recurrences key on (query_id, doc_id, position) state where
-    * a synthetic row key would ride every explode). One
-    * request-batch-sized agg job per serving call — bounded by the
-    * batch the caller already collected term lists from.
+    * a synthetic row key would ride every explode). JOB-FREE (r17):
+    * the check runs DRIVER-SIDE on the request rows the entries
+    * collect anyway for their probe term lists — the pre-r17 shape
+    * paid a separate `.agg(count, countDistinct).head` Spark job per
+    * serving call, the same standing per-micro-batch driver overhead
+    * class the r16 valve-census work eliminated (and countDistinct's
+    * null-skipping made an all-null batch report a misleading
+    * "N rows, 0 distinct ids"). Null ids get their own message: a
+    * null `query_id` is a different caller defect than a duplicate.
     */
   private def requireUniqueQueryIds(
-      requests: DataFrame, caller: String): Unit = {
-    val r = requests
-      .agg(count(lit(1)), countDistinct(col("query_id"))).head
-    require(r.getLong(0) == r.getLong(1),
+      ids: Seq[java.lang.Long], caller: String): Unit = {
+    val nNull = ids.count(_ == null)
+    require(nNull == 0,
+      s"$caller: null query_id rows in the request batch " +
+        s"($nNull of ${ids.size} rows) - per-query recurrences key " +
+        "state by query_id; assign each request a non-null unique id")
+    val distinct = ids.distinct.size
+    require(distinct == ids.size,
       s"$caller: duplicate query_id rows in the request batch " +
-        s"(${r.getLong(0)} rows, ${r.getLong(1)} distinct ids) - " +
+        s"(${ids.size} rows, $distinct distinct ids) - " +
         "per-query recurrences key state by query_id; assign each " +
         "request a unique id")
   }
+
+  /** ONE driver-side collect of a serving request batch — `(query_id,
+    * payload array)` rows, request-batch-bounded by the serving
+    * contract. This single job replaces the pre-r17 trio per entry
+    * (an eager `localCheckpoint` pin, the exploded-term-list collect,
+    * and the duplicate-id contract agg): every derived artifact — the
+    * uniqueness check, the probe term union, the slot tables, the
+    * per-query term counts — is computed from these rows on the
+    * driver and re-enters the plan as broadcast LocalRelations, so
+    * "probe collect and joins read the SAME rows" holds by
+    * construction instead of by checkpoint.
+    */
+  private def collectRequests(
+      requests: DataFrame,
+      payloadCol: String): Seq[(java.lang.Long, Seq[String])] =
+    requests
+      // cast at the boundary: an int-typed query_id must not surface
+      // as a ClassCastException deep in the serve path
+      .select(col("query_id").cast("long").as("query_id"),
+        col(payloadCol))
+      .collect().toSeq
+      .map { r =>
+        val q: java.lang.Long =
+          if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        val ts: Seq[String] = if (r.isNullAt(1)) null else r.getSeq[String](1)
+        (q, ts)
+      }
+
+  /** Driver-side twin of [[org.apache.spark.sql.functions.lower]] for
+    * the collected request terms: the probe IN-lists and slot tables
+    * must lower EXACTLY as the postings writer's `lower()` column did,
+    * or a term that round-trips differently (non-ASCII case pairs)
+    * would silently probe the wrong bucket — so this delegates to
+    * Spark's own UTF8String implementation rather than
+    * `String.toLowerCase`.
+    */
+  private def lowerLikeSpark(t: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      .toLowerCase.toString
 
   def proximityQueryBatch(
       index: TextIndex,
       requests: DataFrame,
       k: Int = 20): DataFrame = {
     index.requirePositions("proximityQueryBatch")
-    requireUniqueQueryIds(requests, "proximityQueryBatch")
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("window_len"), col("doc_id"))
-    proximityWindowCandidates(index, requests) match {
+    proximityWindowCandidates(index, requests, "proximityQueryBatch") match {
       case None =>
         requests.sparkSession.emptyDataFrame
           .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
@@ -1063,16 +1145,15 @@ object TextAnalysis {
       requests: DataFrame,
       k: Int = 20): DataFrame = {
     index.requirePositions("snippetQueryBatch")
-    // same contract as the proximity entry it shares the recurrence
-    // with: duplicate ids would merge to a conjunctive window over the
-    // rows' term UNION — neither request's answer
-    requireUniqueQueryIds(requests, "snippetQueryBatch")
     val empty = requests.sparkSession.emptyDataFrame
       .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
         lit(0L).as("window_len"), lit(0L).as("win_start"),
         lit(0).as("rank"), lit("").as("snippet"))
       .limit(0)
-    proximityWindowCandidates(index, requests) match {
+    // same contract as the proximity entry it shares the recurrence
+    // with: duplicate ids would merge to a conjunctive window over the
+    // rows' term UNION — neither request's answer
+    proximityWindowCandidates(index, requests, "snippetQueryBatch") match {
       case None => empty
       case Some(cands) =>
         val wRank = org.apache.spark.sql.expressions.Window
@@ -1116,52 +1197,47 @@ object TextAnalysis {
     * and [[snippetQueryBatch]]: per candidate position of each (query,
     * doc), the covering-window length back to the stalest last-seen
     * term AND that window's start. Returns None when the batch carries
-    * no usable terms. Slot mechanics, per-request cap rejection, and
-    * the single request-bounded collect are documented on
+    * no usable terms. ONE request-batch-bounded collect
+    * ([[collectRequests]]) feeds the duplicate-id contract, the cap
+    * check, the probe term union, the slot table AND the per-query
+    * term counts — no other per-batch jobs on the serving hot path.
+    * Slot mechanics and per-request cap rejection are documented on
     * [[proximityQueryBatch]].
     */
   private def proximityWindowCandidates(
       index: TextIndex,
-      requests: DataFrame): Option[DataFrame] = {
-    val wSlot = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("token"))
-    val allReqTerms = requests
-      // cast at the boundary: an int-typed query_id must not surface as
-      // a ClassCastException deep in the serve path (the readTextIndex
-      // batch_id idiom)
-      .select(col("query_id").cast("long").as("query_id"),
-        explode(col("terms")).as("t"))
-      .select(col("query_id"), lower(col("t")).as("token"))
-      .distinct()
-      .withColumn("slot", row_number().over(wSlot) - 1)
-      .localCheckpoint(true) // probe collect + joins read the SAME rows
-    // ONE request-batch-bounded collect feeds the cap check, the probe
-    // term union, AND the per-query term counts — no extra per-batch
-    // jobs on the serving hot path
-    val allSlotRows = allReqTerms.collect()
-      .map(r => (r.getLong(0), r.getString(1)))
+      requests: DataFrame,
+      caller: String): Option[DataFrame] = {
+    val reqRows = collectRequests(requests, "terms")
+    requireUniqueQueryIds(reqRows.map(_._1), caller)
+    // per request: distinct lowered terms, slot = rank in sorted order
+    // (the pre-r17 row_number-over-token window, driver-side)
+    val perReq: Seq[(Long, Seq[String])] = reqRows.map { case (q, ts) =>
+      (q.longValue,
+        if (ts == null) Nil
+        else ts.map(lowerLikeSpark).distinct.sorted)
+    }
     // the term cap rejects PER REQUEST, never per batch: this runs
     // inside a streaming foreachBatch, where one oversized (or
     // malformed) request throwing would kill the serving query for
     // every client — and a restart from the checkpoint re-reads the
     // same poison batch and dies again, a permanent wedge. Oversized
     // requests simply get no answer rows (same shape as a no-match).
-    val oversized = allSlotRows.groupBy(_._1)
-      .collect { case (q, ts) if ts.size > MaxProximityTerms => q }
-      .toSet
-    val slotRows = allSlotRows.filterNot(r => oversized.contains(r._1))
-    val reqTerms =
-      if (oversized.isEmpty) allReqTerms
-      else allReqTerms.filter(!col("query_id").isin(oversized.toSeq: _*))
-    val termList = slotRows.map(_._2).distinct.sorted.toSeq
+    val kept = perReq.filter(_._2.size <= MaxProximityTerms)
+    val slotRows: Seq[(Long, String, Int)] = kept.flatMap {
+      case (q, ts) => ts.zipWithIndex.map { case (t, i) => (q, t, i) }
+    }
+    val termList = slotRows.map(_._2).distinct.sorted
     if (termList.isEmpty) return None
     val probeBuckets = termList.map(tokenBucket(_, index.buckets))
       .distinct.sorted
-    val spark = reqTerms.sparkSession
+    val spark = requests.sparkSession
     import spark.implicits._
-    val nTerms = slotRows.groupBy(_._1)
-      .map { case (q, ts) => (q, ts.size) }.toSeq
-      .toDF("query_id", "n_terms")
+    // LocalRelations from the collected rows — plan-embedded, no jobs
+    val reqTerms = slotRows.toDF("query_id", "token", "slot")
+    val nTerms = kept.collect { case (q, ts) if ts.nonEmpty =>
+      (q, ts.size)
+    }.toDF("query_id", "n_terms")
     val pts = index.postings
       .filter(col("bucket").isin(probeBuckets: _*)) // static partition prune
       .filter(col("token").isin(termList: _*))
@@ -1300,13 +1376,15 @@ object TextAnalysis {
       k: Int = 20,
       legK: Int = 50,
       nprobe: Int = 4): DataFrame = {
-    // one row per query_id ([[requireUniqueQueryIds]]) — checked at the
-    // TOP of the stack so [[rrfSnippetQueryBatch]] and the legs all
-    // serve under the verified contract (the boost legs re-check their
-    // projections; request-batch-sized, negligible next to the probes)
-    requireUniqueQueryIds(requests, "rrfQueryBatch")
-    val lex = bm25QueryBatch(
-      textIndex, requests.select(col("query_id"), col("terms")), legK)
+    // one row per query_id ([[requireUniqueQueryIds]]) — the fuse keys
+    // by (query_id, doc_id), so a duplicate would merge two requests'
+    // legs. Checked INSIDE the always-run lexical leg's request collect
+    // ([[bm25QueryBatchImpl]]) so the whole stack serves under the
+    // verified contract at zero extra jobs; the boost legs re-check
+    // their projections driver-side on rows they collect anyway (free)
+    val lex = bm25QueryBatchImpl(
+      textIndex, requests.select(col("query_id"), col("terms")), legK,
+      1200L, 750L, rejectDuplicatesFor = Some("rrfQueryBatch"))
     val phrase =
       if (!requests.columns.contains("phrase")) None
       else Some(phraseQueryBatch(
@@ -1389,7 +1467,8 @@ object TextAnalysis {
     val winnerKeys = winnersDf.select(col("query_id"), col("doc_id"))
     val termBests: Option[DataFrame] = proximityWindowCandidates(
         textIndex,
-        requests.select(col("query_id"), col("terms"))).map { cands =>
+        requests.select(col("query_id"), col("terms")),
+        "rrfSnippetQueryBatch").map { cands =>
       cands
         // prune the recurrence's candidates to the fused winners
         // BEFORE the argmin — windows are only evidence for hits
@@ -1453,19 +1532,28 @@ object TextAnalysis {
       index: TextIndex,
       requests: DataFrame,
       winnerKeys: DataFrame): Option[DataFrame] = {
-    val slots = requests
-      .filter(col("phrase").isNotNull)
-      .select(col("query_id").cast("long").as("query_id"),
-        posexplode(col("phrase")).as(Seq("slot", "t")))
-      .select(col("query_id"), col("slot"), lower(col("t")).as("token"))
-      .localCheckpoint(true) // probe collect + anchor join: SAME rows
-    val termList = slots.select(col("token")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    // ONE request-bounded collect; slot table + per-query lengths are
+    // LocalRelations from it (probe collect + anchor join: SAME rows
+    // by construction — the phraseQueryBatch r17 shape). Upstream
+    // [[rrfQueryBatch]] already verified id uniqueness for this batch.
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val slotRows: Seq[(Long, Int, String)] =
+      collectRequests(requests.filter(col("phrase").isNotNull), "phrase")
+        .flatMap { case (q, ph) =>
+          if (ph == null) Nil
+          else ph.zipWithIndex.map { case (t, i) =>
+            (q.longValue, i, lowerLikeSpark(t))
+          }
+        }
+    val termList = slotRows.map(_._3).distinct.sorted
     if (termList.isEmpty) return None
     val probeBuckets = termList.map(tokenBucket(_, index.buckets))
       .distinct.sorted
-    val phraseLen = slots.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("phrase_len"))
+    val slots = slotRows.toDF("query_id", "slot", "token")
+    val phraseLen = slotRows.groupBy(_._1).toSeq
+      .map { case (q, rs) => (q, rs.size.toLong) }
+      .toDF("query_id", "phrase_len")
     val anchors = index.postings
       .filter(col("bucket").isin(probeBuckets: _*)) // static prune
       .filter(col("token").isin(termList: _*))
@@ -1614,26 +1702,37 @@ object TextAnalysis {
       requests: DataFrame,
       k: Int = 20): DataFrame = {
     index.requirePositions("phraseQueryBatch")
-    requireUniqueQueryIds(requests, "phraseQueryBatch")
-    // pin the request batch once: the probe collect below and the
-    // anchor join read the SAME rows (the bm25QueryBatch idiom)
-    val slots = requests
-      .select(col("query_id").cast("long").as("query_id"),
-        posexplode(col("phrase")).as(Seq("slot", "t")))
-      .select(col("query_id"), col("slot"), lower(col("t")).as("token"))
-      .localCheckpoint(true)
-    val termList = slots.select(col("token")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val spark = requests.sparkSession
+    import spark.implicits._
+    // ONE request-batch-bounded collect ([[collectRequests]]) feeds
+    // the duplicate-id contract, the probe term union, the slot table
+    // AND the per-query phrase lengths — driver-side, so the anchor
+    // join reads the SAME rows by construction (the bm25QueryBatch
+    // idiom, minus the checkpoint pin it no longer needs)
+    val reqRows = collectRequests(requests, "phrase")
+    requireUniqueQueryIds(reqRows.map(_._1), "phraseQueryBatch")
+    // slot = in-array position (NOT sorted-distinct: repeated phrase
+    // terms occupy distinct slots and count per slot)
+    val slotRows: Seq[(Long, Int, String)] = reqRows.flatMap {
+      case (q, ph) =>
+        if (ph == null) Nil
+        else ph.zipWithIndex.map { case (t, i) =>
+          (q.longValue, i, lowerLikeSpark(t))
+        }
+    }
+    val termList = slotRows.map(_._3).distinct.sorted
     if (termList.isEmpty) {
-      return slots.sparkSession.emptyDataFrame
+      return spark.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
           lit(0L).as("n_occurrences"), lit(0).as("rank"))
         .limit(0)
     }
     val probeBuckets = termList.map(tokenBucket(_, index.buckets))
       .distinct.sorted
-    val phraseLen = slots.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("phrase_len"))
+    val slots = slotRows.toDF("query_id", "slot", "token")
+    val phraseLen = slotRows.groupBy(_._1).toSeq
+      .map { case (q, rs) => (q, rs.size.toLong) }
+      .toDF("query_id", "phrase_len")
     val anchors = index.postings
       .filter(col("bucket").isin(probeBuckets: _*)) // static partition prune
       .filter(col("token").isin(termList: _*))

@@ -779,16 +779,19 @@ object Sink {
 
   /** Tombstone pressure census at an index root: (committed tombstone
     * batches, Σ masked ids across them). JOB-FREE on the current layout:
-    * [[writeTombstoneBatch]] mirrors each commit record's `(n_ids, adj)`
-    * into the NAME of a zero-byte `_p-<n_ids>-<adj>` marker beside it,
-    * so this census is a pure FileSystem listing — the below-threshold
-    * path of a valve running on a 1-second micro-batch cadence must not
-    * pay two driver-side Spark jobs per family per batch just to learn
-    * nothing changed (r15 verdict). The parquet commit record stays the
-    * source of truth; a batch directory missing its marker (a pre-r16
-    * layout, or a crash between the meta write and the marker) falls
-    * back to the original one-collect read for the WHOLE census —
-    * correctness never rides the cache.
+    * [[writeTombstoneBatch]] mirrors each commit record's `n_ids`
+    * into the NAME of a zero-byte `_p-<n_ids>` marker beside it
+    * (`_p-<n_ids>-<adj>` in the r16 shape — both parse, the dead adj
+    * suffix was dropped in r17), so this census is a pure FileSystem
+    * listing — the below-threshold path of a valve running on a
+    * 1-second micro-batch cadence must not pay two driver-side Spark
+    * jobs per family per batch just to learn nothing changed (r15
+    * verdict). The parquet commit record stays the source of truth; a
+    * batch directory missing its marker (a pre-r16 layout, or a crash
+    * between the meta write and the marker) falls back to the original
+    * one-collect read for the WHOLE census — correctness never rides
+    * the cache (spec-pinned: VectorTombstoneValveSpec deletes a marker
+    * and asserts identical counts and an unchanged valve verdict).
     */
   private def tombstonePressure(
       spark: org.apache.spark.sql.SparkSession,
@@ -848,6 +851,12 @@ object Sink {
       spark: org.apache.spark.sql.SparkSession,
       rawPath: String,
       policy: ValvePolicy): Unit = {
+    // thresholds are counts: a negative value is never a threshold,
+    // and a hand-copied −1 sentinel persisted here would make every
+    // valve fold on every call with no error anywhere (r16 advice) —
+    // reject at the declaration site, and again on read for files
+    // this writer never saw
+    requireValidPolicy(policy, s"writeValvePolicy($rawPath)")
     val dir = new org.apache.hadoop.fs.Path(rawPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) fs.mkdirs(dir)
@@ -861,9 +870,38 @@ object Sink {
         .getBytes("UTF-8"))
     out.close()
     val dst = new org.apache.hadoop.fs.Path(s"$rawPath/_valve_policy.json")
-    fs.delete(dst, false)
-    fs.rename(tmp, dst)
+    // ATOMIC rename-over where the FS supports it (FileContext with
+    // Rename.OVERWRITE — local FS and HDFS do): the pre-r17
+    // delete-then-rename pair left a window where a concurrently
+    // running valve saw NO policy file and silently resolved to family
+    // built-ins for that one call. On object stores whose rename is
+    // copy+delete the window is the store's, not ours — a deployment
+    // there should front policy reads with its atomic-metadata layer.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException =>
+        // FS without a FileContext binding: fall back to the two-step
+        // swap (brief no-policy window, resolves to built-ins)
+        fs.delete(dst, false)
+        fs.rename(tmp, dst)
+    }
   }
+
+  /** Shared [[ValvePolicy]] field validation — thresholds are counts,
+    * never negative (see [[writeValvePolicy]]).
+    */
+  private def requireValidPolicy(p: ValvePolicy, where: String): Unit =
+    require(
+      p.maxIngestedFiles >= 0L && p.maxBatches >= 0L &&
+        p.maxMaskedIds >= 0L,
+      s"$where: ValvePolicy fields must be >= 0, got " +
+        s"(${p.maxIngestedFiles}, ${p.maxBatches}, ${p.maxMaskedIds}) " +
+        "- a negative value is not a threshold (and -1 is the " +
+        "explicit-arg sentinel, meaningless persisted)")
 
   /** Read the persisted [[ValvePolicy]] at `rawPath` — a FileSystem read
     * (never a Spark job: the valves consult this on every micro-batch).
@@ -882,19 +920,31 @@ object Sink {
     def field(k: String): Option[Long] =
       s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toLong)
-    for {
+    val parsed = for {
       f <- field("max_ingested_files")
       b <- field("max_batches")
       m <- field("max_masked_ids")
     } yield ValvePolicy(f, b, m)
+    // a hand-edited file carrying a negative "threshold" must fail
+    // LOUDLY here, not silently compact on every valve call (write-side
+    // twin: [[writeValvePolicy]])
+    parsed.foreach(requireValidPolicy(_, s"readValvePolicy($rawPath)"))
+    parsed
   }
 
   /** Resolve one valve threshold: explicit arg > persisted policy >
-    * family built-in ([[ValvePolicy]] resolution order).
+    * family built-in ([[ValvePolicy]] resolution order). Only the
+    * [[UsePersistedPolicy]] sentinel (−1) selects the persisted tier —
+    * any other negative argument is a caller bug and rejects loudly
+    * instead of silently acting as the sentinel (r16 advice).
     */
   private def resolveThreshold(
-      arg: Long, persisted: Option[Long], builtIn: Long): Long =
+      arg: Long, persisted: Option[Long], builtIn: Long): Long = {
+    require(arg >= UsePersistedPolicy,
+      s"valve threshold argument must be >= 0 (a count) or the " +
+        s"UsePersistedPolicy sentinel (-1), got $arg")
     if (arg >= 0L) arg else persisted.getOrElse(builtIn)
+  }
 
   /** Count the `.parquet` files under a layout dir — the small-file
     * census every `compact*IfNeeded` valve reads (a file LISTING, never
@@ -1507,38 +1557,9 @@ object Sink {
     val spark = docs.sparkSession
     import spark.implicits._
     policy.foreach(writeValvePolicy(spark, path, _)) // see writeIvfIndex
-    // a fresh build supersedes every compaction generation at this path
-    // AND every incremental layer (ingested batches, tombstones) a prior
-    // lifecycle left behind — a stale tombstone surviving an overwrite
-    // build would silently delete freshly-indexed docs
-    if (mode == "overwrite") {
-      clearGenerations(spark, path)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // "folded" included (r16 — the vector builds always cleared it):
-      // a stale folded ledger surviving a fresh build would silently
-      // SWALLOW every future delete/append whose batch id it already
-      // contains (the ledger replay-skip fires on ids from the previous
-      // lineage), leaving deleted docs servable with no error anywhere
-      Seq("postings_ingested", "meta_ingested",
-        "tombstones", "tombstones_meta",
-        "doc_stats", "doc_stats_ingested", "folded").foreach { sub =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
-      }
-    }
     val counts = graft.operators.TextAnalysis.docTermPostings(docs)
       .localCheckpoint(true) // one tokenize pass feeds postings AND meta
     val dl = counts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    counts
-      .join(dl, "doc_id")
-      .withColumn("bucket",
-        pmod(xxhash64(col("token")), lit(buckets)).cast("int"))
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"),
-        col("positions"), col("bucket"))
-      // n-way write distribution (see writeDistribution): a stop-word
-      // bucket parallelizes across tasks instead of serializing in one
-      .transform(writeDistribution(_, col("bucket")))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
     // the (doc_id, dl) SIDECAR rows, doc-id-bucketed: what makes
     // [[deleteFromTextIndex]]'s corpus-constant contribution
     // O(deletion-batch) instead of a postings scan (doc_id is not the
@@ -1572,20 +1593,62 @@ object Sink {
           .as("dbucket"))
       .localCheckpoint(true)
     val (nDocs, totalTokens) = {
-      val r = docStats
-        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)),
-          countDistinct(col("doc_id"))).head
       // the id-uniqueness contract, asserted on the same pinned pass
       // (countDistinct rides the agg already paid for): duplicate
       // doc_id rows would double-count their dl into T and their row
       // into N — BM25 constants silently skewed — and collide in the
-      // sidecar the delete path joins
+      // sidecar the delete path joins. Checked BEFORE the destructive
+      // overwrite clear below (r17 — pre-r17 a rejected duplicate-
+      // bearing input had already cleared the generations and torn the
+      // pre-existing index at this path; now a rejected build leaves
+      // the prior index fully servable). Null ids get their own
+      // message: count(col) vs count(*) splits the two defects a bare
+      // countDistinct comparison conflated.
+      val r = docStats
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)),
+          countDistinct(col("doc_id")), count(col("doc_id"))).head
+      require(r.getLong(0) == r.getLong(3),
+        s"writeTextIndex: input carries null doc_id rows " +
+          s"(${r.getLong(0) - r.getLong(3)} of ${r.getLong(0)} rows) - " +
+          "the index keys docs by id; assign non-null ids")
       require(r.getLong(0) == r.getLong(2),
         s"writeTextIndex: input carries duplicate doc_id rows " +
           s"(${r.getLong(0)} rows, ${r.getLong(2)} distinct ids) - " +
           "the index keys docs by id; dedupe before building")
       (r.getLong(0), r.getLong(1))
     }
+    // a fresh build supersedes every compaction generation at this path
+    // AND every incremental layer (ingested batches, tombstones) a prior
+    // lifecycle left behind — a stale tombstone surviving an overwrite
+    // build would silently delete freshly-indexed docs. This runs only
+    // AFTER the input is pinned and its contract checks passed: every
+    // read of `docs` (which may even derive from this index) and every
+    // `require` above precedes the first destructive action.
+    if (mode == "overwrite") {
+      clearGenerations(spark, path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // "folded" included (r16 — the vector builds always cleared it):
+      // a stale folded ledger surviving a fresh build would silently
+      // SWALLOW every future delete/append whose batch id it already
+      // contains (the ledger replay-skip fires on ids from the previous
+      // lineage), leaving deleted docs servable with no error anywhere
+      Seq("postings_ingested", "meta_ingested",
+        "tombstones", "tombstones_meta",
+        "doc_stats", "doc_stats_ingested", "folded").foreach { sub =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+      }
+    }
+    counts
+      .join(dl, "doc_id")
+      .withColumn("bucket",
+        pmod(xxhash64(col("token")), lit(buckets)).cast("int"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+        col("positions"), col("bucket"))
+      // n-way write distribution (see writeDistribution): a stop-word
+      // bucket parallelizes across tasks instead of serializing in one
+      .transform(writeDistribution(_, col("bucket")))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
     Seq((nDocs, totalTokens, buckets))
       .toDF("n_docs", "total_tokens", "buckets")
       .coalesce(1).write.mode(mode).parquet(s"$path/meta")
@@ -1737,13 +1800,18 @@ object Sink {
       .localCheckpoint(true)
     val constants = docStats
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)),
-        countDistinct(col("doc_id"))).head
+        countDistinct(col("doc_id")), count(col("doc_id"))).head
     // id-uniqueness within the batch, asserted on the pinned pass (the
     // writeTextIndex contract) BEFORE the sidecar lands: a duplicated
     // doc_id would double-count dl into this batch's corpus constants.
     // A violation leaves the batch torn-but-invisible (no commit
     // record). Cross-batch re-adds are fine — that is the
-    // delete→re-append lifecycle.
+    // delete→re-append lifecycle. Null ids get their own message
+    // (count(col) vs count(*), the writeTextIndex r17 split).
+    require(constants.getLong(0) == constants.getLong(3),
+      s"appendTextIndex: batch $batchId carries null doc_id rows " +
+        s"(${constants.getLong(0) - constants.getLong(3)} of " +
+        s"${constants.getLong(0)} rows) - assign non-null ids")
     require(constants.getLong(0) == constants.getLong(2),
       s"appendTextIndex: batch $batchId carries duplicate doc_id rows " +
         s"(${constants.getLong(0)} rows, ${constants.getLong(2)} " +
@@ -1916,17 +1984,22 @@ object Sink {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(s"$root/tombstones_meta")
-    // mirror (n_ids, adj) into a zero-byte marker NAME beside the commit
+    // mirror n_ids into a zero-byte marker NAME beside the commit
     // record so [[tombstonePressure]] is a pure listing (underscore
     // prefix: invisible to parquet readers). Written AFTER the record —
     // the record stays the commit; a crash here just costs the census
     // its job-free fast path until the next delete on this batch id
     // (dynamic overwrite clears the partition dir, so a replay rewrites
-    // the marker too)
+    // the marker too). Format narrowed in r17 to `_p-<n_ids>`: the r16
+    // shape also mirrored `adj`, but no census ever read it — dead
+    // data in a filename format is a maintenance trap (r16 verdict);
+    // the parser accepts both shapes, so r16-written markers still
+    // serve the fast path. The commit record keeps `adj` — it is the
+    // compaction-side input, read from parquet where it is consumed.
     val markerDir = new org.apache.hadoop.fs.Path(
       s"$root/tombstones_meta/batch_id=$batchId")
     markerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .create(new org.apache.hadoop.fs.Path(markerDir, s"_p-$nIds-$adj"),
+      .create(new org.apache.hadoop.fs.Path(markerDir, s"_p-$nIds"),
         true)
       .close()
   }

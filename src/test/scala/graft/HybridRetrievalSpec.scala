@@ -796,6 +796,68 @@ class HybridRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("r17: the duplicate/null query_id contract is JOB-FREE — it " +
+      "rides the request collect the entries already pay, so a " +
+      "driver-local batch rejects with ZERO Spark jobs (the idle-valve " +
+      "sentinel idiom); null ids get their own message") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+    val dir = Files.createTempDirectory("dupq_free").toString
+    try {
+      Sink.writeTextIndex(docs, dir, buckets = 4)
+      val idx = Sink.readTextIndex(spark, dir)
+      val dupTerms = Seq((1L, Seq("table")), (1L, Seq("hash")))
+        .toDF("query_id", "terms")
+      val dupPhrase = Seq((1L, Seq("table")), (1L, Seq("hash")))
+        .toDF("query_id", "phrase")
+      val withNull = spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(null, Seq("table")),
+          org.apache.spark.sql.Row(java.lang.Long.valueOf(2L),
+            Seq("hash"))),
+        StructType(Seq(
+          StructField("query_id", LongType, nullable = true),
+          StructField("terms", ArrayType(StringType), nullable = true))))
+      val sc = spark.sparkContext
+      // warm-up OUTSIDE the measured group: the very first local
+      // collect in a session pays a one-time lazy-init job (measured;
+      // not the contract check — the second identical call is clean)
+      intercept[IllegalArgumentException] {
+        TextAnalysis.phraseQueryBatch(idx, dupPhrase, k = 3)
+      }
+      sc.setJobGroup("dupq-free", "contract checks on local batches")
+      try {
+        val e1 = intercept[IllegalArgumentException] {
+          TextAnalysis.phraseQueryBatch(idx, dupPhrase, k = 3)
+        }
+        assert(e1.getMessage.contains("duplicate query_id"))
+        val e2 = intercept[IllegalArgumentException] {
+          TextAnalysis.proximityQueryBatch(idx, dupTerms, k = 3)
+        }
+        assert(e2.getMessage.contains("duplicate query_id"))
+        val e3 = intercept[IllegalArgumentException] {
+          TextAnalysis.proximityQueryBatch(idx, withNull, k = 3)
+        }
+        assert(e3.getMessage.contains("null query_id"),
+          "a null id is its own caller defect, not a misleading " +
+            s"'duplicate' — got: ${e3.getMessage}")
+        // sentinel job in the SAME group (VectorTombstoneValveSpec
+        // idiom): RDD count = exactly one job; once it is visible,
+        // any job the checks had launched would be visible too
+        assert(sc.parallelize(Seq(1)).count() === 1L)
+      } finally sc.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def groupJobs(): Array[Int] =
+        sc.statusTracker.getJobIdsForGroup("dupq-free")
+      while (groupJobs().length < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(groupJobs().length === 1,
+        "expected ONLY the sentinel job - the contract check on a " +
+          "driver-local request batch (LocalRelation collect) must " +
+          s"launch none, saw ${groupJobs().length}")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   // -------------------------------------------- snippet serving + parity
 
   test("snippet serving: batch slice ≡ single-query snippetTopK, " +

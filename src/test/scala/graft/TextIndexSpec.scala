@@ -536,6 +536,34 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("r17: bm25QueryBatch duplicate query_id rows MERGE to the term " +
+      "UNION — the documented asymmetry vs the rejecting phrase/" +
+      "proximity/hybrid entries: the probe dedupes (query_id, token) " +
+      "and BM25's disjunctive sum over a union IS the union request's " +
+      "answer") {
+    val docs = docsDf(
+      (1L, "alpha beta"), (2L, "beta gamma"), (3L, "gamma alpha"),
+      (4L, "alpha alpha delta"))
+    val dir = java.nio.file.Files.createTempDirectory("textidx_u").toString
+    try {
+      Sink.writeTextIndex(docs, dir, buckets = 8)
+      val idx = Sink.readTextIndex(spark, dir)
+      val dup = Seq((5L, Seq("alpha", "beta")), (5L, Seq("delta")))
+        .toDF("query_id", "terms")
+      val union = Seq((5L, Seq("alpha", "beta", "delta")))
+        .toDF("query_id", "terms")
+      def rows(reqs: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.bm25QueryBatch(idx, reqs, k = 10)
+          .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+      assert(rows(dup) === rows(union),
+        "duplicate-id rows must answer exactly as the single " +
+          "union-terms request (scores, ranks and all)")
+      assert(rows(dup).nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("index writes REBALANCE: small builds coalesce to few files per " +
       "bucket dir, a hot bucket past the advisory size fans out across " +
       "tasks, and compaction keeps both properties") {
@@ -647,6 +675,54 @@ class TextIndexSpec extends SparkSpec {
       assert(Sink.readTextIndex(spark, dir).nDocs === 2L)
       Sink.appendTextIndex(spark, dir, docsDf((3L, "merge table")),
         batchId = 0L)
+      assert(Sink.readTextIndex(spark, dir).nDocs === 3L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
+  test("r17: a REJECTED overwrite build leaves the pre-existing index " +
+      "fully servable — the contract checks run on the pinned input " +
+      "BEFORE the destructive generation/layer clear (pre-r17, a " +
+      "duplicate-bearing rebuild input destroyed the index it failed " +
+      "to replace); null doc_id gets its own message") {
+    val dir = java.nio.file.Files.createTempDirectory("textkeep").toString
+    try {
+      Sink.writeTextIndex(
+        docsDf((1L, "vector table"), (2L, "vector hash")), dir,
+        buckets = 4)
+      Sink.appendTextIndex(spark, dir, docsDf((3L, "merge table")),
+        batchId = 0L)
+      val before = TextAnalysis
+        .bm25TopK(Sink.readTextIndex(spark, dir),
+          Seq("vector", "table"), k = 10)
+        .as[(Long, Long)].collect().toSeq
+      val e = intercept[IllegalArgumentException] {
+        Sink.writeTextIndex(
+          docsDf((7L, "alpha"), (7L, "beta"), (8L, "gamma")), dir,
+          buckets = 4)
+      }
+      assert(e.getMessage.contains("duplicate doc_id"))
+      // base + incremental layer + meta all survive the rejected build
+      val idx = Sink.readTextIndex(spark, dir)
+      assert(idx.nDocs === 3L, "prior lineage intact after rejection")
+      assert(TextAnalysis.bm25TopK(idx, Seq("vector", "table"), k = 10)
+        .as[(Long, Long)].collect().toSeq === before,
+        "serving is bit-identical to the pre-rejection index")
+      // null ids are their own defect class, reported as such
+      val withNull = spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(null, "alpha beta"),
+          org.apache.spark.sql.Row(java.lang.Long.valueOf(9L), "gamma")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType, nullable = true))))
+      val eNull = intercept[IllegalArgumentException] {
+        Sink.writeTextIndex(withNull, dir, buckets = 4)
+      }
+      assert(eNull.getMessage.contains("null doc_id"),
+        s"null ids must not report as 'duplicate' - got ${eNull.getMessage}")
       assert(Sink.readTextIndex(spark, dir).nDocs === 3L)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(dir))
