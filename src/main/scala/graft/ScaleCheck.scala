@@ -915,10 +915,17 @@ object ScaleCheck {
     // ever running.
     val archRaw = new java.io.File(
       System.getProperty("java.io.tmpdir"), "sc_archraw").toString
+    // r17: the LSH family joins the archival receipt — all THREE swept
+    // index families now carry ×1/×10 rows (the r16 receipt drove text
+    // + IVF only; the LSH sweep→valve path was spec-pinned but
+    // receipt-less). The LSH root is mult-sized like its siblings.
+    val archLshDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "sc_archlsh").toString
     if (only.forall(f => Seq(
         "sweep-valve: idle sweep day1 (1 fixed doomed partition)",
         "sweep-valve: idle sweep day2 (1 fixed doomed partition)",
-        "sweep-valve: folding sweep day3 (maxBatches=1)")
+        "sweep-valve: folding sweep day3 (maxBatches=1)",
+        "sweep-valve: LSH serve")
       .exists(_.contains(f)))) {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(archRaw))
@@ -933,27 +940,46 @@ object ScaleCheck {
       if (!new java.io.File(textIdxDir).exists()) {
         graft.sinks.Sink.writeTextIndex(big, textIdxDir, buckets = 64)
       }
+      if (!new java.io.File(s"$archLshDir/signed").exists()) {
+        val lb = Similarity.buildLshIndex(bigEmb, nBits = 32, bands = 8)
+        graft.sinks.Sink.writeLshIndex(lb, archLshDir)
+        lb.unpersist()
+      }
     }
+    def archLshServe(tag: String): Unit =
+      time(s"sweep-valve: LSH serve ($tag)") {
+        force(Similarity.lshQueryVectors(
+          graft.sinks.Sink.readLshIndex(spark, archLshDir),
+          emb.filter(col("vec_id") < 3)
+            .select((col("vec_id") + 9100000L).as("query_id"),
+              col("embedding")),
+          k = 10))
+      }
+    archLshServe("clean index")
     time("sweep-valve: idle sweep day1 (1 fixed doomed partition)") {
       graft.sinks.Sink.retentionSweep(spark, archRaw, "2024-02-02",
         batchId = 8L, textIndexes = Seq(textIdxDir),
-        ivfIndexes = Seq(hybDir))
+        ivfIndexes = Seq(hybDir), lshIndexes = Seq(archLshDir))
       1L
     }
     time("sweep-valve: idle sweep day2 (1 fixed doomed partition)") {
       graft.sinks.Sink.retentionSweep(spark, archRaw, "2024-02-03",
         batchId = 9L, textIndexes = Seq(textIdxDir),
-        ivfIndexes = Seq(hybDir))
+        ivfIndexes = Seq(hybDir), lshIndexes = Seq(archLshDir))
       1L
     }
     time("sweep-valve: folding sweep day3 (maxBatches=1)") {
       graft.sinks.Sink.retentionSweep(spark, archRaw, "2024-02-04",
         batchId = 10L, textIndexes = Seq(textIdxDir),
-        ivfIndexes = Seq(hybDir), maxBatches = 1L)
+        ivfIndexes = Seq(hybDir), lshIndexes = Seq(archLshDir),
+        maxBatches = 1L)
       1L
     }
     valveServe("post-sweep-fold")
+    archLshServe("post-sweep-fold")
 
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(archLshDir))
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(archRaw))
     org.apache.commons.io.FileUtils.deleteDirectory(
