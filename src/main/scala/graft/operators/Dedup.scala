@@ -534,8 +534,20 @@ object Dedup {
     // the ~50-comparison band chain is evaluated ONCE per doc, below the
     // shared exchange — repeating it per probe replica (×3 in the explode)
     // measurably bloated the probe stage's generated code
+    //
+    // PINNED partition count (r17): the skew downstream of this exchange
+    // is in PAIR COUNT, not bytes — a coalescer that only sees bytes
+    // (AQE) merges the small-in-bytes partitions and serializes the
+    // quadratic jaccard work onto one task (measured: the whole
+    // audit_split_leakage pair stage ran as 1 task on 32 cores, 10.4 s).
+    // An explicit N is exempt from AQE coalescing, so the CPU-dense
+    // probe stage keeps ≥ core-count tasks at every scale; N derives
+    // from the session (cores / shuffle.partitions), never a constant.
+    val np = math.max(
+      gramsDf.sparkSession.sparkContext.defaultParallelism,
+      gramsDf.sparkSession.sessionState.conf.numShufflePartitions)
     val g = g0.withColumn("b0", bandOf(col("n_g")))
-      .repartition(col("doc_id"))
+      .repartition(np, col("doc_id"))
     // The probe covers b−1..b+1 because doc_a<doc_b orders by ID, not by
     // size — the smaller-band doc can sit on either side of the pair. The
     // build side keeps its single band, so every qualifying pair matches
