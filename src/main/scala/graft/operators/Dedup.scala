@@ -149,7 +149,13 @@ object Dedup {
     * never text).
     */
   def boilerplateRemoval(
-      docs: DataFrame, k: Int = 10, maxDocs: Int = 2): DataFrame = {
+      docs0: DataFrame, k: Int = 10, maxDocs: Int = 2): DataFrame = {
+    // fan the chunk hashing/building out of the scan stage when the
+    // source yields fewer splits than cores (r17, [[Fanout]]): both
+    // branches below re-derive from this one exchange (reused), and the
+    // per-doc HOF work is the operator's CPU
+    val docs = Fanout.bySessionCores(
+      docs0.select(col("doc_id"), col("text")), col("doc_id"))
     val exploded = docs
       .select(col("doc_id"),
         posexplode(graft.functions.MinHash.tumbling_chunk_hashes(
@@ -802,7 +808,10 @@ object Dedup {
     * md5(span) rather than raw text is the same identity the exact-dedup
     * path uses (16-byte key, collision-negligible).
     */
-  def spanDedup(docs: DataFrame, k: Int = 10): DataFrame = {
+  def spanDedup(docs0: DataFrame, k: Int = 10): DataFrame = {
+    // span md5 generation out of the scan stage (r17, [[Fanout]])
+    val docs = Fanout.bySessionCores(
+      docs0.select(col("doc_id"), col("text")), col("doc_id"))
     val ws = TextAnalysis.wordArray(col("text"))
     val spans = docs
       .select(col("doc_id"),
@@ -872,10 +881,15 @@ object Dedup {
       pct: Int = 60,
       maxDf: Long = 0L): DataFrame = {
     require(pct >= 1 && pct <= 100, s"pct must be 1..100, got $pct")
-    val g = docs.select(
-      col("doc_id"),
-      graft.functions.MinHash.word_shingle_hashes(normText(col("text")), 3)
-        .as("grams"))
+    // shingle hashing out of the scan stage (r17, [[Fanout]]) — the
+    // gram join downstream shuffles anyway; this only parallelizes the
+    // per-doc hash work when the scan is single-split
+    val g = Fanout.bySessionCores(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(
+        col("doc_id"),
+        graft.functions.MinHash.word_shingle_hashes(normText(col("text")), 3)
+          .as("grams"))
       .withColumn("n_g", size(col("grams")).cast("long"))
     val post0 = g.select(col("doc_id"), col("n_g"),
       explode(col("grams")).as("gram"))

@@ -631,7 +631,12 @@ object TextAnalysis {
     * join) — the output is a total audit, not a hit list.
     */
   def lmScore(docs: DataFrame, scale: Long = 1000000L): DataFrame = {
-    val bigrams = docs
+    // fan the tokenize out of the scan stage when the source yields
+    // fewer splits than cores (r17, [[Fanout.bySessionCores]]): the
+    // gram explode + hash is the CPU of this operator and otherwise
+    // runs entirely inside the scan's task count
+    val bigrams = Fanout.bySessionCores(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         explode(wordGrams(wordArray(col("text")), 2)).as("gram"))
     val dgc = bigrams.groupBy(col("doc_id"), col("gram"))

@@ -220,7 +220,11 @@ object Tokenizer {
     * document's word sequence (each word encoded independently — word
     * boundaries are hard, as in [[bpeMerges]]'s training representation).
     */
-  def bpeEncode(docs: DataFrame, mergeTable: Seq[(String, String)]): DataFrame = {
+  def bpeEncode(docs0: DataFrame, mergeTable: Seq[(String, String)]): DataFrame = {
+    // the per-doc regexp/replace chain is the operator's CPU — fan it
+    // out of the scan stage when the source is single-split (r17)
+    val docs = Fanout.bySessionCores(
+      docs0.select(col("doc_id"), col("text")), col("doc_id"))
     // " w1c1 w1c2 ... | w2c1 ... " — per-word sentinel form, '|' marks word
     // boundaries so no merge can cross words ('|' is outside [a-z0-9]).
     val base = concat(lit(" "),
