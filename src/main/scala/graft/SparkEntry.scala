@@ -1307,15 +1307,27 @@ object SparkEntry {
       val (rebuilt, maxPpm) =
         Sink.rebuildIvfIndex(s, path, nlist = 16, thresholdPpm = 200000L)
       val after = exhaustive().localCheckpoint(true)
-      val postMax = Sink.ivfOccupancyDrift(s, path)
-        .agg(max(col("growth_ppm"))).head.getLong(0)
-      val nTotal = Sink.readIvfIndex(s, path).celled.count()
-      val matched = before.join(after,
-        Seq("query_id", "vec_id", "cosine", "rank")).count()
-      val nBefore = before.count()
+      // ONE census read answers both post-rebuild probes (r17): the
+      // drift max AND the live row count (Σ n_now ≡ celled.count —
+      // the census's live side IS the masked celled view), replacing
+      // a second full readIvfIndex + count pass; the before/after
+      // parity triple (matched, |before|, |after|) similarly folds
+      // into ONE full-outer-join aggregate over the two checkpointed
+      // top-k tables. Same booleans, same output row — fewer jobs.
+      val postRow = Sink.ivfOccupancyDrift(s, path)
+        .agg(max(col("growth_ppm")), sum(col("n_now"))).head
+      val (postMax, nTotal) = (postRow.getLong(0), postRow.getLong(1))
+      val parity = before.withColumn("b", lit(1))
+        .join(after.withColumn("a", lit(1)),
+          Seq("query_id", "vec_id", "cosine", "rank"), "full_outer")
+        .agg(count(col("b")), count(col("a")),
+          count(when(col("b").isNotNull && col("a").isNotNull, lit(1))))
+        .head
+      val (nBefore, nAfter, matched) =
+        (parity.getLong(0), parity.getLong(1), parity.getLong(2))
       import s.implicits._
       Seq((nTotal, maxPpm >= 200000L, rebuilt, postMax == 0L,
-          matched == nBefore && after.count() == nBefore))
+          matched == nBefore && nAfter == nBefore))
         .toDF("n_total", "drift_exceeded", "rebuilt",
           "post_drift_zero", "query_parity")
     }),
@@ -1357,15 +1369,22 @@ object SparkEntry {
         nlist = 8, m = 8, k = 16, thresholdPpm = 200000L,
         iters = 2, pqIters = 1)
       val after = exhaustive().localCheckpoint(true)
-      val postMax = Sink.ivfOccupancyDrift(s, path)
-        .agg(max(col("growth_ppm"))).head.getLong(0)
-      val nTotal = Sink.readIvfIndex(s, path).celled.count()
-      val matched = before.join(after,
-        Seq("query_id", "vec_id", "cosine", "rank")).count()
-      val nBefore = before.count()
+      // fused post-rebuild probes + parity triple — see
+      // embedding_index_drift_rebuild (r17): same values, fewer passes
+      val postRow = Sink.ivfOccupancyDrift(s, path)
+        .agg(max(col("growth_ppm")), sum(col("n_now"))).head
+      val (postMax, nTotal) = (postRow.getLong(0), postRow.getLong(1))
+      val parity = before.withColumn("b", lit(1))
+        .join(after.withColumn("a", lit(1)),
+          Seq("query_id", "vec_id", "cosine", "rank"), "full_outer")
+        .agg(count(col("b")), count(col("a")),
+          count(when(col("b").isNotNull && col("a").isNotNull, lit(1))))
+        .head
+      val (nBefore, nAfter, matched) =
+        (parity.getLong(0), parity.getLong(1), parity.getLong(2))
       import s.implicits._
       Seq((nTotal, maxPpm >= 200000L, rebuilt, postMax == 0L,
-          matched == nBefore && after.count() == nBefore))
+          matched == nBefore && nAfter == nBefore))
         .toDF("n_total", "drift_exceeded", "rebuilt",
           "post_drift_zero", "query_parity")
     }),
@@ -1395,16 +1414,28 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"))
       Sink.appendLshIndex(s, path, skew, batchId = 0L)
       val drift = Sink.lshOccupancyDrift(s, path).localCheckpoint(true)
-      val nGrown = drift.filter(col("growth_ppm") > 0L).count()
-      val maxGrow = drift.agg(max(col("growth_ppm"))).head.getLong(0)
+      // fused probes (r17): nGrown + maxGrow in ONE aggregate over the
+      // pinned census, and the across-compaction stability triple
+      // (matched, |drift|, |drift2|) in ONE full-outer-join aggregate —
+      // identical booleans, three fewer count passes
+      val gRow = drift.agg(
+        count(when(col("growth_ppm") > 0L, lit(1))),
+        max(col("growth_ppm"))).head
+      val (nGrown, maxGrow) = (gRow.getLong(0), gRow.getLong(1))
       Sink.compactLshIndex(s, path)
       val drift2 = Sink.lshOccupancyDrift(s, path)
-      val nStable = drift.join(drift2,
-        Seq("band", "bucket", "n_build", "n_now", "growth_ppm")).count()
-      val nRows = drift.count()
+      val sRow = drift.withColumn("l", lit(1))
+        .join(drift2.withColumn("r", lit(1)),
+          Seq("band", "bucket", "n_build", "n_now", "growth_ppm"),
+          "full_outer")
+        .agg(count(col("l")), count(col("r")),
+          count(when(col("l").isNotNull && col("r").isNotNull, lit(1))))
+        .head
+      val (nRows, nRows2, nStable) =
+        (sRow.getLong(0), sRow.getLong(1), sRow.getLong(2))
       import s.implicits._
       Seq((nGrown, nGrown == 8L, maxGrow >= 500000L,
-          nStable == nRows && drift2.count() == nRows))
+          nStable == nRows && nRows2 == nRows))
         .toDF("n_buckets_grown", "grown_eq_bands", "growth_exceeds",
           "census_stable_across_compaction")
     }),
@@ -1430,20 +1461,29 @@ object SparkEntry {
         .withColumn("text", lit("graftdriftterm"))
       Sink.appendTextIndex(s, path, skew, batchId = 0L)
       val drift = Sink.textOccupancyDrift(s, path).localCheckpoint(true)
-      val nGrown = drift.filter(col("growth_ppm") > 0L).count()
-      val grownPostings = drift.filter(col("growth_ppm") > 0L)
-        .agg(coalesce(sum(col("n_now") - col("n_build")), lit(0L)))
-        .head.getLong(0)
-      val basePostings = drift
-        .agg(coalesce(sum(col("n_build")), lit(0L))).head.getLong(0)
+      // fused probes (r17): three aggregates over the pinned census in
+      // ONE job, and the across-compaction stability triple in ONE
+      // full-outer-join aggregate — identical values, four fewer passes
+      val gRow = drift.agg(
+        count(when(col("growth_ppm") > 0L, lit(1))),
+        coalesce(sum(when(col("growth_ppm") > 0L,
+          col("n_now") - col("n_build"))), lit(0L)),
+        coalesce(sum(col("n_build")), lit(0L))).head
+      val (nGrown, grownPostings, basePostings) =
+        (gRow.getLong(0), gRow.getLong(1), gRow.getLong(2))
       Sink.compactTextIndex(s, path)
       val drift2 = Sink.textOccupancyDrift(s, path)
-      val nStable = drift.join(drift2,
-        Seq("bucket", "n_build", "n_now", "growth_ppm")).count()
-      val nRows = drift.count()
+      val sRow = drift.withColumn("l", lit(1))
+        .join(drift2.withColumn("r", lit(1)),
+          Seq("bucket", "n_build", "n_now", "growth_ppm"), "full_outer")
+        .agg(count(col("l")), count(col("r")),
+          count(when(col("l").isNotNull && col("r").isNotNull, lit(1))))
+        .head
+      val (nRows, nRows2, nStable) =
+        (sRow.getLong(0), sRow.getLong(1), sRow.getLong(2))
       import s.implicits._
       Seq((basePostings, nGrown, nGrown == 1L, grownPostings,
-          nStable == nRows && drift2.count() == nRows))
+          nStable == nRows && nRows2 == nRows))
         .toDF("base_postings", "n_buckets_grown", "grown_is_one",
           "grown_postings", "census_stable_across_compaction")
     }),

@@ -660,30 +660,43 @@ object Graph {
       .distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ed = e.join(outdeg, "src").localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
+    // in redistribute mode every node carries its fixed has_out flag so
+    // the per-round dangling-mass sum can ride the convergence probe
+    // (r17): the former per-round dangling⋈ranks aggregate job is gone —
+    // round r's probe returns BOTH the mismatch count and round r+1's
+    // dangling mass D in one aggregate over the just-pinned table, and
+    // round 1's D is nDangling·scale from the seed census below. Values
+    // are bit-identical (same Σ mass over the same fixed node set).
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
-    // dangling = nodes with no out-edge; node-sized, fixed across rounds
-    lazy val dangling = nodes
-      .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint(true)
-    lazy val nNodes = nodes.count()
+    val nodes =
+      (if (!redistributeDangling) nodes0
+       else nodes0
+         .join(outdeg.select(col("src").as("node"), lit(true).as("has_out")),
+           Seq("node"), "left")
+         .select(col("node"),
+           coalesce(col("has_out"), lit(false)).as("has_out")))
+        .localCheckpoint(true)
     val base = scale * (alphaDen - alphaNum) / alphaDen
     var ranks = nodes.withColumn("mass", lit(scale))
+    // seed census: node count + dangling count in ONE aggregate
+    lazy val (nNodes, nDangling) =
+      if (!redistributeDangling) (nodes.count(), 0L)
+      else {
+        val r = nodes.agg(count(lit(1)),
+          count(when(!col("has_out"), lit(1)))).head
+        (r.getLong(0), r.getLong(1))
+      }
+    var dMass = if (redistributeDangling) nDangling * scale else 0L
     var rounds = 0
     var converged = false
     while (rounds < iterations && !converged) {
       val dShare =
         if (!redistributeDangling || nNodes == 0L) 0L
-        else {
-          val d = dangling.join(ranks, "node")
-            .agg(coalesce(sum(col("mass")), lit(0L)))
-            .collect()(0).getLong(0) // ONE long per round
-          (d * alphaNum) / (alphaDen * nNodes)
-        }
+        else (dMass * alphaNum) / (alphaDen * nNodes)
       val contribs = ed
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.select(col("node").as("src"), col("mass")), "src")
         .select(col("dst").as("node"),
           expr(s"(mass * $alphaNum) div ($alphaDen * outdeg)").as("c"))
         .groupBy("node").agg(sum(col("c")).as("contrib"))
@@ -693,19 +706,31 @@ object Graph {
       // AND covers contrib-less nodes via the left join — the former
       // nodes⋈contribs⋈ranks double join paid a second node-hash stage
       // per round for nothing
+      val carry =
+        if (redistributeDangling) Seq(col("prev"), col("has_out"))
+        else Seq(col("prev"))
       val next = ranks.withColumnRenamed("mass", "prev")
         .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base + dShare) + coalesce(col("contrib"), lit(0L))).as("mass"),
-          col("prev"))
+        .select(Seq(col("node"),
+          (lit(base + dShare) + coalesce(col("contrib"), lit(0L)))
+            .as("mass")) ++ carry: _*)
         .localCheckpoint(true)
       rounds += 1
       // the final round's probe is skipped — the loop exits and hands
       // back `next` regardless, so the answer cannot depend on it
-      if (rounds < iterations)
-        converged = next.filter(col("mass") =!= col("prev")).isEmpty
-      ranks = next.select(col("node"), col("mass"))
+      if (rounds < iterations) {
+        if (redistributeDangling) {
+          val r = next.agg(
+            count(when(col("mass") =!= col("prev"), lit(1))),
+            coalesce(sum(when(!col("has_out"), col("mass"))), lit(0L)))
+            .head
+          converged = r.getLong(0) == 0L
+          dMass = r.getLong(1)
+        } else
+          converged = next.filter(col("mass") =!= col("prev")).isEmpty
+      }
+      ranks = next.drop("prev")
     }
-    (ranks.orderBy(col("node")), rounds)
+    (ranks.select(col("node"), col("mass")).orderBy(col("node")), rounds)
   }
 }
