@@ -1640,7 +1640,12 @@ object Sink {
       }
     }
     counts
-      .join(dl, "doc_id")
+      // dl from the PINNED sidecar rows rather than a second
+      // groupBy(doc_id) aggregate over counts (r17): docStats carries
+      // exactly dl per doc (zero-token docs never reach counts, so the
+      // inner join preserves every posting row) — one shuffle instead
+      // of two feeding the postings write
+      .join(docStats.select(col("doc_id"), col("dl")), "doc_id")
       .withColumn("bucket",
         pmod(xxhash64(col("token")), lit(buckets)).cast("int"))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"),
@@ -1659,13 +1664,12 @@ object Sink {
     // [[writeLshIndex]] build_census twin: a skewed ingest stream (one
     // hot token family) piles postings into few bucket directories and
     // term probes into them scan far past postings/buckets. Counted
-    // off the JUST-WRITTEN postings (partition column from directory
-    // names, no re-tokenize)
-    spark.read
-      .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
-        "positions ARRAY<INT>, bucket INT")
-      .parquet(s"$path/postings")
-      .groupBy(col("bucket"))
+    // off the PINNED counts pass (one row per posting, same bucket
+    // expression as the write above — identical occupancy, no
+    // re-tokenize AND no read-back of the just-written table; r17)
+    counts
+      .groupBy(pmod(xxhash64(col("token")), lit(buckets)).cast("int")
+        .as("bucket"))
       .agg(count(lit(1)).as("n_build"))
       .coalesce(1).write.mode(mode).parquet(s"$path/build_census")
   }
@@ -1767,26 +1771,16 @@ object Sink {
     val counts = graft.operators.TextAnalysis.docTermPostings(docs)
       .localCheckpoint(true)
     val dl = counts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    counts
-      .join(dl, "doc_id")
-      .withColumn("bucket",
-        pmod(xxhash64(col("token")), lit(buckets)).cast("int"))
-      .withColumn("batch_id", lit(batchId))
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"),
-        col("positions"), col("bucket"), col("batch_id"))
-      .transform(writeDistribution(_, col("bucket")))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket", "batch_id")
-      .parquet(s"$path/postings_ingested")
     // the batch's doc-stats sidecar rows (see [[writeTextIndex]]) —
     // before the commit record, same torn-batch invisibility; LEFT
     // join so zero-token docs carry dl = 0. Pinned ONCE (batch-sized):
-    // this one pass over the batch feeds the sidecar write AND the
+    // this one pass over the batch feeds the sidecar write, the
     // commit record's corpus constants (n_docs = its row count,
-    // total_tokens = its dl sum) — the pre-r15 shape paid a separate
-    // docs scan for the sidecar join and ANOTHER for docs.count(),
-    // the append-path cost the r14 A/B flagged on text_bm25_incremental.
+    // total_tokens = its dl sum) AND the postings write's dl column
+    // (r17 — the postings join previously re-ran the dl aggregate) —
+    // the pre-r15 shape paid a separate docs scan for the sidecar
+    // join and ANOTHER for docs.count(), the append-path cost the r14
+    // A/B flagged on text_bm25_incremental.
     // The localCheckpoint(true) durability stance is writeTextIndex's:
     // local pin, executor loss = retry the append (idempotent — the
     // commit record lands last)
@@ -1802,10 +1796,11 @@ object Sink {
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)),
         countDistinct(col("doc_id")), count(col("doc_id"))).head
     // id-uniqueness within the batch, asserted on the pinned pass (the
-    // writeTextIndex contract) BEFORE the sidecar lands: a duplicated
-    // doc_id would double-count dl into this batch's corpus constants.
-    // A violation leaves the batch torn-but-invisible (no commit
-    // record). Cross-batch re-adds are fine — that is the
+    // writeTextIndex contract) BEFORE ANY write (r17 — previously the
+    // postings landed first and a rejection left them torn-but-
+    // invisible; now a rejected batch leaves zero new files): a
+    // duplicated doc_id would double-count dl into this batch's corpus
+    // constants. Cross-batch re-adds are fine — that is the
     // delete→re-append lifecycle. Null ids get their own message
     // (count(col) vs count(*), the writeTextIndex r17 split).
     require(constants.getLong(0) == constants.getLong(3),
@@ -1816,6 +1811,18 @@ object Sink {
       s"appendTextIndex: batch $batchId carries duplicate doc_id rows " +
         s"(${constants.getLong(0)} rows, ${constants.getLong(2)} " +
         "distinct ids) - dedupe the batch before appending")
+    counts
+      .join(docStats.select(col("doc_id"), col("dl")), "doc_id")
+      .withColumn("bucket",
+        pmod(xxhash64(col("token")), lit(buckets)).cast("int"))
+      .withColumn("batch_id", lit(batchId))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+        col("positions"), col("bucket"), col("batch_id"))
+      .transform(writeDistribution(_, col("bucket")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "batch_id")
+      .parquet(s"$path/postings_ingested")
     docStats
       .coalesce(1) // batch-sized: one file per batch directory
       .write.mode("overwrite")
