@@ -227,9 +227,10 @@ object Similarity {
     * Output: `(vec_id, unit, cell)` — the celled-table row shape.
     */
   def assignCells(
-      centroids: Array[Array[Double]], vectors: DataFrame): DataFrame =
-    vectors.select(col("vec_id"),
-        normalized(col("embedding")).as("unit"))
+      centroids: Array[Array[Double]], vectors: DataFrame,
+      carry: Seq[Column] = Nil): DataFrame =
+    vectors.select(Seq(col("vec_id"),
+        normalized(col("embedding")).as("unit")) ++ carry: _*)
       .withColumn("cell", cellOf(centroids, col("unit")))
 
   /** Malformed-request guard for the SERVING probes

@@ -658,22 +658,32 @@ object Sink {
     val centroids = spark.read.parquet(s"$root/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Double](1).toArray)
-    val assigned = graft.operators.Similarity
-      .assignCells(centroids, vectors)
-      .withColumn("batch_id", lit(batchId))
     // an IVF-PQ layout carries codes on every celled row; ingested rows
     // must arrive CODED with the persisted codebooks (never retrained —
     // FAISS-`add` semantics, like the coarse quantizer above) or the
-    // ADC candidate scan would meet null codes and silently mis-rank
-    val rows =
-      if (!indexHasPq(spark, root)) assigned
+    // ADC candidate scan would meet null codes and silently mis-rank.
+    // The codes ride the SAME narrow scan as the cell assignment (r17):
+    // quantize + nearest-code are per-row expressions, so the former
+    // assigned ⋈ pqEncode(quantized) reattachment join — an exchange
+    // plus a second pass over the batch — is a carry column now,
+    // value-identical (same expressions, same codebooks).
+    val carry =
+      if (!indexHasPq(spark, root)) Nil
       else {
         val cents = readPqCodebooks(spark, root)
-        assigned.join(
-          graft.operators.Similarity.pqEncode(
-            graft.operators.Clustering.quantized(vectors), cents),
-          "vec_id")
+        val subDim = cents(0)(0).length
+        val q = transform(col("embedding"), x =>
+          round((x.cast("double") + lit(graft.operators.Clustering.Shift))
+            * lit(graft.operators.Clustering.Scale)).cast("long"))
+        Seq(array(cents.indices.map { s =>
+          graft.functions.VectorOps.vec_nearest_code(
+            slice(q, s * subDim + 1, subDim),
+            typedLit(cents(s).flatten.toSeq))
+        }: _*).as("codes"))
       }
+    val rows = graft.operators.Similarity
+      .assignCells(centroids, vectors, carry)
+      .withColumn("batch_id", lit(batchId))
     writeDistribution(rows, col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
