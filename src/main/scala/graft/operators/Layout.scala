@@ -76,7 +76,12 @@ object Layout {
         s"((CAST(`$c` AS DECIMAL(38,0)) - `__min_$c`) * $hi) div " +
           s"(CAST(`__max_$c` AS DECIMAL(38,0)) - `__min_$c`)"))
     }
-    df.crossJoin(broadcast(ranges))
+    // fanned AFTER the stats pass (r17, [[Fanout]]): the ranges agg sees
+    // the original scan (min/max are order-independent), while the
+    // per-row normalize + interleave — the operator's CPU — lands in the
+    // post-exchange stage when the source is single-split
+    Fanout.bySessionCores(df, cols.map(col): _*)
+      .crossJoin(broadcast(ranges))
       .withColumn("zval", interleaveBits(buckets, bits))
       .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
   }
@@ -131,7 +136,12 @@ object Layout {
     val cutMap = if (cuts.nonEmpty) cuts else quantileCuts(df, cols, bits)
     require(cols.forall(cutMap.contains), "missing cuts for a z column")
     val buckets = cols.map(c => bucketByCuts(col(c), cutMap(c)))
-    df.withColumn("zval", interleaveBits(buckets, bits))
+    // fanned AFTER the cuts pass (r17, [[Fanout]]) — quantileCuts MUST
+    // see the original scan order (approx_percentile summary merges are
+    // layout-deterministic, the oracle contract); the ~2^bits-compare
+    // bucket fold per row/column is what fans out
+    Fanout.bySessionCores(df, cols.map(col): _*)
+      .withColumn("zval", interleaveBits(buckets, bits))
   }
 
   /** Per-tile min-max census of the z-ordered layout PLUS its skipping
