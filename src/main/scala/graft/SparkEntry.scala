@@ -140,7 +140,9 @@ object SparkEntry {
     // Must hash-match transform_generic_multi_table, which computes the
     // same records through the precompiled GenericTransform escape hatch.
     "transform_config_multi_table" -> ((s, dir) => {
-      val m = Tables.events(s, dir).select(
+      // fanned before the JSON encode/decode chain (r17, [[Fanout]])
+      val m = graft.operators.Fanout.bySessionCores(
+          Tables.events(s, dir), col("event_id")).select(
         concat(lit("sensors/s"), col("user_id").cast("string")).as("topic"),
         to_json(struct(
           col("value").as("temperature"),
@@ -386,7 +388,9 @@ object SparkEntry {
     // synthesized from events columns so both sensor tables are exercised.
     "transform_generic_multi_table" -> ((s, dir) => {
       import graft.operators.{GenericTransform => GT}
-      val m = Tables.events(s, dir).select(
+      // fanned before the JSON encode/decode chain (r17, [[Fanout]])
+      val m = graft.operators.Fanout.bySessionCores(
+          Tables.events(s, dir), col("event_id")).select(
         concat(lit("sensors/s"), col("user_id").cast("string")).as("topic"),
         to_json(struct(
           col("value").as("temperature"),
