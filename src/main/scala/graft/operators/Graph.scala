@@ -70,23 +70,34 @@ object Graph {
 
     // canonical initial edge set: (u = larger, v = smaller), the
     // orientation both star phases preserve
-    var e = pairs
+    val e0 = pairs
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(
         greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))
       .distinct()
-      .localCheckpoint(true)
 
     // order-free edge-set fingerprint; decimal(38) sum cannot overflow
     // under ANSI (2^63 hashes × 2^63 magnitude < 10^38)
-    def checksum(df: DataFrame): (Long, BigDecimal) = {
-      val r = df.agg(
-        count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO))).head
-      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    def checksumExprs = Seq(
+      count(lit(1)).as("n"),
+      sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h"))
+    // per-round fingerprint read off the SAME job that materializes the
+    // round's checkpoint (Dataset.observe — the checkpoint action flows
+    // every row through the metrics collector anyway), replacing the
+    // former separate checksum scan per round: one job and one pass
+    // over e fewer per round, identical (count, hash-sum) values
+    // (guide §1.2 "don't compute things you throw away")
+    def checkpointWithChecksum(df: DataFrame): (DataFrame, (Long, BigDecimal)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val pinned = df.observe(obs, checksumExprs.head, checksumExprs.tail: _*)
+        .localCheckpoint(true)
+      val m = obs.get
+      val h = m("h")
+      (pinned, (m("n").asInstanceOf[Long],
+        if (h == null) BigDecimal(0)
+        else BigDecimal(h.asInstanceOf[java.math.BigDecimal])))
     }
 
     // large-star: symmetrize so every node sees its full neighborhood;
@@ -124,12 +135,12 @@ object Graph {
         .distinct()
     }
 
-    var prev = checksum(e)
+    var (e, prev) = checkpointWithChecksum(e0)
     var converged = prev._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      val cur = checksum(e)
+      val (pinned, cur) = checkpointWithChecksum(smallStar(largeStar(e)))
+      e = pinned
       converged = cur == prev
       prev = cur
       it += 1
@@ -219,9 +230,12 @@ object Graph {
     * edges, co-partitioning reused round to round) + one (dst, label)
     * map-side-combined count + one dst-keyed struct-max argmax — only
     * (node, label, count) longs shuffle; lineage truncated per round
-    * like every iterative operator here. Both stop tests fuse into ONE
-    * aggregate job per round over inner joins of checkpointed
-    * (node, long) tables — O(nodes) work, two longs to the driver.
+    * like every iterative operator here. Both stop tests compare
+    * label-table FINGERPRINTS (count + order-free xxhash64 sum — the
+    * [[connectedComponents]] checksum idiom; table equality ⟺
+    * fingerprint equality on the constant node set, modulo the same
+    * hash-sum collision class CC accepts) observed on each round's own
+    * checkpoint job — zero probe joins, zero extra jobs per round.
     */
   def labelPropagation(
       pairs: DataFrame,
@@ -249,59 +263,65 @@ object Graph {
     val edges = e0.select(col("u").as("src"), col("v").as("dst"))
       .union(e0.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(true)
+    // label-table fingerprint (count, order-free Σ xxhash64(node,
+    // label)) — the [[connectedComponentsWithRounds]] checksum idiom
+    // applied to the LPA stop tests (r18): the node set is CONSTANT
+    // across rounds, so table equality ⟺ fingerprint equality (up to
+    // the same 2⁻⁶⁴-class hash-sum collision CC's stop already
+    // accepts), and the probe needs NO join back onto the previous
+    // rounds' tables — the pre-r18 shape paid two node-keyed joins
+    // (two exchanges) inside every round's materialization for an
+    // exact mismatch count it only compared with zero. Decimal(38)
+    // sum cannot overflow under ANSI (2^63 hashes × 2^63 magnitude
+    // < 10^38). Values ride the round's own checkpoint job
+    // (Dataset.observe — no separate probe job, as everywhere in r18).
+    def fpExprs = Seq(
+      count(lit(1)).as("n"),
+      sum(xxhash64(col("node"), col("label")).cast("decimal(38,0)"))
+        .as("h"))
+    def readFp(m: Map[String, Any]): (Long, BigDecimal) =
+      (m("n").asInstanceOf[Long], m("h") match {
+        case null => BigDecimal(0)
+        case d: java.math.BigDecimal => BigDecimal(d)
+      })
+    val obs0 = org.apache.spark.sql.Observation()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+      .observe(obs0, fpExprs.head, fpExprs.tail: _*)
       .localCheckpoint(true)
-    var prev: DataFrame = null // labels two rounds back, for 2-cycle test
+    var curFp = readFp(obs0.get)
+    var prevFp: (Long, BigDecimal) = null // two rounds back, 2-cycle test
     var rounds = 0
     var done = false
     while (!done && rounds < iterations) {
       // argmax by (count, -label): lexicographic struct max takes the
       // highest count, then the LOWEST label — matching the oracle's
       // row_number() ORDER BY cnt DESC, label
-      val next = edges
+      val nextPlan = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint(true)
-      rounds += 1
-      if (rounds == iterations) {
+      if (rounds + 1 == iterations) {
         // final round: EVERY stop path would hand back `next` (fixed
         // point → next; 2-cycle with 0 rounds remaining → even parity →
         // next; no stop → next), so the probe is skipped
-        labels = next
+        labels = nextPlan.localCheckpoint(true)
+        rounds += 1
         done = true
       } else {
-        // ONE exact stop probe per round: the node set is CONSTANT
-        // across rounds (every symmetrized endpoint appears as a dst),
-        // so both equality tests are inner joins of checkpointed
-        // (node, long) tables — fused into a single aggregate job
-        // counting exact label mismatches vs last round and two back.
-        // (Probing the round's EAGER checkpoint measured faster than
-        // fusing probe + materialization through a lazy checkpoint —
-        // the lazy form re-ran ~30% slower on BenchOne A/B.)
-        val (dLast, dPrev) = {
-          val base = next
-            .join(labels.select(col("node"), col("label").as("l1")), "node")
-          val joined =
-            if (prev == null) base.withColumn("l2", col("l1"))
-            else base.join(prev.select(col("node"), col("label").as("l2")),
-              "node")
-          val r = joined.agg(
-            coalesce(sum(when(col("label") =!= col("l1"), 1L).otherwise(0L)),
-              lit(0L)),
-            coalesce(sum(when(col("label") =!= col("l2"), 1L).otherwise(0L)),
-              lit(0L))).head
-          (r.getLong(0), if (prev == null) Long.MaxValue else r.getLong(1))
-        }
-        if (dLast == 0L) {
+        val obs = org.apache.spark.sql.Observation()
+        val next = nextPlan.observe(obs, fpExprs.head, fpExprs.tail: _*)
+          .localCheckpoint(true)
+        val nextFp = readFp(obs.get)
+        rounds += 1
+        if (nextFp == curFp) {
           // fixed point: every later round is identical — cap-equal
           labels = next
           done = true
-        } else if (dPrev == 0L) {
+        } else if (prevFp != null && nextFp == prevFp) {
           // 2-cycle: from round `rounds` labels alternate (next, labels,
           // next, …), so the cap-round table is next iff the remaining
           // round count is even — parity picks the oracle-equal phase
@@ -309,7 +329,8 @@ object Graph {
           labels = if (remaining % 2 == 0) next else labels
           done = true
         } else {
-          prev = labels
+          prevFp = curFp
+          curFp = nextFp
           labels = next
         }
       }
@@ -709,25 +730,44 @@ object Graph {
       val carry =
         if (redistributeDangling) Seq(col("prev"), col("has_out"))
         else Seq(col("prev"))
-      val next = ranks.withColumnRenamed("mass", "prev")
+      val nextPlan = ranks.withColumnRenamed("mass", "prev")
         .join(contribs, Seq("node"), "left")
         .select(Seq(col("node"),
           (lit(base + dShare) + coalesce(col("contrib"), lit(0L)))
             .as("mass")) ++ carry: _*)
-        .localCheckpoint(true)
-      rounds += 1
       // the final round's probe is skipped — the loop exits and hands
-      // back `next` regardless, so the answer cannot depend on it
-      if (rounds < iterations) {
-        if (redistributeDangling) {
-          val r = next.agg(
-            count(when(col("mass") =!= col("prev"), lit(1))),
-            coalesce(sum(when(!col("has_out"), col("mass"))), lit(0L)))
-            .head
-          converged = r.getLong(0) == 0L
-          dMass = r.getLong(1)
-        } else
-          converged = next.filter(col("mass") =!= col("prev")).isEmpty
+      // back `next` regardless, so the answer cannot depend on it.
+      // Probe values ride the checkpoint job itself (Dataset.observe —
+      // r18): the materialization already flows every (mass, prev,
+      // has_out) row, so the mismatch count and next round's dangling
+      // mass D cost no separate aggregate job and no second pass over
+      // the rank table; values are identical (same aggregates over the
+      // same pinned rows). The former shape paid one probe job per
+      // round (the r17 fusion had already folded D into that probe).
+      val probe =
+        if (rounds + 1 < iterations)
+          Some(org.apache.spark.sql.Observation())
+        else None
+      val observed = probe match {
+        case Some(o) if redistributeDangling =>
+          nextPlan.observe(o,
+            count(when(col("mass") =!= col("prev"), lit(1))).as("delta"),
+            sum(when(!col("has_out"), col("mass"))).as("dmass"))
+        case Some(o) =>
+          nextPlan.observe(o,
+            count(when(col("mass") =!= col("prev"), lit(1))).as("delta"))
+        case None => nextPlan
+      }
+      val next = observed.localCheckpoint(true)
+      rounds += 1
+      probe.foreach { o =>
+        val m = o.get
+        converged = m("delta").asInstanceOf[Long] == 0L
+        if (redistributeDangling)
+          dMass = m("dmass") match {
+            case null => 0L // empty node set: no dangling mass
+            case l: java.lang.Long => l.longValue
+          }
       }
       ranks = next.drop("prev")
     }

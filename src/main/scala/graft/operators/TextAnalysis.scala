@@ -837,7 +837,6 @@ object TextAnalysis {
       k1Milli: Long,
       bMilli: Long,
       rejectDuplicatesFor: Option[String]): DataFrame = {
-    val spark = requests.sparkSession
     // ONE request-batch-bounded collect ([[collectRequests]]): the
     // probe term union, the (query, token) score join AND the
     // hybrid-caller contract all derive from the same driver-side
@@ -845,6 +844,21 @@ object TextAnalysis {
     val reqRows = collectRequests(requests, "terms")
     rejectDuplicatesFor.foreach(caller =>
       requireUniqueQueryIds(reqRows.map(_._1), caller))
+    bm25QueryBatchRows(index, requests.sparkSession, reqRows,
+      k, k1Milli, bMilli)
+  }
+
+  /** [[bm25QueryBatchImpl]] below the request collect — the hybrid
+    * stack hands every leg the SAME driver-side rows (one collect per
+    * serving call, r18).
+    */
+  private def bm25QueryBatchRows(
+      index: TextIndex,
+      spark: org.apache.spark.sql.SparkSession,
+      reqRows: Seq[(java.lang.Long, Seq[String])],
+      k: Int,
+      k1Milli: Long,
+      bMilli: Long): DataFrame = {
     // the documented MERGE: distinct (query_id, token) pairs — null
     // ids survive here exactly as the pre-r17 column pipeline kept
     // them (boxed, Row-built schema below)
@@ -1081,17 +1095,33 @@ object TextAnalysis {
   private def collectRequests(
       requests: DataFrame,
       payloadCol: String): Seq[(java.lang.Long, Seq[String])] =
+    collectRequestsMulti(requests, Seq(payloadCol))
+      .map { case (q, ps) => (q, ps.head) }
+
+  /** [[collectRequests]] for callers that consume SEVERAL payload
+    * columns of one request batch (the hybrid stack: terms + optional
+    * phrase + optional prox_terms): ONE collect job feeds every leg
+    * and every evidence pass of a serving call, where the pre-r18
+    * shape paid one collect per leg — 3–5 scans of the same request
+    * batch inside a single [[rrfSnippetQueryBatch]]. Within-call reuse
+    * only: the rows live for this invocation, nothing persists.
+    */
+  private def collectRequestsMulti(
+      requests: DataFrame,
+      payloadCols: Seq[String]): Seq[(java.lang.Long, Seq[Seq[String]])] =
     requests
       // cast at the boundary: an int-typed query_id must not surface
       // as a ClassCastException deep in the serve path
-      .select(col("query_id").cast("long").as("query_id"),
-        col(payloadCol))
+      .select((col("query_id").cast("long").as("query_id") +:
+        payloadCols.map(col)): _*)
       .collect().toSeq
       .map { r =>
         val q: java.lang.Long =
           if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
-        val ts: Seq[String] = if (r.isNullAt(1)) null else r.getSeq[String](1)
-        (q, ts)
+        val ps: Seq[Seq[String]] = payloadCols.indices.map { i =>
+          if (r.isNullAt(i + 1)) null else r.getSeq[String](i + 1)
+        }
+        (q, ps)
       }
 
   /** Driver-side twin of [[org.apache.spark.sql.functions.lower]] for
@@ -1111,12 +1141,26 @@ object TextAnalysis {
       requests: DataFrame,
       k: Int = 20): DataFrame = {
     index.requirePositions("proximityQueryBatch")
+    proximityQueryBatchRows(index, requests.sparkSession,
+      collectRequests(requests, "terms"), k)
+  }
+
+  /** [[proximityQueryBatch]] below the request collect (the
+    * shared-collect hybrid-stack shape, r18). The positional-layout
+    * check is the CALLER's — see [[phraseQueryBatchRows]].
+    */
+  private def proximityQueryBatchRows(
+      index: TextIndex,
+      spark: org.apache.spark.sql.SparkSession,
+      reqRows: Seq[(java.lang.Long, Seq[String])],
+      k: Int): DataFrame = {
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("window_len"), col("doc_id"))
-    proximityWindowCandidates(index, requests, "proximityQueryBatch") match {
+    proximityWindowCandidatesRows(
+      index, spark, reqRows, "proximityQueryBatch") match {
       case None =>
-        requests.sparkSession.emptyDataFrame
+        spark.emptyDataFrame
           .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
             lit(0L).as("window_len"), lit(0).as("rank"))
           .limit(0)
@@ -1214,6 +1258,18 @@ object TextAnalysis {
       requests: DataFrame,
       caller: String): Option[DataFrame] = {
     val reqRows = collectRequests(requests, "terms")
+    proximityWindowCandidatesRows(
+      index, requests.sparkSession, reqRows, caller)
+  }
+
+  /** [[proximityWindowCandidates]] below the request collect (the
+    * shared-collect hybrid-stack shape, r18).
+    */
+  private def proximityWindowCandidatesRows(
+      index: TextIndex,
+      spark: org.apache.spark.sql.SparkSession,
+      reqRows: Seq[(java.lang.Long, Seq[String])],
+      caller: String): Option[DataFrame] = {
     requireUniqueQueryIds(reqRows.map(_._1), caller)
     // per request: distinct lowered terms, slot = rank in sorted order
     // (the pre-r17 row_number-over-token window, driver-side)
@@ -1236,7 +1292,6 @@ object TextAnalysis {
     if (termList.isEmpty) return None
     val probeBuckets = termList.map(tokenBucket(_, index.buckets))
       .distinct.sorted
-    val spark = requests.sparkSession
     import spark.implicits._
     // LocalRelations from the collected rows — plan-embedded, no jobs
     val reqTerms = slotRows.toDF("query_id", "token", "slot")
@@ -1380,32 +1435,72 @@ object TextAnalysis {
       kConst: Long = 60L,
       k: Int = 20,
       legK: Int = 50,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4): DataFrame =
+    rrfQueryBatchShared(
+      textIndex, annIndex, requests, kConst, k, legK, nprobe)._1
+
+  /** [[rrfQueryBatch]] also handing back the ONE collected request
+    * batch so [[rrfSnippetQueryBatch]]'s evidence passes reuse it —
+    * the whole serving call (text legs + evidence) reads the requests
+    * with a single Spark job (within-call reuse only; r18 — the former
+    * shape collected once per leg and once per evidence pass, 3–5
+    * scans of the same batch per call).
+    */
+  private def rrfQueryBatchShared(
+      textIndex: TextIndex,
+      annIndex: graft.operators.Similarity.IvfIndex,
+      requests: DataFrame,
+      kConst: Long,
+      k: Int,
+      legK: Int,
+      nprobe: Int): (DataFrame, ServingRequestRows) = {
+    val spark = requests.sparkSession
+    val hasPhrase = requests.columns.contains("phrase")
+    val hasProx = requests.columns.contains("prox_terms")
+    val payloadCols = Seq("terms") ++
+      (if (hasPhrase) Seq("phrase") else Nil) ++
+      (if (hasProx) Seq("prox_terms") else Nil)
+    val collected = collectRequestsMulti(requests, payloadCols)
+    val rows = ServingRequestRows(
+      terms = collected.map { case (q, ps) => (q, ps.head) },
+      phrase =
+        if (hasPhrase) Some(collected.map { case (q, ps) => (q, ps(1)) })
+        else None,
+      proxTerms =
+        if (hasProx)
+          Some(collected.map { case (q, ps) =>
+            (q, ps(if (hasPhrase) 2 else 1))
+          })
+        else None)
     // one row per query_id ([[requireUniqueQueryIds]]) — the fuse keys
     // by (query_id, doc_id), so a duplicate would merge two requests'
-    // legs. Checked INSIDE the always-run lexical leg's request collect
-    // ([[bm25QueryBatchImpl]]) so the whole stack serves under the
-    // verified contract at zero extra jobs; the boost legs re-check
-    // their projections driver-side on rows they collect anyway (free)
-    val lex = bm25QueryBatchImpl(
-      textIndex, requests.select(col("query_id"), col("terms")), legK,
-      1200L, 750L, rejectDuplicatesFor = Some("rrfQueryBatch"))
-    val phrase =
-      if (!requests.columns.contains("phrase")) None
-      else Some(phraseQueryBatch(
-        textIndex, requests.select(col("query_id"), col("phrase")), legK))
-    val prox =
-      if (!requests.columns.contains("prox_terms")) None
-      else Some(proximityQueryBatch(
-        textIndex,
-        requests.select(col("query_id"), col("prox_terms").as("terms")),
-        legK))
+    // legs. Checked once on the shared collect, on behalf of the whole
+    // stack (same message the lexical leg's collect used to carry)
+    requireUniqueQueryIds(rows.terms.map(_._1), "rrfQueryBatch")
+    // positional-layout contracts for the boost legs, in the pre-r18
+    // order (after the lexical leg's id check, before leg construction)
+    if (hasPhrase) textIndex.requirePositions("phraseQueryBatch")
+    if (hasProx) textIndex.requirePositions("proximityQueryBatch")
+    val lex = bm25QueryBatchRows(
+      textIndex, spark, rows.terms, legK, 1200L, 750L)
+    val phrase = rows.phrase.map(phraseQueryBatchRows(
+      textIndex, spark, _, legK))
+    val prox = rows.proxTerms.map(proximityQueryBatchRows(
+      textIndex, spark, _, legK))
     val sem = graft.operators.Similarity.ivfQueryVectorsIntProbe(
       annIndex, requests.select(col("query_id"), col("embedding")),
       legK, nprobe)
       .withColumnRenamed("vec_id", "doc_id")
-    rrfFuseAll(Seq(lex) ++ phrase ++ prox ++ Seq(sem), kConst, k)
+    (rrfFuseAll(Seq(lex) ++ phrase ++ prox ++ Seq(sem), kConst, k), rows)
   }
+
+  /** The one serving-call request collect, per payload column —
+    * [[rrfQueryBatchShared]]'s hand-off to the evidence passes.
+    */
+  private final case class ServingRequestRows(
+      terms: Seq[(java.lang.Long, Seq[String])],
+      phrase: Option[Seq[(java.lang.Long, Seq[String])]],
+      proxTerms: Option[Seq[(java.lang.Long, Seq[String])]])
 
   /** The SEARCH-RESULTS-PAGE call: hybrid fusion + snippet evidence in
     * ONE serving batch — [[rrfQueryBatch]]'s fused top-k per request
@@ -1451,28 +1546,30 @@ object TextAnalysis {
     textIndex.requirePositions("rrfSnippetQueryBatch")
     val spark = requests.sparkSession
     import spark.implicits._
-    val fused = rrfQueryBatch(
-        textIndex, annIndex, requests, kConst, k, legK, nprobe)
-      // winners are ≤ k × |requests| (the probe-union idiom): the
-      // collect below and the snippet joins must read the SAME rows
-      .localCheckpoint(true)
+    // ONE shared request collect feeds the fused legs AND the evidence
+    // passes below (r18); the fused winners are COLLECTED directly —
+    // ≤ k × |requests| rows (the probe-union idiom), re-entering the
+    // plan as a LocalRelation, so the former eager-checkpoint pin (one
+    // extra job per call) bought nothing the collect doesn't give
+    val (fused, reqRows) = rrfQueryBatchShared(
+      textIndex, annIndex, requests, kConst, k, legK, nprobe)
+    val winners = fused
+      .select(col("query_id"), col("doc_id"), col("rrf_ppm"),
+        col("n_legs"), col("rank"))
+      .as[(Long, Long, Long, Int, Int)].collect().toSeq
+    val winnersDf = winners
+      .toDF("query_id", "doc_id", "rrf_ppm", "n_legs", "rank")
     def withNullEvidence(df: DataFrame): DataFrame =
       df.select(col("query_id"), col("doc_id"), col("rrf_ppm"),
         col("n_legs"), col("rank"),
         lit(null).cast("long").as("window_len"),
         lit(null).cast("long").as("win_start"),
         lit(null).cast("string").as("snippet"))
-    val winners = fused
-      .select(col("query_id"), col("doc_id"), col("rrf_ppm"),
-        col("n_legs"), col("rank"))
-      .as[(Long, Long, Long, Int, Int)].collect().toSeq
-    if (winners.isEmpty) return withNullEvidence(fused)
-    val winnersDf = winners
-      .toDF("query_id", "doc_id", "rrf_ppm", "n_legs", "rank")
+        .orderBy(col("query_id"), col("rank"))
+    if (winners.isEmpty) return withNullEvidence(winnersDf)
     val winnerKeys = winnersDf.select(col("query_id"), col("doc_id"))
-    val termBests: Option[DataFrame] = proximityWindowCandidates(
-        textIndex,
-        requests.select(col("query_id"), col("terms")),
+    val termBests: Option[DataFrame] = proximityWindowCandidatesRows(
+        textIndex, spark, reqRows.terms,
         "rrfSnippetQueryBatch").map { cands =>
       cands
         // prune the recurrence's candidates to the fused winners
@@ -1486,11 +1583,12 @@ object TextAnalysis {
           col("best.window_len").as("window_len"),
           col("best.win_start").as("win_start"))
     }
-    val phraseBests: Option[DataFrame] =
-      if (!requests.columns.contains("phrase")) None
-      else phraseAnchorWindows(textIndex, requests, winnerKeys)
-    val bests = ((termBests, phraseBests) match {
-      case (None, None) => return withNullEvidence(fused)
+    val phraseBests: Option[DataFrame] = reqRows.phrase match {
+      case None => None
+      case Some(rows) => phraseAnchorWindowsRows(textIndex, rows, winnerKeys)
+    }
+    val bestsPlan = (termBests, phraseBests) match {
+      case (None, None) => return withNullEvidence(winnersDf)
       case (Some(t), None) => t
       case (None, Some(p)) => p
       case (Some(t), Some(p)) =>
@@ -1502,10 +1600,16 @@ object TextAnalysis {
           .select(col("query_id"), col("doc_id"),
             coalesce(col("p_len"), col("window_len")).as("window_len"),
             coalesce(col("p_start"), col("win_start")).as("win_start"))
-    }).localCheckpoint(true) // ≤ winners; feeds a collect + a join
-    val winIds = bests.select(col("doc_id")).distinct()
-      .as[Long].collect().toSeq
-    if (winIds.isEmpty) return withNullEvidence(fused)
+    }
+    // ≤ winners rows by construction: COLLECT them once and re-enter
+    // the plan as a LocalRelation (r18) — the former eager checkpoint
+    // + distinct-ids collect paid two jobs for the same "the collect
+    // and the join read the SAME rows" guarantee
+    val bestRows = bestsPlan.as[(Long, Long, Long, Long)].collect().toSeq
+    val winIds = bestRows.map(_._2).distinct
+    if (winIds.isEmpty) return withNullEvidence(winnersDf)
+    val bests = bestRows
+      .toDF("query_id", "doc_id", "window_len", "win_start")
     val sliced = docs
       .filter(col("doc_id").isin(winIds: _*)) // ONE batch-wide pushdown
       .select(col("doc_id"),
@@ -1533,24 +1637,23 @@ object TextAnalysis {
     * Requests whose `phrase` is null contribute no slots and get no
     * rows. None when the batch carries no usable phrase terms.
     */
-  private def phraseAnchorWindows(
+  private def phraseAnchorWindowsRows(
       index: TextIndex,
-      requests: DataFrame,
+      reqRows: Seq[(java.lang.Long, Seq[String])],
       winnerKeys: DataFrame): Option[DataFrame] = {
-    // ONE request-bounded collect; slot table + per-query lengths are
-    // LocalRelations from it (probe collect + anchor join: SAME rows
-    // by construction — the phraseQueryBatch r17 shape). Upstream
-    // [[rrfQueryBatch]] already verified id uniqueness for this batch.
-    val spark = requests.sparkSession
+    // slot table + per-query lengths are LocalRelations from the ONE
+    // shared serving-call collect ([[rrfQueryBatchShared]] — r18; the
+    // former shape re-collected the batch's phrase column here).
+    // Upstream already verified id uniqueness for this batch.
+    val spark = winnerKeys.sparkSession
     import spark.implicits._
     val slotRows: Seq[(Long, Int, String)] =
-      collectRequests(requests.filter(col("phrase").isNotNull), "phrase")
-        .flatMap { case (q, ph) =>
-          if (ph == null) Nil
-          else ph.zipWithIndex.map { case (t, i) =>
-            (q.longValue, i, lowerLikeSpark(t))
-          }
+      reqRows.flatMap { case (q, ph) =>
+        if (ph == null) Nil
+        else ph.zipWithIndex.map { case (t, i) =>
+          (q.longValue, i, lowerLikeSpark(t))
         }
+      }
     val termList = slotRows.map(_._3).distinct.sorted
     if (termList.isEmpty) return None
     val probeBuckets = termList.map(tokenBucket(_, index.buckets))
@@ -1707,8 +1810,6 @@ object TextAnalysis {
       requests: DataFrame,
       k: Int = 20): DataFrame = {
     index.requirePositions("phraseQueryBatch")
-    val spark = requests.sparkSession
-    import spark.implicits._
     // ONE request-batch-bounded collect ([[collectRequests]]) feeds
     // the duplicate-id contract, the probe term union, the slot table
     // AND the per-query phrase lengths — driver-side, so the anchor
@@ -1716,6 +1817,22 @@ object TextAnalysis {
     // idiom, minus the checkpoint pin it no longer needs)
     val reqRows = collectRequests(requests, "phrase")
     requireUniqueQueryIds(reqRows.map(_._1), "phraseQueryBatch")
+    phraseQueryBatchRows(index, requests.sparkSession, reqRows, k)
+  }
+
+  /** [[phraseQueryBatch]] below the request collect (the shared-collect
+    * hybrid-stack shape, r18). BOTH contracts are the CALLER's: id
+    * uniqueness verified on the rows handed in, and the positional
+    * layout checked before any work (the entries keep the pre-r18
+    * check-before-collect order, so error precedence and the job-free
+    * contract-rejection property are unchanged).
+    */
+  private def phraseQueryBatchRows(
+      index: TextIndex,
+      spark: org.apache.spark.sql.SparkSession,
+      reqRows: Seq[(java.lang.Long, Seq[String])],
+      k: Int): DataFrame = {
+    import spark.implicits._
     // slot = in-array position (NOT sorted-distinct: repeated phrase
     // terms occupy distinct slots and count per slot)
     val slotRows: Seq[(Long, Int, String)] = reqRows.flatMap {

@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.util.Properties
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.schema.Catalog
@@ -563,8 +563,16 @@ object Sink {
       thresholdPpm: Long = 200000L,
       iters: Int = 3,
       pqIters: Int = 2): (Boolean, Long) = {
-    val maxPpm = ivfOccupancyDrift(spark, path)
-      .agg(max(abs(col("growth_ppm")))).head.getLong(0)
+    // ONE census pass answers the gate AND (when it fires) the
+    // rebuild's coverage contract: Σ n_now ≡ the masked celled view's
+    // count — the census's live side IS that view (the r17 drift-query
+    // identity, applied inside the valve in r18; the former shape
+    // re-counted the index with a second full pass in the rebuild
+    // branch)
+    val gate = ivfOccupancyDrift(spark, path)
+      .agg(max(abs(col("growth_ppm"))),
+        coalesce(sum(col("n_now")), lit(0L))).head
+    val (maxPpm, nCur) = (gate.getLong(0), gate.getLong(1))
     if (maxPpm < thresholdPpm) (false, maxPpm)
     else {
       val conf = spark.sparkContext.hadoopConfiguration
@@ -573,7 +581,6 @@ object Sink {
       val oldRoot = resolveIndexRoot(spark, path)
       val cur = readIvfIndex(spark, path).celled
         .select(col("vec_id"), col("unit"))
-      val nCur = cur.count()
       val fresh = graft.operators.Similarity.buildIvfIndexExact(
         cur.select(col("vec_id"), col("unit").as("embedding")),
         nlist, iters)
@@ -590,14 +597,18 @@ object Sink {
       // rebuildIvfIndex (a coarse-flavor half-write must not leak
       // subdirs into this committed PQ generation, or vice versa)
       fs.delete(new org.apache.hadoop.fs.Path(genDir), true)
-      // unit-space quantizer — see rebuildIvfIndex
+      // unit-space quantizer — see rebuildIvfIndex. The written row
+      // count rides the write job (Dataset.observe — r18): the former
+      // read-back count re-scanned the just-written generation (a full
+      // index pass at scale) to learn a number the write already flows
+      val nObs = Observation()
       writeIvfPqIndex(
         graft.operators.Similarity.IvfIndex(
           fresh.centroids, preserved, fresh.qcents, qcentsSpace = "unit"),
-        model.cents, model.codes, genDir)
+        model.cents, model.codes, genDir, celledRowCount = Some(nObs))
       fresh.unpersist()
       model.unpersist()
-      val nNew = spark.read.parquet(s"$genDir/celled").count()
+      val nNew = nObs.get("n").asInstanceOf[Long]
       require(nNew == nCur,
         s"rebuild corpus covers only $nNew of $nCur index rows - corpus " +
           "must contain every indexed vec_id (half-written generation " +
@@ -655,9 +666,11 @@ object Sink {
     // a batch a compaction/rebuild already absorbed must not re-enter
     // as new data (the appendTextIndex ledger rule)
     if (foldedBatchIds(spark, root).contains(batchId)) return
-    val centroids = spark.read.parquet(s"$root/centroids")
-      .orderBy(col("cell")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    // nlist tiny rows: driver-side read, no Spark job (TinyParquet — r18)
+    val centroids = TinyParquet
+      .readDir(spark.sparkContext.hadoopConfiguration, s"$root/centroids")
+      .sortBy(TinyParquet.long(_, "cell"))
+      .map(TinyParquet.doubles(_, "centroid")).toArray
     // an IVF-PQ layout carries codes on every celled row; ingested rows
     // must arrive CODED with the persisted codebooks (never retrained —
     // FAISS-`add` semantics, like the coarse quantizer above) or the
@@ -706,9 +719,13 @@ object Sink {
   private def readPqCodebooks(
       spark: org.apache.spark.sql.SparkSession,
       root: String): Array[Array[Array[Long]]] = {
-    val rows = spark.read.parquet(s"$root/pq_codebooks")
-      .orderBy(col("sub"), col("code")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    // m·k tiny rows: driver-side read, no Spark job (TinyParquet — r18)
+    val rows = TinyParquet
+      .readDir(spark.sparkContext.hadoopConfiguration,
+        s"$root/pq_codebooks")
+      .map(r => (TinyParquet.int(r, "sub"), TinyParquet.int(r, "code"),
+        TinyParquet.longs(r, "centroid")))
+      .sortBy(t => (t._1, t._2))
     val m = rows.map(_._1).max + 1
     val k = rows.map(_._2).max + 1
     val cents = Array.ofDim[Array[Long]](m, k)
@@ -759,10 +776,16 @@ object Sink {
         ingestedBatchIdsAt(spark, path) ++
         committedTombstoneBatchIds(spark, path)
       val merged = readIvfIndex(spark, path).celled
-      val n = merged.count()
-      writeDistribution(merged, col("cell"))
+      // the returned row count rides the rewrite job itself
+      // (Dataset.observe — r18): the former separate merged.count() was
+      // a SECOND full pass over the merged view just to report a number
+      // the write already flows
+      val nObs = Observation()
+      writeDistribution(merged.observe(nObs, count(lit(1)).as("n")),
+          col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$path/celled_compact")
+      val n = nObs.get("n").asInstanceOf[Long]
       val celled = new org.apache.hadoop.fs.Path(s"$path/celled")
       val old = new org.apache.hadoop.fs.Path(s"$path/celled_old")
       require(fs.rename(celled, old), s"swap failed: $celled -> $old")
@@ -821,9 +844,12 @@ object Sink {
         .map(_.stripPrefix("_p-").split("-")(0).toLong).sum
       (batchDirs.size.toLong, nIds)
     } else {
-      val rows = spark.read.parquet(s"$root/tombstones_meta")
-        .select(col("n_ids")).collect()
-      (rows.length.toLong, rows.map(_.getLong(0)).sum)
+      // marker-less fallback (pre-r16 layout or a crash between meta
+      // and marker): driver-side read of the commit records — same
+      // counts, still no Spark job (TinyParquet — r18)
+      val rows = TinyParquet.readDir(
+        spark.sparkContext.hadoopConfiguration, s"$root/tombstones_meta")
+      (rows.length.toLong, rows.map(TinyParquet.long(_, "n_ids")).sum)
     }
   }
 
@@ -1051,28 +1077,28 @@ object Sink {
       spark: org.apache.spark.sql.SparkSession,
       rawPath: String): graft.operators.Similarity.IvfIndex = {
     val path = resolveIndexRoot(spark, rawPath)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy(col("cell")).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // centroid tables are nlist tiny rows: driver-side reads, no Spark
+    // jobs (TinyParquet — r18; the former orderBy(cell).collect()
+    // becomes a driver sortBy on the same key)
+    val centroids = TinyParquet.readDir(hconf, s"$path/centroids")
+      .sortBy(TinyParquet.long(_, "cell"))
+      .map(TinyParquet.doubles(_, "centroid")).toArray
     // exact-Lloyd builds persist their integer-lattice quantizer too
     // (nlist tiny rows) — reload it so the replayable probe
     // (Similarity.ivfQueryVectorsIntProbe) works against the on-disk
     // layout; float-trained layouts simply don't have the table
-    val qcPath = new org.apache.hadoop.fs.Path(s"$path/qcentroids")
+    val qcRows = TinyParquet.readDir(hconf, s"$path/qcentroids")
+      .sortBy(TinyParquet.long(_, "cell"))
     val (qcents, qcSpace) =
-      if (!qcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(qcPath)) (Array.empty[Array[Long]], "raw")
-      else {
-        val qc = spark.read.parquet(s"$path/qcentroids")
-        // layouts persisted before the space column trained on raw
-        // embeddings (the only build path back then) — default "raw"
-        val hasSpace = qc.schema.fieldNames.contains("space")
-        val rows = qc.orderBy(col("cell")).collect()
-        (rows.map(_.getSeq[Long](1).toArray),
-          if (hasSpace && rows.nonEmpty)
-            rows.head.getString(rows.head.fieldIndex("space"))
+      if (qcRows.isEmpty) (Array.empty[Array[Long]], "raw")
+      else
+        (qcRows.map(TinyParquet.longs(_, "qcentroid")).toArray,
+          // layouts persisted before the space column trained on raw
+          // embeddings (the only build path back then) — default "raw"
+          if (qcRows.head.contains("space"))
+            TinyParquet.string(qcRows.head, "space")
           else "raw")
-      }
     val celled = spark.read.parquet(s"$path/celled")
     val ingestedDir = new org.apache.hadoop.fs.Path(s"$path/ingested")
     val hasIngested = ingestedDir
@@ -1133,7 +1159,11 @@ object Sink {
       codes: DataFrame,
       path: String,
       mode: String = "overwrite",
-      policy: Option[ValvePolicy] = None): Unit = {
+      policy: Option[ValvePolicy] = None,
+      // when set, receives the written celled row count off the write
+      // job itself (Dataset.observe) — [[rebuildIvfPqIndex]]'s coverage
+      // check formerly re-scanned the just-written table for it (r18)
+      celledRowCount: Option[Observation] = None): Unit = {
     val spark = index.celled.sparkSession
     import spark.implicits._
     policy.foreach(writeValvePolicy(spark, path, _)) // see writeIvfIndex
@@ -1146,10 +1176,12 @@ object Sink {
         Seq("ingested", "tombstones", "tombstones_meta", "qcentroids",
           "folded"))
     }
+    val celledOut = index.celled
+      .join(codes, "vec_id")
+      .select(col("vec_id"), col("unit"), col("codes"), col("cell"))
     writeDistribution(
-      index.celled
-        .join(codes, "vec_id")
-        .select(col("vec_id"), col("unit"), col("codes"), col("cell")),
+      celledRowCount.fold(celledOut)(o =>
+        celledOut.observe(o, count(lit(1)).as("n"))),
       col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(s"$path/celled")
     index.centroids.toSeq.zipWithIndex
@@ -1316,10 +1348,15 @@ object Sink {
     import graft.operators.Similarity
     // folded-ledger replay guard, as appendIvfIndex
     if (foldedBatchIds(spark, path).contains(batchId)) return
-    val planes = spark.read.parquet(s"$path/planes")
-      .orderBy(col("bit")).collect()
-      .map(_.getSeq[Double](1).toArray)
-    val bands = spark.read.parquet(s"$path/meta").head.getInt(0)
+    // planes (nBits tiny rows) + one-row meta: driver-side reads, no
+    // Spark jobs (TinyParquet — r18)
+    val planes = TinyParquet
+      .readDir(spark.sparkContext.hadoopConfiguration, s"$path/planes")
+      .sortBy(TinyParquet.long(_, "bit"))
+      .map(TinyParquet.doubles(_, "plane")).toArray
+    val bands = TinyParquet.int(
+      TinyParquet.readDir(spark.sparkContext.hadoopConfiguration,
+        s"$path/meta").head, "bands")
     val bitsPerBand = planes.length / bands
     val mask = (1L << bitsPerBand) - 1
     val signed = vectors
@@ -1382,11 +1419,8 @@ object Sink {
       }
       // absorbed batch ids → `folded` ledger, the compactIvfIndex twin
       val absorbed = foldedBatchIds(spark, path) ++
-        (if (fs.exists(signedIn))
-          spark.read.parquet(s"$path/signed_ingested")
-            .select(col("batch_id").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSet
-        else Set.empty[Long]) ++
+        // batch_id is a partition dir name — listing, not a data scan
+        listedBatchIds(spark, s"$path/signed_ingested") ++
         committedTombstoneBatchIds(spark, path)
       val merged = readLshIndex(spark, path)
       def swap(tmpName: String, liveName: String): Unit = {
@@ -1398,8 +1432,12 @@ object Sink {
           s"swap failed: $tmpName -> $liveName")
         fs.delete(old, true)
       }
-      merged.signed.write.mode("overwrite").parquet(s"$path/signed_compact")
-      val n = spark.read.parquet(s"$path/signed_compact").count()
+      // row count observed on the rewrite job (r18) — the former
+      // read-back count re-scanned the just-written table
+      val nObs = Observation()
+      merged.signed.observe(nObs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$path/signed_compact")
+      val n = nObs.get("n").asInstanceOf[Long]
       writeDistribution(merged.postings, col("band"), col("bucket"))
         .write.mode("overwrite").partitionBy("band", "bucket")
         .parquet(s"$path/postings_compact")
@@ -1491,10 +1529,15 @@ object Sink {
       val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
       p.getFileSystem(conf).exists(p)
     }
-    val planes = spark.read.parquet(s"$path/planes")
-      .orderBy(col("bit")).collect()
-      .map(_.getSeq[Double](1).toArray)
-    val bands = spark.read.parquet(s"$path/meta").head.getInt(0)
+    // planes (nBits tiny rows) + one-row meta: driver-side reads, no
+    // Spark jobs (TinyParquet — r18)
+    val planes = TinyParquet
+      .readDir(spark.sparkContext.hadoopConfiguration, s"$path/planes")
+      .sortBy(TinyParquet.long(_, "bit"))
+      .map(TinyParquet.doubles(_, "plane")).toArray
+    val bands = TinyParquet.int(
+      TinyParquet.readDir(spark.sparkContext.hadoopConfiguration,
+        s"$path/meta").head, "bands")
     val signedBase = spark.read.parquet(s"$path/signed")
       .withColumn("row_batch", lit(-1L))
     // vectors added after the build ([[appendLshIndex]]) union in from
@@ -1777,7 +1820,10 @@ object Sink {
     import spark.implicits._
     val path = resolveIndexRoot(spark, rawPath)
     if (foldedBatchIds(spark, path).contains(batchId)) return
-    val buckets = spark.read.parquet(s"$path/meta").head.getInt(2)
+    // one-row meta: driver-side read, no Spark job (TinyParquet — r18)
+    val buckets = TinyParquet.int(
+      TinyParquet.readDir(spark.sparkContext.hadoopConfiguration,
+        s"$path/meta").head, "buckets")
     val counts = graft.operators.TextAnalysis.docTermPostings(docs)
       .localCheckpoint(true)
     val dl = counts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -1881,11 +1927,11 @@ object Sink {
   private def foldedBatchIds(
       spark: org.apache.spark.sql.SparkSession,
       root: String): Set[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/folded")
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      Set.empty
-    else spark.read.parquet(s"$root/folded")
-      .select(col("batch_id")).collect().map(_.getLong(0)).toSet
+    // ledger = tiny metadata (one row per absorbed batch): driver-side
+    // read, no Spark job (TinyParquet — r18)
+    TinyParquet
+      .readDir(spark.sparkContext.hadoopConfiguration, s"$root/folded")
+      .map(TinyParquet.long(_, "batch_id")).toSet
   }
 
   /** Persist the cumulative folded-batch ledger at `root` (no-op when
@@ -1945,11 +1991,15 @@ object Sink {
     // rather than letting every subsequent read throw path-not-found
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
       return None
-    val committed = spark.read.parquet(s"$root/tombstones_meta")
-      .select(col("batch_id").cast("long"), col("n_ids"), col("adj"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // commit records are one tiny row per batch: driver-side read, no
+    // Spark job (TinyParquet — r18; batch_id is the partition dir name)
+    val committed = TinyParquet
+      .readDir(spark.sparkContext.hadoopConfiguration,
+        s"$root/tombstones_meta")
+      .map(r => (TinyParquet.long(r, "batch_id"),
+        TinyParquet.long(r, "n_ids"), TinyParquet.long(r, "adj")))
       .filter(t => beforeBatch.forall(t._1 < _))
+      .sortBy(_._1)
     if (committed.isEmpty) return None
     val ids = spark.read
       .schema(s"$idCol BIGINT, batch_id BIGINT")
@@ -2076,16 +2126,23 @@ object Sink {
       batchId: Long): Unit = {
     val path = resolveIndexRoot(spark, rawPath)
     if (foldedBatchIds(spark, path).contains(batchId)) return
+    // one-row meta: driver-side read, no Spark job (TinyParquet — r18)
+    val buckets = TinyParquet.int(
+      TinyParquet.readDir(spark.sparkContext.hadoopConfiguration,
+        s"$path/meta").head, "buckets")
+    // the deletion ids' sidecar buckets (the probe-union idiom turning
+    // the stats lookup into a static partition prune) ride the pin job
+    // itself (Dataset.observe — r18): the former shape paid a second
+    // deletion-batch collect job for them
+    val bObs = Observation()
     val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
-      .distinct().localCheckpoint(true)
-    val buckets = spark.read.parquet(s"$path/meta").head.getInt(2)
-    // the deletion ids' sidecar buckets: a deletion-batch-sized collect
-    // (the probe-union idiom) that turns the stats lookup into a static
-    // partition prune
-    val probed: Seq[Int] = ids
-      .select(pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int")
-        .as("dbucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      .distinct()
+      .observe(bObs, collect_set(
+        pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int"))
+        .as("dbuckets"))
+      .localCheckpoint(true)
+    val probed: Seq[Int] = bObs.get("dbuckets")
+      .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Int]).sorted
     val stats = docStatsLayers(spark, path, buckets,
         beforeBatch = Some(batchId))
       .filter(col("dbucket").isin(probed: _*)) // static partition prune
@@ -2216,9 +2273,14 @@ object Sink {
       batchId: Long): Unit = {
     val root = resolveIndexRoot(spark, rawPath)
     if (foldedBatchIds(spark, root).contains(batchId)) return
+    // the batch size rides the pin job itself (Dataset.observe — r18):
+    // the former ids.count() was a second job over the just-pinned rows
+    val nObs = Observation()
     val ids = vecIds.select(col("vec_id").cast("long").as("vec_id"))
-      .distinct().localCheckpoint(true)
-    writeTombstoneBatch(spark, root, ids, ids.count(), 0L, batchId)
+      .distinct().observe(nObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    writeTombstoneBatch(spark, root, ids,
+      nObs.get("n").asInstanceOf[Long], 0L, batchId)
   }
 
   /** DELETE vectors from a persisted LSH index — tombstones mask
@@ -2234,24 +2296,54 @@ object Sink {
       vecIds: DataFrame,
       batchId: Long): Unit = {
     if (foldedBatchIds(spark, path).contains(batchId)) return
+    // batch size observed on the pin job — see [[deleteFromIvfIndex]]
+    val nObs = Observation()
     val ids = vecIds.select(col("vec_id").cast("long").as("vec_id"))
-      .distinct().localCheckpoint(true)
-    writeTombstoneBatch(spark, path, ids, ids.count(), 0L, batchId)
+      .distinct().observe(nObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    writeTombstoneBatch(spark, path, ids,
+      nObs.get("n").asInstanceOf[Long], 0L, batchId)
   }
 
   /** Batch ids with a landed commit record (`meta_ingested` row) at the
     * RESOLVED root — the batches [[readTextIndex]] unions in.
     */
+  /** Distinct `batch_id=<id>` partition values that hold at least one
+    * parquet file under `dir` — a pure FileSystem listing (no Spark
+    * job; r18). The ≥1-file guard keeps the semantics of the former
+    * data-side reads: a directory a torn write left empty contributes
+    * no rows to a scan, so it must contribute no id here either.
+    */
+  private def listedBatchIds(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Set.empty
+    val ids = collection.mutable.Set.empty[Long]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        var d = f.getParent
+        while (d != null && d.toString.length >= dir.length) {
+          val n = d.getName
+          if (n.startsWith("batch_id=")) {
+            ids += n.stripPrefix("batch_id=").toLong
+            d = null
+          } else d = d.getParent
+        }
+      }
+    }
+    ids.toSet
+  }
+
   private def committedIngestBatchIds(
       spark: org.apache.spark.sql.SparkSession,
-      root: String): Set[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/meta_ingested")
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      Set.empty
-    else spark.read.parquet(s"$root/meta_ingested")
-      .select(col("batch_id").cast("long")).collect()
-      .map(_.getLong(0)).toSet
-  }
+      root: String): Set[Long] =
+    // commit records land one file per batch_id=K dir — the listing IS
+    // the committed set (the former one-collect read, job-free)
+    listedBatchIds(spark, s"$root/meta_ingested")
 
   /** Distinct batch ids present in a vector index's `ingested/` layout
     * (from the partition directory names) — what an in-place compaction
@@ -2259,14 +2351,10 @@ object Sink {
     */
   private def ingestedBatchIdsAt(
       spark: org.apache.spark.sql.SparkSession,
-      root: String): Set[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/ingested")
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      Set.empty
-    else spark.read.parquet(s"$root/ingested")
-      .select(col("batch_id").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSet
-  }
+      root: String): Set[Long] =
+    // batch_id is a partition directory name — the listing replaces
+    // the former distinct() scan of the ingested DATA (job-free; r18)
+    listedBatchIds(spark, s"$root/ingested")
 
   /** Batch ids with a landed tombstone commit record at the RESOLVED
     * root — what compaction adds to the `folded` ledger so a
@@ -2274,14 +2362,9 @@ object Sink {
     */
   private def committedTombstoneBatchIds(
       spark: org.apache.spark.sql.SparkSession,
-      root: String): Set[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones_meta")
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      Set.empty
-    else spark.read.parquet(s"$root/tombstones_meta")
-      .select(col("batch_id").cast("long")).collect()
-      .map(_.getLong(0)).toSet
-  }
+      root: String): Set[Long] =
+    // one commit-record file per batch_id=K dir — listing, not a job
+    listedBatchIds(spark, s"$root/tombstones_meta")
 
   def compactTextIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -2311,9 +2394,14 @@ object Sink {
       val genDir = s"$rawPath/gen-$gen"
       // clear any torn, uncommitted generation at this number
       fs.delete(new org.apache.hadoop.fs.Path(genDir), true)
-      writeDistribution(idx.postings, col("bucket"))
+      // surviving-postings count observed on the rewrite job (r18) —
+      // the former read-back count re-scanned the just-written table
+      val nObs = Observation()
+      writeDistribution(idx.postings.observe(nObs, count(lit(1)).as("n")),
+          col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$genDir/postings")
+      val n = nObs.get("n").asInstanceOf[Long]
       Seq((idx.nDocs, idx.totalTokens, idx.buckets))
         .toDF("n_docs", "total_tokens", "buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$genDir/meta")
@@ -2363,7 +2451,6 @@ object Sink {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$genDir/build_census")
       }
-      val n = spark.read.parquet(s"$genDir/postings").count()
       // COMMIT: one marker-file creation, then recoverable cleanup
       fs.create(
         new org.apache.hadoop.fs.Path(s"$genDir/_SUCCESS"), true).close()
@@ -2484,7 +2571,9 @@ object Sink {
       val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
       p.getFileSystem(conf).exists(p)
     }
-    val meta = spark.read.parquet(s"$path/meta").head
+    // one-row corpus-constants table: driver-side read, no Spark job
+    // (TinyParquet — r18)
+    val meta = TinyParquet.readDir(conf, s"$path/meta").head
     // FORMAT detection off the parquet footers (no version file to
     // torn-update): a layout persisted before positional postings (v1)
     // has no `positions` column, and the forced v2 schema below reads
@@ -2518,22 +2607,26 @@ object Sink {
       .withColumn("row_batch", lit(-1L))
     val (postings, nDocs, totalTokens, positional) =
       if (!exists("postings_ingested") || !exists("meta_ingested"))
-        (base, meta.getLong(0), meta.getLong(1),
+        (base, TinyParquet.long(meta, "n_docs"),
+          TinyParquet.long(meta, "total_tokens"),
           () => hasPositionsCol("postings"))
       else {
         // the meta rows are the batch commit records: sum the constants
         // AND restrict the posting union to exactly those batches —
         // minus any batch the folded ledger says already lives in the
         // base postings (an append that raced a compaction; see
-        // [[appendTextIndex]]'s single-maintainer note)
+        // [[appendTextIndex]]'s single-maintainer note). Commit records
+        // are tiny: driver-side read, no Spark job (TinyParquet — r18;
+        // batch_id comes from the partition directory name, same LONG
+        // the former cast("long") produced)
         val folded = foldedBatchIds(spark, path)
-        val committed = spark.read.parquet(s"$path/meta_ingested")
-          // the partition column infers as INT from its directory name
-          .select(col("batch_id").cast("long"), col("n_docs"),
-            col("total_tokens"))
-          .collect()
-          .filterNot(r => folded.contains(r.getLong(0)))
-        val ids = committed.map(_.getLong(0)).toSeq
+        val committed = TinyParquet.readDir(conf, s"$path/meta_ingested")
+          .map(r => (TinyParquet.long(r, "batch_id"),
+            TinyParquet.long(r, "n_docs"),
+            TinyParquet.long(r, "total_tokens")))
+          .filterNot(r => folded.contains(r._1))
+          .sortBy(_._1)
+        val ids = committed.map(_._1)
         (base.unionByName(
           spark.read
             .schema("token STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
@@ -2543,13 +2636,14 @@ object Sink {
             .select(col("token"), col("doc_id"), col("tf"), col("dl"),
               col("positions"), col("bucket"),
               col("batch_id").as("row_batch"))),
-          meta.getLong(0) + committed.map(_.getLong(1)).sum,
-          meta.getLong(1) + committed.map(_.getLong(2)).sum,
+          TinyParquet.long(meta, "n_docs") + committed.map(_._2).sum,
+          TinyParquet.long(meta, "total_tokens") + committed.map(_._3).sum,
           () => hasPositionsCol("postings") &&
             hasPositionsCol("postings_ingested"))
       }
     graft.operators.TextAnalysis.TextIndex(
-      postings, nDocs, totalTokens, meta.getInt(2), positional)
+      postings, nDocs, totalTokens,
+      TinyParquet.int(meta, "buckets"), positional)
   }
 
   /** Read the latest committed generation of a [[mergeCensusTable]]
