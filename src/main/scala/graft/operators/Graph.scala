@@ -525,20 +525,26 @@ object Graph {
         .unionAll(edges.select(col("v").as("node")))
         .groupBy(col("node"))
         .agg(count(lit(1)).as("deg"))
-    var e = canonicalEdges(pairs, srcCol, dstCol).localCheckpoint(true)
-    var nEdges = e.count()
+    // per-round edge counts ride the checkpoint jobs (Dataset.observe —
+    // the r18 probe idiom): the former separate next.count() was a
+    // second pass over the just-pinned edges every round
+    def pinCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val pinned = df.observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      (pinned, obs.get("n").asInstanceOf[Long])
+    }
+    var (e, nEdges) = pinCounted(canonicalEdges(pairs, srcCol, dstCol))
     var rounds = 0
     var converged = nEdges == 0L
     while (!converged && rounds < maxIter) {
       val keep = degrees(e).filter(col("deg") >= k)
         .select(col("node"))
         .localCheckpoint(true) // read by BOTH semi joins
-      val next = e
+      val (next, n) = pinCounted(e
         .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .localCheckpoint(true)
-      val n = next.count() // doubles as the materializing action
+        .select(col("u"), col("v")))
       rounds += 1
       converged = n == nEdges // monotone ⇒ equality is the fixed point
       e = next
@@ -688,26 +694,36 @@ object Graph {
     // dangling mass D in one aggregate over the just-pinned table, and
     // round 1's D is nDangling·scale from the seed census below. Values
     // are bit-identical (same Σ mass over the same fixed node set).
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    // The node table derives from the PINNED ed, not from e (r18): ed's
+    // (src, dst) pairs ≡ e's (outdeg covers every src, inner join is
+    // 1:1), so re-deriving e — the upstream corpus join + distinct —
+    // a second time bought nothing; has_out ≡ "node appears as a src"
+    // reads off ed the same way. The seed census (node count + dangling
+    // count) rides the node pin job (Dataset.observe — the r18 probe
+    // idiom) instead of a separate aggregate.
+    val nodes0 = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node")))
       .distinct()
+    val seedObs = org.apache.spark.sql.Observation()
     val nodes =
       (if (!redistributeDangling) nodes0
        else nodes0
-         .join(outdeg.select(col("src").as("node"), lit(true).as("has_out")),
+         .join(ed.select(col("src").as("node"), lit(true).as("has_out"))
+           .distinct(),
            Seq("node"), "left")
          .select(col("node"),
-           coalesce(col("has_out"), lit(false)).as("has_out")))
+           coalesce(col("has_out"), lit(false)).as("has_out"))
+         .observe(seedObs, count(lit(1)).as("n"),
+           count(when(!col("has_out"), lit(1))).as("nd")))
         .localCheckpoint(true)
     val base = scale * (alphaDen - alphaNum) / alphaDen
     var ranks = nodes.withColumn("mass", lit(scale))
-    // seed census: node count + dangling count in ONE aggregate
+    // seed census: node count + dangling count, off the pin job
     lazy val (nNodes, nDangling) =
       if (!redistributeDangling) (nodes.count(), 0L)
       else {
-        val r = nodes.agg(count(lit(1)),
-          count(when(!col("has_out"), lit(1)))).head
-        (r.getLong(0), r.getLong(1))
+        val m = seedObs.get
+        (m("n").asInstanceOf[Long], m("nd").asInstanceOf[Long])
       }
     var dMass = if (redistributeDangling) nDangling * scale else 0L
     var rounds = 0

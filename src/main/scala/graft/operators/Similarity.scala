@@ -340,11 +340,22 @@ object Similarity {
     *
     * Output: `(query_id, vec_id, cosine, rank)`, ties → lowest vec_id.
     */
+  /** Sorted distinct cell ids observed (as `collect_set("cells")`) on a
+    * request-batch pin job — the r18 probe-union idiom: the union rides
+    * the `localCheckpoint` materialization instead of a second
+    * distinct-collect job over the just-pinned rows.
+    */
+  private def observedCells(
+      obs: org.apache.spark.sql.Observation): Seq[Int] =
+    obs.get("cells").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Int]).sorted
+
   def ivfQueryVectors(
       index: IvfIndex,
       queries: DataFrame,
       k: Int = 10,
       nprobe: Int = 4): DataFrame = {
+    val cellObs = org.apache.spark.sql.Observation()
     val probes = queries
       .filter(servableQuery(col("embedding"),
         index.centroids.headOption.map(_.length).getOrElse(0)))
@@ -357,10 +368,12 @@ object Similarity {
       // cell-union collect and the broadcast join side read the SAME
       // rows even if `queries` is non-deterministic (a sample, a
       // re-read of a mutating path) — otherwise un-probed cells could
-      // silently drop candidates
+      // silently drop candidates. The cell union rides the pin job
+      // itself (Dataset.observe — r18): the former separate
+      // distinct-collect was a second job over the just-pinned batch
+      .observe(cellObs, collect_set(col("cell")).as("cells"))
       .localCheckpoint(true)
-    val probed: Seq[Int] = probes.select(col("cell"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val probed: Seq[Int] = observedCells(cellObs)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     index.celled
@@ -417,6 +430,7 @@ object Similarity {
     require(index.hasQuantizedCentroids,
       "integer-lattice probe needs an exact-Lloyd index " +
         "(buildIvfIndexExact / a persisted layout with qcentroids)")
+    val cellObs = org.apache.spark.sql.Observation()
     // quantize the query in the lattice's TRAINING space: a fresh build
     // trained on raw embeddings, a drift rebuild on the stored unit
     // vectors (IvfIndex.qcentsSpace) — quantizing a raw query against a
@@ -491,10 +505,11 @@ object Similarity {
     })
       // pin the request batch: the driver-side cell-union collect and
       // the broadcast join side must read the SAME rows (the
-      // ivfQueryVectors idiom)
+      // ivfQueryVectors idiom); the union rides the pin job
+      // (Dataset.observe — r18)
+      .observe(cellObs, collect_set(col("cell")).as("cells"))
       .localCheckpoint(true)
-    val probed: Seq[Int] = probes.select(col("cell"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val probed: Seq[Int] = observedCells(cellObs)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     index.celled
@@ -778,11 +793,16 @@ object Similarity {
       k: Int = 10): DataFrame = {
     val bitsPerBand = index.bitsPerBand
     val mask = (1L << bitsPerBand) - 1
+    // distinct signatures ride the pin job (Dataset.observe — r18;
+    // probePairs dedupes anyway, so the set ≡ the former full collect)
+    val sigObs = org.apache.spark.sql.Observation()
     val pinned = queries
       .select(col("query_id"), normalized(col("embedding")).as("q_unit"))
       .withColumn("sig", srpSignature(col("q_unit"), index.planes))
+      .observe(sigObs, collect_set(col("sig")).as("sigs"))
       .localCheckpoint(true)
-    val sigs = pinned.select(col("sig")).collect().map(_.getLong(0))
+    val sigs = sigObs.get("sigs").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Long])
     val probePairs: Seq[(Int, Long)] = sigs.toSeq.flatMap { sig =>
       (0 until index.bands).flatMap { b =>
         val base = (sig >> (b * bitsPerBand)) & mask
@@ -2014,22 +2034,35 @@ object Similarity {
     val m = pqCents.length
     require(m >= 1, "empty PQ codebook")
     val kEff = pqCents(0).length
+    // ONE pin job carries all three driver-side needs (Dataset.observe
+    // — r18): the quantized query rows for the ADC tables, and the
+    // probe-cell union for the static partition prune — the former
+    // shape paid two more collect jobs over the just-pinned batch.
+    // probe_cells rides the pinned rows too, so the broadcast probe
+    // relation reads the SAME cells the union was built from.
+    val qObs = org.apache.spark.sql.Observation()
     val pinned = queries.select(col("query_id"),
         normalized(col("embedding")).as("q_unit"),
         transform(col("embedding"), x =>
           round((x.cast("double") + lit(Clustering.Shift))
             * lit(Clustering.Scale)).cast("long")).as("q"))
-      .localCheckpoint(true)
-    val dtables = pinned.select(col("query_id"), col("q")).collect().toSeq
-      .map(r => (r.getLong(0),
-        adcTableFlat(r.getSeq[Long](1).toArray, pqCents)))
-      .toDF("query_id", "tflat")
-    val probes = pinned
       .withColumn("probe_cells",
         probeCells(index.centroids, col("q_unit"), nprobe))
+      .observe(qObs,
+        collect_list(struct(col("query_id"), col("q"))).as("qrows"),
+        array_sort(array_distinct(
+          flatten(collect_list(col("probe_cells"))))).as("cells"))
+      .localCheckpoint(true)
+    val dtables = qObs.get("qrows").asInstanceOf[Seq[Any]].toSeq
+      .map { a =>
+        val r = a.asInstanceOf[org.apache.spark.sql.Row]
+        (r.getLong(0), adcTableFlat(r.getSeq[Long](1).toArray, pqCents))
+      }
+      .toDF("query_id", "tflat")
+    val probes = pinned
       .select(col("query_id"), explode(col("probe_cells")).as("cell"))
-    val probed: Seq[Int] = probes.select(col("cell"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val probed: Seq[Int] = qObs.get("cells").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Int])
     val cands = index.celled
       .select(col("vec_id"), col("codes"), col("cell")) // NO unit: column prune
       .filter(col("cell").isin(probed: _*)) // static partition pruning
